@@ -1,0 +1,101 @@
+"""Aggregation surface.
+
+The reference has NO group-by operator — aggregation = whole-column summary
+functions (parser.go:726-792), eager per-column Summary stats
+(gdata.go:118-125), and the Slice group iterator (slicer.go). Here the
+native form is ``df.groupBy().agg`` — strictly more capable; the
+reference-shaped helpers below are thin layers over it.
+
+Scale notes: ``describe`` computes every continuous field's stats in ONE
+aggregation pass (map-side partial aggregation, no shuffle of raw rows);
+categorical top-k is a groupBy/count per field (shuffle on the level key,
+skew-safe under AQE).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seafan_spark.ftypes import FRole
+from seafan_spark.pipeline import Pipeline
+
+QUANTILE_U = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+
+
+def describe(
+    pipe: Pipeline, fields: Sequence[str] | None = None, top_k: int = 10
+) -> dict[str, Any]:
+    """Desc stats (data.go:154-204 / gdata.go:44-56).
+
+    continuous field -> {"n", "mean", "std", "quantiles": [q0,q10,...,q100]}
+    categorical field -> {"n", "levels": [(value, count), ...] top-k by count}
+    """
+    names = list(fields) if fields is not None else pipe.field_list()
+    cts, cat = [], []
+    for n in names:
+        ft = pipe.fts.get(n)
+        role = ft.role if ft is not None else FRole.CTS
+        (cat if role in (FRole.CAT,) else cts).append(n)
+
+    out: dict[str, Any] = {}
+    if cts:
+        aggs: list[Column] = []
+        for c in cts:
+            aggs += [
+                F.count(F.col(c)).alias(f"{c}__n"),
+                F.avg(F.col(c)).alias(f"{c}__mean"),
+                F.stddev_samp(F.col(c)).alias(f"{c}__std"),
+                F.percentile_approx(F.col(c), QUANTILE_U, 10000).alias(f"{c}__q"),
+            ]
+        row = pipe.df.agg(*aggs).collect()[0]
+        for c in cts:
+            out[c] = {
+                "n": row[f"{c}__n"],
+                "mean": row[f"{c}__mean"],
+                "std": row[f"{c}__std"],
+                "quantiles": row[f"{c}__q"],
+            }
+    for c in cat:
+        lv = (
+            pipe.df.groupBy(c)
+            .count()
+            .orderBy(F.col("count").desc(), F.col(c).asc())
+            .limit(top_k)
+            .collect()
+        )
+        n = pipe.df.agg(F.count(F.col(c))).collect()[0][0]
+        out[c] = {"n": n, "levels": [(r[c], r["count"]) for r in lv]}
+    return out
+
+
+def by_counts(pipe: Pipeline, field: str) -> DataFrame:
+    """Value -> frequency (ByCounts, data.go:684-699)."""
+    return pipe.df.groupBy(field).count()
+
+
+def top_k(
+    pipe: Pipeline, field: str, k: int, by_count: bool = True, ascending: bool = False
+) -> DataFrame:
+    """Top-k category values by count or by value (Levels.TopK,
+    data.go:815-837)."""
+    d = pipe.df.groupBy(field).count()
+    key = F.col("count") if by_count else F.col(field)
+    key = key.asc() if ascending else key.desc()
+    tiebreak = F.col(field).asc() if by_count else F.col("count").desc()
+    return d.orderBy(key, tiebreak).limit(k)
+
+
+def group_by(pipe: Pipeline, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    """Native grouped aggregation — the generalization of Slice+summary
+    (SURVEY §2.6). ``aggs`` maps output name -> aggregate Column."""
+    return pipe.df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def summary(pipe: Pipeline, aggs: dict[str, Column]) -> dict[str, Any]:
+    """Whole-table summary scalars in one pass (EvalSFunction family,
+    parser.go:726-792)."""
+    row = pipe.df.agg(*[c.alias(n) for n, c in aggs.items()]).collect()[0]
+    return row.asDict()

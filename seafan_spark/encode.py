@@ -1,0 +1,213 @@
+"""Encoding stage: continuous normalization, categorical dictionary codes,
+one-hot — the reference's AppendC/AppendD/MakeOneHot/UpdateFts/ReInit
+(gdata.go:80-272, 555-608, 1078-1120) rebuilt as *derived Column
+expressions* over the raw DataFrame columns.
+
+Design: raw values stay the DataFrame's native columns; encodings are
+computed on demand from FType parameters ("GetRaw" becomes a no-op,
+"ReInit" = re-running the fit). This keeps every encode lazy and lets
+Catalyst prune unused encodings entirely.
+
+Semantic contracts preserved:
+- category codes assigned by **sorted unique value order** (ByPtr,
+  data.go:703-715) — stable across runs, not frequency-ordered;
+- unseen values map to the Default level's code (gdata.go:186-196);
+- float categorical keys rejected (gdata.go:175-177);
+- zero-variance normalize is an error (gdata.go:110-112).
+
+Scale notes: fitting a dictionary is one distinct+collect (small result by
+assumption — categorical cardinality, not row count); code lookup compiles
+to a literal map (JVM-side, no Python) for <= ``_MAP_LITERAL_MAX`` levels
+and a broadcast join above that.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seafan_spark.ftypes import FParam, FRole, FType, FTypes
+from seafan_spark.pipeline import Pipeline
+
+_MAP_LITERAL_MAX = 10_000
+
+
+class EncodeError(ValueError):
+    pass
+
+
+def fit_normalize(pipe: Pipeline, field: str) -> FParam:
+    """Fit z-score location/scale (AppendC, gdata.go:103-116)."""
+    row = pipe.df.agg(
+        F.avg(field).alias("m"), F.stddev_samp(field).alias("s")
+    ).collect()[0]
+    if row["s"] is None or row["s"] == 0.0:
+        raise EncodeError(f"normalize: field {field} has zero variance")
+    return FParam(location=float(row["m"]), scale=float(row["s"]))
+
+
+def fit_levels(pipe: Pipeline, field: str, default: Any = None) -> FParam:
+    """Fit the category dictionary: sorted unique values -> codes 0..n-1
+    (AppendD, gdata.go:156-228; ByPtr, data.go:703-715)."""
+    dtype = pipe.df.schema[field].dataType
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        raise EncodeError(f"categorical field {field} cannot be float (gdata.go:175-177)")
+    vals = [r[0] for r in pipe.df.select(field).distinct().collect() if r[0] is not None]
+    levels = {v: i for i, v in enumerate(sorted(vals))}
+    if default is not None and default not in levels:
+        raise EncodeError(f"default {default!r} not among levels of {field}")
+    return FParam(levels=levels, default=default)
+
+
+def cat_code_col(ft: FType, col: Column | None = None) -> Column:
+    """Compile value -> int32 code lookup from the FType dictionary.
+
+    Unseen values coalesce to the Default level's code (gdata.go:186-196),
+    else null.
+    """
+    if ft.fp.levels is None:
+        raise EncodeError(f"field {ft.name} has no fitted levels")
+    col = col if col is not None else F.col(ft.name)
+    levels = ft.fp.levels
+    if len(levels) <= _MAP_LITERAL_MAX:
+        pairs: list[Column] = []
+        for v, code in levels.items():
+            pairs += [F.lit(v), F.lit(code)]
+        lookup = F.element_at(F.create_map(*pairs), col)
+    else:
+        # beyond literal-map size, callers should use join_cat_codes()
+        raise EncodeError(
+            f"field {ft.name}: {len(levels)} levels exceeds literal-map limit; "
+            "use join_cat_codes() for high-cardinality dictionaries"
+        )
+    if ft.fp.default is not None:
+        lookup = F.coalesce(lookup, F.lit(levels[ft.fp.default]))
+    return lookup.cast("int")
+
+
+def join_cat_codes(pipe: Pipeline, ft: FType, out_name: str) -> Pipeline:
+    """High-cardinality dictionary lookup via broadcast join (scale path)."""
+    if ft.fp.levels is None:
+        raise EncodeError(f"field {ft.name} has no fitted levels")
+    spark = pipe.spark
+    dict_df = spark.createDataFrame(
+        [(k, v) for k, v in ft.fp.levels.items()], schema=[ft.name, out_name]
+    )
+    joined = pipe.df.join(F.broadcast(dict_df), on=ft.name, how="left")
+    if ft.fp.default is not None:
+        joined = joined.withColumn(
+            out_name, F.coalesce(F.col(out_name), F.lit(ft.fp.levels[ft.fp.default]))
+        )
+    return pipe._derive(joined)
+
+
+def normalized_col(ft: FType, col: Column | None = None) -> Column:
+    """(x - location) / scale (gdata.go:109-116)."""
+    col = col if col is not None else F.col(ft.name)
+    return (col.cast("double") - F.lit(ft.fp.location)) / F.lit(ft.fp.scale)
+
+
+def un_normalize_col(ft: FType, col: Column | None = None) -> Column:
+    """x * scale + location (UnNormalize, diags.go:19-28)."""
+    col = col if col is not None else F.col(ft.name)
+    return col.cast("double") * F.lit(ft.fp.scale) + F.lit(ft.fp.location)
+
+
+def append_cts(
+    pipe: Pipeline,
+    name: str,
+    col: Column | None = None,
+    normalize: bool = False,
+    fp: FParam | None = None,
+) -> Pipeline:
+    """Add a continuous field (AppendC, gdata.go:80-153). With
+    ``normalize``, z-score using supplied ``fp`` or freshly fitted params."""
+    col = col if col is not None else F.col(name)
+    d = pipe.df.withColumn(name, col.cast("double"))
+    out = pipe._derive(d)
+    ft = FType(name=name, role=FRole.CTS, normalized=normalize)
+    if normalize:
+        ft.fp = fp if fp is not None else fit_normalize(out, name)
+        out.df = out.df.withColumn(name, normalized_col(ft))
+    elif fp is not None:
+        ft.fp = fp
+    fts = out.fts.copy()
+    fts.add(ft)
+    out.fts = fts
+    return out
+
+
+def append_cat(
+    pipe: Pipeline,
+    name: str,
+    col: Column | None = None,
+    fp: FParam | None = None,
+    materialize_code: bool = False,
+) -> Pipeline:
+    """Add a categorical field (AppendD, gdata.go:156-228): fit (or reuse)
+    the sorted-unique dictionary; optionally materialize the int32 code
+    column as ``{name}__code``."""
+    if col is not None:
+        pipe = pipe._derive(pipe.df.withColumn(name, col))
+    ft = FType(name=name, role=FRole.CAT)
+    ft.fp = fp if fp is not None else fit_levels(pipe, name)
+    ft.cats = len(ft.fp.levels or {})
+    fts = pipe.fts.copy()
+    fts.add(ft)
+    out = pipe._derive(pipe.df, fts=fts)
+    if materialize_code:
+        out.df = out.df.withColumn(f"{name}__code", cat_code_col(ft))
+    return out
+
+
+def make_one_hot(pipe: Pipeline, from_field: str, name: str) -> Pipeline:
+    """One-hot a fitted categorical into an array<double> column
+    (MakeOneHot, gdata.go:231-272 — there a dense rows*cats slab; here an
+    array column, columnar in parquet/Arrow, sliceable by index)."""
+    src = pipe.fts.get(from_field)
+    if src is None or src.role != FRole.CAT or src.fp.levels is None:
+        raise EncodeError(f"one-hot source {from_field} must be a fitted categorical")
+    code = cat_code_col(src)
+    ncat = len(src.fp.levels)
+    arr = F.array(*[(code == F.lit(i)).cast("double") for i in range(ncat)])
+    d = pipe.df.withColumn(name, arr)
+    fts = pipe.fts.copy()
+    fts.add(FType(name=name, role=FRole.ONE_HOT, cats=ncat, from_field=from_field))
+    return pipe._derive(d, fts=fts)
+
+
+def update_fts(pipe: Pipeline, new_fts: FTypes) -> Pipeline:
+    """Re-encode under supplied FTypes — scoring-time alignment to
+    training-time encodings (UpdateFts, gdata.go:555-608). Raw columns are
+    untouched; encodings recompile from the new parameters."""
+    merged = pipe.fts.copy()
+    for ft in new_fts:
+        if ft.name in pipe.df.columns or ft.role in (FRole.ONE_HOT, FRole.EMBED):
+            merged.add(ft)
+    out = pipe._derive(pipe.df, fts=merged)
+    for ft in new_fts:
+        if ft.role in (FRole.ONE_HOT, FRole.EMBED) and ft.from_field in pipe.df.columns:
+            if ft.name not in out.df.columns:
+                out = make_one_hot(out, ft.from_field, ft.name)
+    return out
+
+
+def reinit(pipe: Pipeline, fts: FTypes | None = None) -> Pipeline:
+    """Re-derive encodings from raw, re-fitting unless params are supplied
+    (ReInit, gdata.go:1078-1120)."""
+    if fts is not None:
+        return update_fts(pipe, fts)
+    new = FTypes()
+    for ft in pipe.fts:
+        if ft.role == FRole.CAT and ft.name in pipe.df.columns:
+            fp = fit_levels(pipe, ft.name, default=ft.fp.default)
+            new.add(FType(name=ft.name, role=FRole.CAT, cats=len(fp.levels or {}), fp=fp))
+        elif ft.role == FRole.CTS and ft.normalized and ft.name in pipe.df.columns:
+            fp = fit_normalize(pipe, ft.name)
+            new.add(FType(name=ft.name, role=FRole.CTS, normalized=True, fp=fp))
+        else:
+            new.add(ft)
+    return pipe._derive(pipe.df, fts=new)

@@ -1,0 +1,149 @@
+"""Sources & sinks.
+
+Reference surface (SURVEY §2.1): CSVToPipe (pipeline.go:325-364), SQLToPipe
+(pipeline.go:298-321), PipeToCSV (pipeline.go:395-425), PipeToSQL
+(pipeline.go:367-392), VecFromAny (vec.go:38-70). The reference eagerly
+materializes every row in RAM (ch.go:103-205); here readers stay lazy and
+Catalyst prunes columns / pushes filters into the scan.
+
+Row-order contract
+------------------
+The reference has an implicit physical row order that lag/cume/subset/row
+depend on. Spark DataFrames have none, so every pipeline carries an explicit
+order spec:
+
+- an order column ``_rid = monotonically_increasing_id()`` is added
+  **lazily**, only at the moment an order-dependent op needs one — adding it
+  eagerly at ingest would put a nondeterministic projection between the scan
+  and every filter, blocking predicate pushdown into parquet (verified via
+  ``explain``: PushedFilters disappear);
+- positional operators (subset/row/row()/lag without keys) densify via
+  ``row_number()`` over the order spec on demand — a global sort, kept for
+  reference compatibility and documented as a small-data path;
+- scale-aware callers pass ``order_cols`` (e.g. events ordered by
+  ``(ts, event_id)``) so windows ride a real key instead of ingest order.
+
+Default role inference follows ch.go:163-171: string/date/timestamp -> CAT,
+numeric -> CTS.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from seafan_spark.ftypes import FRole, FType, FTypes
+
+RID = "_rid"
+
+_CAT_SPARK_TYPES = (T.StringType, T.DateType, T.TimestampType, T.BooleanType)
+
+
+def infer_role(dtype: T.DataType) -> FRole:
+    """Default role from the Spark type (ch.go:163-171, vec.go:43-46)."""
+    if isinstance(dtype, _CAT_SPARK_TYPES):
+        return FRole.CAT
+    return FRole.CTS
+
+
+def default_ftypes(df: DataFrame, user_fts: FTypes | None = None) -> FTypes:
+    """Resolve per-field roles: user overrides win, else inferred."""
+    fts = FTypes()
+    for f in df.schema.fields:
+        if f.name == RID:
+            continue
+        user = user_fts.get(f.name) if user_fts is not None else None
+        if user is not None and user.role != FRole.EITHER:
+            fts.add(user)
+        else:
+            fts.add(FType(name=f.name, role=infer_role(f.dataType)))
+    return fts
+
+
+def parquet_to_pipe(
+    spark: SparkSession,
+    path: str,
+    fts: FTypes | None = None,
+    keep_raw: bool = True,
+    order_cols: Sequence[str] | None = None,
+) -> "Pipeline":
+    """Read parquet into a Pipeline (the engine's native source)."""
+    from seafan_spark.pipeline import Pipeline
+
+    df = spark.read.parquet(path)
+    return Pipeline(df, fts=default_ftypes(df, fts), keep_raw=keep_raw, order_cols=order_cols)
+
+
+def csv_to_pipe(
+    spark: SparkSession,
+    path: str,
+    fts: FTypes | None = None,
+    keep_raw: bool = True,
+    order_cols: Sequence[str] | None = None,
+    sep: str = ",",
+) -> "Pipeline":
+    """Read a headered CSV with type inference (CSVToPipe, pipeline.go:325-364).
+
+    The reference imputes types by sampling with tolerance .98; Spark's
+    ``inferSchema`` performs the same job with a full or sampled pass.
+    """
+    from seafan_spark.pipeline import Pipeline
+
+    df = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("sep", sep)
+        .csv(path)
+    )
+    return Pipeline(df, fts=default_ftypes(df, fts), keep_raw=keep_raw, order_cols=order_cols)
+
+
+def sql_to_pipe(
+    spark: SparkSession,
+    sql: str,
+    fts: FTypes | None = None,
+    keep_raw: bool = True,
+    order_cols: Sequence[str] | None = None,
+) -> "Pipeline":
+    """Run a SQL statement against the session catalog (SQLToPipe,
+    pipeline.go:298-321 — there, ClickHouse; here, Spark SQL / registered
+    views / JDBC-backed tables)."""
+    from seafan_spark.pipeline import Pipeline
+
+    df = spark.sql(sql)
+    return Pipeline(df, fts=default_ftypes(df, fts), keep_raw=keep_raw, order_cols=order_cols)
+
+
+def vec_to_pipe(
+    spark: SparkSession,
+    data: dict[str, list[Any]],
+    fts: FTypes | None = None,
+    keep_raw: bool = True,
+) -> "Pipeline":
+    """Build a pipeline from in-memory column vectors (VecFromAny,
+    vec.go:38-70). Driver-side convenience for tests/small dims."""
+    from seafan_spark.pipeline import Pipeline
+
+    names = list(data)
+    n = len(data[names[0]]) if names else 0
+    rows = [tuple(data[name][i] for name in names) + (i,) for i in range(n)]
+    df = spark.createDataFrame(rows, schema=names + [RID])
+    return Pipeline(df, fts=default_ftypes(df, fts), keep_raw=keep_raw)
+
+
+def pipe_to_parquet(pipe: "Pipeline", path: str, mode: str = "overwrite") -> None:
+    """Write pipeline contents as parquet (scale-native sink)."""
+    pipe.df.drop(RID).write.mode(mode).parquet(path)
+
+
+def pipe_to_csv(pipe: "Pipeline", path: str, sep: str = ",", mode: str = "overwrite") -> None:
+    """Write pipeline contents as headered CSV (PipeToCSV, pipeline.go:395-425)."""
+    pipe.ordered_df().drop(RID).write.mode(mode).option("header", True).option("sep", sep).csv(path)
+
+
+def pipe_to_table(pipe: "Pipeline", table: str, mode: str = "overwrite") -> None:
+    """Save to a catalog table (PipeToSQL, pipeline.go:367-392)."""
+    pipe.df.drop(RID).write.mode(mode).saveAsTable(table)

@@ -1,0 +1,74 @@
+"""Slice iterator + agg semantics (vec_test.go:10-29, 83-113;
+gdata_test.go:176-200; data.go:815-837)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafan_spark.agg import by_counts, describe, group_by, summary, top_k
+from seafan_spark.encode import append_cat
+from seafan_spark.slicer import Slice, slicer_and, slicer_or
+from seafan_spark.sources import vec_to_pipe
+
+
+@pytest.fixture()
+def sl_pipe(spark):
+    # slicer fixture (FIXTURES.md §3)
+    p = vec_to_pipe(
+        spark,
+        {
+            "x1": [1.0, 2.0, 3.0, 4.0, 8.0, 9.0, 10.0],
+            "x2": ["a", "b", "c", "a", "a", "a", "a"],
+            "x3": [4, 5, 6, 1, 2, 2, 2],
+        },
+    )
+    return append_cat(p, "x2")
+
+
+def test_slice_categorical(sl_pipe):
+    got = {}
+    for v, sub in Slice("x2", 0, sl_pipe).groups():
+        got[v] = sorted(sub.collect_field("x1"))
+    assert got == {"a": [1.0, 4.0, 8.0, 9.0, 10.0], "b": [2.0], "c": [3.0]}
+
+
+def test_slice_min_count_and_restrict(sl_pipe):
+    vals = [v for v, _ in Slice("x2", 1, sl_pipe).groups()]
+    assert vals == ["a"]  # b,c have count 1, gate is count > minCnt
+    vals = [v for v, _ in Slice("x2", 0, sl_pipe, restrict=["b", "c"]).groups()]
+    assert vals == ["b", "c"]
+
+
+def test_slice_continuous_quartiles(sl_pipe):
+    groups = list(Slice("x1", 0, sl_pipe).groups())
+    assert len(groups) == 4
+    total = sum(g.row_count() for _, g in groups)
+    assert total == 7  # partition covers all rows
+
+
+def test_slicer_combinators(sl_pipe):
+    c = slicer_and(F.col("x2") == "a", F.col("x1") > 5)
+    assert sorted(sl_pipe.filter(c).collect_field("x1")) == [8.0, 9.0, 10.0]
+    c = slicer_or(F.col("x2") == "b", F.col("x2") == "c")
+    assert sl_pipe.filter(c).row_count() == 2
+
+
+def test_group_by_and_summary(sl_pipe):
+    rows = group_by(sl_pipe, ["x2"], {"n": F.count(F.lit(1)), "s": F.sum("x1")}).collect()
+    d = {r["x2"]: (r["n"], r["s"]) for r in rows}
+    assert d["a"] == (5, 32.0)
+    s = summary(sl_pipe, {"total": F.sum("x1"), "m": F.avg("x3")})
+    assert s["total"] == 37.0
+
+
+def test_top_k_and_by_counts(sl_pipe):
+    rows = top_k(sl_pipe, "x2", 2).collect()
+    assert [r["x2"] for r in rows] == ["a", "b"]
+    bc = {r["x2"]: r["count"] for r in by_counts(sl_pipe, "x2").collect()}
+    assert bc == {"a": 5, "b": 1, "c": 1}
+
+
+def test_describe_quantiles(sl_pipe):
+    d = describe(sl_pipe, fields=["x1", "x2"])
+    assert d["x1"]["n"] == 7
+    assert d["x1"]["quantiles"][0] == 1.0 and d["x1"]["quantiles"][-1] == 10.0
+    assert d["x2"]["levels"][0] == ("a", 5)

@@ -242,6 +242,36 @@ def q_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.df.select("c_custkey", F.col("rank0").cast("bigint").alias("rank0"))
 
 
+def q_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile diagnostic (Decile, diags.go:354-473) as a table."""
+    from seafan_spark.diags import decile_table
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    p = p.with_column("obs", (F.col("l_quantity") > 25).cast("double"))
+    t = decile_table(p, "l_extendedprice", "obs", tiebreak=["l_orderkey", "l_linenumber"])
+    return t.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.round("mean_fit", 4).alias("mean_fit"),
+        F.round("mean_obs", 6).alias("mean_obs"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def q_assess_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assess + R2 diagnostics (diags.go:476-529, 734-754) as one row."""
+    from seafan_spark.diags import assess, r2
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    p = p.with_column("obs", (F.col("l_quantity") > 25).cast("double"))
+    p = p.with_column("fit", F.col("l_quantity") / F.lit(50.0))
+    a = assess(p, "fit", "obs", cutoff=0.5)
+    r = r2(p, "fit", "obs")
+    return spark.createDataFrame(
+        [(a.n, round(a.precision, 6), round(a.recall, 6), round(a.accuracy, 6), round(r, 4))],
+        schema="n bigint, prec double, recall double, accuracy double, r2 double",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "where_keep": q_where_keep,
     "groupby_agg": q_groupby_agg,
@@ -258,6 +288,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encode_normalize": q_encode_normalize,
     "topk": q_topk,
     "sort_rank": q_sort_rank,
+    "decile": q_decile,
+    "assess_r2": q_assess_r2,
 }
 
 ORACLES: dict[str, str] = {
@@ -363,6 +395,40 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey,
                CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS BIGINT) AS rank0
         FROM customer
+    """,
+    "decile": """
+        WITH ranked AS (
+            SELECT l_extendedprice AS fit,
+                   CAST(l_quantity > 25 AS DOUBLE) AS obs,
+                   NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS bucket
+            FROM lineitem
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               ROUND(AVG(fit), 4) AS mean_fit,
+               ROUND(AVG(obs), 6) AS mean_obs,
+               COUNT(*) AS n
+        FROM ranked GROUP BY bucket
+    """,
+    "assess_r2": """
+        WITH t AS (
+            SELECT CAST(l_quantity > 25 AS DOUBLE) AS obs, l_quantity/50.0 AS fit
+            FROM lineitem
+        ), s AS (
+            SELECT COUNT(*) AS n,
+                   SUM(CASE WHEN fit > 0.5 AND obs > 0.999 THEN 1 ELSE 0 END) AS tp,
+                   SUM(CASE WHEN fit <= 0.5 AND obs <= 0.999 THEN 1 ELSE 0 END) AS tn,
+                   SUM(CASE WHEN obs > 0.999 THEN 1 ELSE 0 END) AS obs_tot,
+                   SUM(CASE WHEN fit > 0.5 THEN 1 ELSE 0 END) AS pred_tot,
+                   SUM((obs-fit)*(obs-fit)) AS sse,
+                   VAR_SAMP(obs) AS vy
+            FROM t
+        )
+        SELECT n,
+               ROUND(CAST(tp AS DOUBLE)/pred_tot, 6) AS prec,
+               ROUND(CAST(tp AS DOUBLE)/obs_tot, 6) AS recall,
+               ROUND(CAST(tp+tn AS DOUBLE)/n, 6) AS accuracy,
+               ROUND(100*(1 - sse/((n-1)*vy)), 4) AS r2
+        FROM s
     """,
 }
 

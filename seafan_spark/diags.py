@@ -1,0 +1,241 @@
+"""Model diagnostics (reference diags.go), rebuilt as aggregations.
+
+Every diagnostic here is one or two Spark aggregation passes (map-side
+partials, no raw-row collection) returning small driver-side results — the
+reference sorts/copies entire columns in memory per call (e.g. KS sorts both
+class vectors, diags.go:148-149).
+
+Plotting is intentionally out of scope (the reference renders plotly HTML);
+each function returns the numbers the plots are drawn from.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from seafan_spark.pipeline import Pipeline
+from seafan_spark.slicer import Slice
+
+THRESH = 0.5  # binary threshold (diags.go thresh const)
+
+
+def ks(pipe: Pipeline, fit: str, obs: str, bins: int = 1000) -> float:
+    """Two-sample KS of fitted scores split by binary outcome
+    (KS, diags.go:110-221): 100 * max |CDF_target - CDF_rest|.
+
+    The reference interpolates both empirical CDFs on a 101-point grid; here
+    scores are bucketed into ``bins`` equal-width bins in one aggregation
+    pass and the CDF difference is maximized over bin edges — resolution
+    1/bins of the score range, no per-class sort, scales to any row count.
+    """
+    r = pipe.df.agg(
+        F.min(fit).alias("lo"),
+        F.max(fit).alias("hi"),
+        F.sum(F.when(F.col(obs) > THRESH, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col(obs) > THRESH, 0).otherwise(1)).alias("n0"),
+    ).collect()[0]
+    lo, hi, n1, n0 = r["lo"], r["hi"], r["n1"], r["n0"]
+    if not n1 or not n0:
+        raise ValueError("ks: need both positive and negative outcomes")
+    if hi == lo:
+        return 0.0
+    width = (hi - lo) / bins
+    b = F.least(F.floor((F.col(fit) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
+    counts = (
+        pipe.df.groupBy(
+            b.alias("bin"), (F.col(obs) > THRESH).alias("is_t")
+        )
+        .count()
+        .collect()
+    )
+    hist0 = [0] * bins
+    hist1 = [0] * bins
+    for row in counts:
+        (hist1 if row["is_t"] else hist0)[int(row["bin"])] += row["count"]
+    best, c0, c1 = 0.0, 0, 0
+    for i in range(bins):
+        c0 += hist0[i]
+        c1 += hist1[i]
+        best = max(best, abs(c1 / n1 - c0 / n0))
+    return 100.0 * best
+
+
+def decile_table(
+    pipe: Pipeline,
+    fit: str,
+    obs: str,
+    n_buckets: int = 10,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Decile table (Decile, diags.go:354-473): bucket by fitted-value
+    quantiles, per bucket mean fit, mean obs, count, and the ±2 binomial-SE
+    band around mean obs. One window pass (ntile) + one aggregation.
+    ``tiebreak`` columns make bucket assignment deterministic under ties."""
+    w = Window.orderBy(F.col(fit), *[F.col(c) for c in tiebreak])
+    d = pipe.df.withColumn("_dec", F.ntile(n_buckets).over(w) - F.lit(1))
+    out = (
+        d.groupBy("_dec")
+        .agg(
+            F.avg(fit).alias("mean_fit"),
+            F.avg(obs).alias("mean_obs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "se", F.sqrt(F.col("mean_obs") * (1 - F.col("mean_obs")) / F.col("n"))
+        )
+        .withColumn("lower", F.col("mean_obs") - 2 * F.col("se"))
+        .withColumn("upper", F.col("mean_obs") + 2 * F.col("se"))
+        .withColumnRenamed("_dec", "bucket")
+        .orderBy("bucket")
+    )
+    return out
+
+
+@dataclass
+class SegRow:
+    value: Any
+    n: int
+    mean_obs: float
+    obs_se: float
+    mean_fit_corrected: float
+
+
+@dataclass
+class SegResult:
+    rows: list[SegRow]
+    bias: float
+    mad: float
+
+
+def seg_table(
+    pipe: Pipeline, obs: str, fit: str, seg: str, min_cnt: int = 100
+) -> SegResult:
+    """Per-segment mean observed vs bias-corrected mean fitted
+    (SegPlot, diags.go:230-346): bias = global mean(fit) - mean(obs);
+    each segment reports mean_obs ± 2·SE and mean_fit - bias; MAD is the
+    mean |corrected fit - obs| over kept segments.
+
+    One groupBy pass over segments (the reference iterates slices,
+    re-copying rows per segment)."""
+    g = pipe.df.agg(F.avg(fit).alias("mf"), F.avg(obs).alias("mo")).collect()[0]
+    bias = g["mf"] - g["mo"]
+    rows = (
+        pipe.df.groupBy(seg)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(obs).alias("mean_obs"),
+            F.stddev_samp(obs).alias("std_obs"),
+            F.avg(fit).alias("mean_fit"),
+        )
+        .filter(F.col("n") >= min_cnt)
+        .orderBy(seg)
+        .collect()
+    )
+    out, mad, tot = [], 0.0, 0
+    for r in rows:
+        fit_c = r["mean_fit"] - bias
+        mad += abs(fit_c - r["mean_obs"])
+        tot += 1
+        out.append(
+            SegRow(
+                value=r[seg],
+                n=r["n"],
+                mean_obs=r["mean_obs"],
+                obs_se=(r["std_obs"] or 0.0) / math.sqrt(r["n"]),
+                mean_fit_corrected=fit_c,
+            )
+        )
+    return SegResult(rows=out, bias=bias, mad=mad / tot if tot else float("nan"))
+
+
+@dataclass
+class AssessResult:
+    n: int
+    precision: float
+    recall: float
+    accuracy: float
+
+
+def assess(pipe: Pipeline, fit: str, obs: str, cutoff: float) -> AssessResult:
+    """Precision/recall/accuracy at a cutoff (Assess, diags.go:476-529):
+    predicted-yes = fit > cutoff, observed-yes = obs > 0.999."""
+    pred = F.col(fit) > F.lit(cutoff)
+    oy = F.col(obs) > F.lit(0.999)
+    r = pipe.df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((pred & oy).cast("long")).alias("tp"),
+        F.sum((~pred & ~oy).cast("long")).alias("tn"),
+        F.sum(oy.cast("long")).alias("obs_tot"),
+        F.sum(pred.cast("long")).alias("pred_tot"),
+    ).collect()[0]
+    if r["obs_tot"] == 0:
+        raise ValueError("assess: no positive outcomes")
+    if r["obs_tot"] == r["n"]:
+        raise ValueError("assess: no negative outcomes")
+    precision = r["tp"] / r["pred_tot"] if r["pred_tot"] else float("nan")
+    return AssessResult(
+        n=r["n"],
+        precision=precision,
+        recall=r["tp"] / r["obs_tot"],
+        accuracy=(r["tp"] + r["tn"]) / r["n"],
+    )
+
+
+def r2(pipe: Pipeline, fit: str, obs: str) -> float:
+    """100 * (1 - SSE/TSS) (R2, diags.go:734-754)."""
+    r = pipe.df.agg(
+        F.sum(F.pow(F.col(obs) - F.col(fit), F.lit(2.0))).alias("sse"),
+        F.var_samp(obs).alias("vy"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    tss = (r["n"] - 1) * r["vy"]
+    return 100.0 * (1.0 - r["sse"] / tss)
+
+
+def coalesce_col(
+    oh_col: Column,
+    n_cat: int,
+    trg: Sequence[int],
+    binary: bool = False,
+    logodds: bool = False,
+) -> Column:
+    """Collapse a one-hot/softmax array column over target indices
+    (Coalesce, diags.go:32-95):
+
+    - binary: 1.0 if any target element > 0.5
+    - logodds: softmax-normalize (exp / sum-exp) then sum targets
+    - else: plain sum of target elements
+    """
+    if n_cat < 1:
+        raise ValueError("coalesce: n_cat must be at least 1")
+    if binary and logodds:
+        raise ValueError("coalesce: cannot have both binary and logodds")
+    for t in trg:
+        if t > n_cat - 1:
+            raise ValueError("coalesce: trg index out of range")
+    els = [F.element_at(oh_col, t + 1) for t in trg]
+    if binary:
+        cond = els[0] > THRESH
+        for e in els[1:]:
+            cond = cond | (e > THRESH)
+        return cond.cast("double")
+    if logodds:
+        den = sum(
+            (F.exp(F.element_at(oh_col, i + 1)) for i in range(1, n_cat)),
+            F.exp(F.element_at(oh_col, 1)),
+        )
+        return sum((F.exp(e) for e in els[1:]), F.exp(els[0])) / den
+    return sum(els[1:], els[0])
+
+
+def logodds_col(p: Column, clamp: float = 10.0) -> Column:
+    """log(p/(1-p)) clamped to ±clamp at the 0/1 boundaries
+    (AddFitted's logodds option, diags.go:557-569)."""
+    safe = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    lo = F.log(safe / (F.lit(1.0) - safe))
+    return F.least(F.greatest(lo, F.lit(-clamp)), F.lit(clamp))

@@ -272,6 +272,77 @@ def q_assess_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count, char count, punct ratio, avg token len
+    (llmops.text — pure JVM expressions)."""
+    from seafan_spark.llmops import text as tx
+
+    p = _pipe(spark, sf_dir, "documents")
+    t = F.col("text")
+    return p.df.select(
+        "doc_id",
+        tx.token_count_col(t).cast("bigint").alias("n_tokens"),
+        tx.char_count_col(t).cast("bigint").alias("n_chars2"),
+        F.round(tx.punct_ratio_col(t), 6).alias("punct_ratio"),
+        F.round(tx.avg_token_len_col(t), 6).alias("avg_tok_len"),
+    )
+
+
+def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + stopword language-ID heuristic (llmops.text)."""
+    from seafan_spark.llmops import text as tx
+
+    p = _pipe(spark, sf_dir, "documents")
+    t = F.col("text")
+    return p.df.select(
+        "doc_id",
+        tx.quality_score_col(t).alias("quality"),
+        tx.lang_id_col(t).alias("pred_lang"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 fingerprint + group size + keeper flag
+    (llmops.dedup.exact_dedup)."""
+    from seafan_spark.llmops.dedup import exact_dedup
+
+    p = _pipe(spark, sf_dir, "documents")
+    d = exact_dedup(p, "text", "doc_id")
+    return d.df.select(
+        "doc_id", "fp", F.col("dup_count").cast("bigint").alias("dup_count"), "is_dup"
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for query vectors vec_id < 5
+    (llmops.similarity.ann_brute_topk)."""
+    from seafan_spark.llmops.similarity import ann_brute_topk
+
+    p = _pipe(spark, sf_dir, "embeddings")
+    q = p.df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann_brute_topk(p, "vec_id", "embedding", queries=q, k=5)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (llmops.dedup.minhash_pairs).
+    Hash-based — no SQL oracle; the driver records a rows-only check."""
+    from seafan_spark.llmops.dedup import minhash_pairs
+
+    p = _pipe(spark, sf_dir, "documents")
+    return minhash_pairs(p, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (llmops.dedup.simhash_pairs).
+    Hash-based — rows-only check."""
+    from seafan_spark.llmops.dedup import simhash_pairs
+
+    p = _pipe(spark, sf_dir, "documents")
+    return simhash_pairs(p, "doc_id", "text", bits=32, chunks=8, max_hamming=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "where_keep": q_where_keep,
     "groupby_agg": q_groupby_agg,
@@ -290,6 +361,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sort_rank": q_sort_rank,
     "decile": q_decile,
     "assess_r2": q_assess_r2,
+    "text_stats": q_text_stats,
+    "text_quality_lang": q_text_quality_lang,
+    "dedup_exact": q_dedup_exact,
+    "ann_topk": q_ann_topk,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -429,6 +506,113 @@ ORACLES: dict[str, str] = {
                ROUND(CAST(tp+tn AS DOUBLE)/n, 6) AS accuracy,
                ROUND(100*(1 - sse/((n-1)*vy)), 4) AS r2
         FROM s
+    """,
+    "text_stats": """
+        WITH t AS (
+            SELECT doc_id, text, TRIM(text) AS tt FROM documents
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN LENGTH(tt) = 0 THEN 0
+                    ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END AS BIGINT) AS n_tokens,
+               CAST(LENGTH(text) AS BIGINT) AS n_chars2,
+               ROUND(CASE WHEN LENGTH(text) = 0 THEN 0.0
+                     ELSE CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                          '[.,;:!?''"()\\[\\]{}\\-]', '', 'g')) AS DOUBLE) / LENGTH(text)
+                     END, 6) AS punct_ratio,
+               ROUND(CASE WHEN (CASE WHEN LENGTH(tt)=0 THEN 0
+                                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END) = 0 THEN 0.0
+                     ELSE CAST(LENGTH(REGEXP_REPLACE(tt, '\\s+', '', 'g')) AS DOUBLE)
+                          / (CASE WHEN LENGTH(tt)=0 THEN 0
+                             ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END)
+                     END, 6) AS avg_tok_len
+        FROM t
+    """,
+    "text_quality_lang": """
+        WITH t AS (
+            SELECT doc_id, text, TRIM(text) AS tt,
+                   ' ' || REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') || ' ' AS pad
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN LENGTH(tt)=0 THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END AS DOUBLE) AS toks,
+                   CASE WHEN LENGTH(text)=0 THEN 0.0
+                        ELSE CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                             '[.,;:!?''"()\\[\\]{}\\-]', '', 'g')) AS DOUBLE)/LENGTH(text)
+                   END AS pr,
+                   CASE WHEN (CASE WHEN LENGTH(tt)=0 THEN 0
+                              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END) = 0 THEN 0.0
+                        ELSE CAST(LENGTH(REGEXP_REPLACE(tt, '\\s+', '', 'g')) AS DOUBLE)
+                             / (CASE WHEN LENGTH(tt)=0 THEN 0
+                                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END)
+                   END AS awl,
+                   CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' der ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' die ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' und ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' das ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' ist ','')))/5 AS BIGINT) AS h_de,
+                   CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' the ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' and ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' of ','')))/4 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' to ','')))/4 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' in ','')))/4 AS BIGINT) AS h_en,
+                   CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' el ','')))/4 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' la ','')))/4 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' que ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' los ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' una ','')))/5 AS BIGINT) AS h_es,
+                   CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' le ','')))/4 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' les ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' des ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' est ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' une ','')))/5 AS BIGINT) AS h_fr,
+                   CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' de ','')))/4 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' shi ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' zai ','')))/5 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' le ','')))/4 AS BIGINT)
+                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' he ','')))/4 AS BIGINT) AS h_zh
+            FROM t
+        )
+        SELECT doc_id,
+               ROUND(0.4*LEAST(toks, 100.0)/100.0
+                   + 0.3*(1.0 - LEAST(pr*4, 1.0))
+                   + 0.3*LEAST(GREATEST((awl-2)/6.0, 0.0), 1.0), 6) AS quality,
+               CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                    WHEN h_de >= GREATEST(h_en, h_es, h_fr, h_zh) THEN 'de'
+                    WHEN h_en >= GREATEST(h_es, h_fr, h_zh) THEN 'en'
+                    WHEN h_es >= GREATEST(h_fr, h_zh) THEN 'es'
+                    WHEN h_fr >= h_zh THEN 'fr'
+                    ELSE 'zh' END AS pred_lang
+        FROM m
+    """,
+    "dedup_exact": """
+        WITH f AS (
+            SELECT doc_id,
+                   MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents
+        )
+        SELECT doc_id, fp,
+               COUNT(*) OVER (PARTITION BY fp) AS dup_count,
+               CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS DOUBLE) AS is_dup
+        FROM f
+    """,
+    "ann_topk": """
+        WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), c AS (
+            SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+        ), s AS (
+            SELECT q_id, nid, list_cosine_similarity(qv, nv) AS cos
+            FROM q CROSS JOIN c WHERE nid != q_id
+        ), r AS (
+            SELECT q_id, nid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rnk
+            FROM s
+        )
+        SELECT q_id, nid AS neighbor_id, ROUND(cos, 6) AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 5
     """,
 }
 

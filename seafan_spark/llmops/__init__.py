@@ -1,0 +1,19 @@
+"""llmops — large-scale training-data pipeline operators.
+
+Beyond the reference's surface (these have no seafan counterpart): the
+operator families a 100 TB LLM-data pipeline needs, designed Spark-first:
+
+- ``text``       language-ID heuristic, quality scoring, token counting,
+                 fingerprinting — pure JVM Column expressions.
+- ``dedup``      exact (fingerprint), MinHash+LSH banding, SimHash,
+                 exact n-gram Jaccard — shuffle-conscious candidate
+                 generation, no O(n^2) stages.
+- ``similarity`` embedding cosine: brute-force top-k baseline and
+                 hyperplane-LSH bucketed variant for scale.
+- ``multimodal`` binary media columns with typed metadata; decode/resize/
+                 frame-sample plumbing as Arrow-batched pandas iterators
+                 (decoders stubbed — image/audio libs not in this
+                 environment; schema/partitioning/batching are real).
+"""
+
+from seafan_spark.llmops import dedup, multimodal, similarity, text  # noqa: F401

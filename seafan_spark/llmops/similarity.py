@@ -1,0 +1,133 @@
+"""Embedding similarity search.
+
+- ``cosine_col``: pure-JVM cosine between two array<numeric> columns
+  (zip_with dot product + aggregate norms — no UDF, vectorizable).
+- ``ann_brute_topk``: exact baseline — broadcast the (small) query set
+  against the corpus, window top-k. One pass over the corpus, no shuffle
+  of the corpus itself beyond the top-k aggregation.
+- ``hyperplane_bucket_col`` + ``ann_lsh_topk``: the scale path — seeded
+  pseudo-random hyperplane sign bits bucket the corpus; queries only score
+  against their own bucket (recall < 1, tunable via ``planes``; multi-probe
+  by flipping bits is the standard extension).
+
+Hyperplane projections use deterministic per-(dimension, plane) xxhash64
+pseudo-weights, so buckets are reproducible across runs and engines with
+no stored model.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from seafan_spark.pipeline import Pipeline
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def ann_brute_topk(
+    pipe: Pipeline,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame | None = None,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` defaults to the corpus itself (all-pairs top-k). The query
+    side is broadcast — this is the baseline for small/medium query sets;
+    for query sets too big to broadcast, use ann_lsh_topk.
+
+    Returns (q_id, neighbor_id, cosine, rank), rank 1-based, ties broken
+    by neighbor id.
+    """
+    corpus = pipe.df.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv"))
+    if queries is None:
+        q = pipe.df.select(F.col(id_col).alias(query_id), F.col(vec_col).alias(query_vec))
+    else:
+        q = queries
+    joined = corpus.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("_nid") != F.col(query_id))
+    scored = joined.withColumn("cosine", cosine_col(F.col(query_vec), F.col("_nv")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("_nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id).alias("q_id"),
+            F.col("_nid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def hyperplane_bucket_col(vec: Column, planes: int = 16, seed: int = 42) -> Column:
+    """LSH bucket key: sign bits of ``planes`` pseudo-random projections.
+
+    Weight w[p][d] = (xxhash64(p, d, seed) % 1001 - 500)/500 — a cheap
+    deterministic surrogate for N(0,1) weights, computed inline (no stored
+    model, identical across executors)."""
+    def proj(p: int) -> Column:
+        prods = F.transform(
+            vec,
+            lambda v, i: v.cast("double")
+            * ((F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), F.lit(1001)) - 500) / 500.0),
+        )
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    bits = [F.when(proj(p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(planes)]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(
+    pipe: Pipeline,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate all-pairs top-k: bucket by hyperplane signature, exact
+    cosine within each bucket. The join key is the bucket — no cross
+    product across buckets. Expected bucket size n/2^planes controls cost."""
+    d = pipe.df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        hyperplane_bucket_col(F.col(vec_col), planes, seed).alias("_bkt"),
+    )
+    a = d.select(F.col("_id").alias("q_id"), F.col("_v").alias("qv"), "_bkt")
+    b = d.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("nv"), "_bkt")
+    scored = (
+        a.join(b, "_bkt")
+        .filter(F.col("q_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -1,0 +1,247 @@
+"""LLM-data pipeline operators: planted-duplicate recovery, similarity
+ground truth vs numpy, text-analysis formulas, multimodal plumbing."""
+
+import hashlib
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafan_spark.llmops.dedup import (
+    drop_exact_dups,
+    embedding_neardup_pairs,
+    exact_dedup,
+    hamming_distance_col,
+    minhash_clusters,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_bits_col,
+    simhash_pairs,
+)
+from seafan_spark.llmops.similarity import ann_brute_topk, ann_lsh_topk, cosine_col
+from seafan_spark.llmops.text import (
+    avg_token_len_col,
+    fingerprint_col,
+    lang_id_col,
+    punct_ratio_col,
+    quality_score_col,
+    shingles_col,
+    token_count_col,
+    word_ngrams_col,
+)
+from seafan_spark.llmops import multimodal
+from seafan_spark.sources import vec_to_pipe
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+
+
+@pytest.fixture(scope="module")
+def doc_pipe(spark):
+    rnd = random.Random(5)
+    words = BASE.split()
+    docs, ids = [], []
+    for i in range(30):
+        w = list(words)
+        rnd.shuffle(w)
+        docs.append(" ".join(w[: rnd.randint(10, 20)]) + f" unique{i}")
+        ids.append(i)
+    # plant: 40/41 exact dup of 0; 42 near-dup of 1 (one word changed)
+    docs += [docs[0], "  " + docs[0].upper() + "  ", docs[1].replace("unique1", "unique1x")]
+    ids += [40, 41, 42]
+    return vec_to_pipe(spark, {"doc_id": ids, "text": docs})
+
+
+def test_exact_dedup(doc_pipe):
+    marked = exact_dedup(doc_pipe, "text", "doc_id")
+    dups = {r["doc_id"]: r["is_dup"] for r in marked.df.select("doc_id", "is_dup").collect()}
+    assert dups[0] == 0.0 and dups[40] == 1.0 and dups[41] == 1.0  # normalized match
+    assert dups[42] == 0.0  # near-dup is not exact
+    kept = drop_exact_dups(doc_pipe, "text", "doc_id")
+    assert kept.row_count() == 31
+
+
+def test_minhash_recovers_planted_neardup(doc_pipe):
+    pairs = minhash_pairs(doc_pipe, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (0, 40) in got and got[(0, 40)] == 1.0  # exact dup: signature identical
+    assert (1, 42) in got and got[(1, 42)] > 0.6  # near dup
+    # unrelated docs don't pair at threshold .5
+    assert all(a in (0, 1, 40, 41) or b in (40, 41, 42) for (a, b) in got) or len(got) < 10
+
+
+def test_minhash_clusters(doc_pipe):
+    pairs = minhash_pairs(doc_pipe, "doc_id", "text", threshold=0.5)
+    labels = {r["id"]: r["cluster"] for r in minhash_clusters(pairs).collect()}
+    assert labels[40] == 0 and labels[41] == 0 and labels[0] == 0
+    assert labels[42] == 1
+
+
+def test_ngram_jaccard_exact(spark):
+    a = "one two three four five six seven"
+    b = "one two three four five six eight"  # shares 4 of the 5+5 trigram set
+    p = vec_to_pipe(spark, {"doc_id": [1, 2, 3], "text": [a, b, "totally different words here now"]})
+    pairs = ngram_jaccard_pairs(p, "doc_id", "text", n=3, threshold=0.1)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # trigrams: a has 5, b has 5, intersection 4 -> 4/6
+    assert got == {(1, 2): pytest.approx(4 / 6, abs=1e-6)}
+
+
+def test_simhash(doc_pipe):
+    pairs = simhash_pairs(doc_pipe, "doc_id", "text", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 40) in got and (0, 41) in got and (40, 41) in got
+    # identical docs -> hamming 0
+    h = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert h[(0, 40)] == 0
+
+
+def test_hamming_col(spark):
+    p = vec_to_pipe(spark, {"x": [1]})
+    d = p.df.select(
+        hamming_distance_col(
+            F.array(F.lit(1), F.lit(0), F.lit(1)), F.array(F.lit(0), F.lit(0), F.lit(1))
+        ).alias("h")
+    )
+    assert d.collect()[0]["h"] == 1
+
+
+@pytest.fixture(scope="module")
+def vec_pipe(spark):
+    rnd = random.Random(9)
+    ids, vecs = [], []
+    for i in range(40):
+        v = [rnd.gauss(0, 1) for _ in range(16)]
+        ids.append(i)
+        vecs.append(v)
+    # plant: 50 = copy of 0; 51 = slightly perturbed 1
+    ids += [50, 51]
+    vecs += [list(vecs[0]), [x + 0.01 for x in vecs[1]]]
+    return vec_to_pipe(spark, {"vec_id": ids, "embedding": vecs}), ids, vecs
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_cosine_col_matches_numpy(vec_pipe):
+    pipe, ids, vecs = vec_pipe
+    d = pipe.df.select(cosine_col(F.col("embedding"), F.col("embedding")).alias("c"))
+    for r in d.collect():
+        assert r["c"] == pytest.approx(1.0)
+
+
+def test_brute_topk_ground_truth(vec_pipe):
+    pipe, ids, vecs = vec_pipe
+    got = ann_brute_topk(pipe, "vec_id", "embedding", k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    # python ground truth for query 0
+    sims = sorted(
+        ((_cos(vecs[0], v), i) for i, v in zip(ids, vecs) if i != 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    want = [i for _, i in sims[:3]]
+    assert [n for _, n, _ in sorted(by_q[0])] == want
+    assert by_q[0][0][1] == 50  # planted copy is nearest
+    assert by_q[0][0][2] == pytest.approx(1.0)
+
+
+def test_lsh_topk_finds_planted(vec_pipe):
+    pipe, ids, vecs = vec_pipe
+    got = ann_lsh_topk(pipe, "vec_id", "embedding", k=3, planes=6)
+    rows = [(r["q_id"], r["neighbor_id"]) for r in got.collect()]
+    assert (0, 50) in rows and (50, 0) in rows  # identical vectors share bucket
+
+
+def test_embedding_neardup(vec_pipe):
+    pipe, ids, vecs = vec_pipe
+    pairs = embedding_neardup_pairs(pipe, "vec_id", "embedding", threshold=0.99, planes=8)
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
+    assert got.get((0, 50)) == pytest.approx(1.0)
+    assert (1, 51) in got
+
+
+# ----------------------------------------------------------------- text ----
+def test_token_and_ratios(spark):
+    p = vec_to_pipe(spark, {"t": ["Hello, world!  two", "", "abc"]})
+    d = p.ordered_df().select(
+        token_count_col(F.col("t")).alias("n"),
+        punct_ratio_col(F.col("t")).alias("pr"),
+        avg_token_len_col(F.col("t")).alias("awl"),
+    ).collect()
+    assert [r["n"] for r in d] == [3, 0, 1]
+    assert d[0]["pr"] == pytest.approx(2 / 18)
+    assert d[2]["awl"] == pytest.approx(3.0)
+
+
+def test_lang_id(spark):
+    p = vec_to_pipe(
+        spark,
+        {
+            "t": [
+                "the cat and the dog of to in the house",
+                "der hund und die katze ist das",
+                "no stopwords whatsoever xyz",
+            ]
+        },
+    )
+    got = [r[0] for r in p.ordered_df().select(lang_id_col(F.col("t"))).collect()]
+    assert got[0] == "en" and got[1] == "de" and got[2] == "und"
+
+
+def test_quality_score_bounds(doc_pipe):
+    vals = [
+        r[0]
+        for r in doc_pipe.df.select(quality_score_col(F.col("text"))).collect()
+    ]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_fingerprint_matches_md5(spark):
+    p = vec_to_pipe(spark, {"t": ["  Hello   World  "]})
+    got = p.df.select(fingerprint_col(F.col("t"))).collect()[0][0]
+    assert got == hashlib.md5(b"hello world").hexdigest()
+
+
+def test_shingles_and_ngrams(spark):
+    p = vec_to_pipe(spark, {"t": ["abcdef", "one two three four"]})
+    sh = p.ordered_df().select(shingles_col(F.col("t"), k=3)).collect()
+    assert sh[0][0] == ["abc", "bcd", "cde", "def"]
+    ng = p.ordered_df().select(word_ngrams_col(F.col("t"), n=2)).collect()
+    assert ng[1][0] == ["one two", "two three", "three four"]
+
+
+# ----------------------------------------------------------- multimodal ----
+def test_multimodal_plumbing(spark):
+    payloads = [b"fakepng-" + bytes([i]) * 20 for i in range(5)]
+    p = vec_to_pipe(spark, {"doc_id": list(range(5))})
+    df = p.df.withColumn(
+        "media",
+        F.element_at(
+            F.array(*[F.lit(b) for b in payloads]), F.col("doc_id").cast("int") + 1
+        ),
+    )
+    tagged = multimodal.attach_media_metadata(df, "media", "image", "png")
+    meta = tagged.select("media_meta.*").collect()
+    assert meta[0]["media_type"] == "image" and meta[0]["n_bytes"] == 28
+
+    feats = multimodal.extract_image_features(df, "doc_id", "media").collect()
+    assert len(feats) == 5
+    h, w, c, luma = multimodal._fake_decode_image(payloads[0])
+    got = next(r for r in feats if r["doc_id"] == 0)
+    assert (got["height"], got["width"], got["mean_luma"]) == (h, w, pytest.approx(luma))
+
+    rs = multimodal.resize_images(df, "doc_id", "media", (64, 64)).collect()
+    assert all(bytes(r["resized"]).startswith(b"resized:64x64:") for r in rs)
+
+    frames = multimodal.sample_video_frames(df, "doc_id", "media", every_n=30).collect()
+    assert len(frames) == 5  # 1 fake frame per tiny payload

@@ -1,0 +1,228 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface at all (SURVEY §2.12) — this module
+is north-star extension territory, designed Spark-first:
+
+- every windowing operator here is **mode-agnostic**: it takes a DataFrame
+  that may be a batch read or a ``readStream`` and emits the same logical
+  plan, so the batch twin *is* the correctness oracle for the stream;
+- event time rides a real column (``ts``), never arrival order; late data
+  is bounded with ``withWatermark`` so state stores stay finite at scale;
+- the only stateful custom operator (per-key running totals) uses
+  ``applyInPandasWithState`` — Arrow-batched, partitioned by key, state
+  size O(distinct keys), never O(rows).
+
+At 100 TB / 1000 executors: tumbling/sliding/session aggregations shuffle
+once on (key, window) with partial aggregation map-side; watermarks bound
+the state store; ``maxFilesPerTrigger`` paces source ingestion.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_TIME = "_event_time"
+
+
+def ensure_event_time(df: DataFrame, ts_col: str = "ts", out: str = EVENT_TIME) -> DataFrame:
+    """Attach a TimestampType event-time column.
+
+    Handles both a native timestamp ``ts`` and the bigint-nanoseconds form
+    produced by ``spark.sql.legacy.parquet.nanosAsLong`` (pandas-written
+    parquet): nanoseconds floor-divide to microseconds, matching what
+    DuckDB/pandas see.
+    """
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, T.TimestampType):
+        c = F.col(ts_col)
+    elif isinstance(dt, (T.LongType, T.IntegerType)):
+        c = F.timestamp_micros((F.col(ts_col) / F.lit(1000)).cast("long"))
+    else:
+        raise TypeError(f"ensure_event_time: {ts_col} has unsupported type {dt}")
+    return df.withColumn(out, c)
+
+
+def read_events_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over parquet. ``schema`` defaults to the batch
+    footer schema (streaming file sources require an explicit schema).
+
+    The streaming file source wants a *directory* to monitor; a path to a
+    single ``<table>.parquet`` file is rewritten to its parent directory
+    plus a ``pathGlobFilter``, so the testdata layout (one file per table
+    in a shared dir) streams cleanly."""
+    import os
+
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def _finish_window(grouped, aggs: dict[str, Column], keys: Sequence[str]) -> DataFrame:
+    out = grouped.agg(*[c.alias(n) for n, c in aggs.items()])
+    return out.select(
+        F.unix_timestamp(F.col("_w.start")).alias("window_start"),
+        F.unix_timestamp(F.col("_w.end")).alias("window_end"),
+        *keys,
+        *aggs.keys(),
+    )
+
+
+def tumbling_agg(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    window: str = "1 hour",
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation. Works identically on a batch
+    DataFrame (oracle path) and a streaming one (pass ``watermark`` for
+    append-mode emission). Window bounds come out as epoch-second bigints —
+    timezone-unambiguous on both engines."""
+    d = ensure_event_time(df, ts_col)
+    if watermark is not None and d.isStreaming:
+        d = d.withWatermark(EVENT_TIME, watermark)
+    g = d.groupBy(F.window(EVENT_TIME, window).alias("_w"), *keys)
+    return _finish_window(g, aggs, keys)
+
+
+def sliding_agg(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time windows; each event lands in
+    window/slide overlapping windows."""
+    d = ensure_event_time(df, ts_col)
+    if watermark is not None and d.isStreaming:
+        d = d.withWatermark(EVENT_TIME, watermark)
+    g = d.groupBy(F.window(EVENT_TIME, window, slide).alias("_w"), *keys)
+    return _finish_window(g, aggs, keys)
+
+
+def sessionize(
+    df: DataFrame,
+    aggs: dict[str, Column],
+    gap: str = "30 minutes",
+    keys: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: a session extends while consecutive events per key
+    arrive within ``gap``; session end = last event + gap
+    (``F.session_window`` semantics — a new session starts when the
+    inter-event gap is >= ``gap``)."""
+    d = ensure_event_time(df, ts_col)
+    if watermark is not None and d.isStreaming:
+        d = d.withWatermark(EVENT_TIME, watermark)
+    g = d.groupBy(F.session_window(F.col(EVENT_TIME), gap).alias("_w"), *keys)
+    return _finish_window(g, aggs, keys)
+
+
+def stream_dedup(
+    df: DataFrame,
+    subset: Sequence[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): state is bounded by the watermark,
+    so this holds at unbounded stream length."""
+    d = ensure_event_time(df, ts_col)
+    if d.isStreaming:
+        d = d.withWatermark(EVENT_TIME, watermark)
+        return d.dropDuplicatesWithinWatermark(list(subset))
+    return d.dropDuplicates(list(subset))
+
+
+# ------------------------------------------------------------------------
+# Custom stateful operator: per-key running totals
+# ------------------------------------------------------------------------
+
+_STATE_SCHEMA = "n BIGINT, total DOUBLE"
+_RUNNING_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _running_totals_fn(key, pdf_iter, state):
+    """Fold each Arrow batch for one key into (count, sum) state and emit
+    the updated running totals once per trigger."""
+    n, total = state.get() if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += int(pdf["value"].count())
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    import pandas as pd
+
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [round(total, 6)]})
+
+
+def running_totals_stream(df: DataFrame, key: str = "user_id", value: str = "value") -> DataFrame:
+    """Per-key cumulative (count, sum) maintained in the state store —
+    the canonical ``applyInPandasWithState`` shape: grouped by key,
+    Arrow-batched input, O(keys) state. Batch equivalent:
+    ``df.groupBy(key).agg(count, sum)``."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        df.select(F.col(key).alias("user_id"), F.col(value).alias("value"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals_fn,
+            outputStructType=_RUNNING_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Execute a streaming plan to completion (``availableNow`` trigger —
+    process everything currently in the source, then stop) into an
+    in-memory table and return it as a DataFrame. Test/dev harness; real
+    deployments point writeStream at kafka/parquet/delta instead."""
+    ckpt = tempfile.mkdtemp(prefix="seafan_stream_ckpt_")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {name} did not finish in {timeout_sec}s")
+    return sdf.sparkSession.table(name)

@@ -1,0 +1,108 @@
+"""Streaming operators: the batch plan is the oracle for the stream plan —
+same function, two input modes, identical results (availableNow drains the
+whole source in one run)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafan_spark.streaming import (
+    read_events_stream,
+    run_to_memory,
+    running_totals_stream,
+    sessionize,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+EVENTS = f"{SF_DIR}/events.parquet"
+
+
+def rows(df, keys):
+    return sorted([tuple(r) for r in df.collect()], key=lambda t: tuple(str(x) for x in t))
+
+
+def aggs():
+    return {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)}
+
+
+@pytest.fixture(scope="module")
+def batch(spark):
+    return spark.read.parquet(EVENTS)
+
+
+def test_tumbling_stream_matches_batch(spark, batch):
+    want = tumbling_agg(batch, aggs(), window="1 hour", keys=["event_type"])
+    sdf = tumbling_agg(
+        read_events_stream(spark, EVENTS), aggs(), window="1 hour", keys=["event_type"]
+    )
+    got = run_to_memory(sdf, "t_tumble", output_mode="complete")
+    assert rows(got, None) == rows(want, None)
+    assert want.count() > 0
+
+
+def test_sliding_stream_matches_batch(spark, batch):
+    want = sliding_agg(batch, aggs(), window="1 hour", slide="30 minutes")
+    sdf = sliding_agg(
+        read_events_stream(spark, EVENTS), aggs(), window="1 hour", slide="30 minutes"
+    )
+    got = run_to_memory(sdf, "t_slide", output_mode="complete")
+    assert rows(got, None) == rows(want, None)
+    # every event lands in window/slide = 2 windows
+    n_events = batch.count()
+    total = want.agg(F.sum("n")).collect()[0][0]
+    assert total == 2 * n_events
+
+
+def test_sessionize_stream_matches_batch(spark, batch):
+    want = sessionize(batch, aggs(), gap="10 minutes", keys=["user_id"])
+    sdf = sessionize(
+        read_events_stream(spark, EVENTS),
+        aggs(),
+        gap="10 minutes",
+        keys=["user_id"],
+        watermark="0 seconds",
+    )
+    got = run_to_memory(sdf, "t_sess", output_mode="complete")
+    assert rows(got, None) == rows(want, None)
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base, 1.0),
+            (1, base + dt.timedelta(minutes=5), 1.0),  # merges (gap 10m)
+            (1, base + dt.timedelta(minutes=20), 1.0),  # 15m > gap -> new session
+            (2, base, 1.0),
+        ],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = sessionize(df, {"n": F.count(F.lit(1))}, gap="10 minutes", keys=["user_id"])
+    got = {(r["user_id"], r["n"]) for r in out.collect()}
+    assert got == {(1, 2), (1, 1), (2, 1)}
+    # session end = last event + gap
+    first = out.filter((F.col("user_id") == 1) & (F.col("n") == 2)).collect()[0]
+    assert first["window_end"] - first["window_start"] == 5 * 60 + 10 * 60
+
+
+def test_running_totals_stream_matches_batch_groupby(spark, batch):
+    sdf = running_totals_stream(read_events_stream(spark, EVENTS))
+    got = run_to_memory(sdf, "t_state", output_mode="update")
+    # update mode re-emits a key per trigger; keep the last emission per key
+    got = got.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max("total").alias("total")
+    )
+    want = batch.groupBy("user_id").agg(
+        F.count("value").alias("n"), F.round(F.sum("value"), 6).alias("total")
+    )
+    assert rows(got, None) == rows(want, None)
+
+
+def test_stream_dedup(spark, batch):
+    sdf = stream_dedup(read_events_stream(spark, EVENTS), ["user_id", "event_type"])
+    got = run_to_memory(sdf, "t_dedup", output_mode="append")
+    assert got.count() == batch.dropDuplicates(["user_id", "event_type"]).count()

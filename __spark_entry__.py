@@ -258,17 +258,20 @@ def q_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_assess_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assess + R2 diagnostics (diags.go:476-529, 734-754) as one row."""
-    from seafan_spark.diags import assess, r2
+    """Assess + R2 diagnostics (diags.go:476-529, 734-754) — one lazy
+    aggregation pass, one output row."""
+    from seafan_spark.diags import assess_r2_df
 
     p = _pipe(spark, sf_dir, "lineitem")
     p = p.with_column("obs", (F.col("l_quantity") > 25).cast("double"))
     p = p.with_column("fit", F.col("l_quantity") / F.lit(50.0))
-    a = assess(p, "fit", "obs", cutoff=0.5)
-    r = r2(p, "fit", "obs")
-    return spark.createDataFrame(
-        [(a.n, round(a.precision, 6), round(a.recall, 6), round(a.accuracy, 6), round(r, 4))],
-        schema="n bigint, prec double, recall double, accuracy double, r2 double",
+    t = assess_r2_df(p, "fit", "obs", cutoff=0.5)
+    return t.select(
+        F.col("n"),
+        F.round("precision", 6).alias("prec"),
+        F.round("recall", 6).alias("recall"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("r2", 4).alias("r2"),
     )
 
 
@@ -277,7 +280,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llmops.text — pure JVM expressions)."""
     from seafan_spark.llmops import text as tx
 
-    p = _pipe(spark, sf_dir, "documents")
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
     t = F.col("text")
     return p.df.select(
         "doc_id",
@@ -292,13 +295,9 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + stopword language-ID heuristic (llmops.text)."""
     from seafan_spark.llmops import text as tx
 
-    p = _pipe(spark, sf_dir, "documents")
-    t = F.col("text")
-    return p.df.select(
-        "doc_id",
-        tx.quality_score_col(t).alias("quality"),
-        tx.lang_id_col(t).alias("pred_lang"),
-    )
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    d = tx.add_text_features(p.df, "text")
+    return d.select("doc_id", "quality", "pred_lang")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,7 +339,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seafan_spark.llmops.dedup import simhash_pairs
 
     p = _pipe(spark, sf_dir, "documents")
-    return simhash_pairs(p, "doc_id", "text", bits=32, chunks=8, max_hamming=3)
+    # 64-bit sig, 4 chunks of 16 bits: pigeonhole-complete for hamming<=3
+    # with 65k-value band keys (no coarse-bucket candidate blowup)
+    return simhash_pairs(p, "doc_id", "text", bits=64, chunks=4, max_hamming=3)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -530,7 +531,7 @@ ORACLES: dict[str, str] = {
     "text_quality_lang": """
         WITH t AS (
             SELECT doc_id, text, TRIM(text) AS tt,
-                   ' ' || REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') || ' ' AS pad
+                   STR_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS toks_l
             FROM documents
         ), m AS (
             SELECT doc_id,
@@ -546,31 +547,11 @@ ORACLES: dict[str, str] = {
                              / (CASE WHEN LENGTH(tt)=0 THEN 0
                                 ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END)
                    END AS awl,
-                   CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' der ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' die ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' und ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' das ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' ist ','')))/5 AS BIGINT) AS h_de,
-                   CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' the ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' and ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' of ','')))/4 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' to ','')))/4 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' in ','')))/4 AS BIGINT) AS h_en,
-                   CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' el ','')))/4 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' la ','')))/4 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' que ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' los ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' una ','')))/5 AS BIGINT) AS h_es,
-                   CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' le ','')))/4 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' les ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' des ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' est ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' une ','')))/5 AS BIGINT) AS h_fr,
-                   CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' de ','')))/4 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' shi ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' zai ','')))/5 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' le ','')))/4 AS BIGINT)
-                 + CAST((LENGTH(pad)-LENGTH(REPLACE(pad,' he ','')))/4 AS BIGINT) AS h_zh
+                   LEN(LIST_FILTER(toks_l, x -> x IN ('der','die','und','das','ist'))) AS h_de,
+                   LEN(LIST_FILTER(toks_l, x -> x IN ('the','and','of','to','in'))) AS h_en,
+                   LEN(LIST_FILTER(toks_l, x -> x IN ('el','la','que','los','una'))) AS h_es,
+                   LEN(LIST_FILTER(toks_l, x -> x IN ('le','les','des','est','une'))) AS h_fr,
+                   LEN(LIST_FILTER(toks_l, x -> x IN ('de','shi','zai','le','he'))) AS h_zh
             FROM t
         )
         SELECT doc_id,

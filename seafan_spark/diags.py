@@ -186,6 +186,33 @@ def assess(pipe: Pipeline, fit: str, obs: str, cutoff: float) -> AssessResult:
     )
 
 
+def assess_r2_df(pipe: Pipeline, fit: str, obs: str, cutoff: float):
+    """Assess + R2 fused into ONE lazy aggregation pass (one scan, one-row
+    DataFrame, nothing collected driver-side). ``assess``/``r2`` stay as
+    eager scalar APIs; query paths should prefer this."""
+    pred = F.col(fit) > F.lit(cutoff)
+    oy = F.col(obs) > F.lit(0.999)
+    s = pipe.df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((pred & oy).cast("long")).alias("tp"),
+        F.sum((~pred & ~oy).cast("long")).alias("tn"),
+        F.sum(oy.cast("long")).alias("obs_tot"),
+        F.sum(pred.cast("long")).alias("pred_tot"),
+        F.sum(F.pow(F.col(obs) - F.col(fit), F.lit(2.0))).alias("sse"),
+        F.var_samp(obs).alias("vy"),
+    )
+    return s.select(
+        F.col("n"),
+        (F.col("tp").cast("double") / F.col("pred_tot")).alias("precision"),
+        (F.col("tp").cast("double") / F.col("obs_tot")).alias("recall"),
+        ((F.col("tp") + F.col("tn")).cast("double") / F.col("n")).alias("accuracy"),
+        (
+            F.lit(100.0)
+            * (F.lit(1.0) - F.col("sse") / ((F.col("n") - 1) * F.col("vy")))
+        ).alias("r2"),
+    )
+
+
 def r2(pipe: Pipeline, fit: str, obs: str) -> float:
     """100 * (1 - SSE/TSS) (R2, diags.go:734-754)."""
     r = pipe.df.agg(

@@ -48,14 +48,63 @@ def drop_exact_dups(pipe: Pipeline, text_col: str, id_col: str) -> Pipeline:
 
 # -------------------------------------------------------------- minhash ----
 def minhash_signature_col(text: Column, num_hashes: int = 64, shingle_k: int = 5) -> Column:
-    """MinHash signature: for each seed h, min over character shingles of
-    xxhash64(shingle, h). Array of ``num_hashes`` longs, all JVM-side."""
-    sh = shingles_col(text, k=shingle_k)
+    """MinHash signature as a column expression: for each seed h, min over
+    character shingles of a re-hash of the shingle's base hash. One string
+    hash per shingle; per-seed values derive from cheap 8-byte long hashes
+    (``xxhash64(base, seed)``), not repeated string hashing.
+
+    Column-expression form (array fold). For the scalable bulk path over a
+    whole corpus use :func:`minhash_signatures` (explode + groupBy:
+    whole-stage codegen + map-side partial aggregation)."""
+    base = F.transform(shingles_col(text, k=shingle_k), lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, h=h: F.xxhash64(s, F.lit(h))))
-            for h in range(num_hashes)
+            F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+            for i in range(num_hashes)
         ]
+    )
+
+
+def _exploded_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(doc id, base shingle hash) pairs: one row per distinct shingle,
+    one string hash each. The downstream groupBy(doc) aggregations are all
+    cheap long arithmetic inside whole-stage codegen.
+
+    Shingling + hashing is the CPU-heavy stage, so the doc rows are spread
+    across the cluster first if the source arrived under-partitioned (a
+    single small parquet file reads as one partition; the shuffle moves
+    only (id, text) rows, which is far cheaper than serializing the
+    explode)."""
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target, "_id")
+    return base.select(
+        "_id",
+        F.explode(shingles_col(F.col("_txt"), k=shingle_k)).alias("_sh"),
+    ).select("_id", F.xxhash64("_sh").alias("_h"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Bulk MinHash: (id, sig array<bigint>) via explode + groupBy.
+
+    Per (shingle, seed) work is one 8-byte ``xxhash64`` + a ``min``
+    partial aggregate — vectorized JVM code, partial-aggregated map-side so
+    the shuffle carries ``num_hashes`` longs per doc, not per shingle."""
+    ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k)
+    mins = ex.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig")
     )
 
 
@@ -81,10 +130,7 @@ def minhash_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = pipe.df.select(
-        F.col(id_col).alias("_id"),
-        minhash_signature_col(F.col(text_col), num_hashes, shingle_k).alias("_sig"),
-    )
+    sig = minhash_signatures(pipe.df, id_col, text_col, num_hashes, shingle_k)
     banded = sig.select(
         "_id",
         "_sig",
@@ -158,21 +204,58 @@ def minhash_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
 def simhash_bits_col(text: Column, bits: int = 64, shingle_k: int = 5) -> Column:
     """SimHash over character shingles: per bit, the sign of the vote sum
     (+1/-1 per shingle's hash bit). Returns array<int> of 0/1 of length
-    ``bits`` — kept unpacked for cheap banding/hamming math."""
-    sh = shingles_col(text, k=shingle_k)
+    ``bits``. One string hash per shingle; bit b comes from bit b of that
+    hash (``bits`` must be <= 64). Column-expression form; the bulk path is
+    :func:`simhash_signatures`."""
+    if bits > 64:
+        raise ValueError("simhash: bits must be <= 64 (one base hash per shingle)")
+    hashes = F.transform(shingles_col(text, k=shingle_k), lambda s: F.xxhash64(s))
     votes = F.aggregate(
-        sh,
+        hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: (F.pmod(F.xxhash64(s, i), F.lit(2)) * 2 - 1).cast("long"),
+                lambda i: (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long"),
             ),
             lambda a, v: a + v,
         ),
     )
     return F.transform(votes, lambda v: (v > 0).cast("int"))
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Bulk SimHash: (id, sig bigint) — the ``bits``-bit signature packed
+    into one long (bit b set iff a majority of shingle hashes have bit b
+    set).
+
+    Explode + groupBy: per doc the aggregation computes ``bits`` counts of
+    ``(h >> b) & 1`` — plain long arithmetic in whole-stage codegen with
+    map-side partial aggregation (shuffle carries ``bits`` longs + a count
+    per doc). Downstream hamming math is ``bit_count(a ^ b)`` — O(1)."""
+    if bits > 64:
+        raise ValueError("simhash: bits must be <= 64 (one base hash per shingle)")
+    ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k)
+    counts = ex.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+            for b in range(bits)
+        ],
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+    return counts.select("_id", sig.alias("_sig"))
 
 
 def hamming_distance_col(a: Column, b: Column) -> Column:
@@ -195,32 +278,36 @@ def simhash_pairs(
     candidates are an equi-join on (chunk, chunk-bits), verified by true
     hamming distance."""
     width = bits // chunks
-    sig = pipe.df.select(
-        F.col(id_col).alias("_id"),
-        simhash_bits_col(F.col(text_col), bits, shingle_k).alias("_sh"),
-    )
+    mask = F.lit((1 << width) - 1) if width < 64 else F.lit(-1).cast("long")
+    sig = simhash_signatures(pipe.df, id_col, text_col, bits, shingle_k)
     banded = sig.select(
         "_id",
-        "_sh",
+        "_sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(chunks - 1)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.concat_ws("", F.transform(F.slice("_sh", c * width + 1, width), lambda v: v.cast("string"))).alias("key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("_sig"), c * width)
+                        .bitwiseAND(mask)
+                        .alias("key"),
+                    )
+                    for c in range(chunks)
+                ]
             )
         ).alias("cb"),
-    ).select("_id", "_sh", "cb.chunk", "cb.key")
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "chunk", "key")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "chunk", "key")
+    ).select("_id", "_sig", "cb.chunk", "cb.key")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "chunk", "key")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "chunk", "key")
     cand = (
         a.join(b, on=["chunk", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("hamming", hamming_distance_col(F.col("sh_a"), F.col("sh_b")))
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+        )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

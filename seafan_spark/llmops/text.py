@@ -67,20 +67,13 @@ def avg_token_len_col(text: Column) -> Column:
 
 
 def stopword_hits_col(text: Column, words: list[str]) -> Column:
-    """Total word-boundary occurrences of the given words (lowercased).
-    Counted by padding with spaces and counting ' word ' substrings —
-    the same length-difference trick as strCount, so the SQL twin is
-    mechanical."""
-    padded = F.concat(F.lit(" "), norm_text_col(text), F.lit(" "))
-    total = F.lit(0).cast("long")
-    for w in words:
-        needle = f" {w} "
-        cnt = (
-            (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
-            / F.lit(len(needle))
-        ).cast("long")
-        total = total + cnt
-    return total
+    """Count of whitespace tokens equal to any of the given (lowercased)
+    words: one split of the normalized text, then a single array filter
+    with a short IN-list — O(tokens) cheap string equality, no repeated
+    whole-text scans. SQL twin: ``len(list_filter(str_split(norm, ' '),
+    t -> t IN (...)))``."""
+    toks = F.split(norm_text_col(text), " ")
+    return F.size(F.filter(toks, lambda t: t.isin(*words))).cast("long")
 
 
 def lang_id_col(text: Column, langs: dict[str, list[str]] | None = None) -> Column:
@@ -118,6 +111,71 @@ def quality_score_col(text: Column) -> Column:
     c2 = F.lit(1.0) - F.least(punct * 4, F.lit(1.0))
     c3 = F.least(F.greatest((awl - 2) / 6, F.lit(0.0)), F.lit(1.0))
     return F.round(0.4 * c1 + 0.3 * c2 + 0.3 * c3, 6)
+
+
+def add_text_features(df, text_col: str = "text"):
+    """All text-analysis features in three staged projections:
+
+    stage 1 materializes the trimmed text and the normalized token array
+    (ONE regexp + ONE split per row); stage 2 derives counts/ratios and
+    per-language stopword hits from those; stage 3 is pure arithmetic and
+    a when-chain over cheap column references.
+
+    The staging matters: Catalyst will not inline a non-trivial expression
+    that downstream references more than once, so each regex/split runs
+    once per row — the single-projection form re-evaluates them per
+    reference (and can overflow the 64KB codegen budget into interpreted
+    mode). Adds: n_tokens, n_chars, punct_ratio, avg_tok_len, quality,
+    pred_lang."""
+    t = F.col(text_col)
+    s1 = df.withColumns(
+        {
+            "_tt": F.trim(t),
+            "_toks": F.split(norm_text_col(t), " "),
+        }
+    )
+    def _in_set(ws):
+        # factory keeps the lambda single-argument — pyspark dispatches
+        # higher-order-function lambdas on parameter count
+        return lambda x: x.isin(*ws)
+
+    hit_cols = {
+        f"_h_{lang}": F.size(F.filter(F.col("_toks"), _in_set(ws))).cast("long")
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    }
+    s2 = s1.withColumns(
+        {
+            "n_tokens": F.when(F.length("_tt") == 0, F.lit(0)).otherwise(F.size("_toks")),
+            "n_chars": F.length(t),
+            "punct_ratio": punct_ratio_col(t),
+            "_nonspace": F.aggregate(
+                F.col("_toks"), F.lit(0), lambda acc, x: acc + F.length(x)
+            ),
+            **hit_cols,
+        }
+    )
+    toks = F.col("n_tokens").cast("double")
+    awl = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("_nonspace").cast("double") / F.col("n_tokens")
+    )
+    c1 = F.least(toks, F.lit(100.0)) / F.lit(100.0)
+    c2 = F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0))
+    c3 = F.least(F.greatest((awl - 2) / 6, F.lit(0.0)), F.lit(1.0))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0).cast("long")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        h = F.col(f"_h_{lang}")
+        best_lang = F.when(h >= best_hits, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(h >= best_hits, h).otherwise(best_hits)
+    best_lang = F.when(best_hits == 0, F.lit("und")).otherwise(best_lang)
+    s3 = s2.withColumns(
+        {
+            "avg_tok_len": awl,
+            "quality": F.round(0.4 * c1 + 0.3 * c2 + 0.3 * c3, 6),
+            "pred_lang": best_lang,
+        }
+    )
+    return s3.drop("_tt", "_toks", "_nonspace", *hit_cols.keys())
 
 
 def fingerprint_col(text: Column) -> Column:

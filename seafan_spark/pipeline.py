@@ -394,6 +394,17 @@ class Pipeline:
         """Collect one column in pipeline order (test/diagnostic helper)."""
         return [r[0] for r in self.ordered_df().select(name).collect()]
 
+    def spread(self, *keys: str) -> "Pipeline":
+        """Ensure at least default-parallelism partitions before CPU-heavy
+        per-row column work (regex, shingling). A single small parquet file
+        reads as ONE partition, serializing everything downstream; on a
+        real cluster with many input splits this is a no-op."""
+        target = self.spark.sparkContext.defaultParallelism
+        if self.df.rdd.getNumPartitions() >= target:
+            return self
+        d = self.df.repartition(target, *keys) if keys else self.df.repartition(target)
+        return self._derive(d)
+
     def cache(self) -> "Pipeline":
         self.df = self.df.cache()
         return self

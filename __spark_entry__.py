@@ -344,6 +344,311 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(p, "doc_id", "text", bits=64, chunks=4, max_hamming=3)
 
 
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem with
+    date predicates through the expression language; dims broadcast, the
+    orders⋈lineitem join left to AQE."""
+    cust = _pipe(spark, sf_dir, "customer").where("c_mktsegment", ["BUILDING"]).rename(
+        {"c_custkey": "o_custkey"}
+    )
+    orders = _pipe(spark, sf_dir, "orders")
+    orders = add_to_pipe(orders, "o_orderdate < '19980101'", "_df")
+    orders = orders.filter(F.col("_df") > 0).drop("_df")
+    oc = orders.join(cust.keep(["o_custkey", "c_mktsegment"]), "o_custkey", "inner",
+                     broadcast_right=True).rename({"o_orderkey": "l_orderkey"})
+    li = _pipe(spark, sf_dir, "lineitem")
+    li = add_to_pipe(li, "l_shipdate > '19980101'", "_sf")
+    li = li.filter(F.col("_sf") > 0).drop("_sf")
+    j = li.join(oc.keep(["l_orderkey", "o_orderdate"]), "l_orderkey", "inner")
+    j = add_to_pipe(j, "l_extendedprice*(1-l_discount)", "rev")
+    out = group_by(
+        j,
+        ["l_orderkey", "o_orderdate"],
+        # decimal accumulation: 2dp rounding is exact, immune to float
+        # summation-order noise across 15k+ groups
+        {"revenue": F.round(F.sum(F.col("rev").cast("decimal(18,6)")), 2).cast("double")},
+    )
+    return out.select(
+        "l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "revenue"
+    )
+
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join, same-nation customer+supplier,
+    revenue by nation. All dims broadcast; one shuffle join on orderkey."""
+    region = _pipe(spark, sf_dir, "region").where("r_name", ["ASIA"]).rename(
+        {"r_regionkey": "n_regionkey"}
+    )
+    nation = _pipe(spark, sf_dir, "nation").join(region, "n_regionkey", "inner",
+                                                 broadcast_right=True)
+    cust = _pipe(spark, sf_dir, "customer").rename({"c_nationkey": "n_nationkey"}).join(
+        nation.keep(["n_nationkey", "n_name"]), "n_nationkey", "inner", broadcast_right=True
+    ).rename({"c_custkey": "o_custkey"})
+    orders = _pipe(spark, sf_dir, "orders")
+    orders = add_to_pipe(
+        orders, "o_orderdate >= '19970101' && o_orderdate < '19980101'", "_df"
+    )
+    orders = orders.filter(F.col("_df") > 0).drop("_df")
+    oc = orders.join(
+        cust.keep(["o_custkey", "n_nationkey", "n_name"]), "o_custkey", "inner",
+        broadcast_right=True,
+    ).rename({"o_orderkey": "l_orderkey"})
+    supp = _pipe(spark, sf_dir, "supplier").rename({"s_suppkey": "l_suppkey"})
+    li = _pipe(spark, sf_dir, "lineitem").join(
+        supp.keep(["l_suppkey", "s_nationkey"]), "l_suppkey", "inner", broadcast_right=True
+    )
+    j = li.join(oc.keep(["l_orderkey", "n_nationkey", "n_name"]), "l_orderkey", "inner")
+    j = j.filter(F.col("s_nationkey") == F.col("n_nationkey"))
+    j = add_to_pipe(j, "l_extendedprice*(1-l_discount)", "rev")
+    return group_by(j, ["n_name"], {"revenue": F.round(F.sum("rev"), 2)})
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (streaming.tumbling_agg — the SAME plan
+    serves readStream; see tests/test_streaming.py for the stream run)."""
+    from seafan_spark.streaming import tumbling_agg
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return tumbling_agg(
+        df,
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+        window="1 hour",
+        keys=["event_type"],
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user, 30-minute gap (streaming.sessionize)."""
+    from seafan_spark.streaming import sessionize
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(
+        df,
+        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+        gap="30 minutes",
+        keys=["user_id"],
+    )
+
+
+def q_npv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order NPV of line amounts at 0.1%/period (npv summary function
+    with partition_by — parser.go:553-569 generalized to groups)."""
+    p = _pipe(
+        spark, sf_dir, "lineitem",
+        order_cols=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    p = add_to_pipe(p, "npv(0.001, l_extendedprice)", "order_npv", partition_by=["l_orderkey"])
+    return (
+        p.df.select("l_orderkey", "order_npv")
+        .distinct()
+        .select("l_orderkey", F.round("order_npv", 2).alias("order_npv"))
+    )
+
+
+def q_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loop construct (parser.go:1776-1804): 3 iterations of
+    bal <- bal*1.05 + 10 over customer balances."""
+    from seafan_spark.exprlang import loop
+
+    p = _pipe(spark, sf_dir, "customer")
+    p = add_to_pipe(p, "c_acctbal", "bal")
+    p = loop(p, "x", 0, 3, [("bal*1.05 + 10", "bal")])
+    return p.df.select("c_custkey", F.round("bal", 4).alias("bal"))
+
+
+def q_expr_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxE/minE, exist fallback, casts, power operator (SURVEY §2.8)."""
+    p = _pipe(spark, sf_dir, "lineitem")
+    for expr, name in [
+        ("maxE(l_quantity, 25)", "qcap"),
+        ("minE(l_tax, l_discount)", "mintd"),
+        ("exist(no_such_field, l_tax)", "tax2"),
+        ("toString(l_quantity)", "qstr"),
+        ("toInt(l_discount*100)", "disc_pct"),
+        ("l_quantity^2", "qsq"),
+    ]:
+        p = add_to_pipe(p, expr, name)
+    return p.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("qcap", 2).alias("qcap"),
+        F.round("mintd", 6).alias("mintd"),
+        F.round("tax2", 6).alias("tax2"),
+        "qstr",
+        F.col("disc_pct").cast("bigint").alias("disc_pct"),
+        F.round("qsq", 2).alias("qsq"),
+    )
+
+
+def q_window_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse cumulatives + running product + lag-with-miss (SURVEY §2.7)
+    per order, ordered by line number."""
+    p = _pipe(
+        spark, sf_dir, "lineitem",
+        order_cols=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    for expr, name in [
+        ("cumeAfter(l_quantity)", "qty_after"),
+        ("countAfter(l_quantity)", "n_after"),
+        ("prodBefore(1 + l_discount)", "disc_prod"),
+        ("lag(l_quantity, 0-1)", "prev_qty"),
+    ]:
+        p = add_to_pipe(p, expr, name, partition_by=["l_orderkey"])
+    return p.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("qty_after", 2).alias("qty_after"),
+        F.col("n_after").cast("bigint").alias("n_after"),
+        F.round("disc_prod", 6).alias("disc_prod"),
+        F.round("prev_qty", 2).alias("prev_qty"),
+    )
+
+
+def q_subset_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional Subset (gdata.go:852-895) against an explicit order."""
+    p = _pipe(spark, sf_dir, "customer", order_cols=["c_custkey"])
+    p = p.subset(list(range(10)) + [100, 200, 300])
+    return p.df.select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+
+
+def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Desc stats with exact interpolated quantiles (data.go:154-168)."""
+    from seafan_spark.agg import describe_df
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    d = describe_df(p, "l_extendedprice")
+    return d.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        *[F.round(f"q{q}", 4).alias(f"q{q}") for q in (0, 10, 25, 50, 75, 90, 100)],
+    )
+
+
+def q_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment mean observed vs bias-corrected fit (SegPlot,
+    diags.go:230-346) as a lazy aggregation."""
+    from seafan_spark.diags import seg_table_df
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    p = p.with_column("obs", (F.col("l_quantity") > 25).cast("double"))
+    p = p.with_column("fit", F.col("l_extendedprice") / F.lit(100000.0))
+    t = seg_table_df(p, "obs", "fit", "l_returnflag", min_cnt=10)
+    return t.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean_obs", 6).alias("mean_obs"),
+        F.round("obs_se", 6).alias("obs_se"),
+        F.round("mean_fit_corrected", 6).alias("fit_corr"),
+    )
+
+
+def q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS of a score split by outcome (diags.go:110-221),
+    1000-bin histogram CDFs."""
+    from seafan_spark.diags import ks
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    p = p.with_column("obs", (F.col("l_quantity") > 25).cast("double"))
+    v = ks(p, "l_extendedprice", "obs", bins=1000)
+    return spark.createDataFrame([(round(v, 4),)], schema="ks double")
+
+
+def q_coalesce_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coalesce softmax columns + log-odds (diags.go:32-95, 557-569)."""
+    from seafan_spark.diags import coalesce_col, logodds_col
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    probs = F.array(
+        F.col("l_quantity") / 50.0, F.col("l_tax") * 10.0, F.col("l_discount") * 10.0
+    )
+    d = p.df.withColumn("_probs", probs)
+    pc = coalesce_col(F.col("_probs"), 3, [1, 2], logodds=True)
+    d = d.withColumn("_p", pc)
+    return d.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("_p", 6).alias("p12"),
+        F.round(logodds_col(F.col("_p")), 6).alias("lodds"),
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (llmops.dedup)."""
+    from seafan_spark.llmops.dedup import ngram_jaccard_pairs
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    return ngram_jaccard_pairs(p, "doc_id", "text", n=3, threshold=0.3, max_df=1000)
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact scoring path (recall 1.0)."""
+    from seafan_spark.llmops.dedup import embedding_neardup_pairs
+
+    p = _pipe(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(p, "vec_id", "embedding", threshold=0.5, exact=True)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-k (llmops.similarity).
+    Hash-bucketed — rows-only check."""
+    from seafan_spark.llmops.similarity import ann_lsh_topk
+
+    p = _pipe(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(p, "vec_id", "embedding", k=5, planes=8)
+
+
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash near-dup pairs (llmops.dedup).
+    Iterative label propagation — rows-only check."""
+    from seafan_spark.llmops.dedup import minhash_clusters, minhash_pairs
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    pairs = minhash_pairs(p, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5)
+    return minhash_clusters(pairs)
+
+
+def q_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRR root-find over an ordered cashflow (parser.go:617-658).
+    Iterative driver-side solve — rows-only check."""
+    p = _pipe(spark, sf_dir, "events", order_cols=["ts", "event_id"])
+    p = p.where("user_id", [0])
+    p = add_to_pipe(p, "irr(100, value)", "rate")
+    return p.df.select(F.round("rate", 6).alias("rate")).limit(1)
+
+
+def q_model_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ModSpec DSL -> MLlib fit (modspec.go / nn.go): linear head recovers
+    a price model; returns coefficients. Optimizer output — rows-only."""
+    from seafan_spark.model import fit, parse_modspec
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    ms = parse_modspec(
+        ["Input(l_quantity+l_discount)", "FC(size:1, activation:linear)", "Target(l_extendedprice)"]
+    )
+    fr = fit(p, ms, max_iter=50)
+    coefs = [float(c) for c in fr.model.coefficients] + [float(fr.model.intercept)]
+    return spark.createDataFrame(
+        [tuple(round(c, 4) for c in coefs)], schema="b_qty double, b_disc double, b0 double"
+    )
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads + typed metadata +
+    mapInPandas feature extraction (stubbed decoder — rows-only check)."""
+    from seafan_spark.llmops.multimodal import attach_media_metadata, extract_image_features
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    d = p.df.withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    d = attach_media_metadata(d, "payload", "image", "fake")
+    feats = extract_image_features(d, "doc_id", "payload")
+    meta = d.select("doc_id", F.col("payload_meta.n_bytes").alias("n_bytes"))
+    return feats.join(meta, "doc_id").select(
+        "doc_id", "height", "width", "channels", F.round("mean_luma", 6).alias("mean_luma"),
+        "n_bytes",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "where_keep": q_where_keep,
     "groupby_agg": q_groupby_agg,
@@ -368,6 +673,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "stream_tumbling": q_stream_tumbling,
+    "sessionize": q_sessionize,
+    "npv": q_npv,
+    "loop": q_loop,
+    "expr_misc": q_expr_misc,
+    "window_after": q_window_after,
+    "subset_row": q_subset_row,
+    "describe": q_describe,
+    "seg": q_seg,
+    "ks": q_ks,
+    "coalesce_logodds": q_coalesce_logodds,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embed_neardup": q_embed_neardup,
+    "ann_lsh": q_ann_lsh,
+    "minhash_clusters": q_minhash_clusters,
+    "irr": q_irr,
+    "model_glm": q_model_glm,
+    "multimodal": q_multimodal,
 }
 
 ORACLES: dict[str, str] = {
@@ -576,6 +901,217 @@ ORACLES: dict[str, str] = {
                COUNT(*) OVER (PARTITION BY fp) AS dup_count,
                CAST(ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS DOUBLE) AS is_dup
         FROM f
+    """,
+    "tpch_q3": """
+        SELECT l.l_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice*(1-l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+    "tpch_q5": """
+        SELECT n.n_name,
+               ROUND(SUM(l.l_extendedprice*(1-l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey AND s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n.n_name
+    """,
+    "stream_tumbling": """
+        SELECT CAST(FLOOR(EPOCH(TIME_BUCKET(INTERVAL '1 hour', ts))) AS BIGINT) AS window_start,
+               CAST(FLOOR(EPOCH(TIME_BUCKET(INTERVAL '1 hour', ts) + INTERVAL '1 hour')) AS BIGINT) AS window_end,
+               event_type,
+               COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "sessionize": """
+        WITH o AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, event_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        )
+        SELECT CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS window_start,
+               CAST(FLOOR(EPOCH(MAX(ts) + INTERVAL '30 minutes')) AS BIGINT) AS window_end,
+               user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+        FROM s GROUP BY user_id, sid
+    """,
+    "npv": """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice / POWER(1.001, rn)), 2) AS order_npv
+        FROM (
+            SELECT l_orderkey, l_extendedprice,
+                   ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice) - 1 AS rn
+            FROM lineitem
+        )
+        GROUP BY l_orderkey
+    """,
+    "loop": """
+        SELECT c_custkey,
+               ROUND(((c_acctbal*1.05 + 10)*1.05 + 10)*1.05 + 10, 4) AS bal
+        FROM customer
+    """,
+    "expr_misc": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(GREATEST(l_quantity, 25.0), 2) AS qcap,
+               ROUND(LEAST(l_tax, l_discount), 6) AS mintd,
+               ROUND(l_tax, 6) AS tax2,
+               PRINTF('%.2f', l_quantity) AS qstr,
+               CAST(TRUNC(l_discount*100) AS BIGINT) AS disc_pct,
+               ROUND(POWER(l_quantity, 2), 2) AS qsq
+        FROM lineitem
+    """,
+    "window_after": """
+        SELECT l_orderkey, l_linenumber,
+               ROUND(SUM(l_quantity) OVER w_after, 2) AS qty_after,
+               CAST(COUNT(l_quantity) OVER w_after AS BIGINT) AS n_after,
+               ROUND(EXP(SUM(LN(1 + l_discount)) OVER w_before), 6) AS disc_prod,
+               ROUND(COALESCE(LAG(l_quantity) OVER w_ord, -1.0), 2) AS prev_qty
+        FROM lineitem
+        WINDOW w_ord AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice),
+               w_after AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+               w_before AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "subset_row": """
+        SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal
+        FROM (
+            SELECT c_custkey, c_acctbal,
+                   ROW_NUMBER() OVER (ORDER BY c_custkey) - 1 AS rn
+            FROM customer
+        )
+        WHERE rn IN (0,1,2,3,4,5,6,7,8,9,100,200,300)
+    """,
+    "describe": """
+        SELECT COUNT(l_extendedprice) AS n,
+               ROUND(AVG(l_extendedprice), 4) AS mean,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.00), 4) AS q0,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.10), 4) AS q10,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS q25,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 4) AS q50,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS q75,
+               ROUND(QUANTILE_CONT(l_extendedprice, 0.90), 4) AS q90,
+               ROUND(QUANTILE_CONT(l_extendedprice, 1.00), 4) AS q100
+        FROM lineitem
+    """,
+    "seg": """
+        WITH t AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity > 25 AS DOUBLE) AS obs,
+                   l_extendedprice/100000.0 AS fit
+            FROM lineitem
+        ), b AS (
+            SELECT AVG(fit) - AVG(obs) AS bias FROM t
+        ), g AS (
+            SELECT l_returnflag, COUNT(*) AS n, AVG(obs) AS mean_obs,
+                   STDDEV_SAMP(obs) AS std_obs, AVG(fit) AS mean_fit
+            FROM t GROUP BY l_returnflag HAVING COUNT(*) >= 10
+        )
+        SELECT l_returnflag, n,
+               ROUND(mean_obs, 6) AS mean_obs,
+               ROUND(COALESCE(std_obs, 0)/SQRT(n), 6) AS obs_se,
+               ROUND(mean_fit - bias, 6) AS fit_corr
+        FROM g, b
+    """,
+    "ks": """
+        WITH t AS (
+            SELECT l_extendedprice AS fit, CAST(l_quantity > 25 AS INT) AS ist
+            FROM lineitem
+        ), m AS (
+            SELECT MIN(fit) AS lo, MAX(fit) AS hi,
+                   SUM(ist) AS n1, SUM(1-ist) AS n0 FROM t
+        ), b AS (
+            SELECT LEAST(CAST(FLOOR((fit - lo)/((hi - lo)/1000.0)) AS INT), 999) AS bin, ist
+            FROM t, m
+        ), c AS (
+            SELECT bin, SUM(ist) AS c1, SUM(1-ist) AS c0 FROM b GROUP BY bin
+        ), cum AS (
+            SELECT SUM(c1) OVER (ORDER BY bin) AS s1,
+                   SUM(c0) OVER (ORDER BY bin) AS s0 FROM c
+        )
+        SELECT ROUND(100.0 * MAX(ABS(CAST(s1 AS DOUBLE)/(SELECT n1 FROM m)
+                                   - CAST(s0 AS DOUBLE)/(SELECT n0 FROM m))), 4) AS ks
+        FROM cum
+    """,
+    "coalesce_logodds": """
+        WITH t AS (
+            SELECT l_orderkey, l_linenumber,
+                   l_quantity/50.0 AS e0, l_tax*10.0 AS e1, l_discount*10.0 AS e2
+            FROM lineitem
+        ), p AS (
+            SELECT l_orderkey, l_linenumber,
+                   (EXP(e1) + EXP(e2)) / (EXP(e0) + EXP(e1) + EXP(e2)) AS pv
+            FROM t
+        )
+        SELECT l_orderkey, l_linenumber,
+               ROUND(pv, 6) AS p12,
+               ROUND(CASE WHEN pv < 1e-10 THEN -10.0
+                          WHEN 1 - pv < 1e-10 THEN 10.0
+                          ELSE LEAST(GREATEST(LN(pv/(1-pv)), -10.0), 10.0) END, 6) AS lodds
+        FROM p
+    """,
+    "ngram_jaccard": """
+        WITH d AS (
+            SELECT doc_id,
+                   STR_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents
+        ), n AS (
+            SELECT doc_id,
+                   CASE WHEN LEN(toks) < 3 THEN [ARRAY_TO_STRING(toks, ' ')]
+                        ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),
+                             i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) END AS grams
+            FROM d
+        ), sz AS (
+            SELECT doc_id, LEN(grams) AS ng FROM n
+        ), e AS (
+            SELECT doc_id, UNNEST(grams) AS g FROM n
+        ), keep AS (
+            SELECT g FROM e GROUP BY g HAVING COUNT(*) <= 1000
+        ), ek AS (
+            SELECT e.doc_id, e.g FROM e JOIN keep USING (g)
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM ek a JOIN ek b USING (g)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE)/(sa.ng + sb.ng - i), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.3
+    """,
+    "embed_neardup": """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(LIST_COSINE_SIMILARITY(a.ve, b.ve), 6) AS cosine
+        FROM v a CROSS JOIN v b
+        WHERE a.vec_id < b.vec_id
+          AND LIST_COSINE_SIMILARITY(a.ve, b.ve) >= 0.5
     """,
     "ann_topk": """
         WITH q AS (

@@ -71,6 +71,22 @@ def describe(
     return out
 
 
+def describe_df(pipe: Pipeline, field: str) -> DataFrame:
+    """One-row lazy Desc of a continuous field (data.go:154-168) with
+    EXACT interpolated quantiles at u = [0,.1,.25,.5,.75,.9,1]
+    (``F.percentile`` — same linear-interpolation definition as DuckDB's
+    ``quantile_cont``). ``describe`` keeps the approx path for wide
+    multi-column profiling; this is the single-column oracle-able form."""
+    c = F.col(field)
+    q = F.percentile(c, F.array(*[F.lit(u) for u in QUANTILE_U]))
+    return pipe.df.agg(
+        F.count(c).alias("n"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("std"),
+        *[F.element_at(q, i + 1).alias(f"q{int(u * 100)}") for i, u in enumerate(QUANTILE_U)],
+    )
+
+
 def by_counts(pipe: Pipeline, field: str) -> DataFrame:
     """Value -> frequency (ByCounts, data.go:684-699)."""
     return pipe.df.groupBy(field).count()

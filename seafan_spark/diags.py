@@ -186,6 +186,33 @@ def assess(pipe: Pipeline, fit: str, obs: str, cutoff: float) -> AssessResult:
     )
 
 
+def seg_table_df(pipe: Pipeline, obs: str, fit: str, seg: str, min_cnt: int = 100):
+    """Lazy DataFrame form of :func:`seg_table`: per-segment mean observed
+    vs bias-corrected mean fitted ± 2·SE. The global bias (mean fit − mean
+    obs) is a 1-row aggregate cross-joined in (broadcast — no second scan
+    collected driver-side)."""
+    bias_row = pipe.df.agg(
+        (F.avg(fit) - F.avg(obs)).alias("_bias"),
+    )
+    per_seg = (
+        pipe.df.groupBy(seg)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(obs).alias("mean_obs"),
+            F.stddev_samp(obs).alias("std_obs"),
+            F.avg(fit).alias("mean_fit"),
+        )
+        .filter(F.col("n") >= min_cnt)
+    )
+    return per_seg.crossJoin(F.broadcast(bias_row)).select(
+        F.col(seg),
+        F.col("n"),
+        F.col("mean_obs"),
+        (F.coalesce(F.col("std_obs"), F.lit(0.0)) / F.sqrt(F.col("n"))).alias("obs_se"),
+        (F.col("mean_fit") - F.col("_bias")).alias("mean_fit_corrected"),
+    )
+
+
 def assess_r2_df(pipe: Pipeline, fit: str, obs: str, cutoff: float):
     """Assess + R2 fused into ONE lazy aggregation pass (one scan, one-row
     DataFrame, nothing collected driver-side). ``assess``/``r2`` stay as

@@ -368,16 +368,24 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     planes: int = 16,
     seed: int = 42,
+    exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: random-hyperplane LSH buckets
     (sign bits of seeded pseudo-random projections) generate candidates;
-    exact cosine verifies. One equi-join on the bucket key."""
+    exact cosine verifies. One equi-join on the bucket key.
+
+    ``exact=True`` skips the LSH bucketing and scores ALL pairs (recall
+    1.0, O(n^2) — the correctness oracle / small-corpus path)."""
     from seafan_spark.llmops.similarity import cosine_col, hyperplane_bucket_col
 
     d = pipe.df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        hyperplane_bucket_col(F.col(vec_col), planes=planes, seed=seed).alias("_bkt"),
+        (
+            F.lit("all")
+            if exact
+            else hyperplane_bucket_col(F.col(vec_col), planes=planes, seed=seed)
+        ).alias("_bkt"),
     )
     a = d.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bkt")
     b = d.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_bkt")

@@ -613,7 +613,9 @@ def q_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative driver-side solve — rows-only check."""
     p = _pipe(spark, sf_dir, "events", order_cols=["ts", "event_id"])
     p = p.where("user_id", [0])
-    p = add_to_pipe(p, "irr(100, value)", "rate")
+    # cost = half the undiscounted flow total: a root is bracketed at any
+    # SF (npv(0) = 2*cost > cost; npv(inf) -> first flow < cost)
+    p = add_to_pipe(p, "irr(sum(value)/2, value)", "rate")
     return p.df.select(F.round("rate", 6).alias("rate")).limit(1)
 
 
@@ -646,6 +648,26 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.join(meta, "doc_id").select(
         "doc_id", "height", "width", "channels", F.round("mean_luma", 6).alias("mean_luma"),
         "n_bytes",
+    )
+
+
+def q_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-effect table (Marginal, diags.go:592-731): counterfactual
+    feature sweep through the fitted model. Model-dependent — rows-only."""
+    from seafan_spark.diags import marginal
+    from seafan_spark.model import fit, parse_modspec
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    ms = parse_modspec(
+        ["Input(l_quantity+l_discount)", "FC(size:1, activation:linear)", "Target(l_extendedprice)"]
+    )
+    fr = fit(p, ms, max_iter=25)
+    t = marginal(fr, p, "l_quantity", n_seg=4, n_sweep=4, take=500)
+    return t.select(
+        "fit_seg",
+        F.round("x_value", 4).alias("x_value"),
+        F.round("mean_fit", 2).alias("mean_fit"),
+        F.col("n").cast("bigint").alias("n"),
     )
 
 
@@ -693,6 +715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "irr": q_irr,
     "model_glm": q_model_glm,
     "multimodal": q_multimodal,
+    "marginal": q_marginal,
 }
 
 ORACLES: dict[str, str] = {

@@ -18,6 +18,7 @@ from typing import Any, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from seafan_spark.ftypes import FRole
 from seafan_spark.pipeline import Pipeline
 from seafan_spark.slicer import Slice
 
@@ -249,6 +250,76 @@ def r2(pipe: Pipeline, fit: str, obs: str) -> float:
     ).collect()[0]
     tss = (r["n"] - 1) * r["vy"]
     return 100.0 * (1.0 - r["sse"] / tss)
+
+
+def marginal(
+    fr,
+    pipe: Pipeline,
+    feat: str,
+    n_seg: int = 4,
+    n_sweep: int = 4,
+    take: int = 1000,
+    max_cats: int = 10,
+    seed: int = 42,
+):
+    """Marginal-effect table (Marginal, diags.go:592-731): segment rows by
+    quantile of the fitted value (high to low), counterfactually set
+    ``feat`` to each sweep value, re-score, and report the fitted
+    distribution per (segment, sweep value).
+
+    Sweep grid follows the reference: continuous features sweep
+    ``q0 + g*(q100-q0)/5`` for g = 1..n_sweep; categorical features sweep
+    the top ``max_cats`` levels by count. The whole counterfactual grid is
+    ONE DataFrame (rows × sweep values via explode) scored in ONE
+    model.transform — no per-segment loop, no driver-side batching.
+
+    Returns a DataFrame: (fit_seg, x_value, mean_fit, sd_fit, n) where
+    fit_seg 1 = highest fitted segment.
+    """
+    from seafan_spark.model import predict
+
+    scored = predict(fr, pipe, "mfit0")
+    w = Window.orderBy(F.col("mfit0").desc())
+    d = scored.df.withColumn("fit_seg", F.ntile(n_seg).over(w))
+    # bounded per-segment sample, deterministic (hash order, not rand())
+    ws = Window.partitionBy("fit_seg").orderBy(
+        F.xxhash64(*[F.col(c) for c in pipe.df.columns if not c.startswith("_")], F.lit(seed))
+    )
+    d = d.withColumn("rn0", F.row_number().over(ws)).filter(F.col("rn0") <= take).drop("rn0")
+
+    ft = pipe.get_ftype(feat)
+    dtype = dict(pipe.df.dtypes).get(feat, "double")
+    is_cat = (ft is not None and ft.role == FRole.CAT) or dtype == "string"
+    if is_cat:
+        levels = [
+            r[feat]
+            for r in pipe.df.groupBy(feat)
+            .count()
+            .orderBy(F.col("count").desc(), F.col(feat).asc())
+            .limit(max_cats)
+            .collect()
+        ]
+        sweep = F.array(*[F.lit(v) for v in levels])
+    else:
+        q = pipe.df.agg(
+            F.min(F.col(feat).cast("double")).alias("q0"),
+            F.max(F.col(feat).cast("double")).alias("q100"),
+        ).collect()[0]
+        dp = (q["q100"] - q["q0"]) / 5.0
+        sweep = F.array(*[F.lit(q["q0"] + dp * g) for g in range(1, n_sweep + 1)])
+
+    d = d.withColumn("x_value", F.explode(sweep)).withColumn(feat, F.col("x_value"))
+    swept = pipe._derive(d)
+    rescored = predict(fr, swept, "mfit1")
+    return (
+        rescored.df.groupBy("fit_seg", "x_value")
+        .agg(
+            F.avg("mfit1").alias("mean_fit"),
+            F.stddev_samp("mfit1").alias("sd_fit"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("fit_seg", "x_value")
+    )
 
 
 def coalesce_col(

@@ -545,7 +545,18 @@ def _f_irr(ctx, nodes):
 
 def _solve_irr(cost: float, flows: list[float], tol: float = 1e-4) -> float:
     def f(r: float) -> float:
-        return sum(c / (1.0 + r) ** i for i, c in enumerate(flows)) - cost
+        # guard against float overflow/underflow of (1+r)^i at the bracket
+        # edges for long cashflow vectors
+        tot = 0.0
+        for i, c in enumerate(flows):
+            try:
+                d = (1.0 + r) ** i
+            except OverflowError:
+                d = float("inf")
+            if d == 0.0:
+                return float("inf") if c >= 0 else float("-inf")
+            tot += c / d
+        return tot - cost
 
     lo, hi = -0.9999, 1e4
     flo, fhi = f(lo), f(hi)
@@ -788,7 +799,7 @@ def _f_print(ctx, nodes):
     rows = ctx.pipe.df.select(x.col.alias("__v")).orderBy(*ctx.pipe._order_columns())
     n_rows = rows.limit(1000).collect()
     try:
-        n = int(n_tc.col._jc.toString())  # only literal counts supported
+        n = int(float(n_tc.col._jc.toString()))  # only literal counts supported
     except Exception:
         n = 0
     n = len(n_rows) if n == 0 else min(n, len(n_rows))

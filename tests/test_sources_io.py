@@ -1,0 +1,53 @@
+"""Source/sink coverage: sql_to_pipe, parquet sink, catalog table sink,
+print/printIf side-effect functions."""
+
+from pyspark.sql import functions as F
+
+from seafan_spark.exprlang import add_to_pipe
+from seafan_spark.sources import (
+    parquet_to_pipe,
+    pipe_to_parquet,
+    pipe_to_table,
+    sql_to_pipe,
+    vec_to_pipe,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sql_to_pipe(spark):
+    spark.read.parquet(f"{SF}/nation.parquet").createOrReplaceTempView("v_nation")
+    p = sql_to_pipe(spark, "SELECT n_nationkey, n_name FROM v_nation WHERE n_nationkey < 5")
+    assert p.row_count() == 5
+    assert p.get_ftype("n_name").role.value == "FRCat"
+    assert p.get_ftype("n_nationkey").role.value == "FRCts"
+
+
+def test_pipe_to_parquet_round_trip(spark, tmp_path):
+    p = parquet_to_pipe(spark, f"{SF}/region.parquet")
+    out = str(tmp_path / "region_out")
+    pipe_to_parquet(p, out)
+    back = parquet_to_pipe(spark, out)
+    a = sorted(tuple(r) for r in p.df.collect())
+    b = sorted(tuple(r) for r in back.df.collect())
+    assert a == b
+
+
+def test_pipe_to_table_round_trip(spark):
+    p = parquet_to_pipe(spark, f"{SF}/region.parquet")
+    pipe_to_table(p, "t_region_io")
+    back = sql_to_pipe(spark, "SELECT * FROM t_region_io")
+    assert back.row_count() == p.row_count()
+    spark.sql("DROP TABLE t_region_io")
+
+
+def test_print_fns(spark, capsys):
+    p = vec_to_pipe(spark, {"c": [3.0, 1.0, 2.0]})
+    p2 = add_to_pipe(p, "print(c, 2)", "pr")
+    assert p2.df.select("pr").distinct().collect()[0]["pr"] == 1.0
+    outp = capsys.readouterr().out
+    assert "0: 3.0" in outp and "1: 1.0" in outp and "2:" not in outp
+    # printIf with false condition prints nothing, returns 0
+    p3 = add_to_pipe(p, "printIf(c, 2, 1>2)", "pr2")
+    assert p3.df.select("pr2").distinct().collect()[0]["pr2"] == 0.0
+    assert capsys.readouterr().out == ""

@@ -167,7 +167,10 @@ def minhash_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     """Connected components over duplicate pairs by min-id label
     propagation: (id, cluster) where cluster is the component's min id.
     Each iteration is one join + aggregate; stops when labels fix."""
-    edges = pairs.select("id_a", "id_b")
+    # materialize the candidate edges once — label propagation re-reads
+    # them every iteration, and recomputing the upstream signature join
+    # per iteration would dominate the whole computation
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
     labels = (
         sym.select(F.col("id_a").alias("id"), F.col("id_b"))
@@ -375,16 +378,26 @@ def embedding_neardup_pairs(
     exact cosine verifies. One equi-join on the bucket key.
 
     ``exact=True`` skips the LSH bucketing and scores ALL pairs (recall
-    1.0, O(n^2) — the correctness oracle / small-corpus path)."""
-    from seafan_spark.llmops.similarity import cosine_col, hyperplane_bucket_col
+    1.0, O(n^2) — the correctness oracle / small-corpus path).
 
-    d = pipe.df.select(
+    Vectors are unit-normalized ONCE per row before the pair join, so the
+    per-pair work is a single dot product — 3x less array math than
+    cosine(a, b) per candidate, and the normalization runs n times
+    instead of O(candidate-pairs) times."""
+    from seafan_spark.llmops.similarity import dot_col, hyperplane_bucket_col, norm_col
+
+    staged = pipe.df.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
+        F.col(vec_col).alias("_raw"),
+        norm_col(F.col(vec_col)).alias("_n"),  # staged: computed once per row
+    )
+    d = staged.select(
+        "_id",
+        F.transform(F.col("_raw"), lambda x: x.cast("double") / F.col("_n")).alias("_v"),
         (
             F.lit("all")
             if exact
-            else hyperplane_bucket_col(F.col(vec_col), planes=planes, seed=seed)
+            else hyperplane_bucket_col(F.col("_raw"), planes=planes, seed=seed)
         ).alias("_bkt"),
     )
     a = d.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bkt")
@@ -392,7 +405,7 @@ def embedding_neardup_pairs(
     return (
         a.join(b, "_bkt")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot_col(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

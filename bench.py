@@ -11,6 +11,7 @@ reflect real work, not plan construction.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -45,6 +46,11 @@ def main() -> None:
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 4)
+        # isolate queries: drop cached blocks / checkpoint RDDs / broadcasts
+        # the query left behind so later timings don't pay its GC bill
+        # (cleanup itself is outside the timed region)
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -333,10 +333,21 @@ def ngram_jaccard_pairs(
     jaccard = inter / (|A| + |B| - inter). Shuffles on ngram then on the
     pair key; both partial-aggregated map-side.
     """
-    base = pipe.df.select(
-        F.col(id_col).alias("_id"),
-        word_ngrams_col(F.col(text_col), n).alias("_gr"),
-    ).withColumn("_n", F.size("_gr"))
+    # spread + persist: tokenization is the CPU-heavy stage, so spread the
+    # doc rows first if the source arrived under-partitioned (a single
+    # small parquet file reads as one partition); then cache the per-doc
+    # gram arrays, which feed five branches (sizes x2, the df-cap
+    # aggregate, both join sides) — without the cache the string
+    # splitting re-runs for each branch
+    raw = pipe.df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    target = pipe.df.sparkSession.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < target:
+        raw = raw.repartition(target, "_id")
+    base = (
+        raw.select("_id", word_ngrams_col(F.col("_txt"), n).alias("_gr"))
+        .withColumn("_n", F.size("_gr"))
+        .persist()
+    )
     sizes = base.select("_id", "_n")
     ex = base.select("_id", F.explode("_gr").alias("g"))
     df_cap = ex.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
@@ -364,6 +375,59 @@ def ngram_jaccard_pairs(
 
 
 # ------------------------------------------------- embedding near-dup ----
+def _exact_pairs_blocked(d: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine >= threshold by blocked BLAS matmul.
+
+    ``d`` is (_id, _raw) with _raw the unnormalized vector; all
+    normalization happens in numpy (driver once for the corpus matrix,
+    per-block in the task), keeping the Spark-side plan a bare
+    column-pruned scan. The normalized matrix is broadcast to every task
+    (same memory envelope as the broadcast side of a broadcast join);
+    each task multiplies its own row-block against it with one numpy
+    matmul — no shuffle, no per-pair expression evaluation, compute split
+    evenly across tasks. Corpora too large to broadcast belong on the LSH
+    path instead."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def unit_rows(series):
+        mat = np.vstack(series.to_numpy()).astype("float64")
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        return mat / np.where(norms == 0.0, 1.0, norms)
+
+    spark = d.sparkSession
+    pdf = d.toPandas()
+    ids = pdf["_id"].to_numpy()
+    mat = unit_rows(pdf["_raw"]) if len(pdf) else np.zeros((0, 1))
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", d.schema["_id"].dataType),
+            T.StructField("id_b", d.schema["_id"].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        corpus_ids, corpus = b_ids.value, b_mat.value
+        for block in batches:
+            if not len(block):
+                continue
+            sims = unit_rows(block["_raw"]) @ corpus.T
+            ai, bj = np.nonzero(sims >= threshold)
+            if not len(ai):
+                continue
+            ia, ib, vals = block["_id"].to_numpy()[ai], corpus_ids[bj], sims[ai, bj]
+            keep = ia < ib
+            yield pd.DataFrame(
+                {"id_a": ia[keep], "id_b": ib[keep], "cosine": vals[keep]}
+            )
+
+    return d.mapInPandas(score, schema=out_schema)
+
+
 def embedding_neardup_pairs(
     pipe: Pipeline,
     id_col: str,
@@ -378,7 +442,8 @@ def embedding_neardup_pairs(
     exact cosine verifies. One equi-join on the bucket key.
 
     ``exact=True`` skips the LSH bucketing and scores ALL pairs (recall
-    1.0, O(n^2) — the correctness oracle / small-corpus path).
+    1.0, O(n^2) — the correctness oracle / small-corpus path) via blocked
+    BLAS matmul (see _exact_pairs_blocked).
 
     Vectors are unit-normalized ONCE per row before the pair join, so the
     per-pair work is a single dot product — 3x less array math than
@@ -386,19 +451,23 @@ def embedding_neardup_pairs(
     instead of O(candidate-pairs) times."""
     from seafan_spark.llmops.similarity import dot_col, hyperplane_bucket_col, norm_col
 
-    staged = pipe.df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_raw"),
-        norm_col(F.col(vec_col)).alias("_n"),  # staged: computed once per row
+    raw = pipe.df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_raw")
+    )
+    if exact:
+        pairs = _exact_pairs_blocked(raw, threshold)
+        return pairs.select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+        )
+    staged = raw.select(
+        "_id",
+        "_raw",
+        norm_col(F.col("_raw")).alias("_n"),  # staged: computed once per row
     )
     d = staged.select(
         "_id",
         F.transform(F.col("_raw"), lambda x: x.cast("double") / F.col("_n")).alias("_v"),
-        (
-            F.lit("all")
-            if exact
-            else hyperplane_bucket_col(F.col("_raw"), planes=planes, seed=seed)
-        ).alias("_bkt"),
+        hyperplane_bucket_col(F.col("_raw"), planes=planes, seed=seed).alias("_bkt"),
     )
     a = d.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bkt")
     b = d.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_bkt")

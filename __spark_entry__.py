@@ -406,9 +406,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time windows (streaming.tumbling_agg — the SAME plan
     serves readStream; see tests/test_streaming.py for the stream run)."""
+    from seafan_spark.sources import read_parquet
     from seafan_spark.streaming import tumbling_agg
 
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = read_parquet(spark, f"{sf_dir}/events.parquet")
     return tumbling_agg(
         df,
         {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
@@ -419,9 +420,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user, 30-minute gap (streaming.sessionize)."""
+    from seafan_spark.sources import read_parquet
     from seafan_spark.streaming import sessionize
 
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = read_parquet(spark, f"{sf_dir}/events.parquet")
     return sessionize(
         df,
         {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},

@@ -42,6 +42,20 @@ RID = "_rid"
 _CAT_SPARK_TYPES = (T.StringType, T.DateType, T.TimestampType, T.BooleanType)
 
 
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Session-independent parquet read.
+
+    Some corpus tables (events) carry TIMESTAMP(NANOS) columns that Spark
+    only reads with ``spark.sql.legacy.parquet.nanosAsLong`` — the conf is
+    runtime-settable, so set it here at read time rather than relying on
+    the session factory having done so (a consumer's own SparkSession must
+    be able to read every table). Downstream, ``streaming.ensure_event_time``
+    converts the resulting bigint-nanos column to a real timestamp.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
 def infer_role(dtype: T.DataType) -> FRole:
     """Default role from the Spark type (ch.go:163-171, vec.go:43-46)."""
     if isinstance(dtype, _CAT_SPARK_TYPES):
@@ -73,7 +87,7 @@ def parquet_to_pipe(
     """Read parquet into a Pipeline (the engine's native source)."""
     from seafan_spark.pipeline import Pipeline
 
-    df = spark.read.parquet(path)
+    df = read_parquet(spark, path)
     return Pipeline(df, fts=default_ftypes(df, fts), keep_raw=keep_raw, order_cols=order_cols)
 
 

@@ -41,7 +41,10 @@ def ensure_event_time(df: DataFrame, ts_col: str = "ts", out: str = EVENT_TIME) 
     if isinstance(dt, T.TimestampType):
         c = F.col(ts_col)
     elif isinstance(dt, (T.LongType, T.IntegerType)):
-        c = F.timestamp_micros((F.col(ts_col) / F.lit(1000)).cast("long"))
+        # exact integer floor-division: epoch-nanos (~1.7e18) exceed a
+        # double's 53-bit mantissa, so `/ 1000` through float could drift
+        # ~1µs near window boundaries
+        c = F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
     else:
         raise TypeError(f"ensure_event_time: {ts_col} has unsupported type {dt}")
     return df.withColumn(out, c)
@@ -62,8 +65,13 @@ def read_events_stream(
     in a shared dir) streams cleanly."""
     import os
 
+    from seafan_spark.sources import read_parquet
+
     if schema is None:
-        schema = spark.read.parquet(path).schema
+        # read_parquet also sets the nanosAsLong conf the stream read needs
+        schema = read_parquet(spark, path).schema
+    else:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(schema)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))

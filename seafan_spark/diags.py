@@ -75,10 +75,15 @@ def decile_table(
 ) -> DataFrame:
     """Decile table (Decile, diags.go:354-473): bucket by fitted-value
     quantiles, per bucket mean fit, mean obs, count, and the ±2 binomial-SE
-    band around mean obs. One window pass (ntile) + one aggregation.
+    band around mean obs. Bucketing is NTILE-identical but distributed
+    (range-repartition + per-partition rank, seafan_spark.rank) — no
+    unpartitioned window, no single-task sort at scale.
     ``tiebreak`` columns make bucket assignment deterministic under ties."""
-    w = Window.orderBy(F.col(fit), *[F.col(c) for c in tiebreak])
-    d = pipe.df.withColumn("_dec", F.ntile(n_buckets).over(w) - F.lit(1))
+    from seafan_spark.rank import ntile_exact
+
+    order = [(fit, True)] + [(c, True) for c in tiebreak]
+    d, _ = ntile_exact(pipe.df, order, n_buckets, "_nt")
+    d = d.withColumn("_dec", F.col("_nt") - F.lit(1)).drop("_nt")
     out = (
         d.groupBy("_dec")
         .agg(
@@ -277,15 +282,29 @@ def marginal(
     fit_seg 1 = highest fitted segment.
     """
     from seafan_spark.model import predict
+    from seafan_spark.rank import ntile_exact
 
     scored = predict(fr, pipe, "mfit0")
-    w = Window.orderBy(F.col("mfit0").desc())
-    d = scored.df.withColumn("fit_seg", F.ntile(n_seg).over(w))
-    # bounded per-segment sample, deterministic (hash order, not rand())
-    ws = Window.partitionBy("fit_seg").orderBy(
-        F.xxhash64(*[F.col(c) for c in pipe.df.columns if not c.startswith("_")], F.lit(seed))
+    # deterministic per-row hash: ntile tiebreak + sampling order
+    hcol = F.xxhash64(
+        *[F.col(c) for c in pipe.df.columns if not c.startswith("_")], F.lit(seed)
     )
-    d = d.withColumn("rn0", F.row_number().over(ws)).filter(F.col("rn0") <= take).drop("rn0")
+    d0 = scored.df.withColumn("_h", hcol)
+    # distributed NTILE (rank.py) — no unpartitioned window
+    d, total = ntile_exact(d0, [("mfit0", False), ("_h", True)], n_seg, "fit_seg")
+    # bounded per-segment sample = the `take` smallest hashes per segment.
+    # Pre-filter to ~4x the needed rows by a uniform-hash threshold so the
+    # per-segment rank window sorts O(take) rows, not the whole segment.
+    seg_size = -(-total // n_seg) if total else 0
+    if seg_size > 4 * take:
+        frac = 4.0 * take / seg_size
+        d = d.filter(F.col("_h") <= F.lit(int(-(2**63) + frac * 2**64)))
+    ws = Window.partitionBy("fit_seg").orderBy(F.col("_h"))
+    d = (
+        d.withColumn("rn0", F.row_number().over(ws))
+        .filter(F.col("rn0") <= take)
+        .drop("rn0", "_h")
+    )
 
     ft = pipe.get_ftype(feat)
     dtype = dict(pipe.df.dtypes).get(feat, "double")

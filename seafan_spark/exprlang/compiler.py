@@ -402,7 +402,14 @@ def _f_prod_after(ctx, nodes):
 @_register("index", 2)
 def _f_index(ctx, nodes):
     """Gather x at positions idx (data.go:641-660). Collects the ordered
-    column into a per-row array — positional compat op, small-data path."""
+    column into a per-row array — positional compat op, HARD small-data
+    path (guarded: the per-row array is O(rows) memory each)."""
+    from seafan_spark.guards import assert_small
+
+    assert_small(
+        ctx.pipe.df, "index()", limit=1_000_000,
+        scale_hint="index() materializes the whole column per row; join on a key instead.",
+    )
     x = _compile(nodes[0], ctx)
     idx = _require_num(_compile(nodes[1], ctx), "index positions")
     full = ctx.order_window().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

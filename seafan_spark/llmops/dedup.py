@@ -130,10 +130,18 @@ def minhash_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signatures(pipe.df, id_col, text_col, num_hashes, shingle_k)
+    # materialize signatures once (executor storage, auto-released when the
+    # DataFrame is dereferenced): they feed the banding AND the per-pair
+    # verification re-join below — without this the explode+groupBy
+    # signature computation would run three times
+    sig = minhash_signatures(pipe.df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(
+        eager=True
+    )
+    # the band join carries ONLY (_id, band, bucket): shipping the 64-long
+    # _sig array on both join sides multiplies shuffle bytes by
+    # O(bands * sig_len); signatures re-attach per *surviving* pair instead
     banded = sig.select(
         "_id",
-        "_sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -145,15 +153,18 @@ def minhash_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("_id", "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "band", "bucket")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "band", "bucket")
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    cand = cand.join(
+        sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")), "id_a"
+    ).join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")), "id_b")
     matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
     est = matches.cast("double") / F.lit(float(num_hashes))
     return (
@@ -333,12 +344,15 @@ def ngram_jaccard_pairs(
     jaccard = inter / (|A| + |B| - inter). Shuffles on ngram then on the
     pair key; both partial-aggregated map-side.
     """
-    # spread + persist: tokenization is the CPU-heavy stage, so spread the
-    # doc rows first if the source arrived under-partitioned (a single
-    # small parquet file reads as one partition); then cache the per-doc
-    # gram arrays, which feed five branches (sizes x2, the df-cap
-    # aggregate, both join sides) — without the cache the string
-    # splitting re-runs for each branch
+    # spread + materialize: tokenization is the CPU-heavy stage, so spread
+    # the doc rows first if the source arrived under-partitioned (a single
+    # small parquet file reads as one partition); then localCheckpoint the
+    # per-doc gram arrays, which feed five branches (sizes x2, the df-cap
+    # aggregate, both join sides) — without it the string splitting re-runs
+    # per branch. localCheckpoint (not persist): blocks live in executor
+    # storage and are auto-released when the DataFrame is dereferenced, so
+    # repeated calls in a long-lived session don't accumulate cached plans
+    # in the session CacheManager.
     raw = pipe.df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     target = pipe.df.sparkSession.sparkContext.defaultParallelism
     if raw.rdd.getNumPartitions() < target:
@@ -346,7 +360,7 @@ def ngram_jaccard_pairs(
     base = (
         raw.select("_id", word_ngrams_col(F.col("_txt"), n).alias("_gr"))
         .withColumn("_n", F.size("_gr"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = base.select("_id", "_n")
     ex = base.select("_id", F.explode("_gr").alias("g"))
@@ -390,6 +404,14 @@ def _exact_pairs_blocked(d: DataFrame, threshold: float) -> DataFrame:
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    from seafan_spark.guards import assert_small
+
+    assert_small(
+        d, "embedding_neardup_pairs(exact=True)", limit=200_000,
+        scale_hint="The exact path collects and broadcasts the corpus matrix; "
+        "use exact=False (LSH) at scale.",
+    )
 
     def unit_rows(series):
         mat = np.vstack(series.to_numpy()).astype("float64")

@@ -192,7 +192,12 @@ class Pipeline:
     def subset(self, rows: Sequence[int]) -> "Pipeline":
         """Keep rows by 0-based position in pipeline order (gdata.go:852-895).
 
-        Positional — requires the dense global row number (compat path)."""
+        Positional — requires the dense global row number (compat path;
+        guarded so a 100 TB table fails loudly instead of single-task
+        sorting — filter on a key column at scale)."""
+        from seafan_spark.guards import assert_small
+
+        assert_small(self.df, "subset", scale_hint="Filter on a key column at scale.")
         d = self.with_row_number("_pos")
         out = d.filter(F.col("_pos").isin(list(rows))).drop("_pos")
         return self._derive(out)

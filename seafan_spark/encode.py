@@ -160,6 +160,11 @@ def append_cat(
     out = pipe._derive(pipe.df, fts=fts)
     if materialize_code:
         out.df = out.df.withColumn(f"{name}__code", cat_code_col(ft))
+        if not pipe.keep_raw:
+            # keep_raw=False: raw storage is released once the encoding
+            # exists (reference keepRaw, pipeline.go:83-94); the dictionary
+            # lives on in the FType for decode/UpdateFts
+            out.df = out.df.drop(name)
     return out
 
 
@@ -174,6 +179,10 @@ def make_one_hot(pipe: Pipeline, from_field: str, name: str) -> Pipeline:
     ncat = len(src.fp.levels)
     arr = F.array(*[(code == F.lit(i)).cast("double") for i in range(ncat)])
     d = pipe.df.withColumn(name, arr)
+    if not pipe.keep_raw:
+        # keep_raw=False drops the raw categorical once encoded
+        # (reference keepRaw, pipeline.go:83-94)
+        d = d.drop(from_field)
     fts = pipe.fts.copy()
     fts.add(FType(name=name, role=FRole.ONE_HOT, cats=ncat, from_field=from_field))
     return pipe._derive(d, fts=fts)

@@ -824,23 +824,103 @@ def _f_printif(ctx, nodes):
     return TypedCol(F.lit(0.0), "num", scalar=True)
 
 
-def _plot_stub(name: str, arity: int):
-    @_register(name, arity)
-    def _stub(ctx, nodes, _name=name):
-        _args(ctx, nodes)  # validate args compile
-        return TypedCol(F.lit(1.0), "num", scalar=True)
-
-    return _stub
+# ---- plotting side effects (parser.go:1844-1997) --------------------------
+# Traces accumulate in seafan_spark.plots' module figure; render() writes
+# plotly JSON + HTML. Values are collected driver-side in pipeline order,
+# capped at plots.MAX_POINTS — plots are human-scale; aggregate first.
 
 
-# plotting is a console/HTML side effect in the reference
-# (parser.go:1844-1997); headless no-ops here, kept for grammar parity
-_plot_stub("plotXY", 4)
-_plot_stub("plotLine", 3)
-_plot_stub("histogram", 3)
-_plot_stub("setPlotDim", 2)
-_plot_stub("newPlot", 0)
-_plot_stub("render", 4)
+def _literal_str(node: Node, what: str) -> str:
+    if node.kind != "qlit":
+        raise CompileError(f"{what}: expected a quoted literal argument")
+    return str(node.value)
+
+
+def _collect_values(ctx: Ctx, node: Node, what: str) -> list:
+    from seafan_spark import plots
+
+    tc = _require_num(_compile(node, ctx), what)
+    rows = (
+        ctx.pipe.df.select(tc.col.alias("__v"))
+        .orderBy(*ctx.pipe._order_columns())
+        .limit(plots.MAX_POINTS)
+        .collect()
+    )
+    return [r["__v"] for r in rows]
+
+
+def _plot_ok() -> TypedCol:
+    return TypedCol(F.lit(1.0), "num", scalar=True)
+
+
+@_register("plotXY", 4)
+def _f_plotxy(ctx, nodes):
+    from seafan_spark import plots
+
+    xs = _collect_values(ctx, nodes[0], "plotXY")
+    ys = _collect_values(ctx, nodes[1], "plotXY")
+    try:
+        plots.add_xy(xs, ys, _literal_str(nodes[2], "plotXY"), _literal_str(nodes[3], "plotXY"))
+    except ValueError as e:
+        raise CompileError(str(e)) from e
+    return _plot_ok()
+
+
+@_register("plotLine", 3)
+def _f_plotline(ctx, nodes):
+    from seafan_spark import plots
+
+    ys = _collect_values(ctx, nodes[0], "plotLine")
+    try:
+        plots.add_line(ys, _literal_str(nodes[1], "plotLine"), _literal_str(nodes[2], "plotLine"))
+    except ValueError as e:
+        raise CompileError(str(e)) from e
+    return _plot_ok()
+
+
+@_register("histogram", 3)
+def _f_histogram(ctx, nodes):
+    from seafan_spark import plots
+
+    xs = _collect_values(ctx, nodes[0], "histogram")
+    try:
+        plots.add_histogram(xs, _literal_str(nodes[1], "histogram"), _literal_str(nodes[2], "histogram"))
+    except ValueError as e:
+        raise CompileError(str(e)) from e
+    return _plot_ok()
+
+
+@_register("setPlotDim", 2)
+def _f_setplotdim(ctx, nodes):
+    from seafan_spark import plots
+
+    dims = []
+    for n in nodes:
+        if n.kind != "num":
+            raise CompileError("setPlotDim: expects numeric literals")
+        dims.append(float(n.value))
+    try:
+        plots.set_plot_dim(*dims)
+    except ValueError as e:
+        raise CompileError(str(e)) from e
+    return _plot_ok()
+
+
+@_register("newPlot", 0)
+def _f_newplot(ctx, nodes):
+    from seafan_spark import plots
+
+    plots.new_plot()
+    return _plot_ok()
+
+
+@_register("render", 4)
+def _f_render(ctx, nodes):
+    from seafan_spark import plots
+
+    args = [_literal_str(n, "render") for n in nodes]
+    plots.render(*args)
+    return _plot_ok()
 
 
 def _compile_func(node: Node, ctx: Ctx) -> TypedCol:

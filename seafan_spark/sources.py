@@ -131,6 +131,58 @@ def sql_to_pipe(
     return Pipeline(df, fts=default_ftypes(df, fts), keep_raw=keep_raw, order_cols=order_cols)
 
 
+def jdbc_to_pipe(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    fts: FTypes | None = None,
+    keep_raw: bool = True,
+    order_cols: Sequence[str] | None = None,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: Any | None = None,
+    upper_bound: Any | None = None,
+    num_partitions: int | None = None,
+    **options: str,
+) -> "Pipeline":
+    """Read from an external database over JDBC (the reference's SQLToPipe
+    runs against a live ClickHouse, pipeline.go:298-321; role inference per
+    ch.go:163-171 applies to the JDBC schema the same way).
+
+    Exactly one of ``table`` / ``query``. For scale, pass
+    ``partition_column`` + ``lower_bound`` + ``upper_bound`` +
+    ``num_partitions`` so Spark issues ``num_partitions`` range-bounded
+    queries in parallel instead of a single-connection full scan.
+    """
+    from seafan_spark.pipeline import Pipeline
+
+    if (table is None) == (query is None):
+        raise ValueError("jdbc_to_pipe: pass exactly one of table= or query=")
+    reader = spark.read.format("jdbc").option("url", url)
+    if table is not None:
+        reader = reader.option("dbtable", table)
+    else:
+        reader = reader.option("query", query)
+    for k, v in (
+        ("driver", driver),
+        ("user", user),
+        ("password", password),
+        ("partitionColumn", partition_column),
+        ("lowerBound", lower_bound),
+        ("upperBound", upper_bound),
+        ("numPartitions", num_partitions),
+    ):
+        if v is not None:
+            reader = reader.option(k, str(v))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return Pipeline(df, fts=default_ftypes(df, fts), keep_raw=keep_raw, order_cols=order_cols)
+
+
 def vec_to_pipe(
     spark: SparkSession,
     data: dict[str, list[Any]],
@@ -161,3 +213,25 @@ def pipe_to_csv(pipe: "Pipeline", path: str, sep: str = ",", mode: str = "overwr
 def pipe_to_table(pipe: "Pipeline", table: str, mode: str = "overwrite") -> None:
     """Save to a catalog table (PipeToSQL, pipeline.go:367-392)."""
     pipe.df.drop(RID).write.mode(mode).saveAsTable(table)
+
+
+def pipe_to_jdbc(
+    pipe: "Pipeline",
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    **options: str,
+) -> None:
+    """Write to an external database over JDBC (PipeToSQL's external-DB
+    form, pipeline.go:367-392). Each partition writes over its own
+    connection — batch size etc. via ``options`` (e.g. batchsize)."""
+    writer = pipe.df.drop(RID).write.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (("driver", driver), ("user", user), ("password", password)):
+        if v is not None:
+            writer = writer.option(k, v)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()

@@ -621,6 +621,24 @@ def q_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.df.select(F.round("rate", 6).alias("rate")).limit(1)
 
 
+def q_irr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group IRR via applyInPandas (agg.irr_by) — the grouped
+    generalization of the reference's whole-table irr (parser.go:617-658).
+    Iterative root-find — rows-only check."""
+    from pyspark.sql import Window
+
+    from seafan_spark.agg import irr_by
+
+    p = _pipe(spark, sf_dir, "events", order_cols=["ts", "event_id"])
+    p = p.filter(F.col("user_id") < 40)
+    # per-group cost = half the undiscounted flow total (same bracketing
+    # argument as q_irr, per group)
+    cost = F.sum("value").over(Window.partitionBy("user_id")) / 2
+    p = p.with_column("grp_cost", cost)
+    out = irr_by(p, ["user_id"], "value", cost_col="grp_cost")
+    return out.select("user_id", F.round("rate", 6).alias("rate"))
+
+
 def q_model_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ModSpec DSL -> MLlib fit (modspec.go / nn.go): linear head recovers
     a price model; returns coefficients. Optimizer output — rows-only."""
@@ -715,6 +733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "minhash_clusters": q_minhash_clusters,
     "irr": q_irr,
+    "irr_by": q_irr_by,
     "model_glm": q_model_glm,
     "multimodal": q_multimodal,
     "marginal": q_marginal,

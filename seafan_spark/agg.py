@@ -115,3 +115,82 @@ def summary(pipe: Pipeline, aggs: dict[str, Column]) -> dict[str, Any]:
     parser.go:726-792)."""
     row = pipe.df.agg(*[c.alias(n) for n, c in aggs.items()]).collect()[0]
     return row.asDict()
+
+
+def irr_by(
+    pipe: Pipeline,
+    keys: Sequence[str],
+    flow_col: str,
+    cost: float | None = None,
+    cost_col: str | None = None,
+    tol: float = 1e-4,
+) -> DataFrame:
+    """Per-group IRR: for each key group, the rate r solving
+    ``npv(r, flows) = cost`` over the group's flows in pipeline order.
+
+    The reference's IRR is whole-table and is its only concurrent code path
+    (parser.go:617-658); this is the natural Spark generalization — groups
+    partition across executors via ``applyInPandas`` (Arrow-batched), the
+    per-group solve is vectorized numpy bisection (same bracket [-0.9999,
+    1e4] and 1e-4 relative tolerance as the expression-language ``irr``).
+
+    ``cost``: one cost for every group, or ``cost_col``: a per-row column
+    whose first in-order value per group is that group's cost. Groups where
+    the bracket has no sign change come back with rate = null/NaN (a
+    distributed op must not abort the job for one degenerate group).
+
+    Returns (keys..., rate double).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if (cost is None) == (cost_col is None):
+        raise ValueError("irr_by: pass exactly one of cost= or cost_col=")
+    pipe._ensure_rid()
+    order_cols = [c for c, _ in pipe.order_spec]
+    proj = list(dict.fromkeys([*keys, *order_cols, flow_col] + ([cost_col] if cost_col else [])))
+    d = pipe.df.select(*proj)
+    key_fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                           for f in d.schema.fields if f.name in keys)
+    out_schema = f"{key_fields}, rate double"
+    fixed_cost = cost
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        flows = pdf[flow_col].to_numpy(dtype="float64")
+        c = float(pdf[cost_col].iloc[0]) if cost_col else float(fixed_cost)
+        idx = np.arange(len(flows), dtype="float64")
+
+        def f(r: float) -> float:
+            # same boundary semantics as the scalar solver
+            # (exprlang/compiler._solve_irr): (1+r)^i overflow -> term 0,
+            # underflow to 0 -> term +-inf by flow sign
+            with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+                disc = np.power(1.0 + r, idx)
+                terms = np.where(
+                    disc == 0.0,
+                    np.where(flows >= 0, np.inf, -np.inf),
+                    flows / np.where(disc == 0.0, 1.0, disc),
+                )
+                val = float(np.sum(terms))
+            return val - c
+
+        lo, hi = -0.9999, 1e4
+        flo, fhi = f(lo), f(hi)
+        rate = float("nan")
+        if flo * fhi <= 0:
+            for _ in range(200):
+                mid = (lo + hi) / 2.0
+                fm = f(mid)
+                if flo * fm <= 0:
+                    hi, fhi = mid, fm
+                else:
+                    lo, flo = mid, fm
+            r = (lo + hi) / 2.0
+            if abs(f(r)) <= abs(tol * c) + tol:
+                rate = r
+        head = pdf.iloc[[0]][list(keys)].reset_index(drop=True)
+        head["rate"] = rate
+        return head
+
+    return d.groupBy(*keys).applyInPandas(solve, schema=out_schema)

@@ -289,7 +289,11 @@ def marginal(
     hcol = F.xxhash64(
         *[F.col(c) for c in pipe.df.columns if not c.startswith("_")], F.lit(seed)
     )
-    d0 = scored.df.withColumn("_h", hcol)
+    # materialize the scored rows once: the distributed ntile below runs a
+    # sampling pass + a counts pass + the final pass, and re-running the
+    # model transform (VectorAssembler + predict) for each would triple the
+    # scoring cost
+    d0 = scored.df.withColumn("_h", hcol).localCheckpoint(eager=True)
     # distributed NTILE (rank.py) — no unpartitioned window
     d, total = ntile_exact(d0, [("mfit0", False), ("_h", True)], n_seg, "fit_seg")
     # bounded per-segment sample = the `take` smallest hashes per segment.

@@ -42,6 +42,10 @@ def get_session(
         # parquet TIMESTAMP(NANOS) (e.g. pandas-written event streams) reads
         # as bigint nanoseconds instead of erroring
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # local-mode: all task threads share the driver JVM heap. 8g
+        # measured best for the bench workload — larger heaps made the
+        # inter-query full GCs (bench hygiene) disproportionately slow.
+        # On a real cluster this is spark.executor.memory territory.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

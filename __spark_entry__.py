@@ -655,6 +655,41 @@ def q_model_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_model_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-architecture NN trainer (optim.fit_nn): learned embedding +
+    leakyrelu hidden layer + dropout, cross-entropy cost, distributed
+    backprop via one mapInPandas pass per iteration + driver Adam
+    (nn.go:598-840 re-expressed Spark-first). Optimizer output —
+    rows-only check."""
+    from seafan_spark.encode import append_cat, make_one_hot
+    from seafan_spark.model import add_fitted, fit, parse_modspec
+
+    p = _pipe(spark, sf_dir, "orders")
+    p = p.with_column("tp_k", F.col("o_totalprice") / 100000.0)
+    p = p.with_column(
+        "is_urgent", F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0)
+    )
+    p = append_cat(p, "o_orderstatus")
+    p = make_one_hot(p, "o_orderstatus", "status_oh")
+    ms = parse_modspec(
+        [
+            "Input(tp_k+E(status_oh,2))",
+            "FC(size:4, activation:leakyrelu(0.1))",
+            "Dropout(.1)",
+            "FC(size:1, activation:sigmoid)",
+            "Target(is_urgent)",
+        ]
+    )
+    fr = fit(p, ms, cost="ce", max_iter=12, lr=0.15, patience=12)
+    scored = add_fitted(fr, p, name="fit")
+    return scored.df.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.avg("fit"), 3).alias("mean_p"),
+        F.round(F.avg((F.col("fit") > 0.5).cast("double")), 3).alias("frac_flagged"),
+        F.lit(len(fr.model.loss_history)).cast("bigint").alias("iters"),
+    )
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payloads + typed metadata +
     mapInPandas feature extraction (stubbed decoder — rows-only check)."""
@@ -735,6 +770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "irr": q_irr,
     "irr_by": q_irr_by,
     "model_glm": q_model_glm,
+    "model_nn": q_model_nn,
     "multimodal": q_multimodal,
     "marginal": q_marginal,
 }

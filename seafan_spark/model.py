@@ -11,6 +11,14 @@ DSL (one layer per line, matching modspec.go):
     FC(size:2, activation:softmax)
     Target(yoh)
 
+Two fit backends:
+
+- default: the MLlib mapping below (fast, JVM optimizers);
+- ``fit(..., cost='ce'|'rms'|'softrms')``: the exact-architecture
+  distributed trainer (optim.fit_nn) — learned embeddings E(f,k),
+  leakyrelu, dropout, Adam + early stopping + NaN-restart, honoring the
+  reference's CostFns (nn.go:520-573) including SoftRMS.
+
 MLlib mapping (documented approximation — SURVEY §2.10: exact gorgonia
 architecture parity is out of Spark-native scope; the contract is "same
 spec DSL, same data prep, comparable fit quality"):
@@ -280,11 +288,32 @@ def fit(
     reg_param: float = 0.0,
     tol: float = 1e-6,
     seed: int = 42,
+    cost: str | None = None,
+    **nn_opts: Any,
 ) -> FitResult:
     """Fit the ModSpec on the pipeline (Fit.Do, nn.go:598-840 — epochs/
     Adam/early-stopping replaced by the MLlib optimizer's maxIter/tol;
-    L2 via reg_param)."""
+    L2 via reg_param).
+
+    ``cost`` in {'ce','rms','softrms'} routes to the exact-architecture
+    trainer (optim.fit_nn): learned embeddings, leakyrelu, dropout, Adam
+    with patience + NaN-restart — the reference's CostFns (nn.go:520-573)
+    honored exactly instead of the MLlib approximation."""
     d_lab, label, n_classes, kind = _label_col(pipe, ms)
+    if cost is not None:
+        from seafan_spark.optim import fit_nn
+
+        nn = fit_nn(
+            pipe, ms, cost=cost, max_iter=max_iter, tol=tol, seed=seed, **nn_opts
+        )
+        return FitResult(
+            model=nn,
+            modspec=ms,
+            kind="nn" if kind == "classification" else "nn_linear",
+            feature_cols=[f.name for f in ms.inputs],
+            n_classes=n_classes,
+            fts=pipe.fts.copy(),
+        )
     lab_pipe = pipe._derive(d_lab)
     d, in_names, n_feat = _assemble(lab_pipe, ms)
     fcs = ms.fcs()
@@ -330,7 +359,7 @@ def predict(fr: FitResult, pipe: Pipeline, name: str = "fitted") -> Pipeline:
     d, _, _ = _assemble(pipe, fr.modspec)
     scored = fr.model.transform(d)
     drop = [c for c in scored.columns if c.startswith("_") and c not in ("_rid",)]
-    if fr.kind == "linear":
+    if fr.kind in ("linear", "nn_linear"):
         scored = scored.withColumn(name, F.col("prediction"))
     else:
         probs = vector_to_array(F.col("probability"))
@@ -376,7 +405,10 @@ def add_fitted(
 def save_model(fr: FitResult, path: str) -> None:
     """Persist model + ModSpec + encodings (Save/LoadNN, nn.go:443-553)."""
     os.makedirs(path, exist_ok=True)
-    fr.model.write().overwrite().save(os.path.join(path, "mllib"))
+    if fr.kind.startswith("nn"):
+        fr.model.save(os.path.join(path, "nn.json"))
+    else:
+        fr.model.write().overwrite().save(os.path.join(path, "mllib"))
     fr.modspec.save(os.path.join(path, "modspec.txt"))
     with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as fh:
         json.dump(
@@ -397,7 +429,12 @@ _LOADERS = {
 def load_model(path: str) -> FitResult:
     with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
         meta = json.load(fh)
-    model = _LOADERS[meta["kind"]].load(os.path.join(path, "mllib"))
+    if meta["kind"].startswith("nn"):
+        from seafan_spark.optim import NNModel
+
+        model = NNModel.load(os.path.join(path, "nn.json"))
+    else:
+        model = _LOADERS[meta["kind"]].load(os.path.join(path, "mllib"))
     return FitResult(
         model=model,
         modspec=load_modspec(os.path.join(path, "modspec.txt")),

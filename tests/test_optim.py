@@ -71,3 +71,188 @@ def test_softrms_rejects_regression(spark):
     ms = parse_modspec(["Input(x1+x2)", "FC(size:1, activation:linear)", "Target(y)"])
     with pytest.raises(ModSpecError, match="classification"):
         fit_softrms(p, ms)
+
+
+# ---------------------------------------------------------------------------
+# fit_nn: full-architecture trainer
+# ---------------------------------------------------------------------------
+
+
+def test_nn_backprop_matches_numeric_gradient():
+    """Pure-numpy check: the partition function's analytic gradient equals
+    finite differences for all three costs (no Spark needed — the partition
+    fn is plain Python over a pandas batch)."""
+    import pandas as pd
+
+    from seafan_spark.optim import (
+        _Block,
+        _act_f,
+        _head_f,
+        _input_concat,
+        _nn_partial,
+        _shapes,
+        _unpack,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 40
+    blocks = [_Block("x1", "cts"), _Block("oh", "oh", cats=4), _Block("em", "emb", cats=3, k=2)]
+    acts = [("leakyrelu", 0.1), ("sigmoid", 0.0)]
+    C = 3
+    shapes = _shapes(blocks, [5, 4, C])
+    nparam = sum(r * c for _, (r, c) in shapes)
+    w = rng.normal(0, 0.5, nparam)
+    x1 = rng.normal(size=n)
+    oh = np.eye(4)[rng.integers(0, 4, n)]
+    em = np.eye(3)[rng.integers(0, 3, n)]
+    y = rng.integers(0, C, n).astype(float)
+    pdf = pd.DataFrame({"x1": x1, "oh": list(oh), "em": list(em), "_l": y})
+
+    def forward_all(wf):
+        emb, fcs = _unpack(wf, shapes)
+        h = _input_concat(blocks, [x1[:, None], oh, em], emb)
+        for li, W in enumerate(fcs):
+            a = h @ W[:-1] + W[-1]
+            h = _act_f(acts[li], a) if li < len(fcs) - 1 else _head_f("softmax", a)
+        return h
+
+    def nll_sum(wf):
+        p = forward_all(wf)
+        return -np.log(p[np.arange(n), y.astype(int)]).sum()
+
+    def softrms_loss(wf):
+        r = forward_all(wf) - np.eye(C)[y.astype(int)]
+        return np.sqrt((r * r).sum(axis=0) / n)[1:].sum()
+
+    def run(cost, lw=None):
+        pf = _nn_partial(blocks, shapes, acts, "softmax", C, cost, [0.0] * 3, 1, 1, 1.0, w, lw)
+        row = next(pf([pdf]))
+        return np.array(row["g"][0]), np.array(row["ls"][0]), int(row["n"][0])
+
+    eps = 1e-6
+    idx = rng.choice(nparam, 25, replace=False)
+
+    g, ls, _ = run("ce")
+    num = np.array(
+        [(nll_sum(w + eps * np.eye(nparam)[i]) - nll_sum(w - eps * np.eye(nparam)[i])) / (2 * eps) for i in idx]
+    )
+    assert np.abs(num - g[idx]).max() / (np.abs(num).max() + 1e-9) < 1e-4
+    assert abs(ls[0] - nll_sum(w)) < 1e-8
+
+    _, ss, n2 = run("_fwd_ss")
+    L = np.sqrt(ss / n2)
+    lw = np.zeros(C)
+    lw[L > 0] = 1.0 / (n2 * L[L > 0])
+    lw[0] = 0.0
+    g2, _, _ = run("softrms", lw[None, :])
+    num2 = np.array(
+        [
+            (softrms_loss(w + eps * np.eye(nparam)[i]) - softrms_loss(w - eps * np.eye(nparam)[i])) / (2 * eps)
+            for i in idx
+        ]
+    )
+    assert np.abs(num2 - g2[idx]).max() / (np.abs(num2).max() + 1e-9) < 1e-4
+
+
+def test_nn_multiclass_embedding_dropout(spark, tmp_path):
+    """MLP with a learned embedding + dropout separates 3 gaussian blobs
+    keyed by a categorical, and survives a model-layer save/load round trip."""
+    from seafan_spark.model import (
+        add_fitted,
+        fit,
+        load_model,
+        parse_modspec,
+        save_model,
+    )
+
+    rng = random.Random(5)
+    x1, x2, grp, lab = [], [], [], []
+    centers = {"a": (0.0, 2.0), "b": (2.0, -2.0), "c": (-2.0, -2.0)}
+    for _ in range(400):
+        k = rng.choice("abc")
+        cx, cy = centers[k]
+        x1.append(cx + rng.gauss(0, 0.4))
+        x2.append(cy + rng.gauss(0, 0.4))
+        grp.append(k)
+        lab.append(k)
+    p = vec_to_pipe(spark, {"x1": x1, "x2": x2, "grp": grp, "lab": lab})
+    p = append_cat(p, "lab")
+    p = make_one_hot(p, "lab", "lab_oh")
+    p = append_cat(p, "grp")
+    p = make_one_hot(p, "grp", "grp_oh")
+    ms = parse_modspec(
+        [
+            "Input(x1+x2+E(grp_oh,2))",
+            "FC(size:6, activation:leakyrelu(0.1))",
+            "Dropout(.15)",
+            "FC(size:3, activation:softmax)",
+            "Target(lab_oh)",
+        ]
+    )
+    fr = fit(p, ms, cost="ce", max_iter=120, lr=0.1, patience=25)
+    nn = fr.model
+    assert nn.loss_history[-1] < 0.4 * nn.loss_history[0]
+    assert nn.emb["grp_oh"].shape == (3, 2)
+
+    scored = add_fitted(fr, p, name="fit")
+    from seafan_spark.encode import cat_code_col
+
+    code = cat_code_col(scored.fts.get("lab")).cast("double")
+    acc = (
+        scored.df.withColumn("_code", code)
+        .agg(F.avg((F.col("fit") == F.col("_code")).cast("double")))
+        .collect()[0][0]
+    )
+    assert acc > 0.9
+
+    save_model(fr, str(tmp_path / "nnmodel"))
+    fr2 = load_model(str(tmp_path / "nnmodel"))
+    a = scored.df.select(F.sum("fit").alias("s")).collect()[0]["s"]
+    b = (
+        add_fitted(fr2, p, name="fit").df.select(F.sum("fit").alias("s")).collect()[0]["s"]
+    )
+    assert math.isclose(a, b, rel_tol=1e-9)
+
+
+def test_nn_regression_rms(spark):
+    from seafan_spark.model import fit, parse_modspec, predict
+
+    rng = random.Random(3)
+    x1, x2, y = [], [], []
+    for _ in range(400):
+        a, b = rng.uniform(-1, 1), rng.uniform(-1, 1)
+        x1.append(a)
+        x2.append(b)
+        y.append(math.sin(2 * a) + 0.5 * b)
+    p = vec_to_pipe(spark, {"x1": x1, "x2": x2, "y": y})
+    ms = parse_modspec(
+        [
+            "Input(x1+x2)",
+            "FC(size:8, activation:relu)",
+            "FC(size:1, activation:linear)",
+            "Target(y)",
+        ]
+    )
+    fr = fit(p, ms, cost="rms", max_iter=250, lr=0.05, patience=40)
+    assert fr.kind == "nn_linear"
+    assert fr.model.loss_history[-1] < 0.5 * fr.model.loss_history[0]
+    scored = predict(fr, p, name="yhat")
+    sse, sst = (
+        scored.df.agg(
+            F.sum((F.col("yhat") - F.col("y")) ** 2).alias("sse"),
+            F.sum((F.col("y") - F.lit(sum(y) / len(y))) ** 2).alias("sst"),
+        )
+        .collect()[0]
+    )
+    assert 1.0 - sse / sst > 0.7  # R^2
+
+
+def test_nn_softrms_with_hidden_layer(spark):
+    from seafan_spark.model import fit, parse_modspec
+
+    p = _binary_pipe(spark, n=300, seed=9)
+    ms = parse_modspec(
+        ["Input(x1+x2)", "FC(size:4, activation:relu)", "FC(size:1, activation:sigmoid)", "Target(y)"]
+    )
+    fr = fit(p, ms, cost="softrms", max_iter=120, lr=0.1, patience=25)
+    assert fr.model.loss_history[-1] < 0.7 * fr.model.loss_history[0]

@@ -257,17 +257,37 @@ def simhash_signatures(
     if bits > 64:
         raise ValueError("simhash: bits must be <= 64 (one base hash per shingle)")
     ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k)
-    counts = ex.groupBy("_id").agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[
-            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-            for b in range(bits)
-        ],
-    )
+    if bits == 64:
+        # two 32-bit counter lanes per aggregate: (h >> b) & (1 | 1<<32)
+        # counts bit b in the low lane and bit b+32 in the high lane of ONE
+        # long sum — 32 aggregates instead of 64. No overflow/carry: each
+        # lane count <= grams-per-doc < 2^31, and the total sum stays under
+        # 2^63 for any per-doc gram count Spark can materialize.
+        lanes = F.lit(0x0000000100000001)
+        counts = ex.groupBy("_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(lanes)).alias(f"_s{b}")
+                for b in range(32)
+            ],
+        )
+        bit_cnt = {}
+        for b in range(32):
+            bit_cnt[b] = F.col(f"_s{b}").bitwiseAND(F.lit(0xFFFFFFFF))
+            bit_cnt[b + 32] = F.shiftrightunsigned(F.col(f"_s{b}"), 32)
+    else:
+        counts = ex.groupBy("_id").agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+                for b in range(bits)
+            ],
+        )
+        bit_cnt = {b: F.col(f"_b{b}") for b in range(bits)}
     sig = F.lit(0).cast("long")
     for b in range(bits):
         sig = sig + F.when(
-            F.col(f"_b{b}") * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
+            bit_cnt[b] * 2 > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
     return counts.select("_id", sig.alias("_sig"))
 

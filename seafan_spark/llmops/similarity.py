@@ -102,6 +102,86 @@ def hyperplane_bucket_col(vec: Column, planes: int = 16, seed: int = 42) -> Colu
     return F.concat(*bits)
 
 
+def ann_ivf_topk(
+    pipe: Pipeline,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame | None = None,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer, exact cosine
+    inside the ``n_probe`` nearest cells per query.
+
+    The scale path alongside ann_lsh_topk, trading a small training job
+    for data-adaptive cells (LSH cells are data-oblivious):
+
+    - train MLlib KMeans on the corpus (distributed, one pass per iter);
+    - assign every corpus vector its cell id JVM-side (model.transform);
+      the corpus is shuffled ONCE by cell in the candidate join, never
+      all-pairs;
+    - the query side is small/broadcastable: its top ``n_probe`` cells come
+      from a driver-side numpy argsort over the (n_centroids x dim)
+      centroid matrix, then explode -> broadcast equi-join on cell id;
+    - exact cosine + window top-k inside candidates only. Expected cost
+      n_probe/n_centroids of brute force; recall grows with n_probe.
+
+    Returns (q_id, neighbor_id, cosine, rank) like ann_brute_topk.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = pipe.df.sparkSession
+    corpus = pipe.df.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_nv"),
+        array_to_vector(F.col(vec_col)).alias("_mlv"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="_mlv",
+                predictionCol="_cell")
+    model = km.fit(corpus)
+    assigned = model.transform(corpus).select("_nid", "_nv", "_cell")
+
+    cents = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    if queries is None:
+        q = pipe.df.select(F.col(id_col).alias(query_id), F.col(vec_col).alias(query_vec))
+    else:
+        q = queries
+    qrows = q.collect()  # query side is small by contract (like brute's broadcast)
+    n_probe = min(n_probe, len(cents))
+    cn = np.linalg.norm(cents, axis=1) + 1e-12
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r[query_vec], dtype="float64")
+        sims = (cents @ qv) / (cn * (np.linalg.norm(qv) + 1e-12))
+        for cell in np.argsort(-sims)[:n_probe]:
+            probe_rows.append((r[query_id], [float(x) for x in qv], int(cell)))
+    if not probe_rows:
+        raise ValueError("ann_ivf_topk: empty query set")
+    qdf = spark.createDataFrame(probe_rows, schema=[query_id, query_vec, "_cell"])
+    cand = assigned.join(F.broadcast(qdf), "_cell").filter(
+        F.col("_nid") != F.col(query_id)
+    )
+    scored = cand.withColumn("cosine", cosine_col(F.col(query_vec), F.col("_nv")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("_nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id).alias("q_id"),
+            F.col("_nid").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def ann_lsh_topk(
     pipe: Pipeline,
     id_col: str,

@@ -201,6 +201,62 @@ def shingles_col(text: Column, k: int = 5) -> Column:
     )
 
 
+#: GPT-2-style pre-tokenizer pattern (public: openai/gpt-2 encoder.py /
+#: tiktoken): contractions, optionally-space-prefixed letter runs, digit
+#: runs, punctuation runs, residual whitespace. Java regex dialect
+#: (\p{L}/\p{N} Unicode classes).
+BPE_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_estimate_col(text: Column) -> Column:
+    """Estimated BPE token count: the number of GPT-2 pre-tokenizer matches.
+
+    Every real BPE token boundary falls inside a pre-token, so this counts
+    merge groups — a stable ~lower-bound estimate of e.g. tiktoken counts
+    without shipping a vocabulary. Pure JVM ``regexp_count``; no UDF.
+    """
+    return F.when(
+        F.length(F.trim(text)) == 0, F.lit(0)
+    ).otherwise(F.regexp_count(text, F.lit(BPE_PRETOKEN_RE))).cast("long")
+
+
+def winnow_fingerprints_col(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003): hash every character ``k``-gram of the normalized text
+    (the rolling-hash step; here ``xxhash64`` per gram, vectorized JVM),
+    then keep the minimum hash of each window of ``w`` consecutive gram
+    hashes and de-duplicate. Guarantees any match of length >= k+w-1
+    shares a fingerprint, with ~2/(w+1) of hashes retained.
+
+    Pure higher-order Column functions — O(len * w) JVM comparisons per
+    document, no shuffle, no Python.
+    """
+    t = norm_text_col(text)
+    n = F.length(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k) + 1, F.lit(1))),
+        lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+    )
+    # Bind the gram array ONCE via transform-over-singleton (Column-algebra
+    # `let`): referencing `grams` directly inside the window lambda would
+    # inline the whole O(len) hash pass into every window element —
+    # O(len^2) hashing per row, which stalls on real documents.
+    wins = F.element_at(
+        F.transform(
+            F.array(grams),
+            lambda g: F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(g) - F.lit(w) + 1, F.lit(1))),
+                lambda i: F.array_min(F.slice(g, i, F.least(F.lit(w), F.size(g)))),
+            ),
+        ),
+        F.lit(1),
+    )
+    return F.array_sort(F.array_distinct(wins))
+
+
 def word_ngrams_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text."""
     toks = F.split(norm_text_col(text), " ")

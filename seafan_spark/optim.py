@@ -148,6 +148,13 @@ def fit_softrms(
         vector_to_array(F.col("_features")).alias("_f"),
         F.col(label).cast("int").alias("_l"),
     ).localCheckpoint(eager=True)
+    # ~25k rows/task (see fit_nn): iteration cost is scheduling-bound on
+    # over-partitioned small inputs; coalesce is narrow, no shuffle
+    nrows = data.count()
+    cur = data.rdd.getNumPartitions()
+    ideal = max(1, min(cur, -(-nrows // 25_000)))
+    if ideal < cur:
+        data = data.coalesce(ideal)
 
     W = np.zeros((n_feat + 1, C))
     best_W, best_loss, since_best = W.copy(), float("inf"), 0
@@ -591,6 +598,15 @@ def fit_nn(
         *[F.col(b.name) for b in blocks],
         F.col(label).cast("double").alias("_l"),
     ).localCheckpoint(eager=True)
+    # Right-size iteration parallelism: with few rows per partition, task
+    # scheduling + Arrow framing dominates each gradient pass. Target
+    # ~25k rows/task, never exceeding the source partitioning (at real
+    # scale this keeps full parallelism; coalesce is narrow — no shuffle).
+    nrows = data.count()
+    cur = data.rdd.getNumPartitions()
+    ideal = max(1, min(cur, -(-nrows // 25_000)))
+    if ideal < cur:
+        data = data.coalesce(ideal)
 
     # Glorot-uniform init, deterministic by seed (gorgonia GlorotN, nn.go)
     rng = np.random.default_rng(seed)

@@ -162,6 +162,28 @@ def test_lsh_topk_finds_planted(vec_pipe):
     assert (0, 50) in rows and (50, 0) in rows  # identical vectors share bucket
 
 
+def test_ivf_topk_recall(vec_pipe):
+    """IVF with full probing is exact (matches brute force); with partial
+    probing it still finds the planted identical twin."""
+    from seafan_spark.llmops.similarity import ann_ivf_topk
+
+    pipe, ids, vecs = vec_pipe
+    brute = {
+        (r["q_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_brute_topk(pipe, "vec_id", "embedding", k=3).collect()
+    }
+    full = {
+        (r["q_id"], r["rank"]): r["neighbor_id"]
+        for r in ann_ivf_topk(
+            pipe, "vec_id", "embedding", k=3, n_centroids=4, n_probe=4
+        ).collect()
+    }
+    assert full == brute  # probing every cell == exact
+    part = ann_ivf_topk(pipe, "vec_id", "embedding", k=3, n_centroids=4, n_probe=1)
+    rows = [(r["q_id"], r["neighbor_id"]) for r in part.collect()]
+    assert (0, 50) in rows  # identical twin lands in the same cell
+
+
 def test_embedding_neardup(vec_pipe):
     pipe, ids, vecs = vec_pipe
     pairs = embedding_neardup_pairs(pipe, "vec_id", "embedding", threshold=0.99, planes=8)
@@ -218,6 +240,42 @@ def test_shingles_and_ngrams(spark):
     assert sh[0][0] == ["abc", "bcd", "cde", "def"]
     ng = p.ordered_df().select(word_ngrams_col(F.col("t"), n=2)).collect()
     assert ng[1][0] == ["one two", "two three", "three four"]
+
+
+def test_bpe_token_estimate(spark):
+    from seafan_spark.llmops.text import bpe_token_estimate_col
+
+    p = vec_to_pipe(
+        spark,
+        {"t": ["Hello world", "don't stop", "a1b2!!", "", "   ", "we're 42 dogs."]},
+    )
+    got = [r[0] for r in p.ordered_df().select(bpe_token_estimate_col(F.col("t"))).collect()]
+    # "Hello"," world" -> 2 ; "don","'t"," stop" -> 3 ;
+    # "a","1","b","2","!!" -> 5 ; blanks -> 0 ;
+    # "we","'re"," 42"," dogs","." -> 5
+    assert got == [2, 3, 5, 0, 0, 5]
+
+
+def test_winnow_fingerprints(spark):
+    from seafan_spark.llmops.text import winnow_fingerprints_col
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    docs = {
+        "d": [base, base, "completely different text with no overlap at all ok", "tiny"],
+    }
+    p = vec_to_pipe(spark, docs)
+    rows = [r[0] for r in p.ordered_df().select(winnow_fingerprints_col(F.col("d"))).collect()]
+    # identical docs -> identical fingerprint sets
+    assert rows[0] == rows[1] and len(rows[0]) > 0
+    # unrelated docs share (almost) nothing
+    assert len(set(rows[0]) & set(rows[2])) == 0
+    # shorter than k still yields one fingerprint
+    assert len(rows[3]) == 1
+    # winnowing guarantee: a long shared substring yields shared fingerprints
+    mutated = base[:40] + " SOMETHING ENTIRELY NEW AT THE END 12345"
+    p2 = vec_to_pipe(spark, {"d": [base, mutated]})
+    r2 = [r[0] for r in p2.ordered_df().select(winnow_fingerprints_col(F.col("d"))).collect()]
+    assert len(set(r2[0]) & set(r2[1])) > 0
 
 
 # ----------------------------------------------------------- multimodal ----

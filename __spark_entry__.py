@@ -300,6 +300,34 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "quality", "pred_lang")
 
 
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-estimate token counts per document
+    (llmops.text.bpe_token_estimate_col — GPT-2 pre-tokenizer regexp,
+    pure JVM regexp_count; oracled against DuckDB regexp_extract_all)."""
+    from seafan_spark.llmops import text as tx
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    return p.df.select(
+        "doc_id",
+        tx.bpe_token_estimate_col(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (SIGMOD'03) per document: fingerprint-set
+    size and min fingerprint (llmops.text.winnow_fingerprints_col).
+    xxhash64 values are engine-specific — driver records rows-only."""
+    from seafan_spark.llmops import text as tx
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    fps = tx.winnow_fingerprints_col(F.col("text"))
+    return p.df.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fps"),
+        F.array_min(fps).alias("min_fp"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint + group size + keeper flag
     (llmops.dedup.exact_dedup)."""
@@ -322,6 +350,23 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ann_brute_topk(p, "vec_id", "embedding", queries=q, k=5)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 with every cell probed (n_probe == n_centroids):
+    exact by construction regardless of the KMeans fit, so it shares the
+    brute-force SQL oracle; partial-probe recall is pytest-covered
+    (llmops.similarity.ann_ivf_topk)."""
+    from seafan_spark.llmops.similarity import ann_ivf_topk
+
+    p = _pipe(spark, sf_dir, "embeddings")
+    q = p.df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann_ivf_topk(
+        p, "vec_id", "embedding", queries=q, k=5,
+        n_centroids=8, n_probe=8, max_iter=3,
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,6 +793,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_lang": q_text_quality_lang,
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "text_tokens": q_text_tokens,
+    "winnow": q_winnow,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "tpch_q3": q_tpch_q3,
@@ -1210,6 +1258,33 @@ ORACLES: dict[str, str] = {
         SELECT q_id, nid AS neighbor_id, ROUND(cos, 6) AS cosine,
                CAST(rnk AS BIGINT) AS rank
         FROM r WHERE rnk <= 5
+    """,
+    # full-probe IVF is exact -> same result set as brute force
+    "ann_ivf": """
+        WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), c AS (
+            SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+        ), s AS (
+            SELECT q_id, nid, list_cosine_similarity(qv, nv) AS cos
+            FROM q CROSS JOIN c WHERE nid != q_id
+        ), r AS (
+            SELECT q_id, nid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, nid ASC) AS rnk
+            FROM s
+        )
+        SELECT q_id, nid AS neighbor_id, ROUND(cos, 6) AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 5
+    """,
+    "text_tokens": """
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_extract_all(text,
+                        '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                    END AS BIGINT) AS bpe_tokens
+        FROM documents
     """,
 }
 

@@ -46,7 +46,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for wname in ("join_3way", "window_cume", "simhash_pairs", "minhash_pairs",
                   "multimodal", "model_glm", "describe", "ks", "decile",
-                  "marginal", "ngram_jaccard", "irr_by"):
+                  "marginal", "ngram_jaccard", "irr_by", "ann_ivf", "winnow"):
         try:
             force(qs[wname](spark, warm_dir))
         except Exception:

@@ -352,6 +352,58 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_brute_topk(p, "vec_id", "embedding", queries=q, k=5)
 
 
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal.asof_join): each purchase event matched to
+    the same user's most recent click at-or-before it. Union+window
+    plan — one shuffle, no range explosion; oracled against DuckDB's
+    native ASOF LEFT JOIN. Times projected as epoch-micros (ns div 1000
+    == DuckDB's ns->us truncating read)."""
+    from seafan_spark.temporal import asof_join
+
+    ev = _pipe(spark, sf_dir, "events").df
+    # truncate ns->us BEFORE joining: DuckDB reads TIMESTAMP(NANOS) at us
+    # precision, so comparing in the us domain keeps boundary ties
+    # engine-identical (events DO carry sub-us components)
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.expr("ts div 1000").alias("click_ts_us"),
+    )
+    return asof_join(l, r, on="user_id", left_time="ts_us", right_time="click_ts_us")
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (temporal.range_join): clicks within the hour before
+    each purchase by the same user, aggregated per purchase. Bucketed
+    equi-join — Catalyst never sees an inequality-only join."""
+    from seafan_spark.temporal import range_join
+
+    ev = _pipe(spark, sf_dir, "events").df
+    hour_us = 3_600 * 1_000_000
+    # us-domain times for exact parity with the DuckDB oracle (see q_asof)
+    l = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.expr("ts div 1000").alias("click_ts_us"),
+        F.col("value").alias("click_value"),
+    )
+    j = range_join(l, r, on="user_id", left_time="ts_us", right_time="click_ts_us",
+                   before=hour_us, after=0)
+    return (
+        j.groupBy("event_id", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum("click_value"), 4).alias("click_value_sum"),
+        )
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 with every cell probed (n_probe == n_centroids):
     exact by construction regardless of the KMeans fit, so it shares the
@@ -794,6 +846,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "asof": q_asof,
+    "range_join": q_range_join,
     "text_tokens": q_text_tokens,
     "winnow": q_winnow,
     "minhash_pairs": q_minhash_pairs,
@@ -1277,6 +1331,36 @@ ORACLES: dict[str, str] = {
         SELECT q_id, nid AS neighbor_id, ROUND(cos, 6) AS cosine,
                CAST(rnk AS BIGINT) AS rank
         FROM r WHERE rnk <= 5
+    """,
+    "asof": """
+        WITH l AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), r AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT l.event_id, l.user_id,
+               CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+               r.click_id,
+               CAST(epoch_us(r.click_ts) AS BIGINT) AS click_ts_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.click_ts
+    """,
+    "range_join": """
+        WITH l AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), r AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT l.event_id, l.user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_clicks,
+               ROUND(SUM(r.click_value), 4) AS click_value_sum
+        FROM l JOIN r
+          ON l.user_id = r.user_id
+         AND r.click_ts >= l.ts - INTERVAL 1 HOUR
+         AND r.click_ts <= l.ts
+        GROUP BY l.event_id, l.user_id
     """,
     "text_tokens": """
         SELECT doc_id,

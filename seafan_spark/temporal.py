@@ -1,0 +1,218 @@
+"""Temporal joins: as-of and range joins over event-time columns.
+
+The reference engine has no temporal-join operator (its window functions,
+``parser.go`` cumeBefore/lag family, cover only single-table order
+dependence) — these are the north-star extensions a training-data /
+event-analytics pipeline needs, built Spark-first:
+
+- ``asof_join``: for every left row, the single right row with the
+  nearest time at-or-before (``backward``) / at-or-after (``forward``)
+  it, per join key. Implemented as the union + ordered-window
+  ``last(ignorenulls)`` algorithm: ONE shuffle on the join key, no
+  range-cross-product, no per-row search — the canonical
+  scale-out as-of plan (vs. a range join that explodes before pruning).
+- ``range_join``: all right rows with time in ``[left - before,
+  left + after]`` per key, as a coarse-bucket equi-join + exact filter:
+  each right row lands in O(span/bucket + 1) buckets, the join is an
+  equi-join on (key, bucket), and Catalyst never sees an inequality-only
+  join (which would fall back to BroadcastNestedLoop at scale).
+
+Both accept plain DataFrames or Pipelines (anything with ``.df``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _df(x) -> DataFrame:
+    return getattr(x, "df", x)
+
+
+def asof_join(
+    left,
+    right,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str | None = None,
+    direction: str = "backward",
+    tolerance: int | float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: attach to each left row the right row whose time is
+    nearest at-or-before it (``direction='backward'``) or at-or-after it
+    (``'forward'``), within the same ``on`` key group. Left rows with no
+    qualifying right row keep NULL right columns (left-join semantics).
+
+    ``tolerance`` (same units as the time columns) drops matches further
+    than that from the left time.
+
+    Plan: tag both sides, union by name, one window partitioned by the
+    key ordered by (time, side) with the right side sorting first at
+    equal times (so an exactly-simultaneous right row matches), and take
+    ``last(right_payload, ignorenulls=True)`` over the unbounded-to-
+    current frame. Cost: one hash shuffle of |L|+|R| rows on the key and
+    a per-key sort — no candidate explosion, skew-safe under AQE.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("asof_join: direction must be 'backward' or 'forward'")
+    ldf, rdf = _df(left), _df(right)
+    keys = [on] if isinstance(on, str) else list(on)
+    rt = right_time or left_time
+
+    # unify the two time columns WITHOUT losing precision: epoch-nanos
+    # (~1.7e18) exceed double's 53-bit mantissa, so integral times must
+    # stay integral or near-simultaneous events would collate equal
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    ttype = (
+        "bigint"
+        if (
+            ldf.schema[left_time].dataType.simpleString() in integral
+            and rdf.schema[rt].dataType.simpleString() in integral
+        )
+        else "double"
+    )
+
+    # right payload = every non-key right column (incl. its time column),
+    # renamed with `suffix` where it collides with a left column
+    out_names: dict[str, str] = {}
+    for c in rdf.columns:
+        if c in keys:
+            continue
+        out_names[c] = c + suffix if c in ldf.columns else c
+
+    rpay = F.struct(
+        F.col(rt).cast(ttype).alias("__rt"),
+        *[F.col(c).alias(n) for c, n in out_names.items()],
+    )
+    pay_type = rdf.select(rpay.alias("p")).schema[0].dataType
+
+    l2 = ldf.select(
+        *keys,
+        F.col(left_time).cast(ttype).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*ldf.columns).alias("__lrow"),
+        F.lit(None).cast(pay_type).alias("__rpay"),
+    )
+    lrow_type = l2.schema["__lrow"].dataType
+    r2 = rdf.select(
+        *keys,
+        F.col(rt).cast(ttype).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lrow_type).alias("__lrow"),
+        rpay.alias("__rpay"),
+    )
+    u = l2.unionByName(r2)
+
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__side").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("__rpay", ignorenulls=True).over(w)
+
+    if tolerance is not None:
+        gap = (
+            (F.col("__t") - matched["__rt"])
+            if direction == "backward"
+            else (matched["__rt"] - F.col("__t"))
+        )
+        tol = (
+            F.lit(int(tolerance))
+            if ttype == "bigint" and float(tolerance).is_integer()
+            else F.lit(float(tolerance))
+        )
+        matched = F.when(gap <= tol, matched)
+
+    res = (
+        u.withColumn("__m", matched)
+        .filter(F.col("__side") == 1)
+        .select(
+            F.col("__lrow.*"),
+            *[F.col("__m")[n].alias(n) for n in out_names.values()],
+        )
+    )
+    return res
+
+
+def range_join(
+    left,
+    right,
+    on: str | Sequence[str],
+    left_time: str,
+    right_time: str | None = None,
+    before: int | float = 0,
+    after: int | float = 0,
+    bucket: int | float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner range join: every (left, right) pair sharing the ``on`` key
+    with ``right_time`` in ``[left_time - before, left_time + after]``.
+
+    Plan: quantize time into coarse buckets of width ``bucket`` (default
+    ``before + after`` clamped to >= 1), explode each left row into the
+    bucket range its window spans (``sequence`` — size span/bucket + 1,
+    typically 2-3), equi-join on (key, bucket), then apply the exact
+    range predicate. This keeps the join a hash equi-join (shuffle on
+    composite key) instead of an inequality join Catalyst can only
+    nested-loop; duplicate pairs from bucket overlap are impossible
+    because each right row maps to exactly ONE bucket.
+    """
+    ldf, rdf = _df(left), _df(right)
+    keys = [on] if isinstance(on, str) else list(on)
+    rt = right_time or left_time
+    if before < 0 or after < 0:
+        raise ValueError("range_join: before/after must be >= 0")
+
+    # same precision rule as asof_join: epoch-nanos don't fit a double,
+    # so bucket math and the exact predicate stay in bigint when both
+    # time columns (and the bounds) are integral
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    ints_ok = (
+        ldf.schema[left_time].dataType.simpleString() in integral
+        and rdf.schema[rt].dataType.simpleString() in integral
+        and float(before).is_integer()
+        and float(after).is_integer()
+        and (bucket is None or float(bucket).is_integer())
+    )
+    ttype = "bigint" if ints_ok else "double"
+    raw_width = bucket if bucket is not None else max(before + after, 1)
+    width = F.lit(int(raw_width) if ints_ok else float(raw_width))
+    before_l = F.lit(int(before) if ints_ok else float(before))
+    after_l = F.lit(int(after) if ints_ok else float(after))
+
+    def fdiv(x: Column) -> Column:
+        # exact floor division for bigint (SQL `div` truncates toward 0);
+        # F.floor of a double ratio for the float path
+        if ints_ok:
+            return ((x - F.pmod(x, width)) / width).cast("bigint")
+        return F.floor(x / width)
+
+    out_names: dict[str, str] = {}
+    for c in rdf.columns:
+        if c in keys:
+            continue
+        out_names[c] = c + suffix if c in ldf.columns else c
+
+    lt = F.col(left_time).cast(ttype)
+    l2 = ldf.withColumn("__b", F.explode(F.sequence(fdiv(lt - before_l), fdiv(lt + after_l))))
+    rtc = F.col(rt).cast(ttype)
+    r2 = rdf.select(
+        *keys,
+        fdiv(rtc).alias("__b"),
+        rtc.alias("__rt"),
+        *[F.col(c).alias(n) for c, n in out_names.items()],
+    )
+    cond = (F.col("__rt") >= lt - before_l) & (F.col("__rt") <= lt + after_l)
+    return (
+        l2.join(r2, keys + ["__b"])
+        .filter(cond)
+        .drop("__b", "__rt")
+    )

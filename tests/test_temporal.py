@@ -1,0 +1,137 @@
+"""Temporal joins: asof_join (backward/forward/tolerance, ties, NULL
+left-join rows) and range_join (bucket-join equivalence to a naive
+inequality join), cross-checked against a DuckDB ASOF JOIN oracle."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from seafan_spark.temporal import asof_join, range_join
+
+
+L_ROWS = [  # (k, t, lv)
+    (1, 10.0, "a"),
+    (1, 20.0, "b"),
+    (2, 5.0, "c"),
+    (3, 7.0, "d"),
+]
+R_ROWS = [  # (k, t, rv)
+    (1, 9.0, "x"),
+    (1, 10.0, "y"),
+    (1, 15.0, "z"),
+    (2, 6.0, "w"),
+]
+
+
+@pytest.fixture(scope="module")
+def lr(spark):
+    l = spark.createDataFrame(L_ROWS, ["k", "t", "lv"])
+    r = spark.createDataFrame(R_ROWS, ["k", "t", "rv"])
+    return l, r
+
+
+def _rows(df, cols):
+    return sorted(tuple(row[c] for c in cols) for row in df.collect())
+
+
+def test_asof_backward_matches_duckdb(lr):
+    l, r = lr
+    got = asof_join(l, r, on="k", left_time="t", direction="backward")
+    # right's t collides with left's t -> suffixed
+    assert set(got.columns) == {"k", "t", "lv", "t_r", "rv"}
+    want = duckdb.sql(
+        """
+        SELECT l.k, l.t, l.lv, r.t AS t_r, r.rv
+        FROM (VALUES (1,10.0,'a'),(1,20.0,'b'),(2,5.0,'c'),(3,7.0,'d')) l(k,t,lv)
+        ASOF LEFT JOIN (VALUES (1,9.0,'x'),(1,10.0,'y'),(1,15.0,'z'),(2,6.0,'w')) r(k,t,rv)
+        ON l.k = r.k AND l.t >= r.t
+        """
+    ).fetchall()
+    want = sorted(
+        (k, float(t), lv, None if tr is None else float(tr), rv)
+        for (k, t, lv, tr, rv) in want
+    )
+    assert _rows(got, ["k", "t", "lv", "t_r", "rv"]) == want
+
+
+def test_asof_forward_matches_duckdb(lr):
+    l, r = lr
+    got = asof_join(l, r, on="k", left_time="t", direction="forward")
+    want = duckdb.sql(
+        """
+        SELECT l.k, l.t, l.lv, r.t AS t_r, r.rv
+        FROM (VALUES (1,10.0,'a'),(1,20.0,'b'),(2,5.0,'c'),(3,7.0,'d')) l(k,t,lv)
+        ASOF LEFT JOIN (VALUES (1,9.0,'x'),(1,10.0,'y'),(1,15.0,'z'),(2,6.0,'w')) r(k,t,rv)
+        ON l.k = r.k AND l.t <= r.t
+        """
+    ).fetchall()
+    want = sorted(
+        (k, float(t), lv, None if tr is None else float(tr), rv)
+        for (k, t, lv, tr, rv) in want
+    )
+    assert _rows(got, ["k", "t", "lv", "t_r", "rv"]) == want
+
+
+def test_asof_tolerance(lr):
+    l, r = lr
+    got = asof_join(l, r, on="k", left_time="t", direction="backward", tolerance=2)
+    rows = {(row["k"], row["t"]): row["t_r"] for row in got.collect()}
+    assert rows[(1, 10.0)] == 10.0  # gap 0 <= 2 kept
+    assert rows[(1, 20.0)] is None  # nearest is 15.0, gap 5 > 2 dropped
+    assert rows[(2, 5.0)] is None
+
+
+def test_asof_multi_key_and_distinct_time_names(spark):
+    l = spark.createDataFrame(
+        [(1, "u", 10.0, 100), (1, "v", 10.0, 200)], ["k", "g", "lt", "payload"]
+    )
+    r = spark.createDataFrame(
+        [(1, "u", 8.0, "m1"), (1, "v", 9.5, "m2"), (1, "v", 11.0, "m3")],
+        ["k", "g", "rt", "tag"],
+    )
+    got = asof_join(l, r, on=["k", "g"], left_time="lt", right_time="rt")
+    rows = {(row["k"], row["g"]): (row["rt"], row["tag"]) for row in got.collect()}
+    assert rows[(1, "u")] == (8.0, "m1")
+    assert rows[(1, "v")] == (9.5, "m2")
+
+
+def test_asof_no_shuffle_explosion_plan(lr):
+    """The physical plan must contain no nested-loop / cartesian join —
+    the whole as-of is one window over one exchange."""
+    l, r = lr
+    plan = asof_join(l, r, on="k", left_time="t")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_equals_naive(spark):
+    import random
+
+    rng = random.Random(7)
+    l = spark.createDataFrame(
+        [(rng.randrange(5), float(rng.randrange(100)), i) for i in range(80)],
+        ["k", "t", "lid"],
+    )
+    r = spark.createDataFrame(
+        [(rng.randrange(5), float(rng.randrange(100)), i) for i in range(80)],
+        ["k", "t", "rid"],
+    )
+    got = _rows(
+        range_join(l, r, on="k", left_time="t", before=3, after=7),
+        ["k", "lid", "rid"],
+    )
+    naive = _rows(
+        l.join(r.withColumnRenamed("t", "t_r"), "k").filter(
+            (F.col("t_r") >= F.col("t") - 3) & (F.col("t_r") <= F.col("t") + 7)
+        ),
+        ["k", "lid", "rid"],
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_range_join_no_dup_pairs(spark):
+    """Each right row lives in exactly one bucket: overlap never duplicates."""
+    l = spark.createDataFrame([(1, 50.0, 0)], ["k", "t", "lid"])
+    r = spark.createDataFrame([(1, 50.0 + d, d) for d in range(-5, 6)], ["k", "t", "rid"])
+    got = range_join(l, r, on="k", left_time="t", before=5, after=5, bucket=3)
+    assert got.count() == got.dropDuplicates(["lid", "rid"]).count() == 11

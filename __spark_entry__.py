@@ -404,6 +404,33 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling + train/val/test split
+    (sampling.deterministic_sample / train_val_test_split): md5-bucket
+    keyed on doc_id — reproducible across engines, partitionings, and
+    task retries; pure filter, no shuffle."""
+    from seafan_spark.sampling import deterministic_sample, train_val_test_split
+
+    p = _pipe(spark, sf_dir, "documents")
+    s = deterministic_sample(p.df, "doc_id", 0.5, salt="demo")
+    return train_val_test_split(s, "doc_id", weights=(0.8, 0.1, 0.1), salt="sp").select(
+        "doc_id", "split"
+    )
+
+
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sequence packing (sampling.pack_sequences): shard by
+    key hash, windowed running-sum binning at a 4000-char budget — one
+    shuffle on the shard key; per-task state is corpus/shards."""
+    from seafan_spark.sampling import pack_sequences
+
+    p = _pipe(spark, sf_dir, "documents")
+    d = p.df.select("doc_id", F.length("text").alias("sz"))
+    return pack_sequences(d, "doc_id", "sz", budget=4000, shards=8).select(
+        "doc_id", F.col("sz").cast("bigint").alias("sz"), "shard", "bin"
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-5 with every cell probed (n_probe == n_centroids):
     exact by construction regardless of the KMeans fit, so it shares the
@@ -848,6 +875,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     "asof": q_asof,
     "range_join": q_range_join,
+    "sample_split": q_sample_split,
+    "pack": q_pack,
     "text_tokens": q_text_tokens,
     "winnow": q_winnow,
     "minhash_pairs": q_minhash_pairs,
@@ -1361,6 +1390,36 @@ ORACLES: dict[str, str] = {
          AND r.click_ts >= l.ts - INTERVAL 1 HOUR
          AND r.click_ts <= l.ts
         GROUP BY l.event_id, l.user_id
+    """,
+    "sample_split": """
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'demo'), 1, 8))
+                        AS UBIGINT) % 1000000 AS smp,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sp'), 1, 8))
+                        AS UBIGINT) % 1000000 AS spl
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN spl < 800000 THEN 'train'
+                    WHEN spl < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b WHERE smp < 500000
+    """,
+    "pack": """
+        WITH b AS (
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS sz,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) % 1000000 AS bkt
+            FROM documents
+        ), s AS (
+            SELECT doc_id, sz, bkt, CAST(bkt % 8 AS INTEGER) AS shard FROM b
+        )
+        SELECT doc_id, sz, shard,
+               CAST(FLOOR((SUM(sz) OVER (PARTITION BY shard ORDER BY bkt, doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           - sz) / 4000.0) AS BIGINT) AS bin
+        FROM s
     """,
     "text_tokens": """
         SELECT doc_id,

@@ -1,0 +1,165 @@
+"""Deterministic sampling, dataset splitting, and sequence packing.
+
+Training-data pipelines need *reproducible* row selection — the same
+document must land in the same split on every run, on any engine, with
+no stored state. Everything here keys off an md5-prefix hash bucket
+(``conv(substr(md5(key || salt), 1, 8), 16, 10)``), which is
+cross-engine stable (verified digit-for-digit vs DuckDB) and uniform to
+~2^-32, unlike ``df.sample`` (seed- and partitioning-dependent) or
+``rand()`` (nondeterministic under retries — a retried task would
+resample different rows).
+
+Scale notes: every operator is a pure JVM Column filter (no shuffle at
+all) except ``pack_sequences``, which shuffles once on its shard key —
+the shard count, not the corpus size, bounds the window state.
+
+The reference has no sampling layer (its slicer.go iterates whole
+groups); these are north-star extensions.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bucket space for fraction arithmetic: md5-prefix mod 1e6 gives
+#: fraction granularity of 1e-6 with negligible modulo bias (2^32/1e6)
+_BUCKETS = 1_000_000
+
+
+def _df(x) -> DataFrame:
+    return getattr(x, "df", x)
+
+
+def hash_bucket_col(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, 1e6) from a key column.
+
+    ``conv(substr(md5(key || salt), 1, 8), 16, 10) % 1e6`` — every term
+    has an exact DuckDB twin (``CAST('0x' || substr(md5(...),1,8) AS
+    UBIGINT)``), so sampled/split outputs are oracle-checkable.
+    """
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BUCKETS).alias(
+        "bucket"
+    )
+
+
+def deterministic_sample(df, key_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash: reproducible
+    across runs, engines, partitionings, and task retries. Pure filter —
+    no shuffle, pushes down past the scan when the key is a source
+    column."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("deterministic_sample: fraction must be in [0, 1]")
+    d = _df(df)
+    return d.filter(hash_bucket_col(F.col(key_col), salt) < int(fraction * _BUCKETS))
+
+
+def split_col(
+    key: Column,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "",
+) -> Column:
+    """Split-label column: consecutive hash-bucket ranges sized by
+    ``weights`` (normalized). A key always gets the same label."""
+    if len(weights) != len(names):
+        raise ValueError("split_col: weights and names must align")
+    tot = float(sum(weights))
+    b = hash_bucket_col(key, salt)
+    edges, acc = [], 0.0
+    for wgt in weights:
+        acc += wgt / tot
+        edges.append(int(round(acc * _BUCKETS)))
+    edges[-1] = _BUCKETS
+    expr = None
+    for name, edge in zip(names, edges):
+        cond = b < edge
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return expr
+
+
+def train_val_test_split(
+    df,
+    key_col: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split label keyed on ``key_col``."""
+    d = _df(df)
+    return d.withColumn(out_col, split_col(F.col(key_col), weights, names, salt))
+
+
+def stratified_sample(
+    df,
+    key_col: str,
+    stratum_col: str,
+    fractions: Mapping[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample web text to
+    10% but keep 100% of books). ``fractions`` maps stratum value ->
+    keep fraction; unlisted strata get ``default_fraction``. One
+    when-chain filter — no shuffle, no join."""
+    d = _df(df)
+    b = hash_bucket_col(F.col(key_col), salt)
+    thresh = F.lit(int(default_fraction * _BUCKETS))
+    expr = None
+    for val, frac in fractions.items():
+        cond = F.col(stratum_col) == F.lit(val)
+        lim = F.lit(int(frac * _BUCKETS))
+        expr = F.when(cond, lim) if expr is None else expr.when(cond, lim)
+    thresh = thresh if expr is None else expr.otherwise(thresh)
+    return d.filter(b < thresh)
+
+
+def pack_sequences(
+    df,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    shards: int = 256,
+    salt: str = "",
+) -> DataFrame:
+    """Assign each row a (shard, bin) so that consecutive rows within a
+    shard accumulate into bins of ~``budget`` total ``size_col`` —
+    LLM-training sequence packing, distributed.
+
+    Rows are sharded by key hash (``shards`` controls parallelism: each
+    shard is one window partition, so state per task is corpus/shards),
+    ordered by (bucket, id) within the shard, and binned at
+    ``(running_sum - size) div budget``: a bin may overrun by at most
+    one row's size (the standard streaming-packing bound; rows larger
+    than the budget get a bin to themselves). Exactly one shuffle, on
+    the shard key. Deterministic and SQL-expressible (windowed SUM),
+    hence oracle-checkable.
+    """
+    if budget <= 0:
+        raise ValueError("pack_sequences: budget must be positive")
+    d = _df(df)
+    from pyspark.sql import Window
+
+    b = hash_bucket_col(F.col(id_col), salt)
+    d = d.withColumn("_bkt", b).withColumn(
+        "shard", (F.col("_bkt") % shards).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_bkt").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col(size_col).cast("bigint")).over(w)
+    return (
+        d.withColumn(
+            "bin",
+            F.floor(
+                (run - F.col(size_col).cast("bigint")) / F.lit(int(budget))
+            ).cast("bigint"),
+        )
+        .drop("_bkt")
+    )

@@ -1,0 +1,110 @@
+"""Deterministic sampling / splitting / packing: cross-engine hash
+parity vs DuckDB, fraction accuracy, retry-stability, packing bounds."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from seafan_spark.sampling import (
+    _BUCKETS,
+    deterministic_sample,
+    hash_bucket_col,
+    pack_sequences,
+    stratified_sample,
+    train_val_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "k")
+
+
+def test_bucket_matches_duckdb(spark, ids):
+    got = {
+        r["k"]: r["b"]
+        for r in ids.select("k", hash_bucket_col(F.col("k"), "s1").alias("b"))
+        .limit(50)
+        .collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"""
+            SELECT k, CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || 's1'), 1, 8))
+                           AS UBIGINT) % {_BUCKETS} AS b
+            FROM range(50) t(k)
+            """
+        ).fetchall()
+    )
+    for k, b in want.items():
+        assert got[k] == b
+
+
+def test_sample_fraction_and_determinism(ids):
+    s1 = deterministic_sample(ids, "k", 0.25, salt="x")
+    s2 = deterministic_sample(ids.repartition(7), "k", 0.25, salt="x")
+    rows1 = sorted(r["k"] for r in s1.collect())
+    rows2 = sorted(r["k"] for r in s2.collect())
+    assert rows1 == rows2  # partitioning-independent
+    assert 0.20 < len(rows1) / 2000 < 0.30  # ~fraction
+    # monotone: a 10% sample is a subset of the 25% sample (same salt)
+    s3 = sorted(r["k"] for r in deterministic_sample(ids, "k", 0.10, salt="x").collect())
+    assert set(s3) <= set(rows1)
+
+
+def test_split_partition_and_weights(ids):
+    d = train_val_test_split(ids, "k", weights=(0.8, 0.1, 0.1), salt="sp")
+    counts = {r["split"]: r["n"] for r in d.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 2000
+    assert counts["train"] > 1400 and counts["val"] < 350 and counts["test"] < 350
+
+
+def test_stratified_sample(spark):
+    rows = [(i, "web" if i % 2 else "books") for i in range(2000)]
+    d = spark.createDataFrame(rows, ["k", "src"])
+    s = stratified_sample(d, "k", "src", {"books": 1.0, "web": 0.1})
+    c = {r["src"]: r["n"] for r in s.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert c["books"] == 1000  # keep-all stratum is exact
+    assert 40 < c.get("web", 0) < 220
+    # unlisted strata default to dropped
+    s0 = stratified_sample(d, "k", "src", {"books": 1.0})
+    assert s0.filter(F.col("src") == "web").count() == 0
+
+
+def test_pack_sequences_bounds(spark):
+    import random
+
+    rng = random.Random(3)
+    d = spark.createDataFrame(
+        [(i, rng.randrange(50, 400)) for i in range(3000)], ["doc", "toks"]
+    )
+    packed = pack_sequences(d, "doc", "toks", budget=2048, shards=8)
+    assert packed.count() == 3000  # no row lost
+    agg = (
+        packed.groupBy("shard", "bin")
+        .agg(F.sum("toks").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    max_item = 400
+    # every bin except possibly a shard's last is >= budget - max_item;
+    # no bin exceeds budget + max_item (streaming-packing bound)
+    per_shard_last = {}
+    for r in agg:
+        assert r["tot"] < 2048 + max_item
+        per_shard_last[r["shard"]] = max(per_shard_last.get(r["shard"], -1), r["bin"])
+    for r in agg:
+        if r["bin"] < per_shard_last[r["shard"]]:
+            assert r["tot"] + max_item >= 2048
+    # deterministic across partitionings
+    p2 = pack_sequences(d.repartition(13), "doc", "toks", budget=2048, shards=8)
+    assert sorted(map(tuple, packed.select("doc", "shard", "bin").collect())) == sorted(
+        map(tuple, p2.select("doc", "shard", "bin").collect())
+    )
+
+
+def test_oversize_row_gets_own_bin(spark):
+    d = spark.createDataFrame([(1, 5000), (2, 10), (3, 10)], ["doc", "toks"])
+    packed = pack_sequences(d, "doc", "toks", budget=100, shards=1)
+    bins = {r["doc"]: r["bin"] for r in packed.collect()}
+    assert len(set(bins.values())) >= 2  # the 5000-token row can't share forever

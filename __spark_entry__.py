@@ -328,6 +328,33 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (llmops.text.tfidf_top_terms):
+    explode -> tf -> vocab df -> term join -> broadcast N -> window
+    top-k; sklearn-style smooth idf."""
+    from seafan_spark.llmops.text import tfidf_top_terms
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    return tfidf_top_terms(p, "doc_id", "text", k=3)
+
+
+def q_pii_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts + duplicate-3-gram repetition ratio
+    (llmops.text.pii_count_col / repetition_ratio_col) — all vectorized
+    JVM regexp/array ops, no UDF."""
+    from seafan_spark.llmops import text as tx
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    t = F.col("text")
+    return p.df.select(
+        "doc_id",
+        tx.pii_count_col(t, "email").alias("n_email"),
+        tx.pii_count_col(t, "ipv4").alias("n_ipv4"),
+        tx.pii_count_col(t, "ssn").alias("n_ssn"),
+        F.round(tx.repetition_ratio_col(t, 3), 6).alias("rep3"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint + group size + keeper flag
     (llmops.dedup.exact_dedup)."""
@@ -879,6 +906,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack": q_pack,
     "text_tokens": q_text_tokens,
     "winnow": q_winnow,
+    "tfidf": q_tfidf,
+    "pii_repetition": q_pii_repetition,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "tpch_q3": q_tpch_q3,
@@ -1390,6 +1419,53 @@ ORACLES: dict[str, str] = {
          AND r.click_ts >= l.ts - INTERVAL 1 HOUR
          AND r.click_ts <= l.ts
         GROUP BY l.event_id, l.user_id
+    """,
+    "tfidf": """
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM norm
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ), r AS (
+            SELECT doc_id, term, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term ASC) AS rnk
+            FROM scored
+        )
+        SELECT doc_id, term, ROUND(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 3
+    """,
+    "pii_repetition": """
+        WITH toks AS (
+            SELECT doc_id, text,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, text, len(tk) AS cnt,
+                   list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                                  i -> array_to_string(list_slice(tk, i, i + 2), ' ')) AS g
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+               CASE WHEN cnt < 3 THEN 0.0
+                    ELSE ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+               END AS rep3
+        FROM grams
     """,
     "sample_split": """
         WITH b AS (

@@ -15,10 +15,13 @@ parser_test.go:669-969):
   context (``date=='3/1/2023'``);
 - division by zero errors at runtime (Spark ANSI mode, matching
   parser.go:1563-1566); ``log(x<=0)`` errors via an explicit guard;
-- summary functions produce a scalar broadcast over rows — compiled as
-  window aggregates over ``Window.partitionBy(*partition_by)``; with no
-  partition keys that is the whole table (reference behavior); WITH keys it
-  becomes per-group summaries, the scale generalization;
+- summary functions produce a scalar broadcast over rows. With partition
+  keys they compile to window aggregates over
+  ``Window.partitionBy(*partition_by)`` (per-group, parallel by key); with
+  no keys (whole-table, the reference behavior) they are STAGED: one
+  parallel partial aggregation to a 1-row frame, broadcast-joined back
+  (``attach_scalar_aggs``) — never a window over an empty partitioning,
+  which would funnel all rows through a single task;
 - order-dependent functions (lag/row/cume*/prod*/index/npv) ride the
   pipeline's order spec (SURVEY §2.7 "_rid contract").
 
@@ -36,10 +39,11 @@ from __future__ import annotations
 
 import datetime as _dt
 import math
+import re as _re
 from dataclasses import dataclass, replace
 from typing import Any, Callable, Sequence
 
-from pyspark.sql import Column, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from seafan_spark.exprlang.parser import Node, parse
@@ -98,6 +102,10 @@ class Ctx:
         self.partition_by = list(partition_by or [])
         self.env = env or {}
         self.strict = strict
+        # whole-pipe scalar aggregates staged during compilation:
+        # (placeholder name, un-aliased agg Column); consumers attach them
+        # via attach_scalar_aggs / frame()
+        self.pending_aggs: list[tuple[str, Column]] = []
 
     def order_window(self) -> Window:
         cols = self.pipe._order_columns()
@@ -113,8 +121,56 @@ class Ctx:
     def row_index(self) -> Column:
         return (F.row_number().over(self.order_window()) - F.lit(1)).cast("double")
 
+    def scalar_agg(self, col: Column) -> Column:
+        """Stage a whole-pipe scalar aggregate and return its placeholder.
+
+        The scale path for unpartitioned summaries: a parallel partial
+        aggregation to ONE row, broadcast-joined back onto every row —
+        instead of an aggregate windowed over an empty partitioning,
+        which funnels the entire dataset through a single task."""
+        name = f"__sagg_{len(self.pending_aggs)}"
+        self.pending_aggs.append((name, col))
+        return F.col(name)
+
+    def frame(self) -> DataFrame:
+        """The pipeline frame with any staged scalar aggregates attached
+        — what eager consumers (print/plot/irr/evaluate) must select
+        from once compilation staged a summary."""
+        if self.pending_aggs:
+            return attach_scalar_aggs(self.pipe.df, self.pending_aggs)
+        return self.pipe.df
+
     def compile(self, node: Node) -> TypedCol:
         return _compile(node, self)
+
+
+_SAGG_RE = _re.compile(r"__sagg_\d+")
+
+
+def attach_scalar_aggs(
+    df: DataFrame, pending: Sequence[tuple[str, Column]]
+) -> DataFrame:
+    """Attach staged whole-pipe aggregates as broadcast one-row joins.
+
+    Aggregates are grouped into waves: everything whose inputs are plain
+    columns computes in ONE parallel ``df.agg`` (partial aggregation,
+    map-side combine), then joins back via ``crossJoin(broadcast(...))``
+    — a 1-row build side, so the nested-loop join is O(rows). An
+    aggregate referencing an earlier placeholder (nested summaries)
+    lands in a later wave."""
+    remaining = list(pending)
+    while remaining:
+        have = set(df.columns)
+        wave = [
+            (n, c) for n, c in remaining if set(_SAGG_RE.findall(str(c))) <= have
+        ]
+        if not wave:  # defensive: break potential cycles one at a time
+            wave = remaining[:1]
+        row = df.agg(*[c.alias(n) for n, c in wave])
+        df = df.crossJoin(F.broadcast(row))
+        done = {n for n, _ in wave}
+        remaining = [(n, c) for n, c in remaining if n not in done]
+    return df
 
 
 def _field_kind(pipe: Pipeline, name: str) -> str:
@@ -444,7 +500,11 @@ def _summary(ctx, nodes, agg, what, keep_kind=False):
     args = _args(ctx, nodes)
     if not keep_kind:
         args = [_require_num(a, what) for a in args]
-    col = agg(*[a.col for a in args]).over(ctx.agg_window())
+    raw = agg(*[a.col for a in args])
+    if ctx.partition_by:
+        col = raw.over(ctx.agg_window())  # per-group: parallel by key
+    else:
+        col = ctx.scalar_agg(raw)  # whole-pipe: staged broadcast agg
     kind = args[0].kind if keep_kind else "num"
     return TypedCol(col, kind, scalar=True)
 
@@ -491,10 +551,16 @@ def _f_corr(ctx, nodes):
     return _summary(ctx, nodes, F.corr, "corr")
 
 
+def _scalar_or_windowed(ctx, raw: Column) -> Column:
+    if ctx.partition_by:
+        return raw.over(ctx.agg_window())
+    return ctx.scalar_agg(raw)
+
+
 @_register("sse", 2)
 def _f_sse(ctx, nodes):
     y, yhat = _num_args(ctx, nodes, "sse")
-    col = F.sum(F.pow(y.col - yhat.col, F.lit(2.0))).over(ctx.agg_window())
+    col = _scalar_or_windowed(ctx, F.sum(F.pow(y.col - yhat.col, F.lit(2.0))))
     return TypedCol(col, "num", scalar=True)
 
 
@@ -503,17 +569,16 @@ def _f_mad(ctx, nodes):
     # per the doc comment (parser.go:123): sum |y - yhat|; the reference's
     # dispatch bug computes SSE instead (parser.go:766-767) — we follow docs
     y, yhat = _num_args(ctx, nodes, "mad")
-    col = F.sum(F.abs(y.col - yhat.col)).over(ctx.agg_window())
+    col = _scalar_or_windowed(ctx, F.sum(F.abs(y.col - yhat.col)))
     return TypedCol(col, "num", scalar=True)
 
 
 @_register("r2", 2)
 def _f_r2(ctx, nodes):
     y, yhat = _num_args(ctx, nodes, "r2")
-    w = ctx.agg_window()
-    sse = F.sum(F.pow(y.col - yhat.col, F.lit(2.0))).over(w)
-    n = F.count(y.col).over(w).cast("double")
-    vary = F.var_samp(y.col).over(w)
+    sse = _scalar_or_windowed(ctx, F.sum(F.pow(y.col - yhat.col, F.lit(2.0))))
+    n = _scalar_or_windowed(ctx, F.count(y.col)).cast("double")
+    vary = _scalar_or_windowed(ctx, F.var_samp(y.col))
     col = F.lit(1.0) - sse / ((n - F.lit(1.0)) * vary)
     return TypedCol(col, "num", scalar=True)
 
@@ -538,7 +603,7 @@ def _f_irr(ctx, nodes):
         raise CompileError("irr: per-group IRR not supported in expressions; use agg.irr_by")
     cost_tc, cf_tc = _num_args(ctx, nodes, "irr")
     rows = (
-        ctx.pipe.df.select(cost_tc.col.alias("__cost"), cf_tc.col.alias("__cf"))
+        ctx.frame().select(cost_tc.col.alias("__cost"), cf_tc.col.alias("__cf"))
         .orderBy(*ctx.pipe._order_columns())
         .collect()
     )
@@ -803,7 +868,7 @@ def _f_print(ctx, nodes):
     """Eager driver-side print of the first n values (parser.go:572-599)."""
     x = _compile(nodes[0], ctx)
     n_tc = _require_num(_compile(nodes[1], ctx), "print")
-    rows = ctx.pipe.df.select(x.col.alias("__v")).orderBy(*ctx.pipe._order_columns())
+    rows = ctx.frame().select(x.col.alias("__v")).orderBy(*ctx.pipe._order_columns())
     n_rows = rows.limit(1000).collect()
     try:
         n = int(float(n_tc.col._jc.toString()))  # only literal counts supported
@@ -818,7 +883,7 @@ def _f_print(ctx, nodes):
 @_register("printIf", 3)
 def _f_printif(ctx, nodes):
     cond = _require_num(_compile(nodes[2], ctx), "printIf")
-    row = ctx.pipe.df.select((cond.col > 0).alias("__c")).limit(1).collect()
+    row = ctx.frame().select((cond.col > 0).alias("__c")).limit(1).collect()
     if row and row[0]["__c"]:
         return _f_print(ctx, nodes[:2])
     return TypedCol(F.lit(0.0), "num", scalar=True)
@@ -841,7 +906,7 @@ def _collect_values(ctx: Ctx, node: Node, what: str) -> list:
 
     tc = _require_num(_compile(node, ctx), what)
     rows = (
-        ctx.pipe.df.select(tc.col.alias("__v"))
+        ctx.frame().select(tc.col.alias("__v"))
         .orderBy(*ctx.pipe._order_columns())
         .limit(plots.MAX_POINTS)
         .collect()
@@ -960,11 +1025,14 @@ def evaluate(
     """Evaluate an expression and return its values in pipeline order
     (scalar results return a single-element list) — the test/diagnostic
     analogue of the reference's Evaluate."""
-    tc = compile_expression(pipe, expression, partition_by=partition_by)
+    node = parse(expression)
+    ctx = Ctx(pipe, partition_by=partition_by)
+    tc = _compile(node, ctx)
+    base = ctx.frame()
     if tc.scalar:
-        row = pipe.df.select(tc.col.alias("__v")).limit(1).collect()
+        row = base.select(tc.col.alias("__v")).limit(1).collect()
         return [row[0]["__v"]] if row else []
     # order columns may have been materialized during compile (window fns)
     pipe._ensure_rid()
-    d = pipe.df.withColumn("__v", tc.col).orderBy(*pipe._order_columns()).select("__v")
+    d = base.withColumn("__v", tc.col).orderBy(*pipe._order_columns()).select("__v")
     return [r["__v"] for r in d.collect()]

@@ -73,8 +73,12 @@ def add_to_pipe(
     ctx = Ctx(pipe, partition_by=partition_by, env=None, strict=strict)
     tc = _compile(node, ctx)
     # withColumn replaces an existing column in place and may still
-    # reference its old value (drop-if-exists, parser.go:1745-1748)
-    d = pipe.df.withColumn(name, tc.col)
+    # reference its old value (drop-if-exists, parser.go:1745-1748);
+    # ctx.frame() attaches any staged whole-pipe aggregates (broadcast
+    # 1-row joins — the scale path for unpartitioned summaries)
+    d = ctx.frame().withColumn(name, tc.col)
+    if ctx.pending_aggs:
+        d = d.drop(*[n for n, _ in ctx.pending_aggs])
     fts = pipe.fts.copy()
     if name in fts:
         fts.drop(name)
@@ -106,7 +110,9 @@ def loop(
             tc = _compile(node, ctx)
             # withColumn overwrites in place; the expression may reference
             # the field's previous value (e.g. "c+x" assigned to c)
-            d = cur.df.withColumn(assign, tc.col)
+            d = ctx.frame().withColumn(assign, tc.col)
+            if ctx.pending_aggs:
+                d = d.drop(*[n for n, _ in ctx.pending_aggs])
             fts = cur.fts.copy()
             fts.add(FType(name=assign, role=_result_role(tc)))
             cur = cur._derive(d, fts=fts)

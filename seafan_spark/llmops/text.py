@@ -8,7 +8,9 @@ oracle can verify it value-for-value at any scale factor.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # small per-language stopword probes (word-boundary counted, lowercased)
@@ -255,6 +257,104 @@ def winnow_fingerprints_col(text: Column, k: int = 8, w: int = 4) -> Column:
         F.lit(1),
     )
     return F.array_sort(F.array_distinct(wins))
+
+
+def repetition_ratio_col(text: Column, n: int = 3) -> Column:
+    """Duplicate word-``n``-gram fraction: 1 - distinct/total n-grams of
+    the normalized text — the standard boilerplate/repetition quality
+    signal. Texts with fewer than ``n`` tokens score 0.0. Pure JVM
+    higher-order columns."""
+    toks = F.split(norm_text_col(text), " ")
+    cnt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    total = F.size(grams)
+    return F.when(cnt < n, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
+    )
+
+
+#: PII patterns restricted to syntax Java regex and RE2 (DuckDB) share —
+#: no lookarounds/backrefs — so detection counts are oracle-checkable.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_count_col(text: Column, kind: str) -> Column:
+    """Count of PII-pattern matches of ``kind`` (see PII_PATTERNS).
+    Vectorized ``regexp_count`` — no UDF. A redaction pass is the same
+    pattern through ``regexp_replace``."""
+    if kind not in PII_PATTERNS:
+        raise ValueError(f"pii_count_col: unknown kind {kind!r}; have {sorted(PII_PATTERNS)}")
+    return F.regexp_count(text, F.lit(PII_PATTERNS[kind])).cast("long")
+
+
+def redact_pii_col(text: Column, kinds: Sequence[str] | None = None, token: str = "[PII]") -> Column:
+    """Replace every PII match with ``token``; kinds default to all."""
+    out = text
+    for kind in kinds or sorted(PII_PATTERNS):
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"redact_pii_col: unknown kind {kind!r}")
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    return out
+
+
+def tfidf_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 1,
+) -> "DataFrame":
+    """Top-``k`` TF-IDF terms per document (sklearn-style smooth idf:
+    ``tf * (ln((1+N)/(1+df)) + 1)``).
+
+    Plan at scale: explode tokens -> per-(doc,term) counts (one shuffle,
+    map-side combine) -> document frequencies (second shuffle over the
+    vocabulary, far smaller) -> shuffle equi-join tf x df on term (AQE
+    handles stop-word skew) -> broadcast 1-row N -> per-doc window
+    top-k. No driver-side data, no cartesian."""
+    from pyspark.sql import Window
+
+    d = getattr(df, "df", df)
+    toks = d.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                F.log((F.lit(1.0) + F.col("n_docs")) / (F.lit(1.0) + F.col("df")))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_id").alias(id_col),
+            "term",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
 
 
 def word_ngrams_col(text: Column, n: int = 3) -> Column:

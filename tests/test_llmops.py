@@ -278,6 +278,79 @@ def test_winnow_fingerprints(spark):
     assert len(set(r2[0]) & set(r2[1])) > 0
 
 
+def test_repetition_ratio(spark):
+    from seafan_spark.llmops.text import repetition_ratio_col
+
+    p = vec_to_pipe(
+        spark,
+        {
+            "t": [
+                "a b c a b c a b c",  # "a b c" style repeats
+                "one two three four five six seven",  # all distinct
+                "x y",  # fewer than 3 tokens
+            ]
+        },
+    )
+    got = [
+        round(r[0], 6)
+        for r in p.ordered_df().select(repetition_ratio_col(F.col("t"))).collect()
+    ]
+    # 7 grams, distinct = {abc, bca, cab} = 3 -> 1 - 3/7
+    assert got[0] == round(1 - 3 / 7, 6)
+    assert got[1] == 0.0
+    assert got[2] == 0.0
+
+
+def test_pii_counts_and_redact(spark):
+    from seafan_spark.llmops.text import pii_count_col, redact_pii_col
+
+    txt = "mail a@b.com or c.d+x@e.org, call +1 (555) 123-4567, host 10.0.0.1, ssn 123-45-6789"
+    p = vec_to_pipe(spark, {"t": [txt, "clean text no pii"]})
+    row = (
+        p.ordered_df()
+        .select(
+            pii_count_col(F.col("t"), "email").alias("e"),
+            pii_count_col(F.col("t"), "phone").alias("p"),
+            pii_count_col(F.col("t"), "ipv4").alias("i"),
+            pii_count_col(F.col("t"), "ssn").alias("s"),
+            redact_pii_col(F.col("t")).alias("r"),
+        )
+        .collect()
+    )
+    assert (row[0]["e"], row[0]["i"], row[0]["s"]) == (2, 1, 1)
+    assert row[0]["p"] >= 1
+    assert "a@b.com" not in row[0]["r"] and "123-45-6789" not in row[0]["r"]
+    assert (row[1]["e"], row[1]["p"], row[1]["i"], row[1]["s"]) == (0, 0, 0, 0)
+    assert row[1]["r"] == "clean text no pii"
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from seafan_spark.llmops.text import tfidf_top_terms
+
+    docs = {
+        "doc_id": [0, 1, 2],
+        "text": [
+            "apple banana apple",
+            "banana cherry",
+            "durian durian durian banana",
+        ],
+    }
+    p = vec_to_pipe(spark, docs)
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["score"])
+        for r in tfidf_top_terms(p, "doc_id", "text", k=2).collect()
+    }
+    def score(tf, df, n=3):
+        return round(tf * (math.log((1 + n) / (1 + df)) + 1), 6)
+    # doc0: apple tf=2 df=1 beats banana tf=1 df=3
+    assert got[(0, 1)] == ("apple", score(2, 1))
+    assert got[(0, 2)] == ("banana", score(1, 3))
+    # doc2: durian tf=3 df=1
+    assert got[(2, 1)] == ("durian", score(3, 1))
+
+
 # ----------------------------------------------------------- multimodal ----
 def test_multimodal_plumbing(spark):
     payloads = [b"fakepng-" + bytes([i]) * 20 for i in range(5)]

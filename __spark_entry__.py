@@ -569,6 +569,23 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (streaming.stream_join): purchases x
+    same-user clicks within the preceding hour. The SAME plan runs as a
+    watermarked stream-stream join (tests/test_streaming.py proves
+    batch==stream); here the batch mode is oracle-checked."""
+    from seafan_spark.sources import read_parquet
+    from seafan_spark.streaming import stream_join
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    l = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    r = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    j = stream_join(l, r, on="user_id", before="1 hour", after="0 seconds")
+    return j.select("event_id", "user_id", "click_id")
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user, 30-minute gap (streaming.sessionize)."""
     from seafan_spark.sources import read_parquet
@@ -913,6 +930,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
     "stream_tumbling": q_stream_tumbling,
+    "stream_join": q_stream_join,
     "sessionize": q_sessionize,
     "npv": q_npv,
     "loop": q_loop,
@@ -1466,6 +1484,19 @@ ORACLES: dict[str, str] = {
                     ELSE ROUND(1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
                END AS rep3
         FROM grams
+    """,
+    "stream_join": """
+        WITH l AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), r AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT l.event_id, l.user_id, r.click_id
+        FROM l JOIN r
+          ON l.user_id = r.user_id
+         AND r.click_ts >= l.ts - INTERVAL 1 HOUR
+         AND r.click_ts <= l.ts
     """,
     "sample_split": """
         WITH b AS (

@@ -163,6 +163,53 @@ def stream_dedup(
     return d.dropDuplicates(list(subset))
 
 
+def stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    ts_col: str = "ts",
+    before: str = "1 hour",
+    after: str = "0 seconds",
+    watermark: str = "1 hour",
+    suffix: str = "_r",
+) -> DataFrame:
+    """Event-time interval join, mode-agnostic: right rows with event
+    time in ``[left - before, left + after]`` per key.
+
+    Streaming mode is a real stream-stream inner join: both sides get
+    watermarks, and the explicit time-range predicate is what lets Spark
+    bound the join state store (right rows expire once the left
+    watermark passes ``right + before``). Batch mode emits the same
+    logical plan — an equi-join on the key with a range condition — so
+    the batch result is the stream's correctness oracle.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l = ensure_event_time(left, ts_col, "_lt")
+    r = ensure_event_time(right, ts_col, "_rt")
+    if l.isStreaming:
+        l = l.withWatermark("_lt", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("_rt", watermark)
+    # rename the right side's keys and colliding columns: the time-range
+    # predicate must live IN the join condition (Spark derives the
+    # state-expiry watermark from it; a post-filter would leave the
+    # stream-stream state unbounded), so the join is by expression
+    for c in right.columns:
+        if c in keys:
+            r = r.withColumnRenamed(c, c + "__rk")
+        elif c in left.columns:
+            r = r.withColumnRenamed(c, c + suffix)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(k + "__rk"))
+    cond = cond & F.col("_rt").between(
+        F.col("_lt") - F.expr(f"INTERVAL {before}"),
+        F.col("_lt") + F.expr(f"INTERVAL {after}"),
+    )
+    out = l.join(r, cond, "inner")
+    return out.drop("_lt", "_rt", *[k + "__rk" for k in keys])
+
+
 # ------------------------------------------------------------------------
 # Custom stateful operator: per-key running totals
 # ------------------------------------------------------------------------

@@ -68,6 +68,26 @@ def test_sessionize_stream_matches_batch(spark, batch):
     assert rows(got, None) == rows(want, None)
 
 
+def test_stream_join_matches_batch(spark, batch):
+    from seafan_spark.streaming import stream_join
+
+    def build(l_src, r_src):
+        l = l_src.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        r = r_src.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"), "user_id", "ts"
+        )
+        j = stream_join(l, r, on="user_id", before="1 hour", after="0 seconds")
+        return j.select("event_id", "user_id", "click_id")
+
+    want = build(batch, batch)
+    sdf = build(read_events_stream(spark, EVENTS), read_events_stream(spark, EVENTS))
+    got = run_to_memory(sdf, "t_sjoin", output_mode="append")
+    assert rows(got, None) == rows(want, None)
+    assert want.count() > 0
+
+
 def test_sessionize_gap_semantics(spark):
     import datetime as dt
 

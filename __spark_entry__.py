@@ -328,6 +328,19 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen (llmops.dedup.contamination_check):
+    docs sharing >= 1 distinct 8-gram with a small benchmark set (here
+    doc_id < 5). Benchmark grams broadcast — the corpus never shuffles."""
+    from seafan_spark.llmops.dedup import contamination_check
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    bench = p.df.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_check(p, bench, n=8)
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (llmops.text.tfidf_top_terms):
     explode -> tf -> vocab df -> term join -> broadcast N -> window
@@ -923,6 +936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack": q_pack,
     "text_tokens": q_text_tokens,
     "winnow": q_winnow,
+    "contamination": q_contamination,
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "minhash_pairs": q_minhash_pairs,
@@ -1437,6 +1451,27 @@ ORACLES: dict[str, str] = {
          AND r.click_ts >= l.ts - INTERVAL 1 HOUR
          AND r.click_ts <= l.ts
         GROUP BY l.event_id, l.user_id
+    """,
+    "contamination": """
+        WITH norm AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+            FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+                             i -> array_to_string(list_slice(tk, i, i + 7), ' ')))
+                   END AS g
+            FROM norm
+        ), cg AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        bg AS (SELECT DISTINCT doc_id AS bench_id, unnest(g) AS gram
+               FROM grams WHERE doc_id < 5)
+        SELECT cg.doc_id, bg.bench_id,
+               CAST(COUNT(DISTINCT cg.gram) AS BIGINT) AS shared_ngrams
+        FROM cg JOIN bg USING (gram)
+        GROUP BY cg.doc_id, bg.bench_id
+        HAVING COUNT(DISTINCT cg.gram) >= 1
     """,
     "tfidf": """
         WITH norm AS (

@@ -348,6 +348,51 @@ def simhash_pairs(
 
 
 # ------------------------------------------------------- n-gram jaccard ----
+def contamination_check(
+    corpus,
+    benchmark,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing at
+    least ``min_shared`` distinct word ``n``-grams with any benchmark
+    document (the standard eval-decontamination screen, e.g. GPT-3
+    appendix C / PaLM-style 8-gram overlap).
+
+    Scale shape: the benchmark side is tiny (eval sets are thousands of
+    rows) — its exploded gram table is BROADCAST, so the corpus is never
+    shuffled at all: explode corpus grams -> broadcast hash join ->
+    per-(doc, bench) distinct-gram count. Returns one row per
+    contaminated (corpus doc, benchmark doc) pair with the overlap
+    count.
+    """
+    c = getattr(corpus, "df", corpus)
+    b = getattr(benchmark, "df", benchmark)
+    cg = c.select(
+        F.col(id_col).alias("_cid"),
+        F.explode(word_ngrams_col(F.col(text_col), n)).alias("_g"),
+    )
+    bg = b.select(
+        F.col(bench_id).alias("_bid"),
+        F.explode(word_ngrams_col(F.col(bench_text), n)).alias("_g"),
+    ).distinct()
+    hits = (
+        cg.join(F.broadcast(bg), "_g")
+        .groupBy("_cid", "_bid")
+        .agg(F.count_distinct("_g").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+    return hits.select(
+        F.col("_cid").alias(id_col),
+        F.col("_bid").alias(bench_id),
+        F.col("shared_ngrams").cast("bigint").alias("shared_ngrams"),
+    )
+
+
 def ngram_jaccard_pairs(
     pipe: Pipeline,
     id_col: str,

@@ -278,6 +278,29 @@ def test_winnow_fingerprints(spark):
     assert len(set(r2[0]) & set(r2[1])) > 0
 
 
+def test_contamination_check(spark):
+    from seafan_spark.llmops.dedup import contamination_check
+
+    bench_sent = "the seven wonders of the ancient world were built long ago"
+    corpus = vec_to_pipe(
+        spark,
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                f"intro text then {bench_sent} then more filler afterwards ok",
+                "completely unrelated content about cooking pasta with garlic and oil tonight",
+                bench_sent,  # verbatim copy
+            ],
+        },
+    )
+    bench = vec_to_pipe(spark, {"bench_id": [100], "text": [bench_sent]})
+    hits = contamination_check(corpus, bench, n=8).collect()
+    got = {(r["doc_id"], r["bench_id"]): r["shared_ngrams"] for r in hits}
+    assert (0, 100) in got and (2, 100) in got  # embedded + verbatim flagged
+    assert (1, 100) not in got  # unrelated doc clean
+    assert got[(2, 100)] >= got[(0, 100)]
+
+
 def test_repetition_ratio(spark):
     from seafan_spark.llmops.text import repetition_ratio_col
 

@@ -328,6 +328,38 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection of embeddings to 8 dims with deterministic
+    xxhash sign weights (llmops.similarity.random_projection_col) plus
+    L2 norms before/after — all JVM-side, no UDF, no shuffle. Hash
+    weights are engine-specific: rows-only check."""
+    from seafan_spark.llmops.similarity import (
+        l2_normalize_col,
+        random_projection_col,
+    )
+
+    p = _pipe(spark, sf_dir, "embeddings")
+    dim = len(p.df.select("embedding").first()[0])
+    proj = random_projection_col(F.col("embedding"), dim, 8)
+    return p.df.select(
+        "vec_id",
+        F.transform(proj, lambda x: F.round(x, 6)).alias("proj8"),
+        F.round(
+            F.sqrt(F.aggregate(proj, F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("proj_norm"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    l2_normalize_col(F.col("embedding")),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+            ),
+            6,
+        ).alias("unit_norm"),
+    )
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen (llmops.dedup.contamination_check):
     docs sharing >= 1 distinct 8-gram with a small benchmark set (here
@@ -936,6 +968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack": q_pack,
     "text_tokens": q_text_tokens,
     "winnow": q_winnow,
+    "embed_project": q_embed_project,
     "contamination": q_contamination,
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,

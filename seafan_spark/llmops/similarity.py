@@ -102,6 +102,61 @@ def hyperplane_bucket_col(vec: Column, planes: int = 16, seed: int = 42) -> Colu
     return F.concat(*bits)
 
 
+def l2_normalize_col(vec: Column) -> Column:
+    """Unit-L2-normalized copy of an array<numeric> column (zero vectors
+    pass through unchanged). Pure JVM higher-order functions."""
+    nrm = F.sqrt(
+        F.aggregate(
+            vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    return F.when(nrm == 0.0, vec.cast("array<double>")).otherwise(
+        F.transform(vec, lambda x: x.cast("double") / nrm)
+    )
+
+
+def mean_pool_col(vecs: Column) -> Column:
+    """Element-wise mean of an array<array<numeric>> column (token- or
+    chunk-embedding pooling). Empty input -> NULL."""
+    n = F.size(vecs)
+    summed = F.aggregate(
+        F.slice(vecs, 2, F.greatest(n - 1, F.lit(0))),
+        F.element_at(vecs, 1).cast("array<double>"),
+        lambda acc, v: F.zip_with(acc, v, lambda a, x: a + x.cast("double")),
+    )
+    return F.when(n == 0, F.lit(None)).otherwise(
+        F.transform(summed, lambda x: x / n.cast("double"))
+    )
+
+
+def random_projection_col(
+    vec: Column, in_dim: int, out_dim: int, seed: int = 42
+) -> Column:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` using the
+    same deterministic xxhash64 pseudo-Gaussian weights as the LSH
+    bucketer — no stored model, reproducible across runs/engines, and
+    the whole O(in_dim x out_dim) contraction stays JVM-side (codegen),
+    no UDF, no shuffle. Output scaled by 1/sqrt(out_dim) so expected
+    norms are preserved (sign-weight JL variant, Achlioptas 2003)."""
+    scale = 1.0 / (out_dim ** 0.5)
+    comps = []
+    for j in range(out_dim):
+        acc = F.lit(0.0)
+        terms = F.zip_with(
+            vec,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(in_dim - 1)),
+                lambda i, jj=j: F.when(
+                    F.pmod(F.xxhash64(i, F.lit(jj), F.lit(seed)), 2) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            lambda x, w: x.cast("double") * w,
+        )
+        comps.append(F.aggregate(terms, F.lit(0.0), lambda a, x: a + x) * F.lit(scale))
+    return F.array(*comps)
+
+
 def ann_ivf_topk(
     pipe: Pipeline,
     id_col: str,

@@ -399,6 +399,18 @@ class Pipeline:
         """Collect one column in pipeline order (test/diagnostic helper)."""
         return [r[0] for r in self.ordered_df().select(name).collect()]
 
+    def iter_rows(self, prefetch: bool = True):
+        """Row-wise reader in pipeline order (GData's GetRow role,
+        gdata.go:470-493): yields Rows one at a time WITHOUT collecting
+        the pipeline — ``toLocalIterator`` streams one partition at a
+        time to the driver, so peak driver memory is one partition, not
+        the dataset. For bulk export prefer the parquet sink; this is
+        the escape hatch for row-at-a-time consumers."""
+        clean = self.ordered_df().drop(
+            *[c for c in self.df.columns if c.startswith("_")]
+        )
+        return clean.toLocalIterator(prefetchPartitions=prefetch)
+
     def spread(self, *keys: str) -> "Pipeline":
         """Ensure at least default-parallelism partitions before CPU-heavy
         per-row column work (regex, shingling). A single small parquet file

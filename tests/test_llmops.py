@@ -184,6 +184,48 @@ def test_ivf_topk_recall(vec_pipe):
     assert (0, 50) in rows  # identical twin lands in the same cell
 
 
+def test_embedding_utils(spark):
+    import numpy as np
+
+    from seafan_spark.llmops.similarity import (
+        l2_normalize_col,
+        mean_pool_col,
+        random_projection_col,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = [[float(x) for x in rng.normal(size=16)] for _ in range(40)]
+    p = vec_to_pipe(spark, {"i": list(range(40))})
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["i", "v"]
+    )
+    norm = df.select("i", l2_normalize_col(F.col("v")).alias("nv")).collect()
+    for r in norm:
+        assert abs(sum(x * x for x in r["nv"]) - 1.0) < 1e-9
+    # zero vector passes through
+    z = spark.createDataFrame([(0, [0.0] * 4)], ["i", "v"])
+    assert z.select(l2_normalize_col(F.col("v"))).collect()[0][0] == [0.0] * 4
+
+    pooled = spark.createDataFrame(
+        [(0, [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])], ["i", "vs"]
+    ).select(mean_pool_col(F.col("vs")).alias("m")).collect()[0]["m"]
+    assert pooled == [3.0, 4.0]
+
+    proj = df.select("i", random_projection_col(F.col("v"), 16, 4).alias("pv")).collect()
+    mat = {r["i"]: r["pv"] for r in proj}
+    assert all(len(v) == 4 for v in mat.values())
+    # determinism across evaluations
+    proj2 = df.select("i", random_projection_col(F.col("v"), 16, 4).alias("pv")).collect()
+    assert mat == {r["i"]: r["pv"] for r in proj2}
+    # JL property: norms roughly preserved on average (loose bound)
+    import statistics
+
+    ratios = [
+        sum(x * x for x in mat[i]) / sum(x * x for x in vecs[i]) for i in range(40)
+    ]
+    assert 0.5 < statistics.mean(ratios) < 1.5
+
+
 def test_embedding_neardup(vec_pipe):
     pipe, ids, vecs = vec_pipe
     pairs = embedding_neardup_pairs(pipe, "vec_id", "embedding", threshold=0.99, planes=8)

@@ -139,3 +139,13 @@ def test_join_left_wins_dup_columns(spark):
     j = left.join(right, "k", "inner")
     assert sorted(j.field_list()) == ["k", "v", "w"]
     assert sorted(j.collect_field("v")) == [1.0, 2.0]  # left wins
+
+
+def test_iter_rows_streams_in_order(spark):
+    from seafan_spark.sources import vec_to_pipe
+
+    p = vec_to_pipe(spark, {"a": list(range(100)), "b": [i * 2.0 for i in range(100)]})
+    got = [(r["a"], r["b"]) for r in p.iter_rows()]
+    assert got == [(i, i * 2.0) for i in range(100)]
+    first = next(iter(p.iter_rows()))
+    assert not any(c.startswith("_") for c in first.asDict())  # internals hidden

@@ -328,6 +328,45 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join (skew.salted_join): events (hot keys:
+    5 event_types) x a tiny type-dim replicated per salt — result
+    identical to the plain join, which is the oracle."""
+    from seafan_spark.skew import salted_join
+
+    ev = _pipe(spark, sf_dir, "events").df.select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "type_code",
+            F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast("bigint"),
+        )
+    )
+    j = salted_join(ev, dim, "event_type", salt=8)
+    return j.select("event_id", "event_type", "type_code")
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over the skewed event_type key
+    (skew.salted_groupby) — algebraic partials re-merge losslessly, so
+    the plain GROUP BY is the oracle."""
+    from seafan_spark.skew import salted_groupby
+
+    ev = _pipe(spark, sf_dir, "events").df
+    out = salted_groupby(
+        ev,
+        "event_type",
+        {"n": ("count", "value"), "sum_v": ("sum", "value"),
+         "max_v": ("max", "value"), "avg_v": ("avg", "value")},
+        salt=16,
+    )
+    return out.select(
+        "event_type", "n", F.round("sum_v", 4).alias("sum_v"),
+        "max_v", F.round("avg_v", 6).alias("avg_v"),
+    )
+
+
 def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection of embeddings to 8 dims with deterministic
     xxhash sign weights (llmops.similarity.random_projection_col) plus
@@ -968,6 +1007,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack": q_pack,
     "text_tokens": q_text_tokens,
     "winnow": q_winnow,
+    "salted_join": q_salted_join,
+    "salted_agg": q_salted_agg,
     "embed_project": q_embed_project,
     "contamination": q_contamination,
     "tfidf": q_tfidf,
@@ -1484,6 +1525,24 @@ ORACLES: dict[str, str] = {
          AND r.click_ts >= l.ts - INTERVAL 1 HOUR
          AND r.click_ts <= l.ts
         GROUP BY l.event_id, l.user_id
+    """,
+    "salted_join": """
+        WITH dim AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(event_type), 1, 8)) AS UBIGINT) AS type_code
+            FROM events
+        )
+        SELECT e.event_id, e.event_type, CAST(d.type_code AS BIGINT) AS type_code
+        FROM events e JOIN dim d USING (event_type)
+    """,
+    "salted_agg": """
+        SELECT event_type,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               ROUND(SUM(value), 4) AS sum_v,
+               MAX(value) AS max_v,
+               ROUND(AVG(value), 6) AS avg_v
+        FROM events
+        GROUP BY event_type
     """,
     "contamination": """
         WITH norm AS (

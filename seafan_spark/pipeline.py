@@ -233,14 +233,15 @@ class Pipeline:
     def join(
         self,
         right: "Pipeline",
-        on_field: str,
+        on_field: str | Sequence[str],
         how: str = "inner",
         broadcast_right: bool = False,
     ) -> "Pipeline":
-        """Single-key equi join with the reference's semantics
-        (gdata.go:1168-1296):
+        """Equi join with the reference's semantics (gdata.go:1168-1296);
+        the reference is single-key, a key LIST is the composite-key
+        scale generalization:
 
-        - key must exist under the same name on both sides, same type,
+        - keys must exist under the same name on both sides, same type,
           float keys rejected (joinCheck, gdata.go:1486-1500);
         - right's copies of duplicate non-key fields are dropped — left wins
           (gdata.go:1216-1224);
@@ -255,15 +256,20 @@ class Pipeline:
         how = {"full": "outer"}.get(how, how)
         if how not in ("inner", "left", "right", "outer"):
             raise JoinError(f"join: unknown join type {how!r}")
-        for side, p in (("left", self), ("right", right)):
-            if on_field not in p.df.columns:
-                raise JoinError(f"join: {side} side missing key {on_field!r}")
-        lt = dict(self.df.dtypes)[on_field]
-        rt = dict(right.df.dtypes)[on_field]
-        if lt in ("float", "double") or rt in ("float", "double"):
-            raise JoinError("join: float keys are not allowed")
-        if lt != rt:
-            raise JoinError(f"join: key type mismatch {lt} vs {rt}")
+        keys = [on_field] if isinstance(on_field, str) else list(on_field)
+        if not keys:
+            raise JoinError("join: need at least one key")
+        for key in keys:
+            for side, p in (("left", self), ("right", right)):
+                if key not in p.df.columns:
+                    raise JoinError(f"join: {side} side missing key {key!r}")
+            lt = dict(self.df.dtypes)[key]
+            rt = dict(right.df.dtypes)[key]
+            if lt in ("float", "double") or rt in ("float", "double"):
+                raise JoinError("join: float keys are not allowed")
+            if lt != rt:
+                raise JoinError(f"join: key type mismatch {lt} vs {rt}")
+        on_field = keys[0]  # single-key paths below use the first key
 
         def strip(p: "Pipeline") -> DataFrame:
             d = p.df
@@ -274,14 +280,14 @@ class Pipeline:
             return d.drop(*drops) if drops else d
 
         ld, rd = strip(self), strip(right)
-        dup = [c for c in rd.columns if c != on_field and c in ld.columns]
+        dup = [c for c in rd.columns if c not in keys and c in ld.columns]
         rd = rd.drop(*dup) if dup else rd
         if broadcast_right:
             rd = F.broadcast(rd)
-        joined = ld.join(rd, on=on_field, how=how)
+        joined = ld.join(rd, on=keys, how=how)
 
-        left_cols = [c for c in ld.columns if c != on_field]
-        right_cols = [c for c in rd.columns if c != on_field]
+        left_cols = [c for c in ld.columns if c not in keys]
+        right_cols = [c for c in rd.columns if c not in keys]
         fill_left = how in ("right", "outer")
         fill_right = how in ("left", "outer")
         if fill_left or fill_right:

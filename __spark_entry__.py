@@ -328,6 +328,27 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab (agg.pivot_table): per user-id-bucket sum of value
+    by event_type, explicit level list (no discovery scan)."""
+    from seafan_spark.agg import pivot_table
+
+    p = _pipe(spark, sf_dir, "events")
+    p = p._derive(p.df.withColumn("user_bucket", (F.col("user_id") % 10).cast("int")))
+    out = pivot_table(
+        p,
+        "user_bucket",
+        "event_type",
+        F.round(F.sum("value"), 4),
+        values=["click", "error", "purchase", "signup", "view"],
+    )
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(f"sum_{c}") for c in
+          ("click", "error", "purchase", "signup", "view")],
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigating salted join (skew.salted_join): events (hot keys:
     5 event_types) x a tiny type-dim replicated per salt — result
@@ -1007,6 +1028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack": q_pack,
     "text_tokens": q_text_tokens,
     "winnow": q_winnow,
+    "pivot": q_pivot,
     "salted_join": q_salted_join,
     "salted_agg": q_salted_agg,
     "embed_project": q_embed_project,
@@ -1525,6 +1547,16 @@ ORACLES: dict[str, str] = {
          AND r.click_ts >= l.ts - INTERVAL 1 HOUR
          AND r.click_ts <= l.ts
         GROUP BY l.event_id, l.user_id
+    """,
+    "pivot": """
+        SELECT CAST(user_id % 10 AS INTEGER) AS user_bucket,
+               ROUND(COALESCE(SUM(CASE WHEN event_type='click' THEN value END), 0), 4) AS sum_click,
+               ROUND(COALESCE(SUM(CASE WHEN event_type='error' THEN value END), 0), 4) AS sum_error,
+               ROUND(COALESCE(SUM(CASE WHEN event_type='purchase' THEN value END), 0), 4) AS sum_purchase,
+               ROUND(COALESCE(SUM(CASE WHEN event_type='signup' THEN value END), 0), 4) AS sum_signup,
+               ROUND(COALESCE(SUM(CASE WHEN event_type='view' THEN value END), 0), 4) AS sum_view
+        FROM events
+        GROUP BY user_id % 10
     """,
     "salted_join": """
         WITH dim AS (

@@ -110,6 +110,29 @@ def group_by(pipe: Pipeline, keys: Sequence[str], aggs: dict[str, Column]) -> Da
     return pipe.df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
 
 
+def pivot_table(
+    pipe: Pipeline,
+    index: Sequence[str] | str,
+    pivot_col: str,
+    agg: Column,
+    values: Sequence[str] | None = None,
+) -> DataFrame:
+    """Crosstab/pivot: one output column per ``pivot_col`` level, filled
+    with ``agg`` over each (index, level) cell.
+
+    Pass ``values`` explicitly at scale: it skips the extra
+    distinct-scan Spark otherwise runs to discover levels, fixes the
+    output schema for streaming/incremental use, and caps width (a
+    pivot over an unbounded-cardinality column is a schema explosion —
+    the same reason the reference's slicer requires declared levels).
+    Nulls in empty cells are the caller's contract (coalesce after if
+    defaults are wanted)."""
+    idx = [index] if isinstance(index, str) else list(index)
+    g = pipe.df.groupBy(*idx)
+    p = g.pivot(pivot_col, list(values)) if values is not None else g.pivot(pivot_col)
+    return p.agg(agg)
+
+
 def summary(pipe: Pipeline, aggs: dict[str, Column]) -> dict[str, Any]:
     """Whole-table summary scalars in one pass (EvalSFunction family,
     parser.go:726-792)."""

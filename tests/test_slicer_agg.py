@@ -72,3 +72,25 @@ def test_describe_quantiles(sl_pipe):
     assert d["x1"]["n"] == 7
     assert d["x1"]["quantiles"][0] == 1.0 and d["x1"]["quantiles"][-1] == 10.0
     assert d["x2"]["levels"][0] == ("a", 5)
+
+
+def test_pivot_table(spark):
+    from seafan_spark.agg import pivot_table
+    from seafan_spark.sources import vec_to_pipe
+    from pyspark.sql import functions as F
+
+    p = vec_to_pipe(
+        spark,
+        {
+            "g": [1, 1, 2, 2, 2],
+            "cat": ["a", "b", "a", "a", "b"],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+        },
+    )
+    out = pivot_table(p, "g", "cat", F.sum("v"), values=["a", "b"])
+    rows = {r["g"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: (1.0, 2.0), 2: (7.0, 5.0)}
+    # explicit values fix the schema even for absent levels
+    out2 = pivot_table(p, "g", "cat", F.sum("v"), values=["a", "b", "zzz"])
+    assert out2.columns == ["g", "a", "b", "zzz"]
+    assert all(r["zzz"] is None for r in out2.collect())

@@ -488,21 +488,20 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (temporal.asof_join): each purchase event matched to
     the same user's most recent click at-or-before it. Union+window
     plan — one shuffle, no range explosion; oracled against DuckDB's
-    native ASOF LEFT JOIN. Times projected as epoch-micros (ns div 1000
-    == DuckDB's ns->us truncating read)."""
-    from seafan_spark.temporal import asof_join
+    native ASOF LEFT JOIN. Times projected as epoch-micros
+    (temporal.epoch_us_col adapts to nanos-bigint / NTZ / timestamp
+    forms of ts, always landing in DuckDB's us domain)."""
+    from seafan_spark.temporal import asof_join, epoch_us_col
 
     ev = _pipe(spark, sf_dir, "events").df
-    # truncate ns->us BEFORE joining: DuckDB reads TIMESTAMP(NANOS) at us
-    # precision, so comparing in the us domain keeps boundary ties
-    # engine-identical (events DO carry sub-us components)
+    us = epoch_us_col(ev, "ts")
     l = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+        "event_id", "user_id", us.alias("ts_us")
     )
     r = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         "user_id",
-        F.expr("ts div 1000").alias("click_ts_us"),
+        us.alias("click_ts_us"),
     )
     return asof_join(l, r, on="user_id", left_time="ts_us", right_time="click_ts_us")
 
@@ -511,18 +510,19 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join (temporal.range_join): clicks within the hour before
     each purchase by the same user, aggregated per purchase. Bucketed
     equi-join — Catalyst never sees an inequality-only join."""
-    from seafan_spark.temporal import range_join
+    from seafan_spark.temporal import epoch_us_col, range_join
 
     ev = _pipe(spark, sf_dir, "events").df
     hour_us = 3_600 * 1_000_000
     # us-domain times for exact parity with the DuckDB oracle (see q_asof)
+    us = epoch_us_col(ev, "ts")
     l = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us")
+        "event_id", "user_id", us.alias("ts_us")
     )
     r = ev.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         "user_id",
-        F.expr("ts div 1000").alias("click_ts_us"),
+        us.alias("click_ts_us"),
         F.col("value").alias("click_value"),
     )
     j = range_join(l, r, on="user_id", left_time="ts_us", right_time="click_ts_us",

@@ -14,7 +14,21 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
-from seafan_spark.session import get_session
+
+
+def vanilla_session():
+    """A session like the correctness driver's: NO engine defaults, in
+    particular no nanosAsLong — read paths must be self-sufficient."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName("oracle-check-vanilla")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -49,7 +63,7 @@ def frame_key(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_session("oracle-check")
+    spark = vanilla_session()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

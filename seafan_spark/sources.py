@@ -39,7 +39,7 @@ from seafan_spark.ftypes import FRole, FType, FTypes
 
 RID = "_rid"
 
-_CAT_SPARK_TYPES = (T.StringType, T.DateType, T.TimestampType, T.BooleanType)
+_CAT_SPARK_TYPES = (T.StringType, T.DateType, T.TimestampType, T.TimestampNTZType, T.BooleanType)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

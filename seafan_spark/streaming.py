@@ -32,21 +32,20 @@ EVENT_TIME = "_event_time"
 def ensure_event_time(df: DataFrame, ts_col: str = "ts", out: str = EVENT_TIME) -> DataFrame:
     """Attach a TimestampType event-time column.
 
-    Handles both a native timestamp ``ts`` and the bigint-nanoseconds form
-    produced by ``spark.sql.legacy.parquet.nanosAsLong`` (pandas-written
-    parquet): nanoseconds floor-divide to microseconds, matching what
-    DuckDB/pandas see.
+    Handles a native timestamp, TIMESTAMP_NTZ (parquet micros with
+    isAdjustedToUTC=false), and the bigint-nanoseconds form produced by
+    ``spark.sql.legacy.parquet.nanosAsLong`` — all converted to the same
+    UTC instant DuckDB/pandas see (``temporal.epoch_us_col``).
     """
+    from seafan_spark.temporal import epoch_us_col
+
     dt = df.schema[ts_col].dataType
     if isinstance(dt, T.TimestampType):
         c = F.col(ts_col)
-    elif isinstance(dt, (T.LongType, T.IntegerType)):
-        # exact integer floor-division: epoch-nanos (~1.7e18) exceed a
-        # double's 53-bit mantissa, so `/ 1000` through float could drift
-        # ~1µs near window boundaries
-        c = F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
     else:
-        raise TypeError(f"ensure_event_time: {ts_col} has unsupported type {dt}")
+        # bigint nanos or TIMESTAMP_NTZ -> exact epoch-micros (TZ-free,
+        # wall time treated as UTC like DuckDB/pandas) -> instant
+        c = F.timestamp_micros(epoch_us_col(df, ts_col))
     return df.withColumn(out, c)
 
 

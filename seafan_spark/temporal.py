@@ -32,6 +32,34 @@ def _df(x) -> DataFrame:
     return getattr(x, "df", x)
 
 
+def epoch_us_col(df: DataFrame, col: str) -> Column:
+    """Epoch-microseconds (bigint) from whatever form an event-time column
+    arrives in — the corpus has shipped ``events.ts`` both as parquet
+    TIMESTAMP(NANOS) (read as bigint nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and as TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (read as TIMESTAMP_NTZ):
+
+    - bigint/int: treated as epoch **nanoseconds**, exact integer
+      floor-division to micros (epoch-nanos exceed a double's 53-bit
+      mantissa, so ``/ 1000`` through float could drift ~1µs);
+    - TIMESTAMP_NTZ: ``timestampdiff(MICROSECOND, epoch, ts)`` — wall
+      time treated as UTC, independent of the session time zone (a
+      plain ``cast`` + ``unix_micros`` would shift by the TZ offset),
+      matching how DuckDB/pandas read the same file;
+    - TIMESTAMP: ``unix_micros`` (an instant; TZ-free by definition).
+    """
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return F.expr(f"`{col}` div 1000")
+    if isinstance(dt, T.TimestampNTZType):
+        return F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', `{col}`)")
+    if isinstance(dt, T.TimestampType):
+        return F.unix_micros(F.col(col))
+    raise TypeError(f"epoch_us_col: {col} has unsupported type {dt}")
+
+
 def asof_join(
     left,
     right,

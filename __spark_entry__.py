@@ -389,10 +389,12 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JL random projection of embeddings to 8 dims with deterministic
-    xxhash sign weights (llmops.similarity.random_projection_col) plus
-    L2 norms before/after — all JVM-side, no UDF, no shuffle. Hash
-    weights are engine-specific: rows-only check."""
+    """JL random projection of embeddings to 8 dims with driver-generated
+    ±1 sign weights inlined as literals
+    (llmops.similarity.random_projection_col) plus L2 norms before/after
+    — all JVM-side, no UDF, no shuffle. The literal weight table makes
+    this hash-checkable against a DuckDB twin using the same weights
+    (jl_sign_weights)."""
     from seafan_spark.llmops.similarity import (
         l2_normalize_col,
         random_projection_col,
@@ -403,7 +405,7 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = random_projection_col(F.col("embedding"), dim, 8)
     return p.df.select(
         "vec_id",
-        F.transform(proj, lambda x: F.round(x, 6)).alias("proj8"),
+        *[F.round(proj[j], 6).alias(f"p{j}") for j in range(8)],
         F.round(
             F.sqrt(F.aggregate(proj, F.lit(0.0), lambda a, x: a + x * x)), 6
         ).alias("proj_norm"),
@@ -866,7 +868,8 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-k (llmops.similarity).
-    Hash-bucketed — rows-only check."""
+    Literal ±1 hyperplane weights — hash-checked against a DuckDB twin
+    that buckets with the same weight table."""
     from seafan_spark.llmops.similarity import ann_lsh_topk
 
     p = _pipe(spark, sf_dir, "embeddings")
@@ -965,7 +968,9 @@ def q_model_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payloads + typed metadata +
-    mapInPandas feature extraction (stubbed decoder — rows-only check)."""
+    mapInPandas feature extraction. The decoder is the documented
+    deterministic md5 fake, which makes the full Arrow plumbing
+    hash-checkable against a DuckDB twin of the digest arithmetic."""
     from seafan_spark.llmops.multimodal import attach_media_metadata, extract_image_features
 
     p = _pipe(spark, sf_dir, "documents").spread("doc_id")
@@ -1695,7 +1700,105 @@ ORACLES: dict[str, str] = {
                     END AS BIGINT) AS bpe_tokens
         FROM documents
     """,
+    # The image "decoder" is the documented deterministic fake
+    # (multimodal._fake_decode_image): dims/luma derived from the md5
+    # digest of the payload (utf-8 text bytes). md5 is engine-portable, so
+    # the mapInPandas plumbing itself is hash-checked end-to-end: digest
+    # byte i == ('0x' || substr(md5hex, 2i+1, 2))::INT.
+    "multimodal": """
+        WITH d AS (SELECT doc_id, text, md5(text) AS h FROM documents)
+        SELECT doc_id,
+               64 + (('0x' || substr(h, 1, 2))::INT % 192) AS height,
+               64 + (('0x' || substr(h, 3, 2))::INT % 192) AS width,
+               3 AS channels,
+               ROUND((  ('0x' || substr(h,  5, 2))::INT
+                      + ('0x' || substr(h,  7, 2))::INT
+                      + ('0x' || substr(h,  9, 2))::INT
+                      + ('0x' || substr(h, 11, 2))::INT
+                      + ('0x' || substr(h, 13, 2))::INT
+                      + ('0x' || substr(h, 15, 2))::INT
+                      + ('0x' || substr(h, 17, 2))::INT
+                      + ('0x' || substr(h, 19, 2))::INT) / 2040.0, 6) AS mean_luma,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM d
+    """,
 }
+
+
+def _embed_project_oracle(dim: int = 64, out_dim: int = 8, seed: int = 42) -> str:
+    """DuckDB twin of q_embed_project: the SAME ±1 literal weight table
+    (similarity.jl_sign_weights) inlined into SQL — the projection is
+    pure arithmetic on both engines, so values hash-match at round-6."""
+    from seafan_spark.llmops.similarity import jl_sign_weights
+
+    ws = jl_sign_weights(dim, out_dim, seed)
+    scale = 1.0 / (out_dim ** 0.5)
+
+    def lit(w: list[float]) -> str:
+        return "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+
+    dcols = ",\n                   ".join(
+        f"list_dot_product(e, {lit(ws[j])}) * {scale!r} AS d{j}" for j in range(out_dim)
+    )
+    psq = " + ".join(f"d{j}*d{j}" for j in range(out_dim))
+    pcols = ", ".join(f"ROUND(d{j}, 6) AS p{j}" for j in range(out_dim))
+    return f"""
+        WITH e0 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), d AS (
+            SELECT vec_id, e,
+                   {dcols},
+                   sqrt(list_dot_product(e, e)) AS nrm
+            FROM e0
+        )
+        SELECT vec_id, {pcols},
+               ROUND(sqrt({psq}), 6) AS proj_norm,
+               CASE WHEN nrm = 0 THEN 0.0
+                    ELSE ROUND(sqrt(list_dot_product(list_transform(e, x -> x / nrm),
+                                                     list_transform(e, x -> x / nrm))), 6)
+               END AS unit_norm
+        FROM d
+    """
+
+
+ORACLES["embed_project"] = _embed_project_oracle()
+
+
+def _ann_lsh_oracle(dim: int = 64, planes: int = 8, k: int = 5, seed: int = 42) -> str:
+    """DuckDB twin of q_ann_lsh: hyperplane bucket bits from the SAME ±1
+    literal weights (similarity.hyperplane_weights), bucket self-join,
+    exact cosine, window top-k."""
+    from seafan_spark.llmops.similarity import hyperplane_weights
+
+    ws = hyperplane_weights(planes, dim, seed)
+
+    def lit(w: list[float]) -> str:
+        return "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(e, {lit(ws[p])}) >= 0 THEN '1' ELSE '0' END)"
+        for p in range(planes)
+    )
+    return f"""
+        WITH d AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), b AS (
+            SELECT vec_id, e, {bits} AS bkt FROM d
+        ), s AS (
+            SELECT a.vec_id AS q_id, c.vec_id AS neighbor_id,
+                   list_cosine_similarity(a.e, c.e) AS cos
+            FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id != c.vec_id
+        ), r AS (
+            SELECT q_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM s
+        )
+        SELECT q_id, neighbor_id, ROUND(cos, 6) AS cosine, CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= {k}
+    """
+
+
+ORACLES["ann_lsh"] = _ann_lsh_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -546,6 +546,7 @@ def embedding_neardup_pairs(
         return pairs.select(
             "id_a", "id_b", F.round("cosine", 6).alias("cosine")
         )
+    dim = len(raw.select("_raw").first()[0])
     staged = raw.select(
         "_id",
         "_raw",
@@ -554,7 +555,7 @@ def embedding_neardup_pairs(
     d = staged.select(
         "_id",
         F.transform(F.col("_raw"), lambda x: x.cast("double") / F.col("_n")).alias("_v"),
-        hyperplane_bucket_col(F.col("_raw"), planes=planes, seed=seed).alias("_bkt"),
+        hyperplane_bucket_col(F.col("_raw"), dim, planes=planes, seed=seed).alias("_bkt"),
     )
     a = d.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bkt")
     b = d.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_bkt")

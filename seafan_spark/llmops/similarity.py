@@ -10,19 +10,39 @@
   against their own bucket (recall < 1, tunable via ``planes``; multi-probe
   by flipping bits is the standard extension).
 
-Hyperplane projections use deterministic per-(dimension, plane) xxhash64
-pseudo-weights, so buckets are reproducible across runs and engines with
-no stored model.
+Hyperplane and JL projections use deterministic ±1 sign weights generated
+driver-side (seeded Mersenne Twister) and inlined as plan literals: no
+stored model, identical across executors/runs, and — because the weights
+are plain literals, not engine hash functions — any engine given the same
+weight table (``jl_sign_weights`` / ``hyperplane_weights``) reproduces the
+results exactly, which is how the DuckDB oracle checks these paths.
 """
 
 from __future__ import annotations
 
+import random
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seafan_spark.pipeline import Pipeline
+
+
+def _sign_matrix(rows: int, cols: int, seed_key: str) -> list[list[float]]:
+    rng = random.Random(seed_key)
+    return [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(cols)] for _ in range(rows)]
+
+
+def jl_sign_weights(in_dim: int, out_dim: int, seed: int = 42) -> list[list[float]]:
+    """The JL projection's ±1 weight matrix (out_dim x in_dim) — exposed so
+    external twins (e.g. a SQL oracle) can inline identical weights."""
+    return _sign_matrix(out_dim, in_dim, f"jl:{in_dim}:{out_dim}:{seed}")
+
+
+def hyperplane_weights(planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """The LSH hyperplane ±1 weight matrix (planes x dim)."""
+    return _sign_matrix(planes, dim, f"hp:{planes}:{dim}:{seed}")
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -84,19 +104,20 @@ def ann_brute_topk(
     )
 
 
-def hyperplane_bucket_col(vec: Column, planes: int = 16, seed: int = 42) -> Column:
-    """LSH bucket key: sign bits of ``planes`` pseudo-random projections.
+def hyperplane_bucket_col(vec: Column, dim: int, planes: int = 16, seed: int = 42) -> Column:
+    """LSH bucket key: sign bits of ``planes`` pseudo-random ±1-weighted
+    projections (``hyperplane_weights``, inlined literals — the whole
+    O(planes x dim) contraction is codegen'd JVM arithmetic, no hash calls
+    in the row loop, no stored model)."""
+    ws = hyperplane_weights(planes, dim, seed)
 
-    Weight w[p][d] = (xxhash64(p, d, seed) % 1001 - 500)/500 — a cheap
-    deterministic surrogate for N(0,1) weights, computed inline (no stored
-    model, identical across executors)."""
     def proj(p: int) -> Column:
-        prods = F.transform(
+        terms = F.zip_with(
             vec,
-            lambda v, i: v.cast("double")
-            * ((F.pmod(F.xxhash64(F.lit(p), i, F.lit(seed)), F.lit(1001)) - 500) / 500.0),
+            F.array(*[F.lit(w) for w in ws[p]]),
+            lambda x, w: x.cast("double") * w,
         )
-        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
     bits = [F.when(proj(p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(planes)]
     return F.concat(*bits)
@@ -132,25 +153,20 @@ def mean_pool_col(vecs: Column) -> Column:
 def random_projection_col(
     vec: Column, in_dim: int, out_dim: int, seed: int = 42
 ) -> Column:
-    """Johnson-Lindenstrauss random projection to ``out_dim`` using the
-    same deterministic xxhash64 pseudo-Gaussian weights as the LSH
-    bucketer — no stored model, reproducible across runs/engines, and
-    the whole O(in_dim x out_dim) contraction stays JVM-side (codegen),
-    no UDF, no shuffle. Output scaled by 1/sqrt(out_dim) so expected
-    norms are preserved (sign-weight JL variant, Achlioptas 2003)."""
+    """Johnson-Lindenstrauss random projection to ``out_dim`` using
+    driver-generated ±1 sign weights (``jl_sign_weights``, inlined
+    literals) — no stored model, reproducible across runs AND engines,
+    and the whole O(in_dim x out_dim) contraction stays JVM-side
+    (codegen), no UDF, no shuffle. Output scaled by 1/sqrt(out_dim) so
+    expected norms are preserved (sign-weight JL variant, Achlioptas
+    2003)."""
     scale = 1.0 / (out_dim ** 0.5)
+    ws = jl_sign_weights(in_dim, out_dim, seed)
     comps = []
     for j in range(out_dim):
-        acc = F.lit(0.0)
         terms = F.zip_with(
             vec,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(in_dim - 1)),
-                lambda i, jj=j: F.when(
-                    F.pmod(F.xxhash64(i, F.lit(jj), F.lit(seed)), 2) == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
+            F.array(*[F.lit(w) for w in ws[j]]),
             lambda x, w: x.cast("double") * w,
         )
         comps.append(F.aggregate(terms, F.lit(0.0), lambda a, x: a + x) * F.lit(scale))
@@ -248,10 +264,12 @@ def ann_lsh_topk(
     """Approximate all-pairs top-k: bucket by hyperplane signature, exact
     cosine within each bucket. The join key is the bucket — no cross
     product across buckets. Expected bucket size n/2^planes controls cost."""
-    d = pipe.df.select(
+    df = pipe.df
+    dim = len(df.select(vec_col).first()[0])
+    d = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        hyperplane_bucket_col(F.col(vec_col), planes, seed).alias("_bkt"),
+        hyperplane_bucket_col(F.col(vec_col), dim, planes, seed).alias("_bkt"),
     )
     a = d.select(F.col("_id").alias("q_id"), F.col("_v").alias("qv"), "_bkt")
     b = d.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("nv"), "_bkt")

@@ -316,7 +316,8 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (SIGMOD'03) per document: fingerprint-set
     size and min fingerprint (llmops.text.winnow_fingerprints_col).
-    xxhash64 values are engine-specific — driver records rows-only."""
+    Portable 60-bit md5 gram hashes — hash-checked against a DuckDB twin
+    of the window-min winnowing."""
     from seafan_spark.llmops import text as tx
 
     p = _pipe(spark, sf_dir, "documents").spread("doc_id")
@@ -584,7 +585,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (llmops.dedup.minhash_pairs).
-    Hash-based — no SQL oracle; the driver records a rows-only check."""
+    Portable md5-based shingle hashes + literal mixer constants — the
+    DuckDB twin reproduces signatures, banding, and est_jaccard exactly."""
     from seafan_spark.llmops.dedup import minhash_pairs
 
     p = _pipe(spark, sf_dir, "documents")
@@ -593,13 +595,14 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-duplicate pairs (llmops.dedup.simhash_pairs).
-    Hash-based — rows-only check."""
+    Portable 60-bit md5 base hashes — bit-identical signatures in the
+    DuckDB twin (majority votes, chunk join, bit_count hamming)."""
     from seafan_spark.llmops.dedup import simhash_pairs
 
     p = _pipe(spark, sf_dir, "documents")
-    # 64-bit sig, 4 chunks of 16 bits: pigeonhole-complete for hamming<=3
-    # with 65k-value band keys (no coarse-bucket candidate blowup)
-    return simhash_pairs(p, "doc_id", "text", bits=64, chunks=4, max_hamming=3)
+    # 60-bit sig, 4 chunks of 15 bits: pigeonhole-complete for hamming<=3
+    # with 32k-value band keys (no coarse-bucket candidate blowup)
+    return simhash_pairs(p, "doc_id", "text", bits=60, chunks=4, max_hamming=3)
 
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1799,6 +1802,133 @@ def _ann_lsh_oracle(dim: int = 64, planes: int = 8, k: int = 5, seed: int = 42) 
 
 
 ORACLES["ann_lsh"] = _ann_lsh_oracle()
+
+# Shared DuckDB twin of llmops.text norm_text_col + shingles_col (k=5) +
+# the portable 60-bit md5 hash (text.hash60_col).
+_SHINGLE_CTE = """
+        nt AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN length(t) <= 5 THEN [t]
+                        ELSE list_distinct(list_transform(range(1, length(t) - 5 + 2),
+                                                          i -> substr(t, i, 5)))
+                   END AS shs
+            FROM nt
+        ), ex AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(unnest(shs)), 1, 15))::BIGINT AS h
+            FROM sh
+        )"""
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """DuckDB twin of q_minhash_pairs: the SAME mixer constants
+    (dedup.minhash_mixers) over the same portable shingle hashes —
+    signatures, band buckets, candidates, and est_jaccard all reproduce
+    exactly."""
+    from seafan_spark.llmops.dedup import MERSENNE31 as P
+    from seafan_spark.llmops.dedup import minhash_mixers
+
+    mixers = minhash_mixers(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(({a} * hp + {c}) % {P}) AS m{i}" for i, (a, c) in enumerate(mixers)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
+    eqs = " + ".join(f"(sa.sig[{i + 1}] = sb.sig[{i + 1}])::INT" for i in range(num_hashes))
+    return f"""
+        WITH {_SHINGLE_CTE},
+        exp AS (SELECT doc_id, h % {P} AS hp FROM ex),
+        mn AS (
+            SELECT doc_id,
+                   {mins}
+            FROM exp GROUP BY doc_id
+        ), s2 AS (
+            SELECT doc_id, {sig_list} AS sig FROM mn
+        ), banded AS (
+            SELECT doc_id, t.range AS band,
+                   ('0x' || substr(md5(array_to_string(
+                        sig[t.range * {rows} + 1 : t.range * {rows} + {rows}], ',')), 1, 15))::BIGINT AS bucket
+            FROM s2 CROSS JOIN range(0, {bands}) t
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )
+        SELECT c.id_a, c.id_b, ({eqs})::DOUBLE / {float(num_hashes)!r} AS est_jaccard
+        FROM cand c
+        JOIN s2 sa ON sa.doc_id = c.id_a
+        JOIN s2 sb ON sb.doc_id = c.id_b
+        WHERE ({eqs})::DOUBLE / {float(num_hashes)!r} >= {threshold!r}
+    """
+
+
+ORACLES["minhash_pairs"] = _minhash_oracle()
+
+
+def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> str:
+    """DuckDB twin of q_simhash_pairs: per-bit majority votes over the
+    same portable shingle hashes, identical bit packing, pigeonhole chunk
+    join, bit_count(xor) hamming."""
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sums = ",\n                   ".join(
+        f"sum((h >> {b}) & 1) AS b{b}" for b in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN 2 * b{b} > n THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+        WITH {_SHINGLE_CTE},
+        cnt AS (
+            SELECT doc_id, count(*) AS n,
+                   {sums}
+            FROM ex GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, ({pack}) AS s FROM cnt
+        ), banded AS (
+            SELECT doc_id, s, t.range AS chunk, (s >> (t.range * {width})) & {mask} AS key
+            FROM sig CROSS JOIN range(0, {chunks}) t
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   a.s AS sa, b.s AS sb
+            FROM banded a JOIN banded b
+              ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+ORACLES["simhash_pairs"] = _simhash_oracle()
+
+
+def _winnow_oracle(k: int = 8, w: int = 4) -> str:
+    """DuckDB twin of q_winnow: same normalized k-gram portable hashes,
+    same window-min winnowing (text.winnow_fingerprints_col)."""
+    return f"""
+        WITH nt AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(length(t) - {k} + 1, 1) + 1),
+                        i -> ('0x' || substr(md5(substr(t, i, {k})), 1, 15))::BIGINT) AS grams
+            FROM nt
+        ), wmin AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                        range(1, greatest(len(grams) - {w} + 1, 1) + 1),
+                        i -> list_min(grams[i : i + least({w}, len(grams)) - 1]))) AS fps
+            FROM g
+        )
+        SELECT doc_id, len(fps)::BIGINT AS n_fps, list_min(fps) AS min_fp FROM wmin
+    """
+
+
+ORACLES["winnow"] = _winnow_oracle()
 
 
 # --------------------------------------------------------------------------

@@ -12,11 +12,30 @@ O(log diameter) iterations; near-dup clusters are shallow in practice).
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from seafan_spark.llmops.text import fingerprint_col, shingles_col, word_ngrams_col
+from seafan_spark.llmops.text import fingerprint_col, hash60_col, shingles_col, word_ngrams_col
 from seafan_spark.pipeline import Pipeline
+
+#: modulus for the minhash mixing family — Mersenne prime 2^31-1: products
+#: a*(h % p) stay under 2^62, so the arithmetic is exact in any engine's
+#: signed 64-bit integers (no wrap-around semantics needed).
+MERSENNE31 = (1 << 31) - 1
+
+
+def minhash_mixers(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a, c) constants of the minhash universal-hash family
+    ``h_i(x) = (a_i * x + c_i) mod (2^31-1)`` — driver-generated, inlined
+    as plan literals, and exposed so external twins (the DuckDB oracle)
+    can mix with identical constants."""
+    rng = random.Random(f"minhash:{num_hashes}:{seed}")
+    return [
+        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        for _ in range(num_hashes)
+    ]
 
 
 # ---------------------------------------------------------------- exact ----
@@ -48,19 +67,24 @@ def drop_exact_dups(pipe: Pipeline, text_col: str, id_col: str) -> Pipeline:
 
 # -------------------------------------------------------------- minhash ----
 def minhash_signature_col(text: Column, num_hashes: int = 64, shingle_k: int = 5) -> Column:
-    """MinHash signature as a column expression: for each seed h, min over
-    character shingles of a re-hash of the shingle's base hash. One string
-    hash per shingle; per-seed values derive from cheap 8-byte long hashes
-    (``xxhash64(base, seed)``), not repeated string hashing.
+    """MinHash signature as a column expression: for each mixer i, min over
+    character shingles of ``(a_i * (hash60(shingle) mod p) + c_i) mod p``.
+    One string hash per shingle; per-seed values are literal-constant
+    integer arithmetic (``minhash_mixers``), not repeated string hashing —
+    and the whole signature is engine-portable (DuckDB twin mixes with the
+    same constants).
 
     Column-expression form (array fold). For the scalable bulk path over a
     whole corpus use :func:`minhash_signatures` (explode + groupBy:
     whole-stage codegen + map-side partial aggregation)."""
-    base = F.transform(shingles_col(text, k=shingle_k), lambda s: F.xxhash64(s))
+    mixers = minhash_mixers(num_hashes)
+    base = F.transform(shingles_col(text, k=shingle_k), lambda s: hash60_col(s) % MERSENNE31)
     return F.array(
         *[
-            F.array_min(F.transform(base, lambda h, i=i: F.xxhash64(h, F.lit(i))))
-            for i in range(num_hashes)
+            F.array_min(
+                F.transform(base, lambda h, ac=ac: (F.lit(ac[0]) * h + F.lit(ac[1])) % MERSENNE31)
+            )
+            for ac in mixers
         ]
     )
 
@@ -84,7 +108,7 @@ def _exploded_shingle_hashes(
     return base.select(
         "_id",
         F.explode(shingles_col(F.col("_txt"), k=shingle_k)).alias("_sh"),
-    ).select("_id", F.xxhash64("_sh").alias("_h"))
+    ).select("_id", hash60_col(F.col("_sh")).alias("_h"))
 
 
 def minhash_signatures(
@@ -96,12 +120,20 @@ def minhash_signatures(
 ) -> DataFrame:
     """Bulk MinHash: (id, sig array<bigint>) via explode + groupBy.
 
-    Per (shingle, seed) work is one 8-byte ``xxhash64`` + a ``min``
-    partial aggregate — vectorized JVM code, partial-aggregated map-side so
-    the shuffle carries ``num_hashes`` longs per doc, not per shingle."""
-    ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k)
+    One md5-based string hash per distinct shingle; per (shingle, mixer)
+    work is one multiply-add-mod on literal constants (``minhash_mixers``)
+    + a ``min`` partial aggregate — vectorized JVM code, partial-aggregated
+    map-side so the shuffle carries ``num_hashes`` longs per doc, not per
+    shingle. The constants make signatures engine-portable (DuckDB twin)."""
+    mixers = minhash_mixers(num_hashes)
+    ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k).select(
+        "_id", (F.col("_h") % MERSENNE31).alias("_h")
+    )
     mins = ex.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)]
+        *[
+            F.min((F.lit(a) * F.col("_h") + F.lit(c)) % MERSENNE31).alias(f"_m{i}")
+            for i, (a, c) in enumerate(mixers)
+        ]
     )
     return mins.select(
         "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig")
@@ -147,7 +179,7 @@ def minhash_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    hash60_col(
                         F.concat_ws(",", F.transform(F.slice("_sig", b * rows + 1, rows), lambda v: v.cast("string")))
                     ).alias("bucket"),
                 ),
@@ -215,15 +247,16 @@ def minhash_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
 
 
 # -------------------------------------------------------------- simhash ----
-def simhash_bits_col(text: Column, bits: int = 64, shingle_k: int = 5) -> Column:
+def simhash_bits_col(text: Column, bits: int = 60, shingle_k: int = 5) -> Column:
     """SimHash over character shingles: per bit, the sign of the vote sum
     (+1/-1 per shingle's hash bit). Returns array<int> of 0/1 of length
     ``bits``. One string hash per shingle; bit b comes from bit b of that
-    hash (``bits`` must be <= 64). Column-expression form; the bulk path is
-    :func:`simhash_signatures`."""
-    if bits > 64:
-        raise ValueError("simhash: bits must be <= 64 (one base hash per shingle)")
-    hashes = F.transform(shingles_col(text, k=shingle_k), lambda s: F.xxhash64(s))
+    hash (``bits`` must be <= 60: the base hash is the portable 60-bit
+    md5 hash, so signatures are engine-reproducible). Column-expression
+    form; the bulk path is :func:`simhash_signatures`."""
+    if bits > 60:
+        raise ValueError("simhash: bits must be <= 60 (portable 60-bit base hash)")
+    hashes = F.transform(shingles_col(text, k=shingle_k), lambda s: hash60_col(s))
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
@@ -243,47 +276,50 @@ def simhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    bits: int = 64,
+    bits: int = 60,
     shingle_k: int = 5,
 ) -> DataFrame:
     """Bulk SimHash: (id, sig bigint) — the ``bits``-bit signature packed
     into one long (bit b set iff a majority of shingle hashes have bit b
-    set).
+    set). The base hash is the portable 60-bit md5 hash, so signatures
+    are bit-identical across engines (DuckDB twin).
 
     Explode + groupBy: per doc the aggregation computes ``bits`` counts of
     ``(h >> b) & 1`` — plain long arithmetic in whole-stage codegen with
-    map-side partial aggregation (shuffle carries ``bits`` longs + a count
-    per doc). Downstream hamming math is ``bit_count(a ^ b)`` — O(1)."""
-    if bits > 64:
-        raise ValueError("simhash: bits must be <= 64 (one base hash per shingle)")
+    map-side partial aggregation (shuffle carries ~``bits/2`` longs + a
+    count per doc). Downstream hamming math is ``bit_count(a ^ b)`` —
+    O(1)."""
+    if bits > 60:
+        raise ValueError("simhash: bits must be <= 60 (portable 60-bit base hash)")
     ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k)
-    if bits == 64:
-        # two 32-bit counter lanes per aggregate: (h >> b) & (1 | 1<<32)
-        # counts bit b in the low lane and bit b+32 in the high lane of ONE
-        # long sum — 32 aggregates instead of 64. No overflow/carry: each
-        # lane count <= grams-per-doc < 2^31, and the total sum stays under
-        # 2^63 for any per-doc gram count Spark can materialize.
-        lanes = F.lit(0x0000000100000001)
-        counts = ex.groupBy("_id").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(lanes)).alias(f"_s{b}")
-                for b in range(32)
-            ],
-        )
-        bit_cnt = {}
-        for b in range(32):
-            bit_cnt[b] = F.col(f"_s{b}").bitwiseAND(F.lit(0xFFFFFFFF))
-            bit_cnt[b + 32] = F.shiftrightunsigned(F.col(f"_s{b}"), 32)
-    else:
-        counts = ex.groupBy("_id").agg(
-            F.count(F.lit(1)).alias("_n"),
-            *[
-                F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-                for b in range(bits)
-            ],
-        )
-        bit_cnt = {b: F.col(f"_b{b}") for b in range(bits)}
+    # two 32-bit counter lanes per aggregate where both lanes land inside
+    # ``bits``: (h >> b) & (1 | 1<<32) counts bit b in the low lane and bit
+    # b+32 in the high lane of ONE long sum — ~bits/2 aggregates instead of
+    # ``bits``. No overflow/carry: each lane count <= grams-per-doc < 2^31,
+    # and the total sum stays under 2^63 for any per-doc gram count Spark
+    # can materialize. Bits whose +32 partner falls outside ``bits`` get a
+    # plain single-bit aggregate.
+    lanes = F.lit(0x0000000100000001)
+    lane_bs = [b for b in range(min(32, bits)) if b + 32 < bits]
+    covered = set(lane_bs) | {b + 32 for b in lane_bs}
+    plain_bs = [b for b in range(bits) if b not in covered]
+    counts = ex.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(lanes)).alias(f"_s{b}")
+            for b in lane_bs
+        ],
+        *[
+            F.sum(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+            for b in plain_bs
+        ],
+    )
+    bit_cnt = {}
+    for b in lane_bs:
+        bit_cnt[b] = F.col(f"_s{b}").bitwiseAND(F.lit(0xFFFFFFFF))
+        bit_cnt[b + 32] = F.shiftrightunsigned(F.col(f"_s{b}"), 32)
+    for b in plain_bs:
+        bit_cnt[b] = F.col(f"_b{b}")
     sig = F.lit(0).cast("long")
     for b in range(bits):
         sig = sig + F.when(
@@ -301,8 +337,8 @@ def simhash_pairs(
     pipe: Pipeline,
     id_col: str,
     text_col: str,
-    bits: int = 64,
-    chunks: int = 8,
+    bits: int = 60,
+    chunks: int = 10,
     max_hamming: int = 6,
     shingle_k: int = 5,
 ) -> DataFrame:
@@ -311,6 +347,8 @@ def simhash_pairs(
     equal-width chunks (chunks > max_hamming guarantees recall 1.0) —
     candidates are an equi-join on (chunk, chunk-bits), verified by true
     hamming distance."""
+    if bits % chunks != 0:
+        raise ValueError("simhash_pairs: chunks must divide bits (equal-width pigeonhole)")
     width = bits // chunks
     mask = F.lit((1 << width) - 1) if width < 64 else F.lit(-1).cast("long")
     sig = simhash_signatures(pipe.df, id_col, text_col, bits, shingle_k)

@@ -187,6 +187,15 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(norm_text_col(text))
 
 
+def hash60_col(c: Column) -> Column:
+    """Engine-portable 60-bit string hash: the first 15 hex digits of the
+    md5 digest as a non-negative bigint. Used wherever signature math
+    must be reproducible outside Spark (the DuckDB twin is
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``); one md5 per input
+    string, all downstream mixing is integer arithmetic."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def shingles_col(text: Column, k: int = 5) -> Column:
     """Distinct character k-shingles of the normalized text (basis for
     MinHash). JVM higher-order functions; short texts yield the whole
@@ -228,10 +237,12 @@ def bpe_token_estimate_col(text: Column) -> Column:
 def winnow_fingerprints_col(text: Column, k: int = 8, w: int = 4) -> Column:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     SIGMOD 2003): hash every character ``k``-gram of the normalized text
-    (the rolling-hash step; here ``xxhash64`` per gram, vectorized JVM),
-    then keep the minimum hash of each window of ``w`` consecutive gram
-    hashes and de-duplicate. Guarantees any match of length >= k+w-1
-    shares a fingerprint, with ~2/(w+1) of hashes retained.
+    (the rolling-hash step; here the portable 60-bit md5 hash per gram,
+    vectorized JVM), then keep the minimum hash of each window of ``w``
+    consecutive gram hashes and de-duplicate. Guarantees any match of
+    length >= k+w-1 shares a fingerprint, with ~2/(w+1) of hashes
+    retained. ``hash60_col`` makes the fingerprints engine-portable, so
+    a DuckDB twin hash-checks this end-to-end.
 
     Pure higher-order Column functions — O(len * w) JVM comparisons per
     document, no shuffle, no Python.
@@ -240,7 +251,7 @@ def winnow_fingerprints_col(text: Column, k: int = 8, w: int = 4) -> Column:
     n = F.length(t)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k) + 1, F.lit(1))),
-        lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+        lambda i: hash60_col(t.substr(i, F.lit(k))),
     )
     # Bind the gram array ONCE via transform-over-singleton (Column-algebra
     # `let`): referencing `grams` directly inside the window lambda would

@@ -1007,7 +1007,99 @@ def q_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (agg.rollup_table): every grouping prefix of
+    (l_returnflag, l_linestatus) in ONE shuffle — Spark native ROLLUP with
+    per-key grouping flags distinguishing subtotal-NULLs."""
+    from seafan_spark.agg import rollup_table
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    return rollup_table(
+        p,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": F.round(F.sum("l_quantity"), 2), "n": F.count(F.lit(1))},
+    )
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations (agg.corr_matrix): all pairs in one
+    aggregation pass, unpivoted via stack — no per-pair rescans."""
+    from seafan_spark.agg import corr_matrix
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    m = corr_matrix(p, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return m.select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+
+
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column distinct cardinalities (agg.distinct_counts) in one
+    pass; the approx (HLL) form is the 100 TB path, exact is oracled."""
+    from seafan_spark.agg import distinct_counts
+
+    p = _pipe(spark, sf_dir, "orders")
+    return distinct_counts(p, ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order event funnel view -> click -> purchase
+    (temporal.funnel): per-step earliest-qualifying-time aggregation,
+    key-partitioned joins of a shrinking user table."""
+    from seafan_spark.temporal import funnel
+
+    ev = _pipe(spark, sf_dir, "events").df
+    return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (temporal.retention): first-activity cohort
+    x period offset distinct-user counts, fixed 7-day epoch buckets."""
+    from seafan_spark.temporal import retention
+
+    ev = _pipe(spark, sf_dir, "events").df
+    return retention(ev, "user_id", "ts", period="week")
+
+
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs with prefix+length blocking
+    (llmops.dedup.edit_distance_pairs) — typo-class duplicates the
+    shingle methods overlook."""
+    from seafan_spark.llmops.dedup import edit_distance_pairs
+
+    p = _pipe(spark, sf_dir, "documents")
+    return edit_distance_pairs(p, "doc_id", "text", max_dist=2, prefix_len=8)
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-50 (llmops.text.vocab_top_terms): explode ->
+    vocabulary-sized groupBy -> order-limit (never a full-data global
+    sort)."""
+    from seafan_spark.llmops.text import vocab_top_terms
+
+    p = _pipe(spark, sf_dir, "documents")
+    return vocab_top_terms(p, "text", k=50)
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile clipping (encode.winsorize): exact P5/P95 cutoffs from one
+    aggregation pass, then a pure clip projection."""
+    from seafan_spark.encode import winsorize
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    p = winsorize(p, "l_extendedprice", 0.05, 0.95, name="price_w")
+    return p.df.select(
+        "l_orderkey", "l_linenumber", F.round("price_w", 4).alias("price_w")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rollup": q_rollup,
+    "corr_matrix": q_corr_matrix,
+    "distinct_counts": q_distinct_counts,
+    "funnel": q_funnel,
+    "retention": q_retention,
+    "edit_distance": q_edit_distance,
+    "vocab": q_vocab,
+    "winsorize": q_winsorize,
     "where_keep": q_where_keep,
     "groupby_agg": q_groupby_agg,
     "expr_if": q_expr_if,
@@ -1929,6 +2021,101 @@ def _winnow_oracle(k: int = 8, w: int = 4) -> str:
 
 
 ORACLES["winnow"] = _winnow_oracle()
+
+ORACLES["rollup"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_l_returnflag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """
+
+ORACLES["corr_matrix"] = """
+        SELECT col_a, col_b, ROUND(corr, 6) AS corr FROM (
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   CORR(l_quantity, l_extendedprice) AS corr FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'l_discount', CORR(l_quantity, l_discount) FROM lineitem
+            UNION ALL SELECT 'l_quantity', 'l_tax', CORR(l_quantity, l_tax) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'l_discount', CORR(l_extendedprice, l_discount) FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 'l_tax', CORR(l_extendedprice, l_tax) FROM lineitem
+            UNION ALL SELECT 'l_discount', 'l_tax', CORR(l_discount, l_tax) FROM lineitem
+        )
+    """
+
+ORACLES["distinct_counts"] = """
+        SELECT 'o_orderstatus' AS field, COUNT(DISTINCT o_orderstatus) AS n_distinct FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority) FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(DISTINCT o_custkey) FROM orders
+    """
+
+ORACLES["funnel"] = """
+        WITH e AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type FROM events
+        ), s1 AS (
+            SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND t >= t1 GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND t >= t2 GROUP BY e.user_id
+        )
+        SELECT CAST(1 AS BIGINT) AS step, 'view' AS event, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+    """
+
+ORACLES["retention"] = """
+        WITH e AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 604800000000 AS p FROM events
+        ), f AS (
+            SELECT user_id, MIN(p) AS cohort FROM e GROUP BY user_id
+        )
+        SELECT cohort, (p - cohort) AS period_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM e JOIN f USING (user_id)
+        GROUP BY cohort, (p - cohort)
+    """
+
+ORACLES["edit_distance"] = """
+        WITH d AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents
+        ), p AS (
+            SELECT doc_id, t, substr(t, 1, 8) AS pfx FROM d
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        FROM p a JOIN p b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+        WHERE abs(length(a.t) - length(b.t)) <= 2
+          AND levenshtein(a.t, b.t) <= 2
+    """
+
+ORACLES["vocab"] = """
+        WITH toks AS (
+            SELECT unnest(string_split(
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+            FROM documents
+        ), c AS (
+            SELECT term, COUNT(*) AS n FROM toks WHERE length(term) > 0 GROUP BY term
+        )
+        SELECT term, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rank
+        FROM c ORDER BY n DESC, term ASC LIMIT 50
+    """
+
+ORACLES["winsorize"] = """
+        WITH c AS (
+            SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+                   quantile_cont(l_extendedprice, 0.95) AS hi
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber,
+               ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 4) AS price_w
+        FROM lineitem CROSS JOIN c
+    """
 
 
 # --------------------------------------------------------------------------

@@ -217,3 +217,66 @@ def irr_by(
         return head
 
     return d.groupBy(*keys).applyInPandas(solve, schema=out_schema)
+
+
+def rollup_table(
+    pipe: Pipeline,
+    keys: Sequence[str],
+    aggs: dict[str, Column],
+    kind: str = "rollup",
+) -> DataFrame:
+    """Hierarchical / cross-dimensional subtotals: ``kind='rollup'`` emits
+    one row per grouping prefix (k1..kn, k1..kn-1, ..., grand total),
+    ``'cube'`` one per key subset — Spark's native ROLLUP/CUBE, which
+    computes every grouping level in a single shuffle (partial aggregation
+    map-side, no per-level rescan of the input).
+
+    Subtotal rows carry NULL in the rolled-up key columns plus a per-key
+    ``g_<key>`` 0/1 flag (``grouping()``) so data-NULLs stay
+    distinguishable from subtotal-NULLs — the standard SQL contract.
+    """
+    df = pipe.df
+    if kind == "rollup":
+        g = df.rollup(*keys)
+    elif kind == "cube":
+        g = df.cube(*keys)
+    else:
+        raise ValueError(f"rollup_table: kind must be rollup|cube, got {kind!r}")
+    return g.agg(
+        *[F.grouping(k).cast("int").alias(f"g_{k}") for k in keys],
+        *[c.alias(n) for n, c in aggs.items()],
+    )
+
+
+def corr_matrix(pipe: Pipeline, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` as tidy rows
+    (col_a, col_b, corr), col_a < col_b. ONE aggregation pass computes
+    every pair (map-side partials; no per-pair rescans), then the 1-row
+    result unpivots driver-free via ``stack`` — at any scale this moves
+    exactly n*(n-1)/2 doubles."""
+    pairs = [(a, b) for i, a in enumerate(cols) for b in list(cols)[i + 1:]]
+    agg = pipe.df.agg(
+        *[F.corr(F.col(a), F.col(b)).alias(f"_c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_args = ", ".join(f"'{a}', '{b}', _c_{i}" for i, (a, b) in enumerate(pairs))
+    return agg.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)")
+    )
+
+
+def distinct_counts(
+    pipe: Pipeline, cols: Sequence[str], approx: bool = False, rsd: float = 0.05
+) -> DataFrame:
+    """Per-column distinct cardinalities in one pass: (field, n_distinct).
+
+    ``approx=True`` uses HyperLogLog++ (``approx_count_distinct``,
+    relative error ``rsd``) — at 100 TB the exact form's per-column
+    distinct tracking is the memory hog, while HLL state is KB-sized and
+    merge-able map-side; exact is the oracle-checkable default."""
+    df = pipe.df
+    f = (lambda c: F.approx_count_distinct(c, rsd)) if approx else F.count_distinct
+    agg = df.agg(*[f(F.col(c)).alias(f"_d_{i}") for i, c in enumerate(cols)])
+    stack_args = ", ".join(f"'{c}', _d_{i}" for i, c in enumerate(cols))
+    return agg.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (field, n_distinct)")
+    )

@@ -220,3 +220,35 @@ def reinit(pipe: Pipeline, fts: FTypes | None = None) -> Pipeline:
         else:
             new.add(ft)
     return pipe._derive(pipe.df, fts=new)
+
+
+def winsorize(
+    pipe: Pipeline,
+    field: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    name: str | None = None,
+    approx: bool = False,
+) -> Pipeline:
+    """Clip a continuous field to its [lower, upper] quantiles
+    (outlier-robust normalization prep).
+
+    The two cutoffs come from ONE aggregation pass; clipping is a pure
+    projection. ``approx=False`` uses exact ``percentile`` (linear
+    interpolation — cross-engine comparable); at 100 TB switch
+    ``approx=True`` (``percentile_approx``, bounded-memory sketch) —
+    exact percentile's per-partition value buffers are the memory hog,
+    the sketch is KB-sized and merge-able."""
+    from pyspark.sql import functions as F
+
+    out = name or f"{field}_wins"
+    fn = "percentile_approx" if approx else "percentile"
+    cuts = pipe.df.agg(
+        F.expr(f"{fn}(`{field}`, {lower!r})").alias("lo"),
+        F.expr(f"{fn}(`{field}`, {upper!r})").alias("hi"),
+    ).first()
+    lo, hi = float(cuts["lo"]), float(cuts["hi"])
+    d = pipe.df.withColumn(
+        out, F.least(F.greatest(F.col(field).cast("double"), F.lit(lo)), F.lit(hi))
+    )
+    return pipe._derive(d)

@@ -604,3 +604,44 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ------------------------------------------------- edit-distance dedup ----
+def edit_distance_pairs(
+    pipe: Pipeline,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 2,
+    prefix_len: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by Levenshtein edit distance, with blocking:
+    candidates must share the first ``prefix_len`` characters of the
+    normalized text AND differ in length by <= ``max_dist`` (both
+    necessary conditions for distance <= max_dist when edits don't touch
+    the prefix; the standard cheap block for typo-class dups).
+
+    The join is a hash equi-join on the prefix (one shuffle), the length
+    band an attached filter — Catalyst never sees an inequality-only
+    join. ``levenshtein`` runs only inside blocks: O(block^2 * len^2)
+    worst-case per block, so prefix_len trades recall vs block size.
+
+    Returns (id_a, id_b, dist) with id_a < id_b, dist <= max_dist.
+    """
+    from seafan_spark.llmops.text import norm_text_col
+
+    d = pipe.df.select(
+        F.col(id_col).alias("_id"),
+        norm_text_col(F.col(text_col)).alias("_t"),
+    ).withColumn("_pfx", F.substring(F.col("_t"), 1, prefix_len))
+    a = d.select(F.col("_id").alias("id_a"), F.col("_t").alias("ta"), "_pfx")
+    b = d.select(F.col("_id").alias("id_b"), F.col("_t").alias("tb"), "_pfx")
+    return (
+        a.join(b, "_pfx")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("ta") - F.length("tb")) <= max_dist)
+        )
+        .withColumn("dist", F.levenshtein("ta", "tb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

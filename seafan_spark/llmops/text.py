@@ -380,3 +380,28 @@ def word_ngrams_col(text: Column, n: int = 3) -> Column:
             )
         )
     )
+
+
+def vocab_top_terms(df, text_col: str = "text", k: int = 50) -> "DataFrame":
+    """Corpus vocabulary: the ``k`` most frequent normalized whitespace
+    tokens with counts and 1-based rank (ties broken by term).
+
+    Explode -> groupBy(term) count (one shuffle, map-side combine over
+    the vocabulary — never the corpus) -> global top-k via a single
+    ORDER-BY-LIMIT over the (small) vocabulary relation, not a
+    one-partition window over data."""
+    from pyspark.sql import Window
+
+    d = getattr(df, "df", df)
+    counts = (
+        d.select(F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return counts.select(
+        "term", "n", F.row_number().over(w).cast("bigint").alias("rank")
+    )

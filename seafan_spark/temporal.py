@@ -244,3 +244,83 @@ def range_join(
         .filter(cond)
         .drop("__b", "__rt")
     )
+
+
+def funnel(
+    events,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Strict-order funnel: how many users reached step i having passed
+    steps 1..i-1 in timestamp order. A user "reaches" step i at the
+    earliest event of type ``steps[i]`` at-or-after their step-i-1 time.
+
+    Plan: one grouped aggregation per step over the SAME key partitioning
+    — step 1 is min(ts | ev=s1) per user; each later step joins the
+    (user, t_prev) table (tiny: one row per surviving user) back to events
+    and takes min(ts | ev=s_i, ts >= t_prev). len(steps)-1 key-partitioned
+    joins of a shrinking per-user table against the events relation; no
+    window over the full event stream, no per-user event collection.
+
+    Returns (step bigint 1-based, event, n_users)."""
+    df = _df(events)
+    us = F.col(user_col)
+    t = epoch_us_col(df, ts_col)
+    ev = df.select(us.alias("_u"), t.alias("_t"), F.col(event_col).alias("_e"))
+    reached = (
+        ev.filter(F.col("_e") == steps[0]).groupBy("_u").agg(F.min("_t").alias("_tprev"))
+    )
+    counts = [(1, steps[0], reached)]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("_e") == step)
+            .join(reached, "_u")
+            .filter(F.col("_t") >= F.col("_tprev"))
+            .groupBy("_u")
+            .agg(F.min("_t").alias("_tprev"))
+        )
+        counts.append((i, step, nxt))
+        reached = nxt
+    spark = df.sparkSession
+    out = None
+    for i, step, r in counts:
+        c = r.agg(
+            F.lit(i).cast("bigint").alias("step"),
+            F.lit(step).alias("event"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def retention(
+    events,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention: users bucketed by their first-activity period
+    (cohort), counted distinct per (cohort, periods-since-cohort).
+
+    Two shuffles total: one groupBy(user) for first-activity, one
+    groupBy(cohort, offset) count-distinct — both partial-aggregated
+    map-side. Period arithmetic is integer epoch math (TZ-free,
+    oracle-identical): day = floor(epoch_us / 86400e6), week = floor(day
+    / 7) — fixed 7-day buckets from the epoch, not ISO calendar weeks.
+
+    Returns (cohort bigint, period_offset bigint, n_users)."""
+    if period not in ("day", "week"):
+        raise ValueError("retention: period must be day|week")
+    df = _df(events)
+    us_per = 86_400_000_000 * (7 if period == "week" else 1)
+    ev = df.select(
+        F.col(user_col).alias("_u"), epoch_us_col(df, ts_col).alias("_us")
+    ).select("_u", F.expr(f"_us div {us_per}").alias("_p"))
+    first = ev.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    return (
+        ev.join(first, "_u")
+        .groupBy(F.col("_cohort").alias("cohort"), (F.col("_p") - F.col("_cohort")).alias("period_offset"))
+        .agg(F.count_distinct("_u").alias("n_users"))
+    )

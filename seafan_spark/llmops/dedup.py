@@ -206,14 +206,68 @@ def minhash_pairs(
     )
 
 
-def minhash_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
-    """Connected components over duplicate pairs by min-id label
-    propagation: (id, cluster) where cluster is the component's min id.
-    Each iteration is one join + aggregate; stops when labels fix."""
+#: edge-count ceiling for the driver union-find fast path of
+#: :func:`minhash_clusters` — 2M (id, id) rows collect in well under a
+#: second and the Python union-find is linear; above it the distributed
+#: hook-and-jump loop runs instead.
+CLUSTER_DRIVER_EDGE_CAP = 2_000_000
+
+
+def _clusters_driver(edges: DataFrame) -> DataFrame:
+    """Union-find on collected edges — the small-edge fast path.
+
+    Near-dup edge lists are orders of magnitude smaller than the corpus
+    (only documents with a candidate partner appear), so even at large
+    corpus scale they frequently fit on the driver; this mirrors the
+    guarded small-data design of ``_exact_pairs_blocked``."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    rows = edges.collect()
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the representative IS the component min-id
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(x, find(x)) for x in parent]
+    schema = edges.select(
+        F.col("id_a").alias("id"), F.col("id_a").alias("cluster")
+    ).schema
+    return edges.sparkSession.createDataFrame(out, schema=schema)
+
+
+def minhash_clusters(
+    pairs: DataFrame, max_iter: int = 10, driver_edge_cap: int | None = None
+) -> DataFrame:
+    """Connected components over duplicate pairs: (id, cluster) where
+    cluster is the component's min id.
+
+    Small edge lists (<= ``driver_edge_cap``, default
+    ``CLUSTER_DRIVER_EDGE_CAP``) collect to a driver union-find. Above the
+    cap: distributed min-label propagation with pointer jumping (each
+    round hooks the min over direct neighbors, then replaces every label
+    by its label's label) — converges in O(log diameter) rounds, each one
+    a bounded number of joins + aggregates."""
+    if driver_edge_cap is None:
+        driver_edge_cap = CLUSTER_DRIVER_EDGE_CAP
     # materialize the candidate edges once — label propagation re-reads
     # them every iteration, and recomputing the upstream signature join
     # per iteration would dominate the whole computation
     edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    if edges.count() <= driver_edge_cap:
+        return _clusters_driver(edges)
     sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
     labels = (
         sym.select(F.col("id_a").alias("id"), F.col("id_b"))
@@ -222,16 +276,30 @@ def minhash_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .withColumn("cluster", F.least("cluster", "id"))
     )
     for _ in range(max_iter):
+        # hook: min label over self + direct neighbors
         neigh = (
             sym.join(labels, sym.id_b == labels.id)
             .select(sym.id_a.alias("id"), F.col("cluster"))
         )
-        new = (
+        hooked = (
             labels.select("id", "cluster")
             .union(neigh)
             .groupBy("id")
             .agg(F.min("cluster").alias("cluster"))
         )
+        # jump: label <- label(label)  (path halving; labels point at ids
+        # that always carry a label row, so the inner self-join is total)
+        lut = hooked.select(
+            F.col("id").alias("_jid"), F.col("cluster").alias("_jcl")
+        )
+        jumped = (
+            hooked.join(lut, hooked.cluster == lut._jid)
+            .select("id", F.least("cluster", "_jcl").alias("cluster"))
+        )
+        # checkpoint FIRST, then test convergence against the materialized
+        # result: count-then-checkpoint would execute every iteration's
+        # joins twice.
+        new = jumped.localCheckpoint(eager=True)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "id")
@@ -242,7 +310,6 @@ def minhash_clusters(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         labels = new
         if changed == 0:
             break
-        labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -351,7 +418,13 @@ def simhash_pairs(
         raise ValueError("simhash_pairs: chunks must divide bits (equal-width pigeonhole)")
     width = bits // chunks
     mask = F.lit((1 << width) - 1) if width < 64 else F.lit(-1).cast("long")
-    sig = simhash_signatures(pipe.df, id_col, text_col, bits, shingle_k)
+    # materialize signatures once: both sides of the chunk equi-join derive
+    # from them through differently-aliased projections, so Catalyst cannot
+    # reuse the exchange and would run the whole explode+hash+aggregate
+    # pipeline TWICE (the dominant cost). 5000 docs -> one long each; tiny.
+    sig = simhash_signatures(pipe.df, id_col, text_col, bits, shingle_k).localCheckpoint(
+        eager=True
+    )
     banded = sig.select(
         "_id",
         "_sig",
@@ -460,13 +533,14 @@ def ngram_jaccard_pairs(
     target = pipe.df.sparkSession.sparkContext.defaultParallelism
     if raw.rdd.getNumPartitions() < target:
         raw = raw.repartition(target, "_id")
-    base = (
-        raw.select("_id", word_ngrams_col(F.col("_txt"), n).alias("_gr"))
-        .withColumn("_n", F.size("_gr"))
-        .localCheckpoint(eager=True)
-    )
-    sizes = base.select("_id", "_n")
-    ex = base.select("_id", F.explode("_gr").alias("g"))
+    # checkpoint the EXPLODED (id, gram) table, not the per-doc gram arrays:
+    # it feeds the df-cap aggregate and both join sides directly, and the
+    # per-doc sizes fall out of one cheap count over the materialized rows —
+    # so tokenization runs once and nothing re-serializes large arrays.
+    ex = raw.select(
+        "_id", F.explode(word_ngrams_col(F.col("_txt"), n)).alias("g")
+    ).localCheckpoint(eager=True)
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     df_cap = ex.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
     ex = ex.join(F.broadcast(df_cap), "g")
     a = ex.select(F.col("_id").alias("id_a"), "g")

@@ -81,6 +81,29 @@ def test_minhash_clusters(doc_pipe):
     assert labels[42] == 1
 
 
+def test_minhash_clusters_distributed_matches_driver(doc_pipe):
+    # driver_edge_cap=0 forces the distributed hook-and-jump loop; it must
+    # produce exactly the union-find fast path's labels
+    pairs = minhash_pairs(doc_pipe, "doc_id", "text", threshold=0.5)
+    drv = {(r["id"], r["cluster"]) for r in minhash_clusters(pairs).collect()}
+    dist = {
+        (r["id"], r["cluster"])
+        for r in minhash_clusters(pairs, driver_edge_cap=0).collect()
+    }
+    assert drv == dist and len(drv) > 0
+
+
+def test_clusters_distributed_long_chain(spark):
+    # a 9-node path graph exercises pointer jumping past max_iter plain
+    # propagation depth: component min must reach the far end
+    from seafan_spark.llmops.dedup import _clusters_driver  # noqa: F401
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    out = {r["id"]: r["cluster"] for r in minhash_clusters(edges, max_iter=6, driver_edge_cap=0).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
 def test_ngram_jaccard_exact(spark):
     a = "one two three four five six seven"
     b = "one two three four five six eight"  # shares 4 of the 5+5 trigram set

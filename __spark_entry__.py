@@ -1091,57 +1091,13 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ordering contract: the correctness driver windows the FIRST 50 entries, so
+# (1) oracled queries that have never had a driver row come first, (2) then
+# oracled queries whose implementation changed recently, (3) then stable
+# oracled queries already driver-green in rounds 1 AND 2, (4) rows-only
+# queries (no SQL twin: iterative/optimizer outputs) last.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "rollup": q_rollup,
-    "corr_matrix": q_corr_matrix,
-    "distinct_counts": q_distinct_counts,
-    "funnel": q_funnel,
-    "retention": q_retention,
-    "edit_distance": q_edit_distance,
-    "vocab": q_vocab,
-    "winsorize": q_winsorize,
-    "where_keep": q_where_keep,
-    "groupby_agg": q_groupby_agg,
-    "expr_if": q_expr_if,
-    "expr_summary": q_expr_summary,
-    "join_inner": q_join_inner,
-    "join_left_default": q_join_left_default,
-    "join_3way": q_join_3way,
-    "append": q_append,
-    "expr_datefns": q_expr_datefns,
-    "expr_strfns": q_expr_strfns,
-    "window_cume": q_window_cume,
-    "encode_cat": q_encode_cat,
-    "encode_normalize": q_encode_normalize,
-    "topk": q_topk,
-    "sort_rank": q_sort_rank,
-    "decile": q_decile,
-    "assess_r2": q_assess_r2,
-    "text_stats": q_text_stats,
-    "text_quality_lang": q_text_quality_lang,
-    "dedup_exact": q_dedup_exact,
-    "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,
-    "asof": q_asof,
-    "range_join": q_range_join,
-    "sample_split": q_sample_split,
-    "pack": q_pack,
-    "text_tokens": q_text_tokens,
-    "winnow": q_winnow,
-    "pivot": q_pivot,
-    "salted_join": q_salted_join,
-    "salted_agg": q_salted_agg,
-    "embed_project": q_embed_project,
-    "contamination": q_contamination,
-    "tfidf": q_tfidf,
-    "pii_repetition": q_pii_repetition,
-    "minhash_pairs": q_minhash_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q5": q_tpch_q5,
-    "stream_tumbling": q_stream_tumbling,
-    "stream_join": q_stream_join,
-    "sessionize": q_sessionize,
+    # --- oracled, never driver-checked before round 3 ---
     "npv": q_npv,
     "loop": q_loop,
     "expr_misc": q_expr_misc,
@@ -1154,13 +1110,68 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
-    "minhash_clusters": q_minhash_clusters,
+    "multimodal": q_multimodal,
+    # --- oracled, implementation touched recently ---
+    "funnel": q_funnel,
+    "retention": q_retention,
+    "winsorize": q_winsorize,
+    "encode_cat": q_encode_cat,
+    "sort_rank": q_sort_rank,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "winnow": q_winnow,
+    "edit_distance": q_edit_distance,
+    "embed_project": q_embed_project,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    # --- oracled, stable ---
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5": q_tpch_q5,
+    "groupby_agg": q_groupby_agg,
+    "expr_summary": q_expr_summary,
+    "join_left_default": q_join_left_default,
+    "join_3way": q_join_3way,
+    "window_cume": q_window_cume,
+    "encode_normalize": q_encode_normalize,
+    "decile": q_decile,
+    "assess_r2": q_assess_r2,
+    "text_quality_lang": q_text_quality_lang,
+    "dedup_exact": q_dedup_exact,
+    "asof": q_asof,
+    "range_join": q_range_join,
+    "sample_split": q_sample_split,
+    "pack": q_pack,
+    "pivot": q_pivot,
+    "salted_join": q_salted_join,
+    "salted_agg": q_salted_agg,
+    "contamination": q_contamination,
+    "tfidf": q_tfidf,
+    "pii_repetition": q_pii_repetition,
+    "stream_tumbling": q_stream_tumbling,
+    "stream_join": q_stream_join,
+    "sessionize": q_sessionize,
+    # --- end of the driver's 50-entry correctness window ---
+    # oracled, driver-green in both round 1 and round 2
+    "rollup": q_rollup,
+    "corr_matrix": q_corr_matrix,
+    "distinct_counts": q_distinct_counts,
+    "vocab": q_vocab,
+    "where_keep": q_where_keep,
+    "expr_if": q_expr_if,
+    "join_inner": q_join_inner,
+    "append": q_append,
+    "expr_datefns": q_expr_datefns,
+    "expr_strfns": q_expr_strfns,
+    "topk": q_topk,
+    "text_stats": q_text_stats,
+    "text_tokens": q_text_tokens,
+    # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "irr": q_irr,
     "irr_by": q_irr_by,
     "model_glm": q_model_glm,
     "model_nn": q_model_nn,
-    "multimodal": q_multimodal,
     "marginal": q_marginal,
+    "minhash_clusters": q_minhash_clusters,
 }
 
 ORACLES: dict[str, str] = {

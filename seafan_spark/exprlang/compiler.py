@@ -106,20 +106,40 @@ class Ctx:
         # (placeholder name, un-aliased agg Column); consumers attach them
         # via attach_scalar_aggs / frame()
         self.pending_aggs: list[tuple[str, Column]] = []
+        # global order-dependent requests (row number / running sum / lag)
+        # staged during compilation when no partition keys are given:
+        # (placeholder name, kind, value Column) — materialized by frame()
+        # via rank.attach_running_ops (range repartition + carry-ins), so
+        # no expression ever windows over an unpartitioned global order
+        self.pending_windows: list[tuple[str, str, Column | None]] = []
 
     def order_window(self) -> Window:
+        """Partitioned order window (callers must hold partition keys —
+        the unpartitioned global path goes through the staged running
+        ops instead; see running())."""
         cols = self.pipe._order_columns()
-        if self.partition_by:
-            return Window.partitionBy(*self.partition_by).orderBy(*cols)
-        return Window.orderBy(*cols)
+        return Window.partitionBy(*self.partition_by).orderBy(*cols)
 
     def agg_window(self) -> Window:
         if self.partition_by:
             return Window.partitionBy(*self.partition_by)
         return Window.partitionBy()
 
+    def running(self, kind: str, col: Column | None = None) -> Column:
+        """Stage a global order-dependent request ('rownum' | 'sum' |
+        'lag') and return its placeholder column. The scale path for
+        unpartitioned window functions: rank.attach_running_ops computes
+        all staged requests in one range shuffle with per-partition
+        carry-ins — the whole table never funnels through one task."""
+        self.pipe._ensure_rid()
+        name = f"__win_{len(self.pending_windows)}"
+        self.pending_windows.append((name, kind, col))
+        return F.col(name)
+
     def row_index(self) -> Column:
-        return (F.row_number().over(self.order_window()) - F.lit(1)).cast("double")
+        if self.partition_by:
+            return (F.row_number().over(self.order_window()) - F.lit(1)).cast("double")
+        return (self.running("rownum") - F.lit(1)).cast("double")
 
     def scalar_agg(self, col: Column) -> Column:
         """Stage a whole-pipe scalar aggregate and return its placeholder.
@@ -132,19 +152,53 @@ class Ctx:
         self.pending_aggs.append((name, col))
         return F.col(name)
 
+    def placeholder_names(self) -> list[str]:
+        """Names of every staged helper column (scalar aggregates +
+        running ops) — callers that keep the frame drop these."""
+        return [n for n, _ in self.pending_aggs] + [
+            n for n, _, _ in self.pending_windows
+        ]
+
     def frame(self) -> DataFrame:
-        """The pipeline frame with any staged scalar aggregates attached
-        — what eager consumers (print/plot/irr/evaluate) must select
-        from once compilation staged a summary."""
-        if self.pending_aggs:
-            return attach_scalar_aggs(self.pipe.df, self.pending_aggs)
-        return self.pipe.df
+        """The pipeline frame with all staged columns attached — scalar
+        aggregates (broadcast 1-row joins) and global running ops (range
+        repartition + carry-ins), interleaved in dependency waves so each
+        staged expression sees the placeholders it references."""
+        from seafan_spark.rank import attach_running_ops
+
+        df = self.pipe.df
+        saggs = list(self.pending_aggs)
+        wins = list(self.pending_windows)
+        while saggs or wins:
+            have = set(df.columns)
+
+            def ready(c: Column | None) -> bool:
+                if c is None:
+                    return True
+                return set(_PLACEHOLDER_RE.findall(str(c))) <= have
+
+            sagg_wave = [(n, c) for n, c in saggs if ready(c)]
+            win_wave = [(n, k, c) for n, k, c in wins if ready(c)]
+            if not sagg_wave and not win_wave:  # defensive: break cycles
+                sagg_wave, win_wave = saggs[:1], []
+            if sagg_wave:
+                df = attach_scalar_aggs(df, sagg_wave)
+                done = {n for n, _ in sagg_wave}
+                saggs = [(n, c) for n, c in saggs if n not in done]
+            if win_wave:
+                self.pipe._ensure_rid()
+                df = attach_running_ops(df, list(self.pipe.order_spec), win_wave)
+                done = {n for n, _, _ in win_wave}
+                wins = [(n, k, c) for n, k, c in wins if n not in done]
+        return df
 
     def compile(self, node: Node) -> TypedCol:
         return _compile(node, self)
 
 
 _SAGG_RE = _re.compile(r"__sagg_\d+")
+#: any staged helper column (scalar aggregate or global running op)
+_PLACEHOLDER_RE = _re.compile(r"__(?:sagg|win)_\d+")
 
 
 def attach_scalar_aggs(
@@ -379,7 +433,10 @@ def _f_mine(ctx, nodes):
 def _f_lag(ctx, nodes):
     x = _compile(nodes[0], ctx)
     miss = _compile(nodes[1], ctx)
-    lagged = F.lag(x.col, 1).over(ctx.order_window())
+    if ctx.partition_by:
+        lagged = F.lag(x.col, 1).over(ctx.order_window())
+    else:
+        lagged = ctx.running("lag", x.col)
     # first-row fill coerced to x's kind (data.go:531-550; lag(D,3) on a
     # string column fills "3.00" — float-to-string uses %.2f)
     if x.kind == "str" and miss.kind == "num":
@@ -407,52 +464,120 @@ def _frame_after(ctx: Ctx):
     return ctx.order_window().rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
 
-def _cume(ctx, nodes, frame, agg):
-    (x,) = _num_args(ctx, nodes, "cume")
-    return TypedCol(agg(x.col).over(frame), "num")
+def _running_before_sum(ctx: Ctx, x: Column) -> Column:
+    """Inclusive running sum under the global order — staged (no
+    unpartitioned window)."""
+    return ctx.running("sum", x)
+
+
+def _running_after_sum(ctx: Ctx, x: Column) -> Column:
+    """Inclusive running sum over the current row and everything after it,
+    derived from the staged before-sum + the staged whole-pipe total:
+    after = total - before_excl, guarded so an all-null suffix yields NULL
+    (SQL aggregate semantics), matching a window over the after-frame."""
+    contrib = F.coalesce(x, F.lit(0.0))
+    before = _running_before_sum(ctx, x)
+    before_cnt = ctx.running("sum", x.isNotNull().cast("long"))
+    total = ctx.scalar_agg(F.sum(x))
+    total_cnt = ctx.scalar_agg(F.count(x))
+    after_cnt = total_cnt - before_cnt + x.isNotNull().cast("long")
+    return F.when(
+        after_cnt > 0,
+        F.coalesce(total, F.lit(0.0)) - F.coalesce(before, F.lit(0.0)) + contrib,
+    )
 
 
 @_register("cumeBefore", 1)
 def _f_cume_before(ctx, nodes):
-    return _cume(ctx, nodes, _frame_before(ctx), F.sum)
+    (x,) = _num_args(ctx, nodes, "cume")
+    if ctx.partition_by:
+        return TypedCol(F.sum(x.col).over(_frame_before(ctx)), "num")
+    return TypedCol(_running_before_sum(ctx, x.col), "num")
 
 
 @_register("cumeAfter", 1)
 def _f_cume_after(ctx, nodes):
-    return _cume(ctx, nodes, _frame_after(ctx), F.sum)
+    (x,) = _num_args(ctx, nodes, "cume")
+    if ctx.partition_by:
+        return TypedCol(F.sum(x.col).over(_frame_after(ctx)), "num")
+    return TypedCol(_running_after_sum(ctx, x.col), "num")
 
 
 @_register("countBefore", 1)
 def _f_count_before(ctx, nodes):
     x = _compile(nodes[0], ctx)
-    return TypedCol(F.count(x.col).over(_frame_before(ctx)).cast("double"), "num", int_like=True)
+    if ctx.partition_by:
+        col = F.count(x.col).over(_frame_before(ctx))
+    else:
+        col = ctx.running("sum", x.col.isNotNull().cast("long"))
+    return TypedCol(col.cast("double"), "num", int_like=True)
 
 
 @_register("countAfter", 1)
 def _f_count_after(ctx, nodes):
     x = _compile(nodes[0], ctx)
-    return TypedCol(F.count(x.col).over(_frame_after(ctx)).cast("double"), "num", int_like=True)
+    if ctx.partition_by:
+        col = F.count(x.col).over(_frame_after(ctx))
+    else:
+        nn = x.col.isNotNull().cast("long")
+        col = ctx.scalar_agg(F.count(x.col)) - ctx.running("sum", nn) + nn
+    return TypedCol(col.cast("double"), "num", int_like=True)
+
+
+def _product_parts(x: Column) -> tuple[Column, Column, Column]:
+    """(zero-indicator, negative-indicator, log-magnitude) of one value —
+    the decomposition that turns a running product into running SUMS
+    (data.go:337-357 loops; log-space is the scalable form). All three are
+    non-null for any input."""
+    zero = F.when(x == 0.0, 1).otherwise(0).cast("long")
+    neg = F.when(x < 0.0, 1).otherwise(0).cast("long")
+    logmag = F.when(x != 0.0, F.log(F.abs(x))).otherwise(F.lit(0.0))
+    return zero, neg, logmag
+
+
+def _product_from_parts(zeros: Column, negs: Column, logsum: Column) -> Column:
+    return F.when(zeros > 0, F.lit(0.0)).otherwise(
+        F.exp(logsum) * F.pow(F.lit(-1.0), negs.cast("double"))
+    )
 
 
 def _windowed_product(x: Column, frame) -> Column:
-    """Running product via exp-sum-log with explicit sign/zero handling
-    (the reference loops, data.go:337-357; log-space is the scalable form)."""
-    zeros = F.max(F.when(x == 0.0, 1).otherwise(0)).over(frame)
-    negs = F.sum(F.when(x < 0.0, 1).otherwise(0)).over(frame)
-    mag = F.exp(F.sum(F.when(x != 0.0, F.log(F.abs(x))).otherwise(F.lit(0.0))).over(frame))
-    return F.when(zeros == 1, F.lit(0.0)).otherwise(mag * F.pow(F.lit(-1.0), negs.cast("double")))
+    """Running product over a partitioned window frame."""
+    zero, neg, logmag = _product_parts(x)
+    zeros = F.sum(zero).over(frame)
+    negs = F.sum(neg).over(frame)
+    logsum = F.sum(logmag).over(frame)
+    return _product_from_parts(zeros, negs, logsum)
+
+
+def _running_product(ctx: Ctx, x: Column, after: bool) -> Column:
+    """Global running product via three staged running sums (+ staged
+    totals for the after-direction)."""
+    zero, neg, logmag = _product_parts(x)
+    parts = []
+    for c in (zero, neg, logmag):
+        before = ctx.running("sum", c)
+        if after:
+            parts.append(ctx.scalar_agg(F.sum(c)) - before + c)
+        else:
+            parts.append(before)
+    return _product_from_parts(*parts)
 
 
 @_register("prodBefore", 1)
 def _f_prod_before(ctx, nodes):
     (x,) = _num_args(ctx, nodes, "prodBefore")
-    return TypedCol(_windowed_product(x.col, _frame_before(ctx)), "num")
+    if ctx.partition_by:
+        return TypedCol(_windowed_product(x.col, _frame_before(ctx)), "num")
+    return TypedCol(_running_product(ctx, x.col, after=False), "num")
 
 
 @_register("prodAfter", 1)
 def _f_prod_after(ctx, nodes):
     (x,) = _num_args(ctx, nodes, "prodAfter")
-    return TypedCol(_windowed_product(x.col, _frame_after(ctx)), "num")
+    if ctx.partition_by:
+        return TypedCol(_windowed_product(x.col, _frame_after(ctx)), "num")
+    return TypedCol(_running_product(ctx, x.col, after=True), "num")
 
 
 @_register("index", 2)
@@ -590,7 +715,7 @@ def _f_npv(ctx, nodes):
     rate, cf = _num_args(ctx, nodes, "npv")
     i = ctx.row_index()
     disc = F.pow(F.lit(1.0) / (F.lit(1.0) + rate.col), i)
-    col = F.sum(cf.col * disc).over(ctx.agg_window())
+    col = _scalar_or_windowed(ctx, F.sum(cf.col * disc))
     return TypedCol(col, "num", scalar=True)
 
 

@@ -77,8 +77,9 @@ def add_to_pipe(
     # ctx.frame() attaches any staged whole-pipe aggregates (broadcast
     # 1-row joins — the scale path for unpartitioned summaries)
     d = ctx.frame().withColumn(name, tc.col)
-    if ctx.pending_aggs:
-        d = d.drop(*[n for n, _ in ctx.pending_aggs])
+    helpers = ctx.placeholder_names()
+    if helpers:
+        d = d.drop(*helpers)
     fts = pipe.fts.copy()
     if name in fts:
         fts.drop(name)
@@ -111,8 +112,9 @@ def loop(
             # withColumn overwrites in place; the expression may reference
             # the field's previous value (e.g. "c+x" assigned to c)
             d = ctx.frame().withColumn(assign, tc.col)
-            if ctx.pending_aggs:
-                d = d.drop(*[n for n, _ in ctx.pending_aggs])
+            helpers = ctx.placeholder_names()
+            if helpers:
+                d = d.drop(*helpers)
             fts = cur.fts.copy()
             fts.add(FType(name=assign, role=_result_role(tc)))
             cur = cur._derive(d, fts=fts)

@@ -81,3 +81,135 @@ def ntile_exact(
     d, total = global_row_number(df, order, "_grn_nt")
     d = d.withColumn(out, ntile_bucket_col(F.col("_grn_nt"), total, n_buckets))
     return d.drop("_grn_nt"), total
+
+
+#: request kinds accepted by :func:`attach_running_ops`
+RUNNING_KINDS = ("rownum", "sum", "lag")
+
+
+def attach_running_ops(
+    df: DataFrame, order: OrderKeys, requests: list[tuple[str, str, Column | None]]
+) -> DataFrame:
+    """Attach order-dependent columns under a GLOBAL row order without an
+    unpartitioned window — the scale substrate for the expression
+    language's row()/lag/cume*/count*/prod* when no partition keys are
+    given.
+
+    Same two-pass shape as :func:`global_row_number`: range-repartition on
+    the order keys, compute every request *within* each partition in one
+    shared window pass, then stitch partitions together with driver-side
+    carry-ins (one collected row per partition: counts, per-request sums,
+    per-request last values) shipped back as literal maps keyed by
+    partition id.
+
+    ``requests`` entries are ``(out_name, kind, col)``:
+
+    - ``("r", "rownum", None)`` — 1-based global row number (long).
+    - ``("s", "sum", c)`` — running sum of ``c`` over rows up to and
+      including the current one, with SQL semantics: NULL until the first
+      non-null contribution, nulls skipped.
+    - ``("l", "lag", c)`` — previous row's value of ``c`` (NULL at the
+      global first row).
+
+    All requested columns attach in ONE range shuffle + one small stats
+    job; every per-row computation is within-partition."""
+    for _, kind, _ in requests:
+        if kind not in RUNNING_KINDS:
+            raise ValueError(f"attach_running_ops: unknown kind {kind!r}")
+    cols = _order_cols(order)
+    d = df.repartitionByRange(*cols).withColumn("_gpid", F.spark_partition_id())
+    wb = Window.partitionBy("_gpid").orderBy(*cols)
+    wb_run = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = d.withColumn("_lrn", F.row_number().over(wb))
+
+    # within-partition pieces + per-partition stats, one pass each
+    attach: dict[str, Column] = {}
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_cnt")]
+    for name, kind, col in requests:
+        if kind == "sum":
+            attach[f"{name}__wb"] = F.sum(col).over(wb_run)
+            attach[f"{name}__wbc"] = F.count(col).over(wb_run)
+            aggs.append(F.sum(col).alias(f"{name}__tot"))
+            aggs.append(F.count(col).alias(f"{name}__cnt"))
+        elif kind == "lag":
+            attach[f"{name}__wb"] = F.lag(col, 1).over(wb)
+            # struct wrapper: the carried value itself may be NULL, and the
+            # struct keeps max_by from conflating that with "no row"
+            aggs.append(
+                F.max_by(F.struct(col.alias("v")), F.col("_lrn")).alias(f"{name}__last")
+            )
+    if attach:
+        d = d.withColumns(attach)
+    stats_df = d.groupBy("_gpid").agg(*aggs)
+    stat_types = {f.name: f.dataType for f in stats_df.schema.fields}
+    stats = {r["_gpid"]: r for r in stats_df.collect()}
+    pids = sorted(stats)
+
+    def lit_map(pairs: list[tuple[int, object]]) -> Column | None:
+        """pid -> literal value map; None when empty (an empty create_map
+        cannot be indexed — callers substitute their identity element)."""
+        if not pairs:
+            return None
+        flat: list[Column] = []
+        for pid, v in pairs:
+            flat.append(F.lit(pid))
+            flat.append(F.lit(v))
+        return F.create_map(*flat)
+
+    def lookup(m: Column | None, default: Column) -> Column:
+        if m is None:
+            return default
+        return F.coalesce(m[F.col("_gpid")], default)
+
+    # row offsets (exclusive count of earlier partitions)
+    acc = 0
+    row_off = []
+    for pid in pids:
+        row_off.append((pid, acc))
+        acc += stats[pid]["_cnt"]
+    row_map = lit_map(row_off)
+
+    out_cols: dict[str, Column] = {}
+    drop = ["_gpid", "_lrn"]
+    for name, kind, col in requests:
+        if kind == "rownum":
+            off = lookup(row_map, F.lit(0))
+            out_cols[name] = (F.col("_lrn") + off).cast("long")
+        elif kind == "sum":
+            drop += [f"{name}__wb", f"{name}__wbc"]
+            zero = F.lit(0).cast(stat_types[f"{name}__tot"].simpleString())
+            s_acc, c_acc = None, 0
+            sum_pairs, cnt_pairs = [], []
+            for pid in pids:
+                if s_acc is not None:
+                    sum_pairs.append((pid, s_acc))
+                cnt_pairs.append((pid, c_acc))
+                tot = stats[pid][f"{name}__tot"]
+                if tot is not None:
+                    s_acc = tot if s_acc is None else s_acc + tot
+                c_acc += stats[pid][f"{name}__cnt"]
+            sum_map, cnt_map = lit_map(sum_pairs), lit_map(cnt_pairs)
+            seen = lookup(cnt_map, F.lit(0)) + F.col(f"{name}__wbc")
+            total = lookup(sum_map, zero) + F.coalesce(F.col(f"{name}__wb"), zero)
+            # NULL until the first non-null contribution — SQL running-sum
+            # semantics (no otherwise: WHEN without ELSE yields NULL)
+            out_cols[name] = F.when(seen > 0, total)
+        elif kind == "lag":
+            drop.append(f"{name}__wb")
+            prev, prev_pairs = None, []
+            for pid in pids:
+                if prev is not None:
+                    prev_pairs.append((pid, prev[0]))
+                last = stats[pid][f"{name}__last"]
+                if last is not None:  # non-empty partition
+                    prev = (last["v"],)
+            # None carries can't ride a literal map — omitting them is
+            # equivalent (missing key looks up NULL, which is the carry)
+            nn_pairs = [(pid, v) for pid, v in prev_pairs if v is not None]
+            prev_map = lit_map(nn_pairs)
+            first_val = lookup(prev_map, F.lit(None))
+            out_cols[name] = F.when(F.col("_lrn") > 1, F.col(f"{name}__wb")).otherwise(
+                first_val
+            )
+    d = d.withColumns(out_cols)
+    return d.drop(*drop)

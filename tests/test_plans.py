@@ -27,16 +27,12 @@ SF = "/root/testdata/sf0.001"
 # query -> reason it may keep a single-partition exchange beyond the
 # final-aggregate pattern
 GLOBAL_ORDER_OK = {
-    "sort_rank": "positional row() over the pipe order (compat path)",
     "subset_row": "positional subset over the pipe order (compat path)",
-    "npv": "order-indexed discounting over the pipe order (compat path)",
     "irr": "driver-side solver on ordered flows (compat path)",
-    "loop": "loop body uses positional compat ops",
     "model_nn": "trainer coalesces tiny inputs to rows/25k tasks",
     "model_glm": "MLlib treeAggregate final step",
     "marginal": "sampled per-segment representative rows (bounded)",
     "describe": "exact single-column quantiles (oracle-required path)",
-    "expr_misc": "positional compat ops in the formula corpus",
     "window_cume": "explicit global-order variant kept for oracle parity",
     "multimodal": "tiny metadata summary join",
 }

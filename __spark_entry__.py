@@ -402,8 +402,7 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     p = _pipe(spark, sf_dir, "embeddings")
-    dim = len(p.df.select("embedding").first()[0])
-    proj = random_projection_col(F.col("embedding"), dim, 8)
+    proj = random_projection_col(F.col("embedding"), 64, 8)
     return p.df.select(
         "vec_id",
         *[F.round(proj[j], 6).alias(f"p{j}") for j in range(8)],
@@ -876,7 +875,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seafan_spark.llmops.similarity import ann_lsh_topk
 
     p = _pipe(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(p, "vec_id", "embedding", k=5, planes=8)
+    return ann_lsh_topk(p, "vec_id", "embedding", k=5, planes=8, dim=64)
 
 
 def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

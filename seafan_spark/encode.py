@@ -49,13 +49,34 @@ def fit_normalize(pipe: Pipeline, field: str) -> FParam:
     return FParam(location=float(row["m"]), scale=float(row["s"]))
 
 
-def fit_levels(pipe: Pipeline, field: str, default: Any = None) -> FParam:
+#: ceiling on category-dictionary cardinality: the dictionary contract is
+#: inherently driver-side (sorted codes, FType JSON round-trip), so a
+#: runaway-cardinality categorical must ERROR, not OOM the driver
+_LEVELS_MAX = 1_000_000
+
+
+def fit_levels(
+    pipe: Pipeline, field: str, default: Any = None, max_levels: int = _LEVELS_MAX
+) -> FParam:
     """Fit the category dictionary: sorted unique values -> codes 0..n-1
-    (AppendD, gdata.go:156-228; ByPtr, data.go:703-715)."""
+    (AppendD, gdata.go:156-228; ByPtr, data.go:703-715).
+
+    Collects at most ``max_levels + 1`` distincts (limit pushed into the
+    distinct aggregation) and raises EncodeError above the cap — a
+    categorical that exceeds it isn't a dictionary-encodable feature;
+    join-based encodings (join_cat_codes handles the >10k lookup side
+    already) or feature hashing are the scale tools."""
     dtype = pipe.df.schema[field].dataType
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         raise EncodeError(f"categorical field {field} cannot be float (gdata.go:175-177)")
-    vals = [r[0] for r in pipe.df.select(field).distinct().collect() if r[0] is not None]
+    rows = pipe.df.select(field).distinct().limit(max_levels + 1).collect()
+    if len(rows) > max_levels:
+        raise EncodeError(
+            f"categorical field {field} has more than {max_levels} distinct "
+            "levels; a driver-side dictionary cannot hold it - raise "
+            "max_levels explicitly or use a join/hash encoding"
+        )
+    vals = [r[0] for r in rows if r[0] is not None]
     levels = {v: i for i, v in enumerate(sorted(vals))}
     if default is not None and default not in levels:
         raise EncodeError(f"default {default!r} not among levels of {field}")
@@ -248,7 +269,11 @@ def winsorize(
         F.expr(f"{fn}(`{field}`, {upper!r})").alias("hi"),
     ).first()
     lo, hi = float(cuts["lo"]), float(cuts["hi"])
+    # greatest/least SKIP null arguments (SQL semantics), which would
+    # silently clip NULL field values to the lower cutoff — pass them
+    # through instead
+    clip = F.least(F.greatest(F.col(field).cast("double"), F.lit(lo)), F.lit(hi))
     d = pipe.df.withColumn(
-        out, F.least(F.greatest(F.col(field).cast("double"), F.lit(lo)), F.lit(hi))
+        out, F.when(F.col(field).isNull(), F.lit(None).cast("double")).otherwise(clip)
     )
     return pipe._derive(d)

@@ -101,10 +101,11 @@ def _exploded_shingle_hashes(
     single small parquet file reads as one partition; the shuffle moves
     only (id, text) rows, which is far cheaper than serializing the
     explode)."""
+    from seafan_spark.partitions import spread_if_narrow
+
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     target = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target, "_id")
+    base = spread_if_narrow(base, target, "_id")
     return base.select(
         "_id",
         F.explode(shingles_col(F.col("_txt"), k=shingle_k)).alias("_sh"),
@@ -529,10 +530,11 @@ def ngram_jaccard_pairs(
     # storage and are auto-released when the DataFrame is dereferenced, so
     # repeated calls in a long-lived session don't accumulate cached plans
     # in the session CacheManager.
+    from seafan_spark.partitions import spread_if_narrow
+
     raw = pipe.df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     target = pipe.df.sparkSession.sparkContext.defaultParallelism
-    if raw.rdd.getNumPartitions() < target:
-        raw = raw.repartition(target, "_id")
+    raw = spread_if_narrow(raw, target, "_id")
     # checkpoint the EXPLODED (id, gram) table, not the per-doc gram arrays:
     # it feeds the df-cap aggregate and both join sides directly, and the
     # per-doc sizes fall out of one cheap count over the materialized rows —
@@ -635,6 +637,8 @@ def embedding_neardup_pairs(
     planes: int = 16,
     seed: int = 42,
     exact: bool = False,
+    dim: int | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: random-hyperplane LSH buckets
     (sign bits of seeded pseudo-random projections) generate candidates;
@@ -644,11 +648,21 @@ def embedding_neardup_pairs(
     1.0, O(n^2) — the correctness oracle / small-corpus path) via blocked
     BLAS matmul (see _exact_pairs_blocked).
 
+    ``dim`` should be passed when known (else inferred from the first
+    row — an eager job; wrong-length vectors raise either way).
+    ``probe_bits=1`` adds multi-probe candidates one sign-bit away.
+
     Vectors are unit-normalized ONCE per row before the pair join, so the
     per-pair work is a single dot product — 3x less array math than
     cosine(a, b) per candidate, and the normalization runs n times
     instead of O(candidate-pairs) times."""
-    from seafan_spark.llmops.similarity import dot_col, hyperplane_bucket_col, norm_col
+    from seafan_spark.llmops.similarity import (
+        dot_col,
+        infer_vec_dim,
+        norm_col,
+        probe_buckets_col,
+        with_hyperplane_bucket,
+    )
 
     raw = pipe.df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_raw")
@@ -658,23 +672,30 @@ def embedding_neardup_pairs(
         return pairs.select(
             "id_a", "id_b", F.round("cosine", 6).alias("cosine")
         )
-    dim = len(raw.select("_raw").first()[0])
+    if dim is None:
+        dim = infer_vec_dim(raw, "_raw", "embedding_neardup_pairs")
     staged = raw.select(
         "_id",
         "_raw",
         norm_col(F.col("_raw")).alias("_n"),  # staged: computed once per row
     )
-    d = staged.select(
+    d = with_hyperplane_bucket(staged, "_raw", "_bkt", dim, planes, seed).select(
         "_id",
         F.transform(F.col("_raw"), lambda x: x.cast("double") / F.col("_n")).alias("_v"),
-        hyperplane_bucket_col(F.col("_raw"), dim, planes=planes, seed=seed).alias("_bkt"),
+        "_bkt",
     )
     a = d.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bkt")
+    if probe_bits > 0:
+        a = a.select(
+            "id_a", "va",
+            F.explode(probe_buckets_col(F.col("_bkt"), planes, probe_bits)).alias("_bkt"),
+        )
     b = d.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_bkt")
+    cand = a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+    if probe_bits > 0:
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
-        a.join(b, "_bkt")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", dot_col(F.col("va"), F.col("vb")))
+        cand.withColumn("cosine", dot_col(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )

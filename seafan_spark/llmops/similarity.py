@@ -104,16 +104,48 @@ def ann_brute_topk(
     )
 
 
+def checked_vec_col(vec: Column, dim: int, where: str) -> Column:
+    """``vec`` if its length is exactly ``dim``, else a runtime error.
+
+    Guards every projection against silently null-padded ``zip_with``
+    results when a row's vector length differs from the declared
+    dimension (a wrong-length vector would otherwise fold into a NULL
+    projection and land in a biased bucket instead of erroring)."""
+    return F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{where}: expected vector of dim {dim}, got length "),
+                F.size(vec).cast("string"),
+            )
+        )
+    )
+
+
+def infer_vec_dim(df: DataFrame, vec_col: str, where: str) -> int:
+    """Vector dimension from the first row — the fallback when the caller
+    doesn't pass ``dim`` explicitly (costs an eager job at plan-build
+    time; empty input raises instead of TypeError-ing)."""
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"{where}: cannot infer vector dim from an empty input — "
+            "pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def hyperplane_bucket_col(vec: Column, dim: int, planes: int = 16, seed: int = 42) -> Column:
     """LSH bucket key: sign bits of ``planes`` pseudo-random ±1-weighted
     projections (``hyperplane_weights``, inlined literals — the whole
     O(planes x dim) contraction is codegen'd JVM arithmetic, no hash calls
-    in the row loop, no stored model)."""
+    in the row loop, no stored model). Wrong-length vectors raise (see
+    checked_vec_col)."""
     ws = hyperplane_weights(planes, dim, seed)
+    v = checked_vec_col(vec, dim, "hyperplane_bucket")
 
     def proj(p: int) -> Column:
         terms = F.zip_with(
-            vec,
+            v,
             F.array(*[F.lit(w) for w in ws[p]]),
             lambda x, w: x.cast("double") * w,
         )
@@ -121,6 +153,26 @@ def hyperplane_bucket_col(vec: Column, dim: int, planes: int = 16, seed: int = 4
 
     bits = [F.when(proj(p) >= 0, F.lit("1")).otherwise(F.lit("0")) for p in range(planes)]
     return F.concat(*bits)
+
+
+def probe_buckets_col(bucket: Column, planes: int, probe_bits: int = 1) -> Column:
+    """Multi-probe LSH probe set: the bucket itself plus every bucket at
+    Hamming distance <= ``probe_bits`` in sign-bit space (standard
+    multi-probe extension — near-misses on one hyperplane land one bit
+    away, so probing adjacent buckets recovers most of the recall lost to
+    quantization). probe_bits is capped at 1 here: ``planes`` flips keep
+    the candidate volume linear in planes; deeper probing explodes
+    combinatorially and IVF is the better tool at that point."""
+    if probe_bits <= 0:
+        return F.array(bucket)
+    flips = [bucket]
+    for i in range(planes):
+        ch = F.substring(bucket, i + 1, 1)
+        flipped = F.when(ch == "1", F.lit("0")).otherwise(F.lit("1"))
+        flips.append(
+            F.concat(F.substring(bucket, 1, i), flipped, F.substring(bucket, i + 2, planes - i - 1))
+        )
+    return F.array(*flips)
 
 
 def l2_normalize_col(vec: Column) -> Column:
@@ -162,15 +214,90 @@ def random_projection_col(
     2003)."""
     scale = 1.0 / (out_dim ** 0.5)
     ws = jl_sign_weights(in_dim, out_dim, seed)
+    v = checked_vec_col(vec, in_dim, "random_projection")
     comps = []
     for j in range(out_dim):
         terms = F.zip_with(
-            vec,
+            v,
             F.array(*[F.lit(w) for w in ws[j]]),
             lambda x, w: x.cast("double") * w,
         )
         comps.append(F.aggregate(terms, F.lit(0.0), lambda a, x: a + x) * F.lit(scale))
     return F.array(*comps)
+
+
+#: above this many weight-matrix elements, projections ship the weights as
+#: ONE broadcast array column instead of per-element plan literals — at
+#: real embedding dims (1024+) inlined literals blow up analysis time and
+#: plan size (in_dim x out_dim literal nodes per projection)
+LITERAL_WEIGHT_MAX = 16_384
+
+
+def _with_flat_weights(df: DataFrame, flat: list[float]) -> DataFrame:
+    """Attach a flat weight vector as one broadcast-joined array column
+    ``_wflat`` (single 1-row build side, zero plan literals)."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame([(flat,)], "_wflat array<double>")
+    return df.crossJoin(F.broadcast(wdf))
+
+
+def with_random_projection(
+    df: DataFrame,
+    vec_col: str,
+    out: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 42,
+) -> DataFrame:
+    """JL projection as a DataFrame transform. Small weight matrices
+    (<= LITERAL_WEIGHT_MAX elements) inline as literals
+    (random_projection_col); larger ones ride a broadcast array column,
+    with each output component a zip_with against a slice of it —
+    identical math, plan size independent of dimension."""
+    v = checked_vec_col(F.col(vec_col), in_dim, "random_projection")
+    if in_dim * out_dim <= LITERAL_WEIGHT_MAX:
+        return df.withColumn(
+            out, random_projection_col(F.col(vec_col), in_dim, out_dim, seed)
+        )
+    scale = 1.0 / (out_dim ** 0.5)
+    ws = jl_sign_weights(in_dim, out_dim, seed)
+    d = _with_flat_weights(df, [w for row in ws for w in row])
+    comps = []
+    for j in range(out_dim):
+        terms = F.zip_with(
+            v,
+            F.slice(F.col("_wflat"), j * in_dim + 1, in_dim),
+            lambda x, w: x.cast("double") * w,
+        )
+        comps.append(F.aggregate(terms, F.lit(0.0), lambda a, x: a + x) * F.lit(scale))
+    return d.withColumn(out, F.array(*comps)).drop("_wflat")
+
+
+def with_hyperplane_bucket(
+    df: DataFrame,
+    vec_col: str,
+    out: str,
+    dim: int,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Hyperplane LSH bucket as a DataFrame transform; same
+    literal-vs-broadcast split as with_random_projection."""
+    v = checked_vec_col(F.col(vec_col), dim, "hyperplane_bucket")
+    if dim * planes <= LITERAL_WEIGHT_MAX:
+        return df.withColumn(out, hyperplane_bucket_col(F.col(vec_col), dim, planes, seed))
+    ws = hyperplane_weights(planes, dim, seed)
+    d = _with_flat_weights(df, [w for row in ws for w in row])
+    bits = []
+    for p in range(planes):
+        terms = F.zip_with(
+            v,
+            F.slice(F.col("_wflat"), p * dim + 1, dim),
+            lambda x, w: x.cast("double") * w,
+        )
+        proj = F.aggregate(terms, F.lit(0.0), lambda a, x: a + x)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return d.withColumn(out, F.concat(*bits)).drop("_wflat")
 
 
 def ann_ivf_topk(
@@ -260,24 +387,37 @@ def ann_lsh_topk(
     k: int = 10,
     planes: int = 12,
     seed: int = 42,
+    dim: int | None = None,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate all-pairs top-k: bucket by hyperplane signature, exact
     cosine within each bucket. The join key is the bucket — no cross
-    product across buckets. Expected bucket size n/2^planes controls cost."""
+    product across buckets. Expected bucket size n/2^planes controls cost.
+
+    ``dim`` should be passed explicitly when known (otherwise inferred
+    from the first row — an extra eager job; wrong-length vectors raise
+    either way). ``probe_bits=1`` turns on multi-probe: the query side
+    also probes every bucket one sign-bit away, recovering recall lost
+    to hyperplane quantization for ~(planes+1)x candidate volume."""
     df = pipe.df
-    dim = len(df.select(vec_col).first()[0])
-    d = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        hyperplane_bucket_col(F.col(vec_col), dim, planes, seed).alias("_bkt"),
+    if dim is None:
+        dim = infer_vec_dim(df, vec_col, "ann_lsh_topk")
+    d = with_hyperplane_bucket(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v", "_bkt", dim, planes, seed,
     )
     a = d.select(F.col("_id").alias("q_id"), F.col("_v").alias("qv"), "_bkt")
+    if probe_bits > 0:
+        a = a.select(
+            "q_id", "qv",
+            F.explode(probe_buckets_col(F.col("_bkt"), planes, probe_bits)).alias("_bkt"),
+        )
     b = d.select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("nv"), "_bkt")
-    scored = (
-        a.join(b, "_bkt")
-        .filter(F.col("q_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_col(F.col("qv"), F.col("nv")))
-    )
+    cand = a.join(b, "_bkt").filter(F.col("q_id") != F.col("neighbor_id"))
+    if probe_bits > 0:
+        # a pair can meet through several probes; keep one candidate row
+        cand = cand.dropDuplicates(["q_id", "neighbor_id"])
+    scored = cand.withColumn("cosine", cosine_col(F.col("qv"), F.col("nv")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -151,10 +151,10 @@ def fit_softrms(
     # ~25k rows/task (see fit_nn): iteration cost is scheduling-bound on
     # over-partitioned small inputs; coalesce is narrow, no shuffle
     nrows = data.count()
-    cur = data.rdd.getNumPartitions()
-    ideal = max(1, min(cur, -(-nrows // 25_000)))
-    if ideal < cur:
-        data = data.coalesce(ideal)
+    # coalesce never INCREASES partitioning, so no partition-count probe
+    # is needed: asking for ceil(rows/25k) is a no-op when the source is
+    # already narrower (narrow dependency either way - no shuffle)
+    data = data.coalesce(max(1, -(-nrows // 25_000)))
 
     W = np.zeros((n_feat + 1, C))
     best_W, best_loss, since_best = W.copy(), float("inf"), 0
@@ -603,10 +603,10 @@ def fit_nn(
     # ~25k rows/task, never exceeding the source partitioning (at real
     # scale this keeps full parallelism; coalesce is narrow — no shuffle).
     nrows = data.count()
-    cur = data.rdd.getNumPartitions()
-    ideal = max(1, min(cur, -(-nrows // 25_000)))
-    if ideal < cur:
-        data = data.coalesce(ideal)
+    # coalesce never INCREASES partitioning, so no partition-count probe
+    # is needed: asking for ceil(rows/25k) is a no-op when the source is
+    # already narrower (narrow dependency either way - no shuffle)
+    data = data.coalesce(max(1, -(-nrows // 25_000)))
 
     # Glorot-uniform init, deterministic by seed (gorgonia GlorotN, nn.go)
     rng = np.random.default_rng(seed)

@@ -421,12 +421,13 @@ class Pipeline:
         """Ensure at least default-parallelism partitions before CPU-heavy
         per-row column work (regex, shingling). A single small parquet file
         reads as ONE partition, serializing everything downstream; on a
-        real cluster with many input splits this is a no-op."""
+        real cluster with many input splits this is a no-op (decided from
+        the scan's file listing — no plan->RDD probe)."""
+        from seafan_spark.partitions import spread_if_narrow
+
         target = self.spark.sparkContext.defaultParallelism
-        if self.df.rdd.getNumPartitions() >= target:
-            return self
-        d = self.df.repartition(target, *keys) if keys else self.df.repartition(target)
-        return self._derive(d)
+        d = spread_if_narrow(self.df, target, *keys)
+        return self if d is self.df else self._derive(d)
 
     def cache(self) -> "Pipeline":
         self.df = self.df.cache()

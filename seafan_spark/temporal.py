@@ -52,7 +52,10 @@ def epoch_us_col(df: DataFrame, col: str) -> Column:
 
     dt = df.schema[col].dataType
     if isinstance(dt, (T.LongType, T.IntegerType)):
-        return F.expr(f"`{col}` div 1000")
+        # FLOOR division (`div` truncates toward zero): pre-epoch nano
+        # timestamps must round down, not toward 1970 — pmod is
+        # non-negative, so subtracting it yields the floor multiple
+        return F.expr(f"(`{col}` - pmod(`{col}`, 1000)) div 1000")
     if isinstance(dt, T.TimestampNTZType):
         return F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', `{col}`)")
     if isinstance(dt, T.TimestampType):
@@ -269,9 +272,13 @@ def funnel(
     us = F.col(user_col)
     t = epoch_us_col(df, ts_col)
     ev = df.select(us.alias("_u"), t.alias("_t"), F.col(event_col).alias("_e"))
+    # each step's survivor table feeds BOTH its count aggregation and the
+    # next step's join — materialize it (one small row per surviving user)
+    # so the shrinking chain of events-joins executes once per step, not
+    # O(steps^2) times through recomputed lineage
     reached = (
         ev.filter(F.col("_e") == steps[0]).groupBy("_u").agg(F.min("_t").alias("_tprev"))
-    )
+    ).localCheckpoint(eager=True)
     counts = [(1, steps[0], reached)]
     for i, step in enumerate(steps[1:], start=2):
         nxt = (
@@ -280,7 +287,7 @@ def funnel(
             .filter(F.col("_t") >= F.col("_tprev"))
             .groupBy("_u")
             .agg(F.min("_t").alias("_tprev"))
-        )
+        ).localCheckpoint(eager=True)
         counts.append((i, step, nxt))
         reached = nxt
     spark = df.sparkSession
@@ -317,7 +324,12 @@ def retention(
     us_per = 86_400_000_000 * (7 if period == "week" else 1)
     ev = df.select(
         F.col(user_col).alias("_u"), epoch_us_col(df, ts_col).alias("_us")
-    ).select("_u", F.expr(f"_us div {us_per}").alias("_p"))
+    ).select(
+        # FLOOR division (the oracle's `//`): pre-1970 events must land in
+        # the earlier bucket, but SQL `div` truncates toward zero
+        "_u",
+        F.expr(f"(_us - pmod(_us, {us_per})) div {us_per}").alias("_p"),
+    )
     first = ev.groupBy("_u").agg(F.min("_p").alias("_cohort"))
     return (
         ev.join(first, "_u")

@@ -108,3 +108,15 @@ def test_join_drops_one_hot(enc_pipe, spark):
     right = vec_to_pipe(spark, {"Field1": ["a", "b"], "z": [1.0, 2.0]})
     j = p.join(right, "Field1", "inner")
     assert "Field1_oh" not in j.df.columns
+
+
+def test_fit_levels_cardinality_cap(spark):
+    from seafan_spark.sources import vec_to_pipe
+
+    p = vec_to_pipe(spark, {"c": [f"v{i}" for i in range(50)]})
+    with pytest.raises(EncodeError, match="distinct"):
+        fit_levels(p, "c", max_levels=10)
+    # at-or-under the cap still fits the full sorted dictionary
+    fp = fit_levels(p, "c", max_levels=50)
+    assert len(fp.levels) == 50
+    assert fp.levels["v0"] == 0

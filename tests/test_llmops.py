@@ -464,3 +464,96 @@ def test_multimodal_plumbing(spark):
 
     frames = multimodal.sample_video_frames(df, "doc_id", "media", every_n=30).collect()
     assert len(frames) == 5  # 1 fake frame per tiny payload
+
+
+def test_multiprobe_lsh_improves_recall(vec_pipe):
+    from seafan_spark.llmops.similarity import ann_brute_topk, ann_lsh_topk
+
+    pipe, ids, vecs = vec_pipe
+    truth = {
+        (r["q_id"], r["neighbor_id"])
+        for r in ann_brute_topk(pipe, "vec_id", "embedding", k=3).collect()
+    }
+
+    def recall(probe_bits):
+        got = {
+            (r["q_id"], r["neighbor_id"])
+            for r in ann_lsh_topk(
+                pipe, "vec_id", "embedding", k=3, planes=4, dim=16,
+                probe_bits=probe_bits,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r1 = recall(0), recall(1)
+    # single-bit multi-probe must strictly add candidate coverage here
+    # (measured on this fixture: ~0.22 -> ~0.60)
+    assert r1 > r0
+    assert r1 > 0.5
+
+
+def test_vector_dim_guards(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from seafan_spark.llmops.similarity import (
+        ann_lsh_topk,
+        infer_vec_dim,
+        random_projection_col,
+    )
+
+    # wrong-length vector raises instead of silently null-bucketing
+    bad = vec_to_pipe(spark, {"vec_id": [1, 2], "embedding": [[1.0] * 16, [1.0] * 15]})
+    with _pt.raises(Exception, match="expected vector of dim"):
+        ann_lsh_topk(bad, "vec_id", "embedding", planes=4, dim=16).collect()
+    with _pt.raises(Exception, match="expected vector of dim"):
+        bad.df.select(
+            random_projection_col(F.col("embedding"), 16, 2)
+        ).collect()
+    # empty input: clear error, not TypeError on None
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pt.raises(ValueError, match="empty input"):
+        infer_vec_dim(empty, "embedding", "ann_lsh_topk")
+
+
+def test_projection_broadcast_weights_match_literals(spark):
+    import random as _rnd
+
+    from pyspark.sql import functions as F
+
+    from seafan_spark.llmops.similarity import (
+        random_projection_col,
+        with_hyperplane_bucket,
+        with_random_projection,
+    )
+
+    rnd = _rnd.Random(3)
+    in_dim, out_dim = 1024, 32  # 32768 weights > LITERAL_WEIGHT_MAX
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(in_dim)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "i long, v array<double>")
+    got = {
+        r["i"]: r["p"]
+        for r in with_random_projection(df, "v", "p", in_dim, out_dim).collect()
+    }
+    ref = {
+        r["i"]: r["p"]
+        for r in df.select(
+            "i", random_projection_col(F.col("v"), in_dim, out_dim).alias("p")
+        ).collect()
+    }
+    for i in got:
+        assert got[i] == pytest.approx(ref[i])
+    # hyperplane buckets: broadcast path reproduces the literal weights too
+    from seafan_spark.llmops.similarity import hyperplane_bucket_col
+
+    bk = {
+        r["i"]: r["b"]
+        for r in with_hyperplane_bucket(df, "v", "b", in_dim, planes=32).collect()
+    }
+    bref = {
+        r["i"]: r["b"]
+        for r in df.select(
+            "i", hyperplane_bucket_col(F.col("v"), in_dim, planes=32).alias("b")
+        ).collect()
+    }
+    assert bk == bref

@@ -157,3 +157,29 @@ def test_winsorize_bounds(spark):
     assert all(lo - 1e-9 <= v <= hi + 1e-9 for v in xs)
     # interior values pass through
     assert 50.0 in xs
+
+
+def test_winsorize_preserves_nulls(spark):
+    p = vec_to_pipe(spark, {"x": [1.0, None, 50.0, 100.0, None]})
+    out = winsorize(p, "x", 0.10, 0.90, name="xw")
+    rows = out.ordered_df().select("xw").collect()
+    got = [r["xw"] for r in rows]
+    # NULLs pass through (greatest/least would have clipped them to lo)
+    assert got[1] is None and got[4] is None
+    assert all(v is not None for i, v in enumerate(got) if i not in (1, 4))
+
+
+def test_retention_pre_epoch_floor_division(spark):
+    day = 86_400_000_000_000  # ns per day
+    rows = [
+        ("a", -1 * day), ("a", 6 * day),   # cohort = floor(-1/7) = -1
+        ("b", 0 * day), ("b", 7 * day),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts long")
+    got = {
+        (r["cohort"], r["period_offset"]): r["n_users"]
+        for r in retention(df, "user", "ts", period="week").collect()
+    }
+    # pre-1970 event floors DOWN into week -1 (truncation would give 0)
+    assert got[(-1, 0)] == 1 and got[(-1, 1)] == 1
+    assert got[(0, 0)] == 1 and got[(0, 1)] == 1

@@ -462,6 +462,32 @@ def q_pii_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap
+    (llmops.text.chunk_documents): every chunk boundary and substring is
+    hash-checked against a DuckDB twin using the same arithmetic."""
+    from seafan_spark.llmops.text import chunk_documents
+
+    p = _pipe(spark, sf_dir, "documents")
+    return chunk_documents(p, "doc_id", "text", size=512, overlap=64)
+
+
+def q_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: new batch (doc_id % 5 == 0) against a
+    persisted signature store of the rest
+    (llmops.dedup.minhash_pairs_incremental) — the corpus side is never
+    re-shingled, only its stored signatures are banded."""
+    from seafan_spark.llmops.dedup import minhash_pairs_incremental, minhash_signatures
+
+    p = _pipe(spark, sf_dir, "documents")
+    old = p.df.filter(F.col("doc_id") % 5 != 0)
+    new = p._derive(p.df.filter(F.col("doc_id") % 5 == 0))
+    store = minhash_signatures(old, "doc_id", "text", num_hashes=32)
+    return minhash_pairs_incremental(
+        new, store, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 fingerprint + group size + keeper flag
     (llmops.dedup.exact_dedup)."""
@@ -1118,6 +1144,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sort_rank": q_sort_rank,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "chunk": q_chunk,
+    "minhash_incr": q_minhash_incr,
     "winnow": q_winnow,
     "edit_distance": q_edit_distance,
     "embed_project": q_embed_project,
@@ -1968,6 +1996,67 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
 
 
 ORACLES["minhash_pairs"] = _minhash_oracle()
+
+ORACLES["chunk"] = """
+    WITH n AS (
+        SELECT doc_id, text,
+               greatest(1, CAST(ceil((length(text) - 64)::DOUBLE / 448.0) AS INT)) AS nc
+        FROM documents
+    ), e AS (
+        SELECT doc_id, text, unnest(range(0, nc)) AS i FROM n
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_id,
+           CAST(i * 448 + 1 AS BIGINT) AS char_start,
+           substr(text, CAST(i * 448 + 1 AS INT), 512) AS chunk
+    FROM e
+"""
+
+
+def _minhash_incr_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """DuckDB twin of q_minhash_incr: identical signatures/banding to
+    _minhash_oracle, with candidate pairs restricted to those touching the
+    'new' batch (doc_id % 5 == 0) — exactly the incremental join's
+    output."""
+    from seafan_spark.llmops.dedup import MERSENNE31 as P
+    from seafan_spark.llmops.dedup import minhash_mixers
+
+    mixers = minhash_mixers(num_hashes)
+    rows = num_hashes // bands
+    mins = ",\n                   ".join(
+        f"min(({a} * hp + {c}) % {P}) AS m{i}" for i, (a, c) in enumerate(mixers)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
+    eqs = " + ".join(f"(sa.sig[{i + 1}] = sb.sig[{i + 1}])::INT" for i in range(num_hashes))
+    return f"""
+        WITH {_SHINGLE_CTE},
+        exp AS (SELECT doc_id, h % {P} AS hp FROM ex),
+        mn AS (
+            SELECT doc_id,
+                   {mins}
+            FROM exp GROUP BY doc_id
+        ), s2 AS (
+            SELECT doc_id, {sig_list} AS sig FROM mn
+        ), banded AS (
+            SELECT doc_id, t.range AS band,
+                   ('0x' || substr(md5(array_to_string(
+                        sig[t.range * {rows} + 1 : t.range * {rows} + {rows}], ',')), 1, 15))::BIGINT AS bucket
+            FROM s2 CROSS JOIN range(0, {bands}) t
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+        )
+        SELECT c.id_a, c.id_b, ({eqs})::DOUBLE / {float(num_hashes)!r} AS est_jaccard
+        FROM cand c
+        JOIN s2 sa ON sa.doc_id = c.id_a
+        JOIN s2 sb ON sb.doc_id = c.id_b
+        WHERE ({eqs})::DOUBLE / {float(num_hashes)!r} >= {threshold!r}
+    """
+
+
+ORACLES["minhash_incr"] = _minhash_incr_oracle()
 
 
 def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> str:

@@ -162,7 +162,6 @@ def minhash_pairs(
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
     # materialize signatures once (executor storage, auto-released when the
     # DataFrame is dereferenced): they feed the banding AND the per-pair
     # verification re-join below — without this the explode+groupBy
@@ -173,20 +172,7 @@ def minhash_pairs(
     # the band join carries ONLY (_id, band, bucket): shipping the 64-long
     # _sig array on both join sides multiplies shuffle bytes by
     # O(bands * sig_len); signatures re-attach per *surviving* pair instead
-    banded = sig.select(
-        "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    hash60_col(
-                        F.concat_ws(",", F.transform(F.slice("_sig", b * rows + 1, rows), lambda v: v.cast("string")))
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = band_signatures(sig, num_hashes, bands)
     a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
     cand = (
@@ -739,4 +725,84 @@ def edit_distance_pairs(
         .withColumn("dist", F.levenshtein("ta", "tb"))
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+# --------------------------------------------------- incremental minhash ----
+def band_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(_id, band, bucket) banding of a (_id, _sig) signature table —
+    factored out of minhash_pairs so a PERSISTED signature store can be
+    banded without re-shingling its documents (pure literal arithmetic +
+    one portable hash per band over the stored longs)."""
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    return sig.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    hash60_col(
+                        F.concat_ws(",", F.transform(F.slice("_sig", b * rows + 1, rows), lambda v: v.cast("string")))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_pairs_incremental(
+    new_pipe,
+    store_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedupe a NEW batch of documents against an existing corpus
+    signature store (plus within itself) — the append-only ingestion
+    shape: at large corpus scale you never re-shingle the corpus per
+    batch, you keep its (id, signature) table (e.g. parquet written by
+    ``minhash_signatures``) and only hash the new arrivals.
+
+    - ``store_sig``: (_id, _sig array<bigint>) from minhash_signatures
+      with the SAME num_hashes/shingle_k.
+    - only the new batch is shingled/hashed; the store is banded with
+      cheap literal arithmetic and joined on (band, bucket);
+    - emitted pairs have at least one NEW side: new-vs-store and
+      new-vs-new; store-vs-store pairs are the previous batches' output
+      and are never recomputed.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, like
+    minhash_pairs."""
+    new_sig = minhash_signatures(
+        new_pipe.df, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=True)
+    all_sig = store_sig.select("_id", "_sig").unionByName(new_sig)
+    new_banded = band_signatures(new_sig, num_hashes, bands)
+    all_banded = band_signatures(all_sig, num_hashes, bands)
+    a = new_banded.select(F.col("_id").alias("_na"), "band", "bucket")
+    b = all_banded.select(F.col("_id").alias("_nb"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("_na") != F.col("_nb"))
+        .select(
+            F.least("_na", "_nb").alias("id_a"),
+            F.greatest("_na", "_nb").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = cand.join(
+        all_sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")), "id_a"
+    ).join(all_sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")), "id_b")
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
     )

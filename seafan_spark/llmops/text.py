@@ -405,3 +405,59 @@ def vocab_top_terms(df, text_col: str = "text", k: int = 50) -> "DataFrame":
     return counts.select(
         "term", "n", F.row_number().over(w).cast("bigint").alias("rank")
     )
+
+
+# ------------------------------------------------------------- chunking ----
+def chunk_count_col(text: Column, size: int, overlap: int) -> Column:
+    """Number of sliding chunks covering ``text``: step = size - overlap;
+    ceil((len - overlap) / step), minimum 1 (empty/short text yields one
+    chunk). Plain arithmetic — identical in any engine."""
+    step = size - overlap
+    n = F.length(text)
+    return F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(float(step))).cast("int"),
+    )
+
+
+def chunk_documents(
+    pipe_or_df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks — the
+    standard pre-tokenization step of training-data and retrieval
+    pipelines. One row per chunk:
+
+    - ``chunk_id``   0-based position within the document
+    - ``char_start`` 1-based offset of the chunk in the original text
+    - ``chunk``      the substring (length <= size; consecutive chunks
+      share ``overlap`` characters)
+
+    Pure JVM higher-order functions (sequence -> transform -> explode ->
+    substr): no UDF, no shuffle — chunking is embarrassingly parallel and
+    the plan stays a narrow projection over the scan, so at 100 TB this
+    runs at scan speed. The arithmetic is engine-portable (DuckDB twin
+    uses the same formulas), so the oracle hash-checks every chunk
+    boundary."""
+    df = getattr(pipe_or_df, "df", pipe_or_df)
+    if overlap >= size:
+        raise ValueError("chunk_documents: overlap must be < size")
+    step = size - overlap
+    t = F.col(text_col)
+    chunks = F.transform(
+        F.sequence(F.lit(0), chunk_count_col(t, size, overlap) - F.lit(1)),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            (i * step + 1).cast("bigint").alias("char_start"),
+            t.substr((i * step + 1).cast("int"), F.lit(size)).alias("chunk"),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(chunks).alias("_c")).select(
+        id_col,
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.char_start").alias("char_start"),
+        F.col("_c.chunk").alias("chunk"),
+    )

@@ -557,3 +557,55 @@ def test_projection_broadcast_weights_match_literals(spark):
         ).collect()
     }
     assert bk == bref
+
+
+def test_chunk_documents_boundaries(spark):
+    from seafan_spark.llmops.text import chunk_documents
+
+    text = "abcdefghij" * 12  # 120 chars
+    p = vec_to_pipe(spark, {"doc_id": [1, 2, 3], "text": [text, "short", ""]})
+    rows = chunk_documents(p, "doc_id", "text", size=50, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 120 chars, step 40 -> ceil((120-10)/40) = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["char_start"] for r in c1] == [1, 41, 81]
+    assert [len(r["chunk"]) for r in c1] == [50, 50, 40]
+    # consecutive chunks share exactly `overlap` characters
+    assert c1[0]["chunk"][-10:] == c1[1]["chunk"][:10]
+    # reassembly covers the original text exactly
+    assert c1[0]["chunk"] + c1[1]["chunk"][10:] + c1[2]["chunk"][10:] == text
+    # short + empty docs produce a single chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk"] == "short"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk"] == ""
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(p, "doc_id", "text", size=10, overlap=10)
+
+
+def test_minhash_incremental_matches_full(doc_pipe):
+    from seafan_spark.llmops.dedup import (
+        minhash_pairs_incremental,
+        minhash_signatures,
+    )
+
+    # full-batch ground truth restricted to pairs touching the new set
+    full = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_pairs(
+            doc_pipe, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    new_ids = {0, 40, 42}  # includes planted dups on both sides
+    want = {k: v for k, v in full.items() if k[0] in new_ids or k[1] in new_ids}
+
+    old = doc_pipe.df.filter(~F.col("doc_id").isin(list(new_ids)))
+    new = doc_pipe._derive(doc_pipe.df.filter(F.col("doc_id").isin(list(new_ids))))
+    store = minhash_signatures(old, "doc_id", "text", num_hashes=64)
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_pairs_incremental(
+            new, store, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert got == want and (0, 40) in got

@@ -564,6 +564,25 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_mix mixture spec: uneven weights over four sources, the rest dropped
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 1.0}
+_MIX_BUDGET = 10_000
+
+
+def q_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted source mixing (sampling.mix_sources): per-source keep
+    fractions from the target mixture + a size budget, applied as a
+    deterministic md5-bucket filter — hash-checked against a DuckDB twin
+    computing the identical fractions."""
+    from seafan_spark.sampling import mix_sources
+
+    p = _pipe(spark, sf_dir, "documents")
+    out = mix_sources(
+        p.df, "doc_id", "source", "n_chars", _MIX_WEIGHTS, _MIX_BUDGET
+    )
+    return out.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling + train/val/test split
     (sampling.deterministic_sample / train_val_test_split): md5-bucket
@@ -1168,6 +1187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "sample_split": q_sample_split,
     "pack": q_pack,
+    "mix": q_mix,
     "pivot": q_pivot,
     "salted_join": q_salted_join,
     "salted_agg": q_salted_agg,
@@ -1996,6 +2016,35 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
 
 
 ORACLES["minhash_pairs"] = _minhash_oracle()
+
+def _mix_oracle() -> str:
+    """DuckDB twin of q_mix: identical per-source fraction computation
+    (normalized-weight literals as ::DOUBLE so arithmetic is IEEE double
+    like Spark's, never DECIMAL) + the shared md5-bucket filter."""
+    totw = sum(_MIX_WEIGHTS.values())
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w / totw!r}::DOUBLE" for s, w in _MIX_WEIGHTS.items()
+    )
+    srcs = ", ".join(f"'{s}'" for s in _MIX_WEIGHTS)
+    return f"""
+        WITH tot AS (
+            SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS t
+            FROM documents GROUP BY source
+        ), th AS (
+            SELECT source,
+                   CAST(floor(least(1.0::DOUBLE,
+                        ((CASE source {cases} END * {float(_MIX_BUDGET)!r}::DOUBLE)) / t)
+                        * 1000000) AS BIGINT) AS lim
+            FROM tot WHERE source IN ({srcs})
+        )
+        SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+        FROM documents d JOIN th USING (source)
+        WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              % 1000000 < lim
+    """
+
+
+ORACLES["mix"] = _mix_oracle()
 
 ORACLES["chunk"] = """
     WITH n AS (

@@ -163,3 +163,45 @@ def pack_sequences(
         )
         .drop("_bkt")
     )
+
+
+def mix_sources(
+    df,
+    key_col: str,
+    source_col: str,
+    size_col: str,
+    weights: Mapping[str, float],
+    budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Budgeted source mixing — the training-data composition step: given
+    target mixture ``weights`` (normalized) and a total ``budget`` in
+    ``size_col`` units (chars/tokens/bytes), deterministically downsample
+    each source to ~its share of the budget.
+
+    Per-source keep fraction = min(1, (w_s/W * budget) / total_s), from
+    ONE tiny per-source aggregation (collected: one row per source);
+    selection is then a pure hash-bucket filter (stratified_sample) — no
+    shuffle of the corpus, reproducible across runs/engines/retries, and
+    at 100 TB the filter pushes to the scan while the totals pass is a
+    map-side-combined aggregate. Sources with weight 0 (or absent from
+    ``weights``) are dropped; a source whose corpus is smaller than its
+    share keeps everything (fraction capped at 1 — upweighting repeats is
+    an epoch-level concern, not a sampling one)."""
+    d = _df(df)
+    totw = float(sum(weights.values()))
+    if totw <= 0:
+        raise ValueError("mix_sources: weights must sum > 0")
+    totals = {
+        r["s"]: r["t"]
+        for r in d.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(size_col).alias("t"))
+        .collect()
+    }
+    fracs: dict[str, float] = {}
+    for s, w in weights.items():
+        tot = totals.get(s)
+        if not tot or w <= 0:
+            continue
+        fracs[s] = min(1.0, ((w / totw) * budget) / float(tot))
+    return stratified_sample(d, key_col, source_col, fracs, 0.0, salt)

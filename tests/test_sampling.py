@@ -108,3 +108,42 @@ def test_oversize_row_gets_own_bin(spark):
     packed = pack_sequences(d, "doc", "toks", budget=100, shards=1)
     bins = {r["doc"]: r["bin"] for r in packed.collect()}
     assert len(set(bins.values())) >= 2  # the 5000-token row can't share forever
+
+
+def test_mix_sources_budget(spark):
+    from seafan_spark.sampling import mix_sources
+
+    rows = []
+    for i in range(400):
+        src = "web" if i % 2 == 0 else ("books" if i % 4 == 1 else "code")
+        rows.append((i, src, 100))
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    # web: 200 docs/20k chars, books: 100/10k, code: 100/10k
+    out = mix_sources(
+        df, "doc_id", "source", "n_chars",
+        {"web": 1.0, "books": 1.0}, budget=12_000,
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + r["n_chars"]
+    # zero/absent weight -> dropped entirely
+    assert "code" not in by_src
+    # web target 6k of 20k (~30%), books target 6k of 10k (~60%):
+    # hash sampling is approximate; generous bounds
+    assert 3_000 < by_src["web"] < 9_000
+    assert 4_000 < by_src["books"] < 8_000
+    # a source smaller than its share keeps everything (fraction capped)
+    out2 = mix_sources(
+        df, "doc_id", "source", "n_chars", {"books": 1.0}, budget=1_000_000
+    )
+    assert out2.count() == 100
+    # deterministic across invocations
+    a = {r["doc_id"] for r in out}
+    b = {
+        r["doc_id"]
+        for r in mix_sources(
+            df, "doc_id", "source", "n_chars",
+            {"web": 1.0, "books": 1.0}, budget=12_000,
+        ).collect()
+    }
+    assert a == b

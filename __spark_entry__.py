@@ -924,8 +924,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over MinHash near-dup pairs (llmops.dedup).
-    Iterative label propagation — rows-only check."""
+    """Connected components over MinHash near-dup pairs (llmops.dedup) —
+    hash-checked against a DuckDB recursive-CTE transitive closure over
+    the identical pairs."""
     from seafan_spark.llmops.dedup import minhash_clusters, minhash_pairs
 
     p = _pipe(spark, sf_dir, "documents").spread("doc_id")
@@ -1165,6 +1166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "chunk": q_chunk,
     "minhash_incr": q_minhash_incr,
+    "minhash_clusters": q_minhash_clusters,
     "winnow": q_winnow,
     "edit_distance": q_edit_distance,
     "embed_project": q_embed_project,
@@ -1218,7 +1220,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_glm": q_model_glm,
     "model_nn": q_model_nn,
     "marginal": q_marginal,
-    "minhash_clusters": q_minhash_clusters,
 }
 
 ORACLES: dict[str, str] = {
@@ -2106,6 +2107,31 @@ def _minhash_incr_oracle(num_hashes: int = 32, bands: int = 8, threshold: float 
 
 
 ORACLES["minhash_incr"] = _minhash_incr_oracle()
+
+
+def _minhash_clusters_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """DuckDB twin of q_minhash_clusters: the _minhash_oracle pairs as
+    edges, then connected components as a recursive-CTE transitive
+    closure with min-id labels — feasible at oracle SF because closure
+    size is O(nodes x component size) and near-dup components are tiny."""
+    pairs_sql = _minhash_oracle(num_hashes, bands, threshold)
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_sql}),
+        sym AS (
+            SELECT id_a, id_b FROM pairs
+            UNION ALL
+            SELECT id_b AS id_a, id_a AS id_b FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT id_a, id_b FROM sym
+            UNION
+            SELECT s.id_a, r.r FROM sym s JOIN reach r ON s.id_b = r.id
+        )
+        SELECT id, least(id, min(r)) AS cluster FROM reach GROUP BY id
+    """
+
+
+ORACLES["minhash_clusters"] = _minhash_clusters_oracle()
 
 
 def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> str:

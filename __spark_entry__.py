@@ -1195,12 +1195,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_agg": q_salted_agg,
     "contamination": q_contamination,
     "tfidf": q_tfidf,
+    # --- end of the driver's 50-entry correctness window ---
+    # oracled, driver-green in both round 1 and round 2
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
     "stream_join": q_stream_join,
     "sessionize": q_sessionize,
-    # --- end of the driver's 50-entry correctness window ---
-    # oracled, driver-green in both round 1 and round 2
     "rollup": q_rollup,
     "corr_matrix": q_corr_matrix,
     "distinct_counts": q_distinct_counts,

@@ -69,14 +69,20 @@ def fit_levels(
     dtype = pipe.df.schema[field].dataType
     if isinstance(dtype, (T.DoubleType, T.FloatType)):
         raise EncodeError(f"categorical field {field} cannot be float (gdata.go:175-177)")
-    rows = pipe.df.select(field).distinct().limit(max_levels + 1).collect()
+    rows = (
+        pipe.df.select(field)
+        .where(F.col(field).isNotNull())  # NULL is not a level; don't count it
+        .distinct()
+        .limit(max_levels + 1)
+        .collect()
+    )
     if len(rows) > max_levels:
         raise EncodeError(
             f"categorical field {field} has more than {max_levels} distinct "
             "levels; a driver-side dictionary cannot hold it - raise "
             "max_levels explicitly or use a join/hash encoding"
         )
-    vals = [r[0] for r in rows if r[0] is not None]
+    vals = [r[0] for r in rows]
     levels = {v: i for i, v in enumerate(sorted(vals))}
     if default is not None and default not in levels:
         raise EncodeError(f"default {default!r} not among levels of {field}")

@@ -103,17 +103,27 @@ def compact_parquet(
 ) -> int:
     """Rewrite a (small-file-fragmented) parquet dataset into
     ~``target_mb``-sized files. Returns the output file count. The
-    repartition is the only shuffle; at scale run per partition-directory."""
-    from seafan_spark.partitions import estimated_scan_partitions  # noqa: F401
+    repartition is the only shuffle; at scale run per partition-directory.
+
+    Sizes come from the scan's own file listing (works for any URI Spark
+    can read); raises when a file cannot be stat-ed rather than silently
+    funneling the dataset into one task."""
+    import os
+    from urllib.parse import urlparse
 
     df = spark.read.parquet(src_path)
-    import glob
-    import os
-
-    total = sum(
-        os.path.getsize(f)
-        for f in glob.glob(os.path.join(src_path, "**", "*.parquet"), recursive=True)
-    )
+    files = df.inputFiles()
+    if not files:
+        raise ValueError(f"compact_parquet: no input files under {src_path!r}")
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            raise ValueError(
+                f"compact_parquet: cannot stat remote file {f!r} locally - "
+                "size the rewrite explicitly (df.repartition(n).write...)"
+            )
+        total += os.path.getsize(u.path)
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df.repartition(n).write.mode(mode).parquet(dst_path)
     return n

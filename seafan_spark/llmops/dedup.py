@@ -782,12 +782,16 @@ def minhash_pairs_incremental(
     new_sig = minhash_signatures(
         new_pipe.df, id_col, text_col, num_hashes, shingle_k
     ).localCheckpoint(eager=True)
+    # a re-ingested id (present in the store AND the new batch) must not
+    # duplicate: the fresh signature wins, the stale store row is dropped
+    # (broadcast anti-join on the small new side)
+    store_only = store_sig.select("_id", "_sig").join(
+        F.broadcast(new_sig.select("_id")), "_id", "left_anti"
+    )
     # materialize the union once: it feeds the banding AND both sides of
     # the verification join — an unmaterialized store expression (e.g. a
     # freshly computed signature table) would execute three times
-    all_sig = (
-        store_sig.select("_id", "_sig").unionByName(new_sig).localCheckpoint(eager=True)
-    )
+    all_sig = store_only.unionByName(new_sig).localCheckpoint(eager=True)
     new_banded = band_signatures(new_sig, num_hashes, bands)
     all_banded = band_signatures(all_sig, num_hashes, bands)
     a = new_banded.select(F.col("_id").alias("_na"), "band", "bucket")

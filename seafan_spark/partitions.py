@@ -56,11 +56,25 @@ def estimated_scan_partitions(df: DataFrame) -> int | None:
     return splits
 
 
+def _plan_already_repartitions(df: DataFrame) -> bool:
+    """True when the frame's own plan contains a repartition/rebalance —
+    the file listing then says nothing about its real parallelism, and a
+    second spread would be a pure-cost full shuffle."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return "Repartition" in plan or "Rebalance" in plan
+
+
 def spread_if_narrow(df: DataFrame, target: int, *keys: str) -> DataFrame:
     """Repartition to ``target`` iff the source scan is provably narrower
-    (single/few small files). Unknown-parallelism sources pass through
-    untouched — repartitioning an already-wide frame would be a pure-cost
-    shuffle of the whole relation."""
+    (single/few small files). Unknown-parallelism sources and frames that
+    already repartition in-plan pass through untouched — repartitioning
+    an already-wide frame would be a pure-cost shuffle of the whole
+    relation."""
+    if _plan_already_repartitions(df):
+        return df
     est = estimated_scan_partitions(df)
     if est is None or est >= target:
         return df

@@ -6,8 +6,10 @@ here: range-repartition on the sort key (each partition holds a contiguous
 key range, ascending with partition id), rank rows *within* each partition,
 and add the driver-computed cumulative row-count offset of the preceding
 partitions. Both passes are fully parallel; the only driver-side data is
-one (partition_id, count) row per shuffle partition, and the second job
-reuses the first's shuffle files (stage skipping).
+one (partition_id, count) row per shuffle partition. The range-shuffled
+frame is materialized (localCheckpoint) before the stats job so both
+jobs observe the SAME partition bounds — a re-executed RangePartitioner
+re-samples its bounds, which would silently mis-key the offsets.
 
 Used by diagnostics that need exact quantile buckets (decile/marginal —
 reference diags.go:354-473, 592-731) with NTILE-identical assignment, so
@@ -36,7 +38,16 @@ def global_row_number(
     deterministic result — same contract as any rank over ties.
     """
     cols = _order_cols(order)
-    d = df.repartitionByRange(*cols).withColumn("_gpid", F.spark_partition_id())
+    # materialize the range shuffle ONCE: the stats job and the final job
+    # are separate actions on separately-planned Datasets, and a re-run
+    # RangePartitioner re-samples its bounds (seeded by fresh RDD ids) —
+    # rows near a boundary could land in a different _gpid than the one
+    # the collected counts were keyed by, corrupting every offset
+    d = (
+        df.repartitionByRange(*cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     counts = {
         r["_gpid"]: r["cnt"]
         for r in d.groupBy("_gpid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -117,7 +128,14 @@ def attach_running_ops(
         if kind not in RUNNING_KINDS:
             raise ValueError(f"attach_running_ops: unknown kind {kind!r}")
     cols = _order_cols(order)
-    d = df.repartitionByRange(*cols).withColumn("_gpid", F.spark_partition_id())
+    # materialized once — see global_row_number: a re-executed range
+    # shuffle may re-sample different partition bounds, which would break
+    # every carry-in keyed by _gpid
+    d = (
+        df.repartitionByRange(*cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     wb = Window.partitionBy("_gpid").orderBy(*cols)
     wb_run = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = d.withColumn("_lrn", F.row_number().over(wb))

@@ -120,3 +120,11 @@ def test_fit_levels_cardinality_cap(spark):
     fp = fit_levels(p, "c", max_levels=50)
     assert len(fp.levels) == 50
     assert fp.levels["v0"] == 0
+
+
+def test_fit_levels_null_not_counted_toward_cap(spark):
+    from seafan_spark.sources import vec_to_pipe
+
+    p = vec_to_pipe(spark, {"c": ["a", "b", "c", None, None]})
+    fp = fit_levels(p, "c", max_levels=3)  # 3 non-null levels + NULLs: fits
+    assert len(fp.levels) == 3

@@ -609,3 +609,21 @@ def test_minhash_incremental_matches_full(doc_pipe):
         ).collect()
     }
     assert got == want and (0, 40) in got
+
+
+def test_minhash_incremental_reingested_id_no_dupes(doc_pipe):
+    from seafan_spark.llmops.dedup import (
+        minhash_pairs_incremental,
+        minhash_signatures,
+    )
+
+    # store covers ALL docs; the new batch re-ingests 0/40/42 - the join
+    # must not fan pairs out through duplicated signature rows
+    store = minhash_signatures(doc_pipe.df, "doc_id", "text", num_hashes=64)
+    new_ids = [0, 40, 42]
+    new = doc_pipe._derive(doc_pipe.df.filter(F.col("doc_id").isin(new_ids)))
+    rows = minhash_pairs_incremental(
+        new, store, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    keys = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(keys) == len(set(keys)) and (0, 40) in keys

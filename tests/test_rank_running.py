@@ -66,3 +66,12 @@ def test_running_ops_empty(spark):
         df, [("k", True)], [("rn", "rownum", None), ("s", "sum", F.col("v"))]
     )
     assert out.count() == 0 and {"rn", "s"} <= set(out.columns)
+
+
+def test_spread_skips_already_repartitioned(spark):
+    from seafan_spark.partitions import spread_if_narrow
+
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    wide = df.repartition(8, "c_custkey")
+    out = spread_if_narrow(wide, 32, "c_custkey")
+    assert out is wide  # no second shuffle on an already-spread frame

@@ -43,20 +43,17 @@ NLJ_OK = {
 }
 
 
-def _flags(plan: str, name: str) -> list[str]:
-    lines = plan.splitlines()
+def _flags(df, name: str) -> list[str]:
+    from seafan_spark.planaudit import scale_report
+
+    r = scale_report(df)
     bad = []
-    if "CartesianProduct" in plan:
-        bad.append("CartesianProduct")
-    for i, line in enumerate(lines):
-        if "Exchange SinglePartition" in line:
-            nxt = lines[i + 1] if i + 1 < len(lines) else ""
-            if "HashAggregate" not in nxt:
-                if name not in GLOBAL_ORDER_OK:
-                    bad.append(f"SinglePartition(non-agg) at line {i}")
-        if "BroadcastNestedLoopJoin" in line:
-            if "IdentityBroadcastMode" not in plan and name not in NLJ_OK:
-                bad.append("BroadcastNestedLoopJoin(non-scalar)")
+    for flag in r.flags:
+        if "single-partition" in flag and name in GLOBAL_ORDER_OK:
+            continue
+        if "nested-loop" in flag and name in NLJ_OK:
+            continue
+        bad.append(flag)
     return bad
 
 
@@ -70,9 +67,31 @@ def test_driver_query_plans_scale_safe(spark):
         except Exception as ex:  # a query erroring is its own failure
             failures[name] = [f"build error: {ex!r}"[:120]]
             continue
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        bad = _flags(plan, name)
+        bad = _flags(df, name)
         if bad:
             failures[name] = bad
         spark.catalog.clearCache()
     assert not failures, f"scale anti-patterns: {failures}"
+
+
+def test_scale_report_signals(spark):
+    import __spark_entry__ as entrymod
+    from seafan_spark.planaudit import scale_report
+
+    q5 = entrymod.queries()["tpch_q5"](spark, SF)
+    r = scale_report(q5)
+    assert r.scale_safe
+    assert r.broadcast_hash_joins >= 3  # dims broadcast
+    assert r.pushed_filters  # region filter reaches the scan
+
+    # a deliberate cartesian must flag (disable broadcast so the planner
+    # can't turn it into a broadcast nested-loop join)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(10)
+        b = spark.range(10).withColumnRenamed("id", "id2")
+        bad = scale_report(a.crossJoin(b))
+        assert not bad.scale_safe
+        assert bad.cartesian_products >= 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

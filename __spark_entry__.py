@@ -583,6 +583,15 @@ def q_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis table (skew.skew_report): heaviest keys with
+    row share and uniform-key ratio."""
+    from seafan_spark.skew import skew_report
+
+    p = _pipe(spark, sf_dir, "events")
+    return skew_report(p.df, "event_type", top=5)
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash sampling + train/val/test split
     (sampling.deterministic_sample / train_val_test_split): md5-bucket
@@ -1190,13 +1199,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_split": q_sample_split,
     "pack": q_pack,
     "mix": q_mix,
+    "skew_report": q_skew_report,
     "pivot": q_pivot,
     "salted_join": q_salted_join,
     "salted_agg": q_salted_agg,
     "contamination": q_contamination,
-    "tfidf": q_tfidf,
     # --- end of the driver's 50-entry correctness window ---
     # oracled, driver-green in both round 1 and round 2
+    "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
     "stream_join": q_stream_join,
@@ -2046,6 +2056,15 @@ def _mix_oracle() -> str:
 
 
 ORACLES["mix"] = _mix_oracle()
+
+ORACLES["skew_report"] = """
+    WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+    s AS (SELECT CAST(SUM(n) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS k FROM c)
+    SELECT event_type, n,
+           ROUND(n / t, 6) AS share,
+           ROUND(n * k / t, 4) AS skew_ratio
+    FROM c, s ORDER BY n DESC, event_type LIMIT 5
+"""
 
 ORACLES["chunk"] = """
     WITH n AS (

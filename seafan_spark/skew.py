@@ -115,3 +115,39 @@ def salted_groupby(
             )
     stage1 = d1.groupBy(*keylist, "_salt").agg(*partials)
     return stage1.groupBy(*keylist).agg(*finals)
+
+
+def skew_report(
+    df,
+    keys: Sequence[str] | str,
+    top: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnosis — decide WHETHER to salt before paying
+    for it: per-key row counts for the ``top`` heaviest keys, each with
+    its share of all rows and the ratio to a perfectly uniform key
+    (count * n_distinct / total — the factor by which that key's reducer
+    outweighs the average). One groupBy + one tiny scalar join.
+
+    Returns (key columns..., n, share, skew_ratio) ordered heaviest
+    first. skew_ratio >> 1 on the head key = salt that key
+    (skew.salted_join / salted_groupby) or lean on AQE skew handling.
+    """
+    d = _df(df)
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    counts = d.groupBy(*key_list).agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            *key_list,
+            F.col("n"),
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            F.round(F.col("n") * F.col("_nkeys") / F.col("_total"), 4).alias(
+                "skew_ratio"
+            ),
+        )
+        .orderBy(F.col("n").desc(), *key_list)
+        .limit(top)
+    )

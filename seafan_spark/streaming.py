@@ -280,3 +280,26 @@ def run_to_memory(
         q.stop()
         raise TimeoutError(f"stream {name} did not finish in {timeout_sec}s")
     return sdf.sparkSession.table(name)
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+    suffix: str = "_d",
+) -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) fact against
+    a static dimension table, dimension side broadcast — the standard
+    lookup-enrichment shape. No watermark or state store involved: the
+    static side is re-read per micro-batch (picking up slowly-changing
+    dimension updates between triggers), and the broadcast keeps the
+    stream side from ever shuffling. Mode-agnostic: a batch ``stream``
+    emits the identical plan, so the batch twin is the stream's
+    correctness oracle."""
+    keys = [on] if isinstance(on, str) else list(on)
+    d = dim
+    for c in dim.columns:
+        if c not in keys and c in stream.columns:
+            d = d.withColumnRenamed(c, c + suffix)
+    return stream.join(F.broadcast(d), on=keys, how=how)

@@ -95,3 +95,17 @@ def test_scale_report_signals(spark):
         assert bad.cartesian_products >= 1
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_correctness_window_invariant():
+    """The driver hash-checks only the first 50 queries() entries: every
+    one of them must have an oracle (rows-only queries go last)."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    missing = [n for n in names[:50] if n not in oracles]
+    assert not missing, f"first-50 queries without oracle: {missing}"
+    # every oracle key must reference a real query
+    dangling = [n for n in oracles if n not in names]
+    assert not dangling, f"oracles without queries: {dangling}"

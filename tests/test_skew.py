@@ -85,3 +85,17 @@ def test_pipeline_join_multi_key(spark):
     jl = l.join(r, ["a", "b"], how="left")
     vals = {(row["a"], row["b"]): row["w"] for row in jl.df.collect()}
     assert vals[(1, "y")] == 0.0 and vals[(2, "y")] == 0.0
+
+
+def test_skew_report_orders_and_ratios(spark):
+    from seafan_spark.skew import skew_report
+
+    rows = [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = skew_report(df, "k", top=2).collect()
+    assert [r["k"] for r in out] == ["hot", "warm"]
+    hot = out[0]
+    assert hot["n"] == 80
+    assert hot["share"] == pytest.approx(0.8)
+    # 3 distinct keys, uniform would be 100/3 rows: 80 / (100/3) = 2.4
+    assert hot["skew_ratio"] == pytest.approx(2.4)

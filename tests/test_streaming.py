@@ -126,3 +126,24 @@ def test_stream_dedup(spark, batch):
     sdf = stream_dedup(read_events_stream(spark, EVENTS), ["user_id", "event_type"])
     got = run_to_memory(sdf, "t_dedup", output_mode="append")
     assert got.count() == batch.dropDuplicates(["user_id", "event_type"]).count()
+
+
+def test_stream_enrich_matches_batch(spark, batch):
+    from seafan_spark.streaming import stream_enrich
+
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.5), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+
+    def build(src):
+        e = stream_enrich(src.select("event_id", "event_type"), dim, on="event_type")
+        return e.select("event_id", "weight")
+
+    want = build(batch)
+    got = run_to_memory(build(read_events_stream(spark, EVENTS)), "t_enrich",
+                        output_mode="append")
+    assert rows(got, None) == rows(want, None)
+    # left join: known types enriched, unknown types carried with NULL
+    assert want.filter(F.col("weight").isNotNull()).count() > 0
+    assert want.count() == batch.count()

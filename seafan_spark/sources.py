@@ -235,3 +235,48 @@ def pipe_to_jdbc(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.mode(mode).save()
+
+
+def json_to_pipe(
+    spark: SparkSession,
+    path: str,
+    fts: FTypes | None = None,
+    keep_raw: bool = True,
+    order_cols: Sequence[str] | None = None,
+    multiline: bool = False,
+    schema: str | None = None,
+) -> "Pipeline":
+    """Read JSON-lines (or multiline JSON with ``multiline=True``) into a
+    Pipeline. Pass ``schema`` (DDL string) at scale — schema inference is
+    a full extra pass over the data."""
+    from seafan_spark.pipeline import Pipeline
+
+    r = spark.read.option("multiLine", multiline)
+    df = r.schema(schema).json(path) if schema else r.json(path)
+    return Pipeline(df, fts=default_ftypes(df, fts), keep_raw=keep_raw, order_cols=order_cols)
+
+
+def orc_to_pipe(
+    spark: SparkSession,
+    path: str,
+    fts: FTypes | None = None,
+    keep_raw: bool = True,
+    order_cols: Sequence[str] | None = None,
+) -> "Pipeline":
+    """Read ORC into a Pipeline (self-describing columnar, same pushdown
+    properties as parquet)."""
+    from seafan_spark.pipeline import Pipeline
+
+    df = spark.read.orc(path)
+    return Pipeline(df, fts=default_ftypes(df, fts), keep_raw=keep_raw, order_cols=order_cols)
+
+
+def pipe_to_json(pipe: "Pipeline", path: str, mode: str = "overwrite") -> None:
+    """Write the pipeline as JSON-lines (order not preserved: distributed
+    writers emit per-partition files)."""
+    pipe.df.write.mode(mode).json(path)
+
+
+def pipe_to_orc(pipe: "Pipeline", path: str, mode: str = "overwrite") -> None:
+    """Write the pipeline as ORC."""
+    pipe.df.write.mode(mode).orc(path)

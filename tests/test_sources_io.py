@@ -51,3 +51,27 @@ def test_print_fns(spark, capsys):
     p3 = add_to_pipe(p, "printIf(c, 2, 1>2)", "pr2")
     assert p3.df.select("pr2").distinct().collect()[0]["pr2"] == 0.0
     assert capsys.readouterr().out == ""
+
+
+def test_json_round_trip(spark, tmp_path):
+    from seafan_spark.sources import json_to_pipe, pipe_to_json, vec_to_pipe
+
+    p = vec_to_pipe(spark, {"a": [1.0, 2.0, 3.0], "b": ["x", "y", "z"]})
+    path = str(tmp_path / "j")
+    pipe_to_json(p, path)
+    back = json_to_pipe(spark, path)
+    got = {(r["a"], r["b"]) for r in back.df.collect()}
+    assert got == {(1.0, "x"), (2.0, "y"), (3.0, "z")}
+    # explicit schema skips inference
+    back2 = json_to_pipe(spark, path, schema="a double, b string")
+    assert back2.df.schema.simpleString() == "struct<a:double,b:string>"
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from seafan_spark.sources import orc_to_pipe, pipe_to_orc, vec_to_pipe
+
+    p = vec_to_pipe(spark, {"a": [1.0, 2.0], "b": ["x", "y"]})
+    path = str(tmp_path / "o")
+    pipe_to_orc(p, path)
+    back = orc_to_pipe(spark, path)
+    assert {(r["a"], r["b"]) for r in back.df.collect()} == {(1.0, "x"), (2.0, "y")}

@@ -1619,14 +1619,15 @@ ORACLES: dict[str, str] = {
                         ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),
                              i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) END AS grams
             FROM d
-        ), sz AS (
-            SELECT doc_id, LEN(grams) AS ng FROM n
         ), e AS (
             SELECT doc_id, UNNEST(grams) AS g FROM n
         ), keep AS (
             SELECT g FROM e GROUP BY g HAVING COUNT(*) <= 1000
         ), ek AS (
             SELECT e.doc_id, e.g FROM e JOIN keep USING (g)
+        ), sz AS (
+            -- capped vocabulary: sizes and intersections over the SAME set
+            SELECT doc_id, COUNT(*) AS ng FROM ek GROUP BY doc_id
         ), inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
             FROM ek a JOIN ek b USING (g)

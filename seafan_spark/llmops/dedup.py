@@ -499,13 +499,17 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int = 1000,
 ) -> DataFrame:
-    """EXACT word-n-gram Jaccard near-dup pairs.
+    """Word-n-gram Jaccard near-dup pairs over the df-capped vocabulary.
 
     (id, ngram) exploded -> n-grams seen in more than ``max_df`` docs are
     dropped (stop-grams: they generate quadratic candidates and carry no
     signal) -> self-join on ngram -> per-pair intersection counts ->
-    jaccard = inter / (|A| + |B| - inter). Shuffles on ngram then on the
-    pair key; both partial-aggregated map-side.
+    jaccard = inter / (|A| + |B| - inter), where BOTH the intersections
+    and the set sizes count only sub-``max_df`` grams (one consistent
+    vocabulary — like stopword removal). Exact within that vocabulary;
+    pairs sharing ONLY capped grams are not candidates (the deliberate
+    trade that avoids joining quadratic stop-gram postings). Shuffles on
+    ngram then on the pair key; both partial-aggregated map-side.
     """
     # spread + materialize: tokenization is the CPU-heavy stage, so spread
     # the doc rows first if the source arrived under-partitioned (a single
@@ -528,9 +532,13 @@ def ngram_jaccard_pairs(
     ex = raw.select(
         "_id", F.explode(word_ngrams_col(F.col("_txt"), n)).alias("g")
     ).localCheckpoint(eager=True)
-    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     df_cap = ex.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
     ex = ex.join(F.broadcast(df_cap), "g")
+    # sizes from the SAME capped gram vocabulary as the intersections:
+    # jaccard is computed entirely over sub-max_df grams (stop-grams are
+    # excluded from numerator AND denominator — mixing full-set sizes with
+    # capped intersections would systematically underestimate)
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     a = ex.select(F.col("_id").alias("id_a"), "g")
     b = ex.select(F.col("_id").alias("id_b"), "g")
     inter = (
@@ -665,9 +673,12 @@ def embedding_neardup_pairs(
         "_raw",
         norm_col(F.col("_raw")).alias("_n"),  # staged: computed once per row
     )
+    # zero-norm guard mirrors _exact_pairs_blocked's unit_rows (norm 0 ->
+    # divide by 1): a bare division would abort under default ANSI mode
+    safe_n = F.when(F.col("_n") == 0.0, F.lit(1.0)).otherwise(F.col("_n"))
     d = with_hyperplane_bucket(staged, "_raw", "_bkt", dim, planes, seed).select(
         "_id",
-        F.transform(F.col("_raw"), lambda x: x.cast("double") / F.col("_n")).alias("_v"),
+        F.transform(F.col("_raw"), lambda x: x.cast("double") / safe_n).alias("_v"),
         "_bkt",
     )
     a = d.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bkt")

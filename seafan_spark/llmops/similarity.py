@@ -60,7 +60,11 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    """Cosine similarity; NULL when either vector has zero norm (under
+    the session default ANSI mode a bare division would ABORT the whole
+    job on the first zero/padding vector)."""
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom != 0.0, dot_col(a, b) / denom)
 
 
 def ann_brute_topk(

@@ -58,6 +58,12 @@ def _default_fill_value(dtype: T.DataType, ft: FType | None) -> Any:
     return None
 
 
+def as_df(x) -> "DataFrame":
+    """Accept a Pipeline or a DataFrame and return the DataFrame — the
+    one shared duck-typing contract for operator entry points."""
+    return getattr(x, "df", x)
+
+
 class Pipeline:
     """A lazily evaluated table: DataFrame + field metadata + order spec."""
 

@@ -29,8 +29,7 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
-def _df(x) -> DataFrame:
-    return getattr(x, "df", x)
+from seafan_spark.pipeline import as_df as _df  # shared unwrap contract
 
 
 def hash_bucket_col(key: Column, salt: str = "") -> Column:

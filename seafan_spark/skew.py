@@ -21,8 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _df(x) -> DataFrame:
-    return getattr(x, "df", x)
+from seafan_spark.pipeline import as_df as _df  # shared unwrap contract
 
 
 def salted_join(

@@ -226,7 +226,9 @@ _RUNNING_OUT_SCHEMA = T.StructType(
 def _running_totals_fn(key, pdf_iter, state):
     """Fold each Arrow batch for one key into (count, sum) state and emit
     the updated running totals once per trigger."""
-    n, total = state.get() if state.exists else (0, 0.0)
+    # GroupState.get is a PROPERTY in pyspark (calling it would invoke the
+    # state tuple itself and crash on the second trigger for any key)
+    n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdf_iter:
         n += int(pdf["value"].count())
         total += float(pdf["value"].sum())
@@ -243,12 +245,21 @@ def running_totals_stream(df: DataFrame, key: str = "user_id", value: str = "val
     ``df.groupBy(key).agg(count, sum)``."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # the output key field's type follows the input key column (a
+    # hardcoded LongType would fail at Arrow conversion for string keys)
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", df.schema[key].dataType),
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
     return (
         df.select(F.col(key).alias("user_id"), F.col(value).alias("value"))
         .groupBy("user_id")
         .applyInPandasWithState(
             _running_totals_fn,
-            outputStructType=_RUNNING_OUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
@@ -266,20 +277,26 @@ def run_to_memory(
     process everything currently in the source, then stop) into an
     in-memory table and return it as a DataFrame. Test/dev harness; real
     deployments point writeStream at kafka/parquet/delta instead."""
+    import shutil
+
     ckpt = tempfile.mkdtemp(prefix="seafan_stream_ckpt_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError(f"stream {name} did not finish in {timeout_sec}s")
-    return sdf.sparkSession.table(name)
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"stream {name} did not finish in {timeout_sec}s")
+        # the memory sink holds the rows; the checkpoint is transient state
+        return sdf.sparkSession.table(name)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def stream_enrich(

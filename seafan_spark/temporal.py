@@ -28,8 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _df(x) -> DataFrame:
-    return getattr(x, "df", x)
+from seafan_spark.pipeline import as_df as _df  # shared unwrap contract
 
 
 def epoch_us_col(df: DataFrame, col: str) -> Column:
@@ -51,7 +50,15 @@ def epoch_us_col(df: DataFrame, col: str) -> Column:
     from pyspark.sql import types as T
 
     dt = df.schema[col].dataType
-    if isinstance(dt, (T.LongType, T.IntegerType)):
+    if isinstance(dt, T.IntegerType):
+        # a 32-bit int holds at most ~2.1 seconds of epoch-nanos, so an
+        # IntegerType event time is never nanos — silently treating it as
+        # such would collapse all events into period 0
+        raise TypeError(
+            f"epoch_us_col: {col} is 32-bit int - epoch times must be "
+            "bigint nanoseconds or a timestamp type; cast explicitly"
+        )
+    if isinstance(dt, T.LongType):
         # FLOOR division (`div` truncates toward zero): pre-epoch nano
         # timestamps must round down, not toward 1970 — pmod is
         # non-negative, so subtracting it yields the floor multiple
@@ -220,10 +227,14 @@ def range_join(
     after_l = F.lit(int(after) if ints_ok else float(after))
 
     def fdiv(x: Column) -> Column:
-        # exact floor division for bigint (SQL `div` truncates toward 0);
-        # F.floor of a double ratio for the float path
+        # exact floor division for bigint: subtract the (non-negative)
+        # pmod remainder, then divide in DECIMAL — `/` on bigints is
+        # DOUBLE division, inexact past 2^53 (epoch-nanos), which would
+        # fan each left row out across ulp-wide bucket error margins.
+        # F.floor of a double ratio for the float path.
         if ints_ok:
-            return ((x - F.pmod(x, width)) / width).cast("bigint")
+            exact = (x - F.pmod(x, width)).cast("decimal(38,0)")
+            return (exact / width.cast("decimal(38,0)")).cast("bigint")
         return F.floor(x / width)
 
     out_names: dict[str, str] = {}

@@ -627,3 +627,48 @@ def test_minhash_incremental_reingested_id_no_dupes(doc_pipe):
     ).collect()
     keys = [(r["id_a"], r["id_b"]) for r in rows]
     assert len(keys) == len(set(keys)) and (0, 40) in keys
+
+
+def test_cosine_zero_vector_null_not_crash(spark):
+    from seafan_spark.llmops.similarity import cosine_col
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] is None  # zero vector: NULL, not DIVIDE_BY_ZERO abort
+    assert got[1] == pytest.approx(1.0)
+
+
+def test_embedding_neardup_zero_vector_survives(spark):
+    p = vec_to_pipe(
+        spark,
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[0.0] * 8, [1.0] * 8, [1.0] * 8],
+        },
+    )
+    rows = embedding_neardup_pairs(p, "vec_id", "embedding", threshold=0.9, planes=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in rows} == {(2, 3)}
+
+
+def test_ngram_jaccard_capped_vocabulary_consistent(spark):
+    # "a b c" appears in all 3 docs -> capped at max_df=2; jaccard must be
+    # computed over the KEPT grams on both sides of the ratio
+    docs = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b c q w e",      # grams: "a b c","b c q","c q w","q w e"
+            "a b c q w r",      # grams: "a b c","b c q","c q w","q w r"
+            "a b c z z2 z3",
+        ],
+    }
+    p = vec_to_pipe(spark, docs)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(p, "doc_id", "text", n=3, threshold=0.1, max_df=2).collect()
+    }
+    # kept grams doc1 = {b c q, c q w, q w e}, doc2 = {b c q, c q w, q w r}
+    # inter = 2, union = 4 -> 0.5 (with full sizes it would be 2/6)
+    assert got[(1, 2)] == pytest.approx(0.5, abs=1e-6)

@@ -147,3 +147,40 @@ def test_stream_enrich_matches_batch(spark, batch):
     # left join: known types enriched, unknown types carried with NULL
     assert want.filter(F.col("weight").isNotNull()).count() > 0
     assert want.count() == batch.count()
+
+
+def test_running_totals_state_reentry():
+    # GroupState.get is a property; the fold must work when state EXISTS
+    # (second micro-batch / restart) — regression for state.get() crash
+    import pandas as pd
+
+    from seafan_spark.streaming import _running_totals_fn
+
+    class StubState:
+        exists = True
+        get = (2, 10.0)
+
+        def update(self, v):
+            self.updated = v
+
+    st = StubState()
+    out = list(_running_totals_fn((7,), iter([pd.DataFrame({"value": [1.0, 2.0]})]), st))
+    assert st.updated == (4, 13.0)
+    assert out[0]["n"][0] == 4 and out[0]["total"][0] == 13.0
+
+
+def test_running_totals_string_key(spark, batch):
+    from seafan_spark.streaming import read_events_stream, run_to_memory, running_totals_stream
+
+    sdf = running_totals_stream(
+        read_events_stream(spark, EVENTS), key="event_type", value="value"
+    )
+    got = run_to_memory(sdf, "t_rt_str", output_mode="update")
+    want = {
+        (r["event_type"], r["n"])
+        for r in batch.groupBy("event_type").agg(
+            F.count("value").alias("n")
+        ).collect()
+    }
+    have = {(r["user_id"], r["n"]) for r in got.collect()}
+    assert want <= have  # every key's final totals present

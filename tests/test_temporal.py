@@ -135,3 +135,26 @@ def test_range_join_no_dup_pairs(spark):
     r = spark.createDataFrame([(1, 50.0 + d, d) for d in range(-5, 6)], ["k", "t", "rid"])
     got = range_join(l, r, on="k", left_time="t", before=5, after=5, bucket=3)
     assert got.count() == got.dropDuplicates(["lid", "rid"]).count() == 11
+
+
+def test_epoch_us_rejects_int32(spark):
+    from seafan_spark.temporal import epoch_us_col
+
+    df = spark.createDataFrame([(1,)], "ts int")
+    with pytest.raises(TypeError, match="32-bit"):
+        epoch_us_col(df, "ts")
+
+
+def test_range_join_exact_buckets_at_nano_scale(spark):
+    from seafan_spark.temporal import range_join
+
+    # epoch-nano magnitudes exceed double's 53-bit mantissa: bucket math
+    # must stay exact (decimal division), matches stay correct and tight
+    base = 1_700_000_000_000_000_000
+    l = spark.createDataFrame([(1, base + 5)], "k long, ts long")
+    r = spark.createDataFrame(
+        [(1, base + 3), (1, base + 8), (1, base - 200)], "k long, ts long"
+    )
+    out = range_join(l, r, on="k", left_time="ts", before=5, after=5, bucket=3)
+    got = sorted(r["ts_r"] for r in out.collect())
+    assert got == [base + 3, base + 8]

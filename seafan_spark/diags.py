@@ -34,7 +34,11 @@ def ks(pipe: Pipeline, fit: str, obs: str, bins: int = 1000) -> float:
     pass and the CDF difference is maximized over bin edges — resolution
     1/bins of the score range, no per-class sort, scales to any row count.
     """
-    r = pipe.df.agg(
+    # rows with NULL scores are excluded entirely: greatest/least and the
+    # bin floor would otherwise silently bucket them into the top bin
+    # while the denominators still counted them, biasing both CDFs
+    scored = pipe.df.filter(F.col(fit).isNotNull())
+    r = scored.agg(
         F.min(fit).alias("lo"),
         F.max(fit).alias("hi"),
         F.sum(F.when(F.col(obs) > THRESH, 1).otherwise(0)).alias("n1"),
@@ -48,7 +52,7 @@ def ks(pipe: Pipeline, fit: str, obs: str, bins: int = 1000) -> float:
     width = (hi - lo) / bins
     b = F.least(F.floor((F.col(fit) - F.lit(lo)) / F.lit(width)), F.lit(bins - 1))
     counts = (
-        pipe.df.groupBy(
+        scored.groupBy(
             b.alias("bin"), (F.col(obs) > THRESH).alias("is_t")
         )
         .count()

@@ -186,7 +186,12 @@ def append_cat(
     fts.add(ft)
     out = pipe._derive(pipe.df, fts=fts)
     if materialize_code:
-        out.df = out.df.withColumn(f"{name}__code", cat_code_col(ft))
+        if len(ft.fp.levels or {}) <= _MAP_LITERAL_MAX:
+            out.df = out.df.withColumn(f"{name}__code", cat_code_col(ft))
+        else:
+            # above the literal-map limit the documented mid-cardinality
+            # path is the broadcast dictionary join
+            out.df = join_cat_codes(out, ft, f"{name}__code").df
         if not pipe.keep_raw:
             # keep_raw=False: raw storage is released once the encoding
             # exists (reference keepRaw, pipeline.go:83-94); the dictionary

@@ -75,6 +75,11 @@ class TypedCol:
     int_like: bool = False
     role: FRole | None = None
     qval: str | None = None
+    #: set by compile_expression: the compilation context, needed to
+    #: attach staged summary/running-op placeholder columns (use
+    #: ``tc.ctx.frame()`` as the frame and drop
+    #: ``tc.ctx.placeholder_names()`` afterwards)
+    ctx: Any | None = None
 
 
 def _parse_date_literal(text: str) -> _dt.date:
@@ -441,10 +446,6 @@ def _f_lag(ctx, nodes):
     # string column fills "3.00" — float-to-string uses %.2f)
     if x.kind == "str" and miss.kind == "num":
         fill = F.format_string("%d", miss.col.cast("bigint")) if miss.int_like else F.format_string("%.2f", miss.col)
-    elif x.kind == "date" and miss.kind == "qlit":
-        fill = _as_kind(miss, "date").col
-    elif miss.kind == "qlit":
-        fill = _as_kind(miss, x.kind).col
     else:
         fill = _as_kind(miss, x.kind).col if miss.kind != x.kind else miss.col
     return TypedCol(F.coalesce(lagged, fill), x.kind, int_like=x.int_like)
@@ -594,8 +595,10 @@ def _f_index(ctx, nodes):
     x = _compile(nodes[0], ctx)
     idx = _require_num(_compile(nodes[1], ctx), "index positions")
     full = ctx.order_window().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    arr = F.collect_list(x.col).over(full)
-    col = F.element_at(arr, (idx.col.cast("int") + F.lit(1)))
+    # struct wrapper: collect_list silently DROPS null elements, which
+    # would shift every position after a null; a struct is never null
+    arr = F.collect_list(F.struct(x.col.alias("v"))).over(full)
+    col = F.element_at(arr, (idx.col.cast("int") + F.lit(1)))["v"]
     return TypedCol(col, x.kind, int_like=x.int_like)
 
 
@@ -631,7 +634,9 @@ def _summary(ctx, nodes, agg, what, keep_kind=False):
     else:
         col = ctx.scalar_agg(raw)  # whole-pipe: staged broadcast agg
     kind = args[0].kind if keep_kind else "num"
-    return TypedCol(col, kind, scalar=True)
+    # with partition keys the aggregate is a PER-ROW window value, not a
+    # length-1 scalar (evaluate/limit(1) paths depend on this flag)
+    return TypedCol(col, kind, scalar=not ctx.partition_by)
 
 
 @_register("sum", 1)
@@ -668,7 +673,7 @@ def _f_min(ctx, nodes):
 @_register("count", 1)
 def _f_count(ctx, nodes):
     tc = _summary(ctx, nodes, F.count, "count", keep_kind=True)
-    return TypedCol(tc.col.cast("double"), "num", scalar=True, int_like=True)
+    return TypedCol(tc.col.cast("double"), "num", scalar=tc.scalar, int_like=True)
 
 
 @_register("corr", 2)
@@ -686,7 +691,7 @@ def _scalar_or_windowed(ctx, raw: Column) -> Column:
 def _f_sse(ctx, nodes):
     y, yhat = _num_args(ctx, nodes, "sse")
     col = _scalar_or_windowed(ctx, F.sum(F.pow(y.col - yhat.col, F.lit(2.0))))
-    return TypedCol(col, "num", scalar=True)
+    return TypedCol(col, "num", scalar=not ctx.partition_by)
 
 
 @_register("mad", 2)
@@ -695,7 +700,7 @@ def _f_mad(ctx, nodes):
     # dispatch bug computes SSE instead (parser.go:766-767) — we follow docs
     y, yhat = _num_args(ctx, nodes, "mad")
     col = _scalar_or_windowed(ctx, F.sum(F.abs(y.col - yhat.col)))
-    return TypedCol(col, "num", scalar=True)
+    return TypedCol(col, "num", scalar=not ctx.partition_by)
 
 
 @_register("r2", 2)
@@ -705,7 +710,7 @@ def _f_r2(ctx, nodes):
     n = _scalar_or_windowed(ctx, F.count(y.col)).cast("double")
     vary = _scalar_or_windowed(ctx, F.var_samp(y.col))
     col = F.lit(1.0) - sse / ((n - F.lit(1.0)) * vary)
-    return TypedCol(col, "num", scalar=True)
+    return TypedCol(col, "num", scalar=not ctx.partition_by)
 
 
 @_register("npv", 2)
@@ -716,7 +721,7 @@ def _f_npv(ctx, nodes):
     i = ctx.row_index()
     disc = F.pow(F.lit(1.0) / (F.lit(1.0) + rate.col), i)
     col = _scalar_or_windowed(ctx, F.sum(cf.col * disc))
-    return TypedCol(col, "num", scalar=True)
+    return TypedCol(col, "num", scalar=not ctx.partition_by)
 
 
 @_register("irr", 2)
@@ -727,6 +732,16 @@ def _f_irr(ctx, nodes):
     if ctx.partition_by:
         raise CompileError("irr: per-group IRR not supported in expressions; use agg.irr_by")
     cost_tc, cf_tc = _num_args(ctx, nodes, "irr")
+    from seafan_spark.guards import assert_small
+
+    assert_small(
+        ctx.pipe.df, "irr()", limit=1_000_000,
+        scale_hint="irr collects the full cashflow vector to the driver; "
+        "aggregate or use agg.irr_by for per-group IRR.",
+    )
+    # materialize the order column BEFORE capturing the frame: _order_columns
+    # mutates pipe.df, and a frame captured first would lack _rid
+    ctx.pipe._ensure_rid()
     rows = (
         ctx.frame().select(cost_tc.col.alias("__cost"), cf_tc.col.alias("__cf"))
         .orderBy(*ctx.pipe._order_columns())
@@ -993,6 +1008,7 @@ def _f_print(ctx, nodes):
     """Eager driver-side print of the first n values (parser.go:572-599)."""
     x = _compile(nodes[0], ctx)
     n_tc = _require_num(_compile(nodes[1], ctx), "print")
+    ctx.pipe._ensure_rid()  # before frame(): _order_columns mutates pipe.df
     rows = ctx.frame().select(x.col.alias("__v")).orderBy(*ctx.pipe._order_columns())
     n_rows = rows.limit(1000).collect()
     try:
@@ -1030,6 +1046,7 @@ def _collect_values(ctx: Ctx, node: Node, what: str) -> list:
     from seafan_spark import plots
 
     tc = _require_num(_compile(node, ctx), what)
+    ctx.pipe._ensure_rid()  # before frame(): _order_columns mutates pipe.df
     rows = (
         ctx.frame().select(tc.col.alias("__v"))
         .orderBy(*ctx.pipe._order_columns())
@@ -1136,10 +1153,14 @@ def compile_expression(
     strict: bool = True,
 ) -> TypedCol:
     """Parse + compile an expression against a pipeline. Returns the
-    TypedCol (unevaluated)."""
+    TypedCol (unevaluated) with its ``ctx`` attached: expressions
+    containing summaries or global window functions stage placeholder
+    columns — select ``tc.col`` against ``tc.ctx.frame()`` (then drop
+    ``tc.ctx.placeholder_names()``), not against the raw pipe.df."""
     node = parse(expression)
     ctx = Ctx(pipe, partition_by=partition_by, env=env, strict=strict)
-    return _compile(node, ctx)
+    tc = _compile(node, ctx)
+    return replace(tc, ctx=ctx)
 
 
 def evaluate(
@@ -1153,6 +1174,9 @@ def evaluate(
     node = parse(expression)
     ctx = Ctx(pipe, partition_by=partition_by)
     tc = _compile(node, ctx)
+    # materialize the order column BEFORE capturing the frame (the orderBy
+    # below references it; frame() snapshots pipe.df)
+    pipe._ensure_rid()
     base = ctx.frame()
     if tc.scalar:
         row = base.select(tc.col.alias("__v")).limit(1).collect()

@@ -336,25 +336,51 @@ class Pipeline:
     def append(self, other: "Pipeline") -> "Pipeline":
         """Vertical union by name (Append, pipeline.go:429-464): ``other``
         must carry at least this pipeline's fields; its extras are dropped.
-        Row order: self's rows then other's."""
+        Row order: self's rows then other's.
+
+        Each side keeps its OWN order columns, renamed side-locally and
+        null-filled on the opposite side: the union orders by (segment,
+        left-order..., right-order...), where the inactive side's columns
+        are constant NULL and don't disturb the sort. This composes under
+        chaining — a previous append's segment column is just another
+        left-order column here, never overwritten (overwriting it
+        collapsed chained appends' ordering)."""
         mine = self.field_list()
         missing = [c for c in mine if c not in other.df.columns]
         if missing:
             raise ValueError(f"append: right side missing fields {missing}")
         self._ensure_rid()
-        keep_internal = [c for c, _ in self.order_spec if c in self.df.columns]
-        lsel = self.df.select(*mine, *[c for c in keep_internal if c not in mine]).withColumn(
-            "_seg", F.lit(0)
+        other._ensure_rid()
+        # unique tag so chained appends never collide on helper names
+        tag = 0
+        existing = set(self.df.columns) | set(other.df.columns)
+        while f"_seg{tag}" in existing or any(
+            c.startswith((f"_apl{tag}_", f"_apr{tag}_")) for c in existing
+        ):
+            tag += 1
+        seg = f"_seg{tag}"
+        lnames = [(f"_apl{tag}_{i}", c, asc) for i, (c, asc) in enumerate(self.order_spec)]
+        rnames = [(f"_apr{tag}_{i}", c, asc) for i, (c, asc) in enumerate(other.order_spec)]
+        ltypes = {c: self.df.schema[c].dataType for _, c, _ in lnames}
+        rtypes = {c: other.df.schema[c].dataType for _, c, _ in rnames}
+        lsel = self.df.select(
+            *mine,
+            F.lit(0).alias(seg),
+            *[F.col(c).alias(n) for n, c, _ in lnames],
+            *[F.lit(None).cast(rtypes[c]).alias(n) for n, c, _ in rnames],
         )
-        rsel = other.df
-        for c, _ in self.order_spec:
-            if c not in rsel.columns:
-                rsel = rsel.withColumn(c, F.monotonically_increasing_id() if c == RID else F.lit(None))
-        rsel = rsel.select(*mine, *[c for c in keep_internal if c not in mine]).withColumn(
-            "_seg", F.lit(1)
+        rsel = other.df.select(
+            *mine,
+            F.lit(1).alias(seg),
+            *[F.lit(None).cast(ltypes[c]).alias(n) for n, c, _ in lnames],
+            *[F.col(c).alias(n) for n, c, _ in rnames],
         )
         out = lsel.unionByName(rsel)
-        spec: OrderSpec = [("_seg", True)] + self.order_spec
+        spec: OrderSpec = (
+            [(seg, True)]
+            + [(n, asc) for n, _, asc in lnames]
+            + [(n, asc) for n, _, asc in rnames]
+        )
         return self._derive(out, order_spec=spec, sort_field=None)
 
     def rename(self, mapping: dict[str, str]) -> "Pipeline":

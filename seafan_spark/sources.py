@@ -200,19 +200,27 @@ def vec_to_pipe(
     return Pipeline(df, fts=default_ftypes(df, fts), keep_raw=keep_raw)
 
 
+def _export_df(pipe: "Pipeline", ordered: bool = False):
+    """User-visible columns only: every sink drops the internal
+    '_'-prefixed helpers (_rid, append segments, shuffle keys) — the same
+    contract as to_pandas/iter_rows."""
+    d = pipe.ordered_df() if ordered else pipe.df
+    return d.drop(*[c for c in d.columns if c.startswith("_")])
+
+
 def pipe_to_parquet(pipe: "Pipeline", path: str, mode: str = "overwrite") -> None:
     """Write pipeline contents as parquet (scale-native sink)."""
-    pipe.df.drop(RID).write.mode(mode).parquet(path)
+    _export_df(pipe).write.mode(mode).parquet(path)
 
 
 def pipe_to_csv(pipe: "Pipeline", path: str, sep: str = ",", mode: str = "overwrite") -> None:
     """Write pipeline contents as headered CSV (PipeToCSV, pipeline.go:395-425)."""
-    pipe.ordered_df().drop(RID).write.mode(mode).option("header", True).option("sep", sep).csv(path)
+    _export_df(pipe, ordered=True).write.mode(mode).option("header", True).option("sep", sep).csv(path)
 
 
 def pipe_to_table(pipe: "Pipeline", table: str, mode: str = "overwrite") -> None:
     """Save to a catalog table (PipeToSQL, pipeline.go:367-392)."""
-    pipe.df.drop(RID).write.mode(mode).saveAsTable(table)
+    _export_df(pipe).write.mode(mode).saveAsTable(table)
 
 
 def pipe_to_jdbc(
@@ -274,9 +282,9 @@ def orc_to_pipe(
 def pipe_to_json(pipe: "Pipeline", path: str, mode: str = "overwrite") -> None:
     """Write the pipeline as JSON-lines (order not preserved: distributed
     writers emit per-partition files)."""
-    pipe.df.write.mode(mode).json(path)
+    _export_df(pipe).write.mode(mode).json(path)
 
 
 def pipe_to_orc(pipe: "Pipeline", path: str, mode: str = "overwrite") -> None:
     """Write the pipeline as ORC."""
-    pipe.df.write.mode(mode).orc(path)
+    _export_df(pipe).write.mode(mode).orc(path)

@@ -305,3 +305,40 @@ def test_exist(spark):
     p = vec_to_pipe(spark, {"x": [1.0, 2.0]})
     assert evaluate(p, "exist(x, 0)") == [1.0, 2.0]
     assert evaluate(p, "exist(nope, x*2)") == [2.0, 4.0]
+
+
+def test_evaluate_on_fresh_parquet_source(spark, tmp_path):
+    # regression: a pipeline with NO pre-existing order column must not
+    # lose _rid between frame capture and the final orderBy
+    from seafan_spark.sources import parquet_to_pipe
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1.0,), (2.0,)], "x double").write.parquet(path)
+    p = parquet_to_pipe(spark, path)
+    assert sorted(evaluate(p, "x + 1")) == [2.0, 3.0]
+    p2 = parquet_to_pipe(spark, path)
+    assert sorted(evaluate(p2, "x - mean(x)")) == [-0.5, 0.5]
+
+
+def test_evaluate_partitioned_summary_is_per_row(spark):
+    p = vec_to_pipe(spark, {"x": [1.0, 2.0, 10.0, 20.0], "g": ["a", "a", "b", "b"]})
+    got = evaluate(p, "mean(x)", partition_by=["g"])
+    assert got == [1.5, 1.5, 15.0, 15.0]
+
+
+def test_index_preserves_nulls(spark):
+    p = vec_to_pipe(spark, {"x": [10.0, None, 30.0], "i": [0.0, 1.0, 2.0]})
+    got = evaluate(p, "index(x, i)")
+    assert got == [10.0, None, 30.0]
+
+
+def test_compile_expression_exposes_ctx(spark):
+    from seafan_spark.exprlang import compile_expression
+
+    p = vec_to_pipe(spark, {"x": [1.0, 3.0]})
+    tc = compile_expression(p, "x - mean(x)")
+    frame = tc.ctx.frame()
+    vals = sorted(
+        r["v"] for r in frame.select(tc.col.alias("v")).collect()
+    )
+    assert vals == [-1.0, 1.0]

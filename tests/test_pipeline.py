@@ -149,3 +149,28 @@ def test_iter_rows_streams_in_order(spark):
     assert got == [(i, i * 2.0) for i in range(100)]
     first = next(iter(p.iter_rows()))
     assert not any(c.startswith("_") for c in first.asDict())  # internals hidden
+
+
+def test_chained_append_preserves_order(spark):
+    from seafan_spark.sources import vec_to_pipe
+
+    p1 = vec_to_pipe(spark, {"x": [1.0, 2.0]})
+    p2 = vec_to_pipe(spark, {"x": [3.0, 4.0]})
+    p3 = vec_to_pipe(spark, {"x": [5.0, 6.0]})
+    out = p1.append(p2).append(p3)
+    got = [r["x"] for r in out.ordered_df().select("x").collect()]
+    assert got == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    # appending an APPENDED pipe on the right also keeps each side's order
+    out2 = p1.append(p2.append(p3))
+    got2 = [r["x"] for r in out2.ordered_df().select("x").collect()]
+    assert got2 == [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+
+
+def test_sinks_hide_internal_columns(spark, tmp_path):
+    from seafan_spark.sources import parquet_to_pipe, pipe_to_parquet, vec_to_pipe
+
+    p = vec_to_pipe(spark, {"x": [1.0, 2.0]}).append(vec_to_pipe(spark, {"x": [3.0]}))
+    path = str(tmp_path / "clean")
+    pipe_to_parquet(p, path)
+    cols = spark.read.parquet(path).columns
+    assert cols == ["x"], cols

@@ -46,6 +46,13 @@ _KIND_ENCODERS = {
         lambda v: v.isoformat(),
         lambda s: _dt.date.fromisoformat(s),
     ),
+    # datetimes must round-trip as datetimes: date.fromisoformat rejects
+    # the time component, and a date key would never equal a runtime
+    # datetime value anyway
+    "datetime": (
+        lambda v: v.isoformat(),
+        lambda s: _dt.datetime.fromisoformat(s),
+    ),
 }
 
 
@@ -59,7 +66,7 @@ def _kind_of(value: Any) -> str:
     if isinstance(value, float):
         return "float"
     if isinstance(value, _dt.datetime):
-        return "date"
+        return "datetime"
     if isinstance(value, _dt.date):
         return "date"
     raise TypeError(f"unsupported level key type: {type(value)!r}")

@@ -16,7 +16,10 @@ import os
 
 from pyspark.sql import DataFrame
 
-DEFAULT_LIMIT = int(os.environ.get("SEAFAN_SMALL_DATA_LIMIT", "2000000"))
+def _default_limit() -> int:
+    # read per call: the env var is documented as a runtime override, so a
+    # value set after import must be honored
+    return int(os.environ.get("SEAFAN_SMALL_DATA_LIMIT", "2000000"))
 
 
 class SmallDataLimitError(ValueError):
@@ -31,7 +34,7 @@ def assert_small(
     Costs one count() action — negligible next to the centralized work the
     guarded operator is about to do, and infinitely cheaper than the OOM.
     """
-    cap = DEFAULT_LIMIT if limit is None else limit
+    cap = _default_limit() if limit is None else limit
     n = df.count()
     if n > cap:
         hint = f" {scale_hint}" if scale_hint else ""

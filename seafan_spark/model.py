@@ -42,7 +42,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any, Sequence
 
 from pyspark.ml.classification import (
@@ -218,6 +218,10 @@ def modspec_inputs(ms: ModSpec, pipe: Pipeline) -> FTypes:
         if f.emb_cols > 0:
             if ft.role not in (FRole.ONE_HOT, FRole.EMBED):
                 raise ModSpecError(f"feature {f.name} can't be continuous/categorical")
+            # copy before mutating: the FType object is shared with the
+            # caller's pipeline, whose metadata must not silently change
+            # as a side effect of model fitting
+            ft = replace(ft)
             ft.role = FRole.EMBED
             ft.embed_cols = f.emb_cols
         out.add(ft)
@@ -358,7 +362,14 @@ def predict(fr: FitResult, pipe: Pipeline, name: str = "fitted") -> Pipeline:
     """
     d, _, _ = _assemble(pipe, fr.modspec)
     scored = fr.model.transform(d)
-    drop = [c for c in scored.columns if c.startswith("_") and c not in ("_rid",)]
+    # drop only the helper columns _assemble/transform ADDED - pipeline
+    # internals (_rid, append segments, shuffle keys) must survive, the
+    # derived pipeline's order_spec still references them
+    drop = [
+        c
+        for c in scored.columns
+        if c.startswith("_") and c not in pipe.df.columns
+    ]
     if fr.kind in ("linear", "nn_linear"):
         scored = scored.withColumn(name, F.col("prediction"))
     else:

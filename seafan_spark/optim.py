@@ -62,7 +62,11 @@ class SoftmaxLinearModel:
             + F.lit(float(W[n_feat, k]))
             for k in range(self.n_classes)
         ]
-        exps = [F.exp(z) for z in logits]
+        # max-logit subtraction mirrors the stabilized training pass:
+        # raw exp() overflows to Infinity past ~709, scoring NaN on rows
+        # the trainer handled fine
+        zmax = F.greatest(*logits) if len(logits) > 1 else logits[0]
+        exps = [F.exp(z - zmax) for z in logits]
         den = sum(exps[1:], exps[0])
         return F.array(*[e / den for e in exps])
 
@@ -170,8 +174,11 @@ def fit_softrms(
         L_i = np.sqrt(ss / max(n, 1))
         loss = float(L_i[1:].sum())
         if not np.isfinite(loss):
-            # NaN restart: rewind to the best weights, halve the rate
+            # NaN restart: rewind to the best weights, halve the rate, and
+            # reset patience — the first post-restart loss equals the best
+            # loss, which must not immediately trip early stopping
             W, m, v, t = best_W.copy(), np.zeros_like(W), np.zeros_like(W), 0
+            since_best = 0
             lr *= 0.5
             if lr < 1e-8:
                 break
@@ -659,9 +666,12 @@ def fit_nn(
                 loss = float(np.sqrt(ls[0] / max(n, 1)))  # RMS
             g = g / max(n, 1)
         if not np.isfinite(loss) or not np.all(np.isfinite(g)):
-            # NaN restart (nn.go:772-800): rewind to best, halve the rate
+            # NaN restart (nn.go:772-800): rewind to best, halve the rate,
+            # reset patience (post-restart loss ~= best loss must not trip
+            # early stopping on the next iteration)
             wflat = best_w.copy()
             m, v, t = np.zeros_like(wflat), np.zeros_like(wflat), 0
+            since_best = 0
             cur_lr *= 0.5
             if cur_lr < 1e-8:
                 break

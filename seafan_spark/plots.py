@@ -62,7 +62,10 @@ def add_xy(xs: list, ys: list, marker: str, color: str) -> None:
             "y": ys,
             "name": "Scatter",
             "mode": "markers" if marker == "markers" else "lines",
+            # plotly reads marker.color for point traces and line.color
+            # for line traces — set both so the choice always applies
             "line": {"color": color},
+            "marker": {"color": color},
         }
     )
 

@@ -24,7 +24,6 @@ from typing import Any, Iterator, Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from seafan_spark.agg import QUANTILE_U
 from seafan_spark.ftypes import FRole
 from seafan_spark.pipeline import Pipeline
 

@@ -56,4 +56,11 @@ def from_df(df, x_col: str, y_col: str, limit: int = 100_000) -> XY:
     if n > limit:
         raise ValueError(f"from_df: {n} rows > limit {limit}; aggregate first")
     rows = df.select(x_col, y_col).collect()
+    for i, r in enumerate(rows):
+        if r[0] is None or r[1] is None:
+            bad = x_col if r[0] is None else y_col
+            raise ValueError(
+                f"from_df: NULL in column {bad!r} at collected row {i} - "
+                "filter or fill nulls before interpolation"
+            )
     return XY(x=[float(r[0]) for r in rows], y=[float(r[1]) for r in rows])

@@ -128,3 +128,22 @@ def test_fit_levels_null_not_counted_toward_cap(spark):
     p = vec_to_pipe(spark, {"c": ["a", "b", "c", None, None]})
     fp = fit_levels(p, "c", max_levels=3)  # 3 non-null levels + NULLs: fits
     assert len(fp.levels) == 3
+
+
+def test_ftypes_datetime_levels_roundtrip(tmp_path):
+    import datetime as dt
+
+    from seafan_spark.ftypes import FParam, FRole, FType, FTypes
+
+    lv = {
+        dt.datetime(2020, 1, 2, 3, 4, 5): 0,
+        dt.datetime(2021, 6, 7, 8, 9, 10): 1,
+    }
+    fts = FTypes()
+    ft = FType(name="t", role=FRole.CAT)
+    ft.fp = FParam(levels=lv)
+    fts.add(ft)
+    path = str(tmp_path / "fts.json")
+    fts.save(path)
+    back = FTypes.load(path)
+    assert back.get("t").fp.levels == lv

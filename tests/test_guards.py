@@ -16,10 +16,11 @@ def test_assert_small_trips(spark):
 
 def test_subset_guard(spark, monkeypatch):
     p = vec_to_pipe(spark, {"x": list(range(10))})
-    monkeypatch.setattr(guards, "DEFAULT_LIMIT", 5)
+    # the env var is read PER CALL (runtime-configurable, not import-time)
+    monkeypatch.setenv("SEAFAN_SMALL_DATA_LIMIT", "5")
     with pytest.raises(SmallDataLimitError, match="subset"):
         p.subset([0, 1])
-    monkeypatch.setattr(guards, "DEFAULT_LIMIT", 100)
+    monkeypatch.setenv("SEAFAN_SMALL_DATA_LIMIT", "100")
     assert p.subset([0, 1]).row_count() == 2
 
 
@@ -27,11 +28,9 @@ def test_exact_pairs_guard(spark, monkeypatch):
     from seafan_spark.llmops.dedup import embedding_neardup_pairs
 
     p = vec_to_pipe(spark, {"vid": [1, 2], "emb": [[1.0, 0.0], [0.0, 1.0]]})
-    monkeypatch.setattr(guards, "DEFAULT_LIMIT", 100)
+    monkeypatch.setenv("SEAFAN_SMALL_DATA_LIMIT", "100")
     # under the limit: runs
     assert embedding_neardup_pairs(p, "vid", "emb", threshold=0.99, exact=True).count() == 0
-    monkeypatch.setattr(guards, "DEFAULT_LIMIT", 1)
-    # explicit limit beats DEFAULT_LIMIT, so patch can't trip it; the
-    # operator passes its own 200k limit — simulate misuse directly
+    # explicit limit beats the env default, so simulate misuse directly
     with pytest.raises(SmallDataLimitError):
         assert_small(p.df, "embedding_neardup_pairs(exact=True)", limit=1)

@@ -198,3 +198,25 @@ def test_save_load_roundtrip(glm_data, tmp_path):
     a = predict(fr, glm_data).df.select("fitted").limit(3).collect()
     b = predict(fr2, glm_data).df.select("fitted").limit(3).collect()
     assert [r[0] for r in a] == pytest.approx([r[0] for r in b])
+
+
+def test_predict_preserves_pipeline_internals(spark):
+    # a shuffled pipeline's order_spec references _shuf; predict must not
+    # drop internal columns the derived pipeline still orders by
+    import random as _r
+
+    from seafan_spark.model import fit, parse_modspec, predict
+    from seafan_spark.sources import vec_to_pipe
+
+    rnd = _r.Random(1)
+    n = 60
+    xs = [rnd.gauss(0, 1) for _ in range(n)]
+    ys = [2.0 * x + 1.0 + rnd.gauss(0, 0.01) for x in xs]
+    p = vec_to_pipe(spark, {"x": xs, "y": ys})
+    ms = parse_modspec(["Input(x)", "FC(size:1)", "Target(y)"])
+    fr = fit(p, ms)
+    shuffled = p.shuffle(seed=3)
+    scored = predict(fr, shuffled, "fitted")
+    # ordering by the shuffled spec must still resolve
+    vals = [r["fitted"] for r in scored.ordered_df().select("fitted").limit(5).collect()]
+    assert len(vals) == 5

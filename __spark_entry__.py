@@ -321,7 +321,7 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seafan_spark.llmops import text as tx
 
     p = _pipe(spark, sf_dir, "documents").spread("doc_id")
-    fps = tx.winnow_fingerprints_col(F.col("text"))
+    fps = tx.winnow_fingerprints_col(F.col("text"), portable=True)
     return p.df.select(
         "doc_id",
         F.size(fps).cast("bigint").alias("n_fps"),
@@ -482,9 +482,10 @@ def q_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pipe(spark, sf_dir, "documents")
     old = p.df.filter(F.col("doc_id") % 5 != 0)
     new = p._derive(p.df.filter(F.col("doc_id") % 5 == 0))
-    store = minhash_signatures(old, "doc_id", "text", num_hashes=32)
+    store = minhash_signatures(old, "doc_id", "text", num_hashes=32, portable=True)
     return minhash_pairs_incremental(
-        new, store, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5
+        new, store, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5,
+        portable=True,
     )
 
 
@@ -637,13 +638,33 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-duplicate pairs (llmops.dedup.minhash_pairs).
-    Portable md5-based shingle hashes + literal mixer constants — the
-    DuckDB twin reproduces signatures, banding, and est_jaccard exactly."""
+    """MinHash-LSH near-duplicate pairs (llmops.dedup.minhash_pairs),
+    exact-verified: banding generates candidates, TRUE shingle jaccard
+    verifies each (precision 1.0). Portable md5-based shingle hashes +
+    literal 2^61-1 mixer constants — the DuckDB twin reproduces
+    signatures, banding, candidates, and the verified jaccard exactly."""
     from seafan_spark.llmops.dedup import minhash_pairs
 
     p = _pipe(spark, sf_dir, "documents")
-    return minhash_pairs(p, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5)
+    return minhash_pairs(
+        p, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5, portable=True
+    )
+
+
+def q_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs on the PRODUCTION hash path:
+    default xxhash64 base hash (one JVM intrinsic per shingle) instead of
+    the md5-based portable mode the oracle twin requires. Same mixers,
+    banding, and verification; rows-only check (xxhash64 has no DuckDB
+    twin) — pair-set equivalence of the two modes on planted duplicates
+    is pytest-proven (test_portable_and_fast_hash_modes_agree). This is
+    the benchmark's view of what the dedup family costs at 100 TB."""
+    from seafan_spark.llmops.dedup import minhash_pairs
+
+    p = _pipe(spark, sf_dir, "documents")
+    return minhash_pairs(
+        p, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5, portable=False
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,7 +676,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pipe(spark, sf_dir, "documents")
     # 60-bit sig, 4 chunks of 15 bits: pigeonhole-complete for hamming<=3
     # with 32k-value band keys (no coarse-bucket candidate blowup)
-    return simhash_pairs(p, "doc_id", "text", bits=60, chunks=4, max_hamming=3)
+    return simhash_pairs(
+        p, "doc_id", "text", bits=60, chunks=4, max_hamming=3, portable=True
+    )
 
 
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,7 +962,9 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seafan_spark.llmops.dedup import minhash_clusters, minhash_pairs
 
     p = _pipe(spark, sf_dir, "documents").spread("doc_id")
-    pairs = minhash_pairs(p, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5)
+    pairs = minhash_pairs(
+        p, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5, portable=True
+    )
     return minhash_clusters(pairs)
 
 
@@ -1225,6 +1250,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
+    "minhash_pairs_fast": q_minhash_pairs_fast,
     "irr": q_irr,
     "irr_by": q_irr_by,
     "model_glm": q_model_glm,
@@ -1749,7 +1775,7 @@ ORACLES: dict[str, str] = {
     "contamination": """
         WITH norm AS (
             SELECT doc_id,
-                   string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
             FROM documents
         ), grams AS (
             SELECT doc_id,
@@ -1986,23 +2012,26 @@ _SHINGLE_CTE = """
 
 
 def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
-    """DuckDB twin of q_minhash_pairs: the SAME mixer constants
-    (dedup.minhash_mixers) over the same portable shingle hashes —
-    signatures, band buckets, candidates, and est_jaccard all reproduce
-    exactly."""
-    from seafan_spark.llmops.dedup import MERSENNE31 as P
+    """DuckDB twin of q_minhash_pairs (verify="exact"): the SAME mixer
+    constants (dedup.minhash_mixers) over the same portable shingle
+    hashes — signatures, band buckets, and candidates reproduce exactly;
+    each candidate is then verified with the TRUE jaccard over the
+    distinct shingle hashes, like the Spark side. Mixing is mod 2^61-1:
+    DuckDB does the multiply in HUGEINT; the Spark side reduces with
+    split signed-64 arithmetic (dedup._mix61_col) — identical values."""
+    from seafan_spark.llmops.dedup import MERSENNE61 as P
     from seafan_spark.llmops.dedup import minhash_mixers
 
     mixers = minhash_mixers(num_hashes)
     rows = num_hashes // bands
     mins = ",\n                   ".join(
-        f"min(({a} * hp + {c}) % {P}) AS m{i}" for i, (a, c) in enumerate(mixers)
+        f"min((({a}::HUGEINT * hp + {c}) % {P})::BIGINT) AS m{i}"
+        for i, (a, c) in enumerate(mixers)
     )
     sig_list = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
-    eqs = " + ".join(f"(sa.sig[{i + 1}] = sb.sig[{i + 1}])::INT" for i in range(num_hashes))
     return f"""
         WITH {_SHINGLE_CTE},
-        exp AS (SELECT doc_id, h % {P} AS hp FROM ex),
+        exp AS (SELECT doc_id, h AS hp FROM ex),
         mn AS (
             SELECT doc_id,
                    {mins}
@@ -2018,12 +2047,21 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+        ), inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS i
+            FROM cand c
+            JOIN ex ea ON ea.doc_id = c.id_a
+            JOIN ex eb ON eb.doc_id = c.id_b AND eb.h = ea.h
+            GROUP BY c.id_a, c.id_b
         )
-        SELECT c.id_a, c.id_b, ({eqs})::DOUBLE / {float(num_hashes)!r} AS est_jaccard
-        FROM cand c
-        JOIN s2 sa ON sa.doc_id = c.id_a
-        JOIN s2 sb ON sb.doc_id = c.id_b
-        WHERE ({eqs})::DOUBLE / {float(num_hashes)!r} >= {threshold!r}
+        SELECT t.id_a, t.id_b,
+               ROUND(CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i), 6) AS jaccard
+        FROM inter t
+        JOIN sz sa ON sa.doc_id = t.id_a
+        JOIN sz sb ON sb.doc_id = t.id_b
+        WHERE CAST(t.i AS DOUBLE) / (sa.n + sb.n - t.i) >= {threshold!r}
     """
 
 
@@ -2088,19 +2126,20 @@ def _minhash_incr_oracle(num_hashes: int = 32, bands: int = 8, threshold: float 
     _minhash_oracle, with candidate pairs restricted to those touching the
     'new' batch (doc_id % 5 == 0) — exactly the incremental join's
     output."""
-    from seafan_spark.llmops.dedup import MERSENNE31 as P
+    from seafan_spark.llmops.dedup import MERSENNE61 as P
     from seafan_spark.llmops.dedup import minhash_mixers
 
     mixers = minhash_mixers(num_hashes)
     rows = num_hashes // bands
     mins = ",\n                   ".join(
-        f"min(({a} * hp + {c}) % {P}) AS m{i}" for i, (a, c) in enumerate(mixers)
+        f"min((({a}::HUGEINT * hp + {c}) % {P})::BIGINT) AS m{i}"
+        for i, (a, c) in enumerate(mixers)
     )
     sig_list = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
     eqs = " + ".join(f"(sa.sig[{i + 1}] = sb.sig[{i + 1}])::INT" for i in range(num_hashes))
     return f"""
         WITH {_SHINGLE_CTE},
-        exp AS (SELECT doc_id, h % {P} AS hp FROM ex),
+        exp AS (SELECT doc_id, h AS hp FROM ex),
         mn AS (
             SELECT doc_id,
                    {mins}

@@ -20,22 +20,59 @@ from pyspark.sql import functions as F
 from seafan_spark.llmops.text import fingerprint_col, hash60_col, shingles_col, word_ngrams_col
 from seafan_spark.pipeline import Pipeline
 
-#: modulus for the minhash mixing family — Mersenne prime 2^31-1: products
-#: a*(h % p) stay under 2^62, so the arithmetic is exact in any engine's
-#: signed 64-bit integers (no wrap-around semantics needed).
-MERSENNE31 = (1 << 31) - 1
+#: modulus for the minhash mixing family — Mersenne prime 2^61-1, the
+#: field datasketch-style MinHash mixes in. The WIDE field matters for
+#: estimator quality, not just range: mixing the 60-bit base hash in a
+#: 31-bit field ((a*h+c) mod 2^31-1) left so little scrambling per map
+#: that for some constant draws a high-document-frequency shingle became
+#: the argmin of many documents at once — positions correlated, and
+#: est_jaccard inflated ~0.22 vs a true mean jaccard of 0.17 on the test
+#: corpus, admitting ~70 false near-dup pairs at threshold 0.5 per 500
+#: docs (measured round 3; the hash-check oracle reproduced the same
+#: biased arithmetic, so only a statistical audit caught it). In the
+#: 61-bit field each affine map wraps ~a/2^61 of the way around per unit
+#: step — an effectively fresh permutation per mixer — and the measured
+#: estimator matches the independent-hash gold standard.
+MERSENNE61 = (1 << 61) - 1
+_LOW31 = (1 << 31) - 1
+_LOW30 = (1 << 30) - 1
 
 
 def minhash_mixers(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """The (a, c) constants of the minhash universal-hash family
-    ``h_i(x) = (a_i * x + c_i) mod (2^31-1)`` — driver-generated, inlined
+    ``h_i(x) = (a_i * x + c_i) mod (2^61-1)`` — driver-generated, inlined
     as plan literals, and exposed so external twins (the DuckDB oracle)
-    can mix with identical constants."""
-    rng = random.Random(f"minhash:{num_hashes}:{seed}")
+    can mix with identical constants (DuckDB side: HUGEINT multiply,
+    Spark side: :func:`_mix61_col` split arithmetic)."""
+    rng = random.Random(f"minhash61:{num_hashes}:{seed}")
     return [
-        (rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31))
+        (rng.randrange(1, MERSENNE61), rng.randrange(0, MERSENNE61))
         for _ in range(num_hashes)
     ]
+
+
+def _mix61_col(hh: Column, hl: Column, a: int, c: int) -> Column:
+    """``(a*h + c) mod 2^61-1`` for ``h = hh*2^31 + hl`` with ``h < 2^60``,
+    in pure non-overflowing signed-64 Column arithmetic (safe under ANSI
+    mode, exact in any engine — no 128-bit multiply needed).
+
+    Schoolbook split: with ``a = ah*2^31 + al``,
+    ``a*h = ah*hh*2^62 + (ah*hl + al*hh)*2^31 + al*hl``; reduce each term
+    with the Mersenne identity ``2^61 ≡ 1 (mod M)`` (so ``2^62 ≡ 2`` and
+    ``x*2^31 ≡ (x>>30) + (x & (2^30-1))*2^31``). Every intermediate stays
+    below 2^63: t1 < 2^60, cross < 2^62, t2 < 2^61+2^32, t3 < 2^61+2,
+    total < 3.5*2^61."""
+    ah, al = a >> 31, a & _LOW31
+    t1 = F.lit(2 * ah) * hh
+    cross = F.lit(ah) * hl + F.lit(al) * hh
+    t2 = F.shiftrightunsigned(cross, 30) + F.shiftleft(
+        cross.bitwiseAND(F.lit(_LOW30)), 31
+    )
+    t3raw = F.lit(al) * hl
+    t3 = F.shiftrightunsigned(t3raw, 61) + t3raw.bitwiseAND(F.lit(MERSENNE61))
+    tot = t1 + t2 + t3 + F.lit(c)
+    r = F.shiftrightunsigned(tot, 61) + tot.bitwiseAND(F.lit(MERSENNE61))
+    return F.when(r >= MERSENNE61, r - MERSENNE61).otherwise(r)
 
 
 # ---------------------------------------------------------------- exact ----
@@ -66,31 +103,55 @@ def drop_exact_dups(pipe: Pipeline, text_col: str, id_col: str) -> Pipeline:
 
 
 # -------------------------------------------------------------- minhash ----
-def minhash_signature_col(text: Column, num_hashes: int = 64, shingle_k: int = 5) -> Column:
+def minhash_signature_col(
+    text: Column, num_hashes: int = 64, shingle_k: int = 5, portable: bool = False
+) -> Column:
     """MinHash signature as a column expression: for each mixer i, min over
-    character shingles of ``(a_i * (hash60(shingle) mod p) + c_i) mod p``.
+    character shingles of ``(a_i * hash60(shingle) + c_i) mod 2^61-1``.
     One string hash per shingle; per-seed values are literal-constant
-    integer arithmetic (``minhash_mixers``), not repeated string hashing —
-    and the whole signature is engine-portable (DuckDB twin mixes with the
-    same constants).
+    integer arithmetic (``minhash_mixers`` + ``_mix61_col``), not repeated
+    string hashing. ``portable=True`` uses the md5-based base hash so the
+    whole signature is engine-portable (DuckDB twin mixes with the same
+    constants); the default xxhash64 base is the production path — same
+    mixers, ~an order of magnitude cheaper in the per-shingle hot loop.
 
     Column-expression form (array fold). For the scalable bulk path over a
     whole corpus use :func:`minhash_signatures` (explode + groupBy:
     whole-stage codegen + map-side partial aggregation)."""
     mixers = minhash_mixers(num_hashes)
-    base = F.transform(shingles_col(text, k=shingle_k), lambda s: hash60_col(s) % MERSENNE31)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(base, lambda h, ac=ac: (F.lit(ac[0]) * h + F.lit(ac[1])) % MERSENNE31)
-            )
-            for ac in mixers
-        ]
+    hs = F.transform(
+        shingles_col(text, k=shingle_k),
+        lambda s: hash60_col(s, portable=portable),
+    )
+    # bind the hash array ONCE via transform-over-singleton (Column `let`):
+    # referencing `hs` inside each mixer's transform would inline the whole
+    # string-hash pass num_hashes times per row
+    return F.element_at(
+        F.transform(
+            F.array(hs),
+            lambda hsb: F.array(
+                *[
+                    F.array_min(
+                        F.transform(
+                            hsb,
+                            lambda h, ac=ac: _mix61_col(
+                                F.shiftrightunsigned(h, 31),
+                                h.bitwiseAND(F.lit(_LOW31)),
+                                ac[0],
+                                ac[1],
+                            ),
+                        )
+                    )
+                    for ac in mixers
+                ]
+            ),
+        ),
+        F.lit(1),
     )
 
 
 def _exploded_shingle_hashes(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int, portable: bool = False
 ) -> DataFrame:
     """(doc id, base shingle hash) pairs: one row per distinct shingle,
     one string hash each. The downstream groupBy(doc) aggregations are all
@@ -109,7 +170,7 @@ def _exploded_shingle_hashes(
     return base.select(
         "_id",
         F.explode(shingles_col(F.col("_txt"), k=shingle_k)).alias("_sh"),
-    ).select("_id", hash60_col(F.col("_sh")).alias("_h"))
+    ).select("_id", hash60_col(F.col("_sh"), portable=portable).alias("_h"))
 
 
 def minhash_signatures(
@@ -118,21 +179,28 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 64,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Bulk MinHash: (id, sig array<bigint>) via explode + groupBy.
 
-    One md5-based string hash per distinct shingle; per (shingle, mixer)
-    work is one multiply-add-mod on literal constants (``minhash_mixers``)
-    + a ``min`` partial aggregate — vectorized JVM code, partial-aggregated
-    map-side so the shuffle carries ``num_hashes`` longs per doc, not per
-    shingle. The constants make signatures engine-portable (DuckDB twin)."""
+    One string hash per distinct shingle; per (shingle, mixer) work is one
+    multiply-add-mod on literal constants (``minhash_mixers``) + a ``min``
+    partial aggregate — vectorized JVM code, partial-aggregated map-side
+    so the shuffle carries ``num_hashes`` longs per doc, not per shingle.
+    ``portable=True`` switches the base hash to the md5 mode so the
+    signatures are engine-portable (DuckDB twin mixes with the same
+    constants); default xxhash64 is the production path."""
     mixers = minhash_mixers(num_hashes)
-    ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k).select(
-        "_id", (F.col("_h") % MERSENNE31).alias("_h")
+    # stage the 31-bit split of the 60-bit base hash once per shingle row:
+    # every mixer's _mix61_col shares the same (hh, hl) pair
+    ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k, portable).select(
+        "_id",
+        F.shiftrightunsigned(F.col("_h"), 31).alias("_hh"),
+        F.col("_h").bitwiseAND(F.lit(_LOW31)).alias("_hl"),
     )
     mins = ex.groupBy("_id").agg(
         *[
-            F.min((F.lit(a) * F.col("_h") + F.lit(c)) % MERSENNE31).alias(f"_m{i}")
+            F.min(_mix61_col(F.col("_hh"), F.col("_hl"), a, c)).alias(f"_m{i}")
             for i, (a, c) in enumerate(mixers)
         ]
     )
@@ -149,30 +217,48 @@ def minhash_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    portable: bool = False,
+    verify: str = "exact",
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via LSH banding, verified by
-    signature agreement.
+    """Near-duplicate pairs via LSH banding + per-candidate verification.
 
     signature -> ``bands`` bands of ``num_hashes/bands`` rows; docs sharing
-    any band bucket become candidates (equi-join on (band, bucket) — the
-    only shuffle); est_jaccard = fraction of matching signature positions;
-    pairs below ``threshold`` are dropped.
+    any band bucket become candidates (equi-join on (band, bucket));
+    candidates are then verified and thresholded:
 
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    - ``verify="exact"`` (default): TRUE jaccard over each candidate
+      pair's distinct shingle hashes — precision 1.0 (recall remains the
+      banding recall). Only candidate documents are re-shingled for this
+      (semi-join first), so the verification cost scales with the
+      candidate set, not the corpus. Returns (id_a, id_b, jaccard).
+    - ``verify="est"``: fraction of agreeing signature positions — cheaper
+      (no second shingle pass) and the only option when only signatures
+      exist (see minhash_pairs_incremental). Returns (id_a, id_b,
+      est_jaccard). Caveat measured in round 3: with any FIXED mixer
+      constants, positions whose global argmin is a high-df shingle
+      correlate across pairs, so on low-diversity corpora the estimate
+      has fat false-positive tails near the threshold — prefer "exact"
+      when the raw text is available.
+
+    ``portable=True`` runs the md5-based base hash end-to-end (signatures,
+    band buckets, and verification hashes) so a DuckDB twin reproduces the
+    exact pair set; default xxhash64 is the production path.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
+    if verify not in ("exact", "est"):
+        raise ValueError("minhash_pairs: verify must be 'exact' or 'est'")
     # materialize signatures once (executor storage, auto-released when the
     # DataFrame is dereferenced): they feed the banding AND the per-pair
     # verification re-join below — without this the explode+groupBy
     # signature computation would run three times
-    sig = minhash_signatures(pipe.df, id_col, text_col, num_hashes, shingle_k).localCheckpoint(
-        eager=True
-    )
+    sig = minhash_signatures(
+        pipe.df, id_col, text_col, num_hashes, shingle_k, portable
+    ).localCheckpoint(eager=True)
     # the band join carries ONLY (_id, band, bucket): shipping the 64-long
     # _sig array on both join sides multiplies shuffle bytes by
-    # O(bands * sig_len); signatures re-attach per *surviving* pair instead
-    banded = band_signatures(sig, num_hashes, bands)
+    # O(bands * sig_len); verification re-attaches per *surviving* pair
+    banded = band_signatures(sig, num_hashes, bands, portable)
     a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
     b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
     cand = (
@@ -181,15 +267,51 @@ def minhash_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    cand = cand.join(
-        sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")), "id_a"
-    ).join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")), "id_b")
-    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-    est = matches.cast("double") / F.lit(float(num_hashes))
+    if verify == "est":
+        cand = cand.join(
+            sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")), "id_a"
+        ).join(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")), "id_b")
+        matches = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+        )
+        est = matches.cast("double") / F.lit(float(num_hashes))
+        return (
+            cand.withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard")
+        )
+    # exact verification: re-shingle ONLY candidate documents (semi-join),
+    # materialize their (id, hash) gram rows once — they feed the sizes
+    # aggregate and both sides of the intersection join
+    cand = cand.localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cdocs = pipe.df.select(id_col, text_col).join(cand_ids, id_col, "semi")
+    cex = _exploded_shingle_hashes(
+        cdocs, id_col, text_col, shingle_k, portable
+    ).localCheckpoint(eager=True)
+    sizes = cex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    ea = cex.select(F.col("_id").alias("id_a"), "_h")
+    eb = cex.select(F.col("_id").alias("id_b"), "_h")
+    inter = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "_h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
     return (
-        cand.withColumn("est_jaccard", est)
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_i").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -301,7 +423,9 @@ def minhash_clusters(
 
 
 # -------------------------------------------------------------- simhash ----
-def simhash_bits_col(text: Column, bits: int = 60, shingle_k: int = 5) -> Column:
+def simhash_bits_col(
+    text: Column, bits: int = 60, shingle_k: int = 5, portable: bool = False
+) -> Column:
     """SimHash over character shingles: per bit, the sign of the vote sum
     (+1/-1 per shingle's hash bit). Returns array<int> of 0/1 of length
     ``bits``. One string hash per shingle; bit b comes from bit b of that
@@ -310,7 +434,9 @@ def simhash_bits_col(text: Column, bits: int = 60, shingle_k: int = 5) -> Column
     form; the bulk path is :func:`simhash_signatures`."""
     if bits > 60:
         raise ValueError("simhash: bits must be <= 60 (portable 60-bit base hash)")
-    hashes = F.transform(shingles_col(text, k=shingle_k), lambda s: hash60_col(s))
+    hashes = F.transform(
+        shingles_col(text, k=shingle_k), lambda s: hash60_col(s, portable=portable)
+    )
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
@@ -332,11 +458,13 @@ def simhash_signatures(
     text_col: str,
     bits: int = 60,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Bulk SimHash: (id, sig bigint) — the ``bits``-bit signature packed
     into one long (bit b set iff a majority of shingle hashes have bit b
-    set). The base hash is the portable 60-bit md5 hash, so signatures
-    are bit-identical across engines (DuckDB twin).
+    set). With ``portable=True`` the base hash is the md5-based 60-bit
+    mode, so signatures are bit-identical across engines (DuckDB twin);
+    default xxhash64 is the production path.
 
     Explode + groupBy: per doc the aggregation computes ``bits`` counts of
     ``(h >> b) & 1`` — plain long arithmetic in whole-stage codegen with
@@ -345,7 +473,7 @@ def simhash_signatures(
     O(1)."""
     if bits > 60:
         raise ValueError("simhash: bits must be <= 60 (portable 60-bit base hash)")
-    ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k)
+    ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k, portable)
     # two 32-bit counter lanes per aggregate where both lanes land inside
     # ``bits``: (h >> b) & (1 | 1<<32) counts bit b in the low lane and bit
     # b+32 in the high lane of ONE long sum — ~bits/2 aggregates instead of
@@ -395,6 +523,7 @@ def simhash_pairs(
     chunks: int = 10,
     max_hamming: int = 6,
     shingle_k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs: by pigeonhole, any pair within ``max_hamming`` of a
     ``bits``-bit simhash agrees exactly on at least one of ``chunks``
@@ -409,9 +538,9 @@ def simhash_pairs(
     # from them through differently-aliased projections, so Catalyst cannot
     # reuse the exchange and would run the whole explode+hash+aggregate
     # pipeline TWICE (the dominant cost). 5000 docs -> one long each; tiny.
-    sig = simhash_signatures(pipe.df, id_col, text_col, bits, shingle_k).localCheckpoint(
-        eager=True
-    )
+    sig = simhash_signatures(
+        pipe.df, id_col, text_col, bits, shingle_k, portable
+    ).localCheckpoint(eager=True)
     banded = sig.select(
         "_id",
         "_sig",
@@ -740,11 +869,14 @@ def edit_distance_pairs(
 
 
 # --------------------------------------------------- incremental minhash ----
-def band_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+def band_signatures(
+    sig: DataFrame, num_hashes: int, bands: int, portable: bool = False
+) -> DataFrame:
     """(_id, band, bucket) banding of a (_id, _sig) signature table —
     factored out of minhash_pairs so a PERSISTED signature store can be
     banded without re-shingling its documents (pure literal arithmetic +
-    one portable hash per band over the stored longs)."""
+    one hash per band over the stored longs; ``portable`` selects the
+    md5-based bucket hash for cross-engine reproducibility)."""
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
@@ -756,7 +888,8 @@ def band_signatures(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                 lambda b: F.struct(
                     b.alias("band"),
                     hash60_col(
-                        F.concat_ws(",", F.transform(F.slice("_sig", b * rows + 1, rows), lambda v: v.cast("string")))
+                        F.concat_ws(",", F.transform(F.slice("_sig", b * rows + 1, rows), lambda v: v.cast("string"))),
+                        portable=portable,
                     ).alias("bucket"),
                 ),
             )
@@ -773,6 +906,7 @@ def minhash_pairs_incremental(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Dedupe a NEW batch of documents against an existing corpus
     signature store (plus within itself) — the append-only ingestion
@@ -788,10 +922,13 @@ def minhash_pairs_incremental(
       new-vs-new; store-vs-store pairs are the previous batches' output
       and are never recomputed.
 
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b, like
-    minhash_pairs."""
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b (signature-
+    agreement verification — the store keeps no shingles, so exact
+    jaccard is unavailable here; see the ``verify="est"`` caveat on
+    :func:`minhash_pairs` for the estimator's behavior on low-diversity
+    corpora)."""
     new_sig = minhash_signatures(
-        new_pipe.df, id_col, text_col, num_hashes, shingle_k
+        new_pipe.df, id_col, text_col, num_hashes, shingle_k, portable
     ).localCheckpoint(eager=True)
     # a re-ingested id (present in the store AND the new batch) must not
     # duplicate: the fresh signature wins, the stale store row is dropped
@@ -803,8 +940,8 @@ def minhash_pairs_incremental(
     # the verification join — an unmaterialized store expression (e.g. a
     # freshly computed signature table) would execute three times
     all_sig = store_only.unionByName(new_sig).localCheckpoint(eager=True)
-    new_banded = band_signatures(new_sig, num_hashes, bands)
-    all_banded = band_signatures(all_sig, num_hashes, bands)
+    new_banded = band_signatures(new_sig, num_hashes, bands, portable)
+    all_banded = band_signatures(all_sig, num_hashes, bands, portable)
     a = new_banded.select(F.col("_id").alias("_na"), "band", "bucket")
     b = all_banded.select(F.col("_id").alias("_nb"), "band", "bucket")
     cand = (

@@ -187,13 +187,26 @@ def fingerprint_col(text: Column) -> Column:
     return F.md5(norm_text_col(text))
 
 
-def hash60_col(c: Column) -> Column:
-    """Engine-portable 60-bit string hash: the first 15 hex digits of the
-    md5 digest as a non-negative bigint. Used wherever signature math
-    must be reproducible outside Spark (the DuckDB twin is
-    ``('0x' || substr(md5(x), 1, 15))::BIGINT``); one md5 per input
-    string, all downstream mixing is integer arithmetic."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+def hash60_col(c: Column, portable: bool = False) -> Column:
+    """60-bit non-negative string hash — the base hash of every signature
+    scheme (minhash / simhash / winnowing). Two modes, same downstream
+    integer mixing either way:
+
+    - ``portable=False`` (default, production): the top 60 bits of Spark's
+      native ``xxhash64`` — one JVM intrinsic per string, roughly an order
+      of magnitude cheaper than a cryptographic digest. This is the hash
+      the hot loop (once per shingle) should run at 100 TB.
+    - ``portable=True`` (cross-engine verification): the first 15 hex
+      digits of the md5 digest as a bigint — reproducible in any engine
+      (the DuckDB twin is ``('0x' || substr(md5(x), 1, 15))::BIGINT``),
+      which is what makes the correctness oracles hash-checkable.
+
+    Both produce a uniform value in [0, 2^60); signatures from the two
+    modes are internally consistent but not interchangeable (pick one per
+    signature store)."""
+    if portable:
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return F.shiftrightunsigned(F.xxhash64(c), 4).cast("long")
 
 
 def shingles_col(text: Column, k: int = 5) -> Column:
@@ -234,15 +247,19 @@ def bpe_token_estimate_col(text: Column) -> Column:
     ).otherwise(F.regexp_count(text, F.lit(BPE_PRETOKEN_RE))).cast("long")
 
 
-def winnow_fingerprints_col(text: Column, k: int = 8, w: int = 4) -> Column:
+def winnow_fingerprints_col(
+    text: Column, k: int = 8, w: int = 4, portable: bool = False
+) -> Column:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     SIGMOD 2003): hash every character ``k``-gram of the normalized text
-    (the rolling-hash step; here the portable 60-bit md5 hash per gram,
+    (the rolling-hash step; one 60-bit ``hash60_col`` per gram,
     vectorized JVM), then keep the minimum hash of each window of ``w``
     consecutive gram hashes and de-duplicate. Guarantees any match of
     length >= k+w-1 shares a fingerprint, with ~2/(w+1) of hashes
-    retained. ``hash60_col`` makes the fingerprints engine-portable, so
-    a DuckDB twin hash-checks this end-to-end.
+    retained. ``portable=True`` switches the gram hash to the md5-based
+    engine-portable mode so a DuckDB twin hash-checks this end-to-end;
+    the default xxhash64 mode is the production path (the gram hash runs
+    once per character position — the hottest loop here).
 
     Pure higher-order Column functions — O(len * w) JVM comparisons per
     document, no shuffle, no Python.
@@ -251,7 +268,7 @@ def winnow_fingerprints_col(text: Column, k: int = 8, w: int = 4) -> Column:
     n = F.length(t)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k) + 1, F.lit(1))),
-        lambda i: hash60_col(t.substr(i, F.lit(k))),
+        lambda i: hash60_col(t.substr(i, F.lit(k)), portable=portable),
     )
     # Bind the gram array ONCE via transform-over-singleton (Column-algebra
     # `let`): referencing `grams` directly inside the window lambda would

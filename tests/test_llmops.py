@@ -67,11 +67,60 @@ def test_exact_dedup(doc_pipe):
 
 def test_minhash_recovers_planted_neardup(doc_pipe):
     pairs = minhash_pairs(doc_pipe, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5)
-    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
-    assert (0, 40) in got and got[(0, 40)] == 1.0  # exact dup: signature identical
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (0, 40) in got and got[(0, 40)] == 1.0  # exact dup
     assert (1, 42) in got and got[(1, 42)] > 0.6  # near dup
-    # unrelated docs don't pair at threshold .5
-    assert all(a in (0, 1, 40, 41) or b in (40, 41, 42) for (a, b) in got) or len(got) < 10
+    # exact verification: NO unrelated pair can pass threshold .5
+    assert all(a in (0, 1, 40, 41) or b in (40, 41, 42) for (a, b) in got)
+
+
+def test_minhash_est_mode(doc_pipe):
+    # signature-agreement verification (the store-only path): planted
+    # exact dups estimate 1.0; borderline estimates are noisier than
+    # exact mode by construction
+    pairs = minhash_pairs(
+        doc_pipe, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+        verify="est",
+    )
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got[(0, 40)] == 1.0 and got[(0, 41)] == 1.0 and got[(40, 41)] == 1.0
+    assert (1, 42) in got
+
+
+def test_portable_and_fast_hash_modes_agree(doc_pipe):
+    # the production (xxhash64) and oracle-parity (md5) base hashes must
+    # recover the same planted duplicate structure; with exact
+    # verification the surviving pairs' jaccard values are TRUE set
+    # jaccards, so pairs found by both modes carry identical values
+    # (hash only affects banding recall, not the verified statistic)
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_pairs(
+            doc_pipe, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+            portable=False,
+        ).collect()
+    }
+    port = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_pairs(
+            doc_pipe, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+            portable=True,
+        ).collect()
+    }
+    assert set(fast) == set(port)
+    for key in set(fast) & set(port):
+        assert fast[key] == port[key]
+    for key in ((0, 40), (0, 41), (40, 41)):
+        assert fast[key] == 1.0 and port[key] == 1.0
+    # simhash: identical docs collapse to hamming 0 in both modes
+    for mode in (False, True):
+        sp = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(
+                doc_pipe, "doc_id", "text", max_hamming=6, portable=mode
+            ).collect()
+        }
+        assert sp[(0, 40)] == 0 and sp[(0, 41)] == 0
 
 
 def test_minhash_clusters(doc_pipe):
@@ -590,10 +639,13 @@ def test_minhash_incremental_matches_full(doc_pipe):
     )
 
     # full-batch ground truth restricted to pairs touching the new set
+    # (verify="est": the incremental path is signature-only, compare
+    # like-for-like)
     full = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
         for r in minhash_pairs(
-            doc_pipe, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5
+            doc_pipe, "doc_id", "text", num_hashes=64, bands=16, threshold=0.5,
+            verify="est",
         ).collect()
     }
     new_ids = {0, 40, 42}  # includes planted dups on both sides

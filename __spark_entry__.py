@@ -651,6 +651,22 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-calibration audit
+    (llmops.dedup.minhash_calibration): TRUE shingle jaccard vs the
+    signature-agreement estimate over all pairs of a 64-doc
+    deterministic sample — the statistical audit that exposed the
+    fixed-constant position-correlation bias in round 3. Portable mode:
+    the DuckDB twin reproduces the sample, grams, signatures, and both
+    statistics exactly."""
+    from seafan_spark.llmops.dedup import minhash_calibration
+
+    p = _pipe(spark, sf_dir, "documents")
+    return minhash_calibration(
+        p, "doc_id", "text", num_hashes=32, sample_docs=64, portable=True
+    )
+
+
 def q_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs on the PRODUCTION hash path:
     default xxhash64 base hash (one JVM intrinsic per shingle) instead of
@@ -1201,6 +1217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk": q_chunk,
     "minhash_incr": q_minhash_incr,
     "minhash_clusters": q_minhash_clusters,
+    "minhash_calibration": q_minhash_calibration,
     "winnow": q_winnow,
     "edit_distance": q_edit_distance,
     "embed_project": q_embed_project,
@@ -2191,6 +2208,79 @@ def _minhash_clusters_oracle(num_hashes: int = 32, bands: int = 8, threshold: fl
 
 
 ORACLES["minhash_clusters"] = _minhash_clusters_oracle()
+
+
+def _minhash_calibration_oracle(
+    num_hashes: int = 32, sample_docs: int = 64, salt: str = "cal", k: int = 5
+) -> str:
+    """DuckDB twin of q_minhash_calibration: same md5-bucket top-k
+    sample, same distinct-shingle hashes (true jaccard side), same
+    mixer signatures (estimate side), both statistics recomputed from
+    the raw doubles before rounding — bit-identical."""
+    from seafan_spark.llmops.dedup import MERSENNE61 as P
+    from seafan_spark.llmops.dedup import minhash_mixers
+
+    mixers = minhash_mixers(num_hashes)
+    mins = ",\n                   ".join(
+        f"min((({a}::HUGEINT * h + {c}) % {P})::BIGINT) AS m{i}"
+        for i, (a, c) in enumerate(mixers)
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(num_hashes)) + "]"
+    eqs = " + ".join(
+        f"(sa.sig[{i + 1}] = sb.sig[{i + 1}])::INT" for i in range(num_hashes)
+    )
+    est = f"({eqs})::DOUBLE / {float(num_hashes)!r}"
+    true_j = "COALESCE(t.i, 0)::DOUBLE / (za.n + zb.n - COALESCE(t.i, 0))"
+    return f"""
+        WITH nt AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\\\s+', ' ', 'g') AS t
+            FROM documents
+        ), bkt AS (
+            SELECT doc_id, t,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8)) AS UBIGINT) % 1000000 AS b
+            FROM nt
+        ), samp AS (
+            SELECT doc_id, t FROM bkt ORDER BY b, doc_id LIMIT {sample_docs}
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN length(t) <= {k} THEN [t]
+                        ELSE list_distinct(list_transform(range(1, length(t) - {k} + 2),
+                                                          i -> substr(t, i, {k})))
+                   END AS shs
+            FROM samp
+        ), ex AS (
+            SELECT doc_id, ('0x' || substr(md5(unnest(shs)), 1, 15))::BIGINT AS h
+            FROM sh
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), mn AS (
+            SELECT doc_id,
+                   {mins}
+            FROM ex GROUP BY doc_id
+        ), s2 AS (
+            SELECT doc_id, {sig_list} AS sig FROM mn
+        ), pr AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM samp a JOIN samp b ON a.doc_id < b.doc_id
+        )
+        SELECT p.id_a, p.id_b,
+               ROUND({true_j}, 6) AS jaccard,
+               ROUND({est}, 6) AS est_jaccard,
+               ROUND(ABS({est} - {true_j}), 6) AS abs_err
+        FROM pr p
+        LEFT JOIN inter t ON t.id_a = p.id_a AND t.id_b = p.id_b
+        JOIN sz za ON za.doc_id = p.id_a
+        JOIN sz zb ON zb.doc_id = p.id_b
+        JOIN s2 sa ON sa.doc_id = p.id_a
+        JOIN s2 sb ON sb.doc_id = p.id_b
+    """
+
+
+ORACLES["minhash_calibration"] = _minhash_calibration_oracle()
 
 
 def _simhash_oracle(bits: int = 60, chunks: int = 4, max_hamming: int = 3) -> str:

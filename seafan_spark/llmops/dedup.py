@@ -315,6 +315,117 @@ def minhash_pairs(
     )
 
 
+def minhash_calibration(
+    pipe: Pipeline,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    portable: bool = False,
+    sample_docs: int = 64,
+    salt: str = "cal",
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash signature scheme: TRUE
+    shingle jaccard vs the signature-agreement estimate over every pair
+    of a deterministic document sample.
+
+    Motivation (measured in round 3): with fixed mixer constants the
+    signature positions are correlated across pairs — a position whose
+    global argmin is a high-document-frequency shingle agrees for most
+    pairs at once — so ``verify="est"`` thresholds can admit systematic
+    false positives on low-diversity corpora while every per-pair
+    expectation is still correct. This operator is the audit that
+    catches that: run it on a new corpus before trusting estimate-based
+    thresholds, and switch to ``verify="exact"`` (or raise num_hashes)
+    when the bias or the FP count at your threshold is material.
+
+    The sample is the ``sample_docs`` documents with the smallest md5
+    hash bucket (engine/partitioning/retry-stable; a distributed top-k,
+    never a full sort), so the O(sample^2) pair work never touches the
+    rest of the corpus. Returns one row per sampled pair:
+    (id_a, id_b, jaccard, est_jaccard, abs_err).
+    """
+    from seafan_spark.sampling import hash_bucket_col
+
+    d = pipe.df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    samp = (
+        d.withColumn("_bkt", hash_bucket_col(F.col("_id"), salt))
+        .orderBy("_bkt", "_id")
+        .limit(sample_docs)
+        .drop("_bkt")
+        .localCheckpoint(eager=True)  # tiny; feeds grams, sigs, pair frame
+    )
+    cex = _exploded_shingle_hashes(
+        samp, "_id", "_txt", shingle_k, portable
+    ).localCheckpoint(eager=True)
+    sizes = cex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        cex.select(F.col("_id").alias("id_a"), "_h")
+        .join(cex.select(F.col("_id").alias("id_b"), "_h"), "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    sig = minhash_signatures(samp, "_id", "_txt", num_hashes, shingle_k, portable)
+    pairs = (
+        samp.select(F.col("_id").alias("id_a"))
+        .crossJoin(samp.select(F.col("_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    pairs = (
+        pairs.join(F.broadcast(inter), ["id_a", "id_b"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))),
+            "id_b",
+        )
+        .join(
+            F.broadcast(sig.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sig.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))),
+            "id_b",
+        )
+    )
+    i0 = F.coalesce(F.col("_i"), F.lit(0))
+    true_j = i0.cast("double") / (F.col("_na") + F.col("_nb") - i0).cast("double")
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(true_j, 6).alias("jaccard"),
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(F.abs(est - true_j), 6).alias("abs_err"),
+    )
+
+
+def minhash_calibration_summary(cal: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """One-row summary of a :func:`minhash_calibration` frame: mean true
+    jaccard, mean estimate, signed bias, MAE, and the false-positive /
+    false-negative pair counts the estimate would produce at
+    ``threshold``. A healthy estimator has |bias| of a few hundredths
+    and FP/FN counts consistent with Binomial(num_hashes, j) noise."""
+    thr = F.lit(float(threshold))
+    return cal.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        F.round(F.avg("est_jaccard"), 6).alias("mean_est"),
+        F.round(F.avg(F.col("est_jaccard") - F.col("jaccard")), 6).alias("bias"),
+        F.round(F.avg("abs_err"), 6).alias("mae"),
+        F.sum(
+            ((F.col("est_jaccard") >= thr) & (F.col("jaccard") < thr)).cast("bigint")
+        ).alias("false_pos"),
+        F.sum(
+            ((F.col("est_jaccard") < thr) & (F.col("jaccard") >= thr)).cast("bigint")
+        ).alias("false_neg"),
+    )
+
+
 #: edge-count ceiling for the driver union-find fast path of
 #: :func:`minhash_clusters` — 2M (id, id) rows collect in well under a
 #: second and the Python union-find is linear; above it the distributed

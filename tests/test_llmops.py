@@ -123,6 +123,38 @@ def test_portable_and_fast_hash_modes_agree(doc_pipe):
         assert sp[(0, 40)] == 0 and sp[(0, 41)] == 0
 
 
+def test_minhash_calibration(doc_pipe):
+    from seafan_spark.llmops.dedup import (
+        minhash_calibration,
+        minhash_calibration_summary,
+    )
+
+    cal = minhash_calibration(
+        doc_pipe, "doc_id", "text", num_hashes=64, sample_docs=33
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in cal.collect()}
+    # all pairs of the sample are present exactly once
+    n = len({i for (a, b) in rows for i in (a, b)})
+    assert len(rows) == n * (n - 1) // 2
+    # planted exact dups (0/40/41 normalize identically): if sampled
+    # together, both statistics are exactly 1.0 and the error is 0
+    for key, r in rows.items():
+        if key in ((0, 40), (0, 41), (40, 41)):
+            assert r["jaccard"] == 1.0 and r["est_jaccard"] == 1.0
+            assert r["abs_err"] == 0.0
+        assert 0.0 <= r["jaccard"] <= 1.0 and 0.0 <= r["est_jaccard"] <= 1.0
+        assert abs(abs(r["est_jaccard"] - r["jaccard"]) - r["abs_err"]) < 2e-6
+    summ = minhash_calibration_summary(cal, threshold=0.5).collect()[0]
+    assert summ["pairs"] == len(rows)
+    # per-pair expectation is unbiased: on this fixture the mean estimate
+    # must track the mean true jaccard within estimator noise
+    assert abs(summ["bias"]) < 0.12
+    fp = sum(
+        1 for r in rows.values() if r["est_jaccard"] >= 0.5 and r["jaccard"] < 0.5
+    )
+    assert summ["false_pos"] == fp
+
+
 def test_minhash_clusters(doc_pipe):
     pairs = minhash_pairs(doc_pipe, "doc_id", "text", threshold=0.5)
     labels = {r["id"]: r["cluster"] for r in minhash_clusters(pairs).collect()}

@@ -640,14 +640,20 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (llmops.dedup.minhash_pairs),
     exact-verified: banding generates candidates, TRUE shingle jaccard
-    verifies each (precision 1.0). Portable md5-based shingle hashes +
-    literal 2^61-1 mixer constants — the DuckDB twin reproduces
-    signatures, banding, candidates, and the verified jaccard exactly."""
+    verifies each (precision 1.0). Banding is 4 bands x 8 rows
+    (s* ~ 0.84): this corpus has unusually high background similarity
+    (mean pair jaccard ~0.17 from a shared template vocabulary), and
+    r=8 keeps background band collisions ~1e-6 where r=4 would admit
+    ~2% of ALL pairs as candidates — the banding precision knob, not
+    the threshold, is what bounds candidate cost at scale. Portable
+    md5-based shingle hashes + literal 2^61-1 mixer constants — the
+    DuckDB twin reproduces signatures, banding, candidates, and the
+    verified jaccard exactly."""
     from seafan_spark.llmops.dedup import minhash_pairs
 
     p = _pipe(spark, sf_dir, "documents")
     return minhash_pairs(
-        p, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5, portable=True
+        p, "doc_id", "text", num_hashes=32, bands=4, threshold=0.5, portable=True
     )
 
 
@@ -679,7 +685,7 @@ def q_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _pipe(spark, sf_dir, "documents")
     return minhash_pairs(
-        p, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5, portable=False
+        p, "doc_id", "text", num_hashes=32, bands=4, threshold=0.5, portable=False
     )
 
 
@@ -979,7 +985,7 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _pipe(spark, sf_dir, "documents").spread("doc_id")
     pairs = minhash_pairs(
-        p, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5, portable=True
+        p, "doc_id", "text", num_hashes=32, bands=4, threshold=0.5, portable=True
     )
     return minhash_clusters(pairs)
 
@@ -2082,7 +2088,7 @@ def _minhash_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
     """
 
 
-ORACLES["minhash_pairs"] = _minhash_oracle()
+ORACLES["minhash_pairs"] = _minhash_oracle(bands=4)
 
 def _mix_oracle() -> str:
     """DuckDB twin of q_mix: identical per-source fraction computation
@@ -2207,7 +2213,7 @@ def _minhash_clusters_oracle(num_hashes: int = 32, bands: int = 8, threshold: fl
     """
 
 
-ORACLES["minhash_clusters"] = _minhash_clusters_oracle()
+ORACLES["minhash_clusters"] = _minhash_clusters_oracle(bands=4)
 
 
 def _minhash_calibration_oracle(

@@ -484,7 +484,7 @@ def q_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = p._derive(p.df.filter(F.col("doc_id") % 5 == 0))
     store = minhash_signatures(old, "doc_id", "text", num_hashes=32, portable=True)
     return minhash_pairs_incremental(
-        new, store, "doc_id", "text", num_hashes=32, bands=8, threshold=0.5,
+        new, store, "doc_id", "text", num_hashes=32, bands=4, threshold=0.5,
         portable=True,
     )
 
@@ -2188,7 +2188,7 @@ def _minhash_incr_oracle(num_hashes: int = 32, bands: int = 8, threshold: float 
     """
 
 
-ORACLES["minhash_incr"] = _minhash_incr_oracle()
+ORACLES["minhash_incr"] = _minhash_incr_oracle(bands=4)
 
 
 def _minhash_clusters_oracle(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:

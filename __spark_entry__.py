@@ -2239,7 +2239,7 @@ def _minhash_calibration_oracle(
     true_j = "COALESCE(t.i, 0)::DOUBLE / (za.n + zb.n - COALESCE(t.i, 0))"
     return f"""
         WITH nt AS (
-            SELECT doc_id, regexp_replace(lower(trim(text)), '\\\\s+', ' ', 'g') AS t
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
             FROM documents
         ), bkt AS (
             SELECT doc_id, t,

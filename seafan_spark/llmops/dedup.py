@@ -51,6 +51,18 @@ def minhash_mixers(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     ]
 
 
+def signature_scheme_tag(
+    num_hashes: int, shingle_k: int = 5, portable: bool = False, seed: int = 42
+) -> str:
+    """Version tag identifying a signature store's scheme — persist this
+    next to any table written by :func:`minhash_signatures` and compare
+    on read: signatures from different schemes (field size, mixer seed,
+    base-hash mode, shingle width) are NOT comparable, and mixing them
+    silently estimates jaccard ~ 0 instead of erroring."""
+    base = "md5" if portable else "xxhash60"
+    return f"minhash61:{num_hashes}:{seed}:k{shingle_k}:{base}"
+
+
 def _mix61_col(hh: Column, hl: Column, a: int, c: int) -> Column:
     """``(a*h + c) mod 2^61-1`` for ``h = hh*2^31 + hl`` with ``h < 2^60``,
     in pure non-overflowing signed-64 Column arithmetic (safe under ANSI
@@ -123,6 +135,15 @@ def minhash_signature_col(
         shingles_col(text, k=shingle_k),
         lambda s: hash60_col(s, portable=portable),
     )
+
+    # one-parameter lambda via a closure factory: a `lambda h, ac=ac:` form
+    # would be bound by Spark as a binary (element, index) lambda and pass
+    # the index Column as `ac`
+    def _mixer(a: int, c: int):
+        return lambda h: _mix61_col(
+            F.shiftrightunsigned(h, 31), h.bitwiseAND(F.lit(_LOW31)), a, c
+        )
+
     # bind the hash array ONCE via transform-over-singleton (Column `let`):
     # referencing `hs` inside each mixer's transform would inline the whole
     # string-hash pass num_hashes times per row
@@ -131,18 +152,8 @@ def minhash_signature_col(
             F.array(hs),
             lambda hsb: F.array(
                 *[
-                    F.array_min(
-                        F.transform(
-                            hsb,
-                            lambda h, ac=ac: _mix61_col(
-                                F.shiftrightunsigned(h, 31),
-                                h.bitwiseAND(F.lit(_LOW31)),
-                                ac[0],
-                                ac[1],
-                            ),
-                        )
-                    )
-                    for ac in mixers
+                    F.array_min(F.transform(hsb, _mixer(a, c)))
+                    for a, c in mixers
                 ]
             ),
         ),
@@ -249,9 +260,10 @@ def minhash_pairs(
     if verify not in ("exact", "est"):
         raise ValueError("minhash_pairs: verify must be 'exact' or 'est'")
     # materialize signatures once (executor storage, auto-released when the
-    # DataFrame is dereferenced): they feed the banding AND the per-pair
-    # verification re-join below — without this the explode+groupBy
-    # signature computation would run three times
+    # DataFrame is dereferenced): band_signatures reads them through two
+    # differently-aliased projections (both join sides), and in est mode
+    # the per-pair verification re-joins them a third time — without this
+    # the explode+groupBy signature computation would re-run per consumer
     sig = minhash_signatures(
         pipe.df, id_col, text_col, num_hashes, shingle_k, portable
     ).localCheckpoint(eager=True)
@@ -366,7 +378,11 @@ def minhash_calibration(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_i"))
     )
-    sig = minhash_signatures(samp, "_id", "_txt", num_hashes, shingle_k, portable)
+    # checkpoint: joined on both pair sides below — unmaterialized, the
+    # signature explode+groupBy over the sample would execute twice
+    sig = minhash_signatures(
+        samp, "_id", "_txt", num_hashes, shingle_k, portable
+    ).localCheckpoint(eager=True)
     pairs = (
         samp.select(F.col("_id").alias("id_a"))
         .crossJoin(samp.select(F.col("_id").alias("id_b")))
@@ -1018,6 +1034,7 @@ def minhash_pairs_incremental(
     shingle_k: int = 5,
     threshold: float = 0.5,
     portable: bool = False,
+    check_store: bool = True,
 ) -> DataFrame:
     """Dedupe a NEW batch of documents against an existing corpus
     signature store (plus within itself) — the append-only ingestion
@@ -1026,7 +1043,16 @@ def minhash_pairs_incremental(
     ``minhash_signatures``) and only hash the new arrivals.
 
     - ``store_sig``: (_id, _sig array<bigint>) from minhash_signatures
-      with the SAME num_hashes/shingle_k.
+      with the SAME num_hashes/shingle_k AND the same base-hash mode
+      (``portable``) and signature scheme. Persist
+      :func:`signature_scheme_tag` next to the store and compare it on
+      read; ``check_store=True`` (default) additionally runs a cheap
+      one-column sanity scan that rejects stores from the retired
+      31-bit scheme (whose values are all < 2^31 — a fresh 61-bit
+      signature is below 2^31 with probability ~2^-30 per value, so a
+      whole store of such values is an unmistakable fingerprint).
+      Mixed-scheme comparison would silently produce est_jaccard ~ 0
+      and drop every true near-duplicate of an old document.
     - only the new batch is shingled/hashed; the store is banded with
       cheap literal arithmetic and joined on (band, bucket);
     - emitted pairs have at least one NEW side: new-vs-store and
@@ -1038,6 +1064,23 @@ def minhash_pairs_incremental(
     jaccard is unavailable here; see the ``verify="est"`` caveat on
     :func:`minhash_pairs` for the estimator's behavior on low-diversity
     corpora)."""
+    if check_store:
+        # one aggregate over the first signature position: values from the
+        # current 61-bit scheme are uniform in [0, 2^61), so a store whose
+        # MAX first position is below 2^31 is (overwhelmingly) a persisted
+        # pre-61-bit store — comparing against it silently yields
+        # est_jaccard ~ 0, so fail loudly instead
+        row = store_sig.select(
+            F.max(F.element_at("_sig", 1)).alias("mx"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if row["n"] and row["mx"] is not None and row["mx"] < (1 << 31):
+            raise ValueError(
+                "minhash_pairs_incremental: store_sig looks like a signature "
+                "store from the retired 31-bit mixing scheme (all values "
+                "< 2^31); re-materialize it with the current "
+                "minhash_signatures, or pass check_store=False if this "
+                "corpus-sized store is legitimately tiny-valued"
+            )
     new_sig = minhash_signatures(
         new_pipe.df, id_col, text_col, num_hashes, shingle_k, portable
     ).localCheckpoint(eager=True)

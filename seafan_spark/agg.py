@@ -71,19 +71,72 @@ def describe(
     return out
 
 
+def exact_quantiles(
+    df: DataFrame, field: str, us: Sequence[float]
+) -> tuple[int, dict[float, float | None]]:
+    """EXACT linearly-interpolated quantiles without a single-task sort
+    and without an unbounded aggregation buffer.
+
+    ``F.percentile`` funnels every distinct value of the column into one
+    final aggregation buffer — fine at test scale, an executor OOM on a
+    full-corpus column. Here: distributed global rank over the value
+    (``rank.global_row_number``: range repartition + per-partition rank +
+    driver offsets), then fetch ONLY the rows at the floor/ceil ranks of
+    each target position (a pushed-down IN filter over ~2 x len(us)
+    ranks) and interpolate driver-side with the same
+    ``lo + (hi-lo) * frac`` definition as DuckDB's ``quantile_cont`` /
+    Spark's ``percentile``. Two parallel jobs + a collect of at most
+    ``2 * len(us)`` rows. Returns (non-null count, {u: quantile})."""
+    import math
+
+    from seafan_spark.rank import global_row_number
+
+    d = df.select(F.col(field).cast("double").alias("_v")).filter(
+        F.col("_v").isNotNull()
+    )
+    ranked, n = global_row_number(d, [("_v", True)], "_rn")
+    if n == 0:
+        return 0, {u: None for u in us}
+    positions = {u: 1.0 + (n - 1) * float(u) for u in us}
+    need = sorted(
+        {int(math.floor(p)) for p in positions.values()}
+        | {int(math.ceil(p)) for p in positions.values()}
+    )
+    vals = {
+        r["_rn"]: r["_v"]
+        for r in ranked.filter(F.col("_rn").isin(need)).collect()
+    }
+    out: dict[float, float | None] = {}
+    for u, pos in positions.items():
+        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+        if lo == hi:
+            out[u] = float(vals[lo])
+        else:
+            out[u] = float(vals[lo] + (vals[hi] - vals[lo]) * (pos - lo))
+    return n, out
+
+
 def describe_df(pipe: Pipeline, field: str) -> DataFrame:
-    """One-row lazy Desc of a continuous field (data.go:154-168) with
-    EXACT interpolated quantiles at u = [0,.1,.25,.5,.75,.9,1]
-    (``F.percentile`` — same linear-interpolation definition as DuckDB's
-    ``quantile_cont``). ``describe`` keeps the approx path for wide
-    multi-column profiling; this is the single-column oracle-able form."""
+    """One-row Desc of a continuous field (data.go:154-168) with EXACT
+    interpolated quantiles at u = [0,.1,.25,.5,.75,.9,1] (same
+    linear-interpolation definition as DuckDB's ``quantile_cont``).
+
+    Quantiles come from :func:`exact_quantiles` (distributed rank — no
+    single-task sort, no unbounded ``F.percentile`` buffer), so this is
+    eager: the quantile boundary rows are fetched up front and re-enter
+    the one-row result as literals next to the lazy count/mean/std
+    aggregates. ``describe`` keeps the approx path for wide multi-column
+    profiling; this is the single-column oracle-able form."""
     c = F.col(field)
-    q = F.percentile(c, F.array(*[F.lit(u) for u in QUANTILE_U]))
+    _, qs = exact_quantiles(pipe.df, field, QUANTILE_U)
     return pipe.df.agg(
         F.count(c).alias("n"),
         F.avg(c).alias("mean"),
         F.stddev_samp(c).alias("std"),
-        *[F.element_at(q, i + 1).alias(f"q{int(u * 100)}") for i, u in enumerate(QUANTILE_U)],
+        *[
+            F.lit(qs[u]).cast("double").alias(f"q{int(u * 100)}")
+            for u in QUANTILE_U
+        ],
     )
 
 

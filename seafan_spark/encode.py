@@ -265,21 +265,27 @@ def winsorize(
     """Clip a continuous field to its [lower, upper] quantiles
     (outlier-robust normalization prep).
 
-    The two cutoffs come from ONE aggregation pass; clipping is a pure
-    projection. ``approx=False`` uses exact ``percentile`` (linear
-    interpolation — cross-engine comparable); at 100 TB switch
-    ``approx=True`` (``percentile_approx``, bounded-memory sketch) —
-    exact percentile's per-partition value buffers are the memory hog,
-    the sketch is KB-sized and merge-able."""
+    Clipping is a pure projection over driver-fetched cutoffs.
+    ``approx=False`` (default) computes EXACT linearly-interpolated
+    cutoffs via ``agg.exact_quantiles`` — distributed rank, two parallel
+    jobs, no unbounded ``percentile`` value buffer, so the exact path is
+    itself corpus-scale-safe; ``approx=True`` trades exactness for a
+    single pass with a KB-sized merge-able sketch
+    (``percentile_approx``)."""
     from pyspark.sql import functions as F
 
     out = name or f"{field}_wins"
-    fn = "percentile_approx" if approx else "percentile"
-    cuts = pipe.df.agg(
-        F.expr(f"{fn}(`{field}`, {lower!r})").alias("lo"),
-        F.expr(f"{fn}(`{field}`, {upper!r})").alias("hi"),
-    ).first()
-    lo, hi = float(cuts["lo"]), float(cuts["hi"])
+    if approx:
+        cuts = pipe.df.agg(
+            F.expr(f"percentile_approx(`{field}`, {lower!r})").alias("lo"),
+            F.expr(f"percentile_approx(`{field}`, {upper!r})").alias("hi"),
+        ).first()
+        lo, hi = float(cuts["lo"]), float(cuts["hi"])
+    else:
+        from seafan_spark.agg import exact_quantiles
+
+        _, qs = exact_quantiles(pipe.df, field, [lower, upper])
+        lo, hi = float(qs[lower]), float(qs[upper])
     # greatest/least SKIP null arguments (SQL semantics), which would
     # silently clip NULL field values to the lower cutoff — pass them
     # through instead

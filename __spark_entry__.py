@@ -482,7 +482,13 @@ def q_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pipe(spark, sf_dir, "documents")
     old = p.df.filter(F.col("doc_id") % 5 != 0)
     new = p._derive(p.df.filter(F.col("doc_id") % 5 == 0))
-    store = minhash_signatures(old, "doc_id", "text", num_hashes=32, portable=True)
+    # materialize the store once — it stands in for a PERSISTED parquet
+    # signature table (the incremental contract), and unmaterialized it
+    # would re-run the corpus signature pipeline for every consumer inside
+    # minhash_pairs_incremental (check_store scan + the union checkpoint)
+    store = minhash_signatures(
+        old, "doc_id", "text", num_hashes=32, portable=True
+    ).localCheckpoint(eager=True)
     return minhash_pairs_incremental(
         new, store, "doc_id", "text", num_hashes=32, bands=4, threshold=0.5,
         portable=True,

@@ -63,28 +63,53 @@ def signature_scheme_tag(
     return f"minhash61:{num_hashes}:{seed}:k{shingle_k}:{base}"
 
 
-def _mix61_col(hh: Column, hl: Column, a: int, c: int) -> Column:
-    """``(a*h + c) mod 2^61-1`` for ``h = hh*2^31 + hl`` with ``h < 2^60``,
-    in pure non-overflowing signed-64 Column arithmetic (safe under ANSI
-    mode, exact in any engine — no 128-bit multiply needed).
+def _mix61_parts(hh: Column, hl: Column, ah: Column, al: Column, c: Column) -> Column:
+    """``(a*h + c) mod 2^61-1`` for ``h = hh*2^31 + hl`` (``h < 2^60``) and
+    ``a = ah*2^31 + al``, in pure non-overflowing signed-64 Column
+    arithmetic (safe under ANSI mode, exact in any engine — no 128-bit
+    multiply needed).
 
-    Schoolbook split: with ``a = ah*2^31 + al``,
+    Schoolbook split:
     ``a*h = ah*hh*2^62 + (ah*hl + al*hh)*2^31 + al*hl``; reduce each term
     with the Mersenne identity ``2^61 ≡ 1 (mod M)`` (so ``2^62 ≡ 2`` and
     ``x*2^31 ≡ (x>>30) + (x & (2^30-1))*2^31``). Every intermediate stays
     below 2^63: t1 < 2^60, cross < 2^62, t2 < 2^61+2^32, t3 < 2^61+2,
     total < 3.5*2^61."""
-    ah, al = a >> 31, a & _LOW31
-    t1 = F.lit(2 * ah) * hh
-    cross = F.lit(ah) * hl + F.lit(al) * hh
+    t1 = F.lit(2) * ah * hh
+    cross = ah * hl + al * hh
     t2 = F.shiftrightunsigned(cross, 30) + F.shiftleft(
         cross.bitwiseAND(F.lit(_LOW30)), 31
     )
-    t3raw = F.lit(al) * hl
+    t3raw = al * hl
     t3 = F.shiftrightunsigned(t3raw, 61) + t3raw.bitwiseAND(F.lit(MERSENNE61))
-    tot = t1 + t2 + t3 + F.lit(c)
+    tot = t1 + t2 + t3 + c
     r = F.shiftrightunsigned(tot, 61) + tot.bitwiseAND(F.lit(MERSENNE61))
     return F.when(r >= MERSENNE61, r - MERSENNE61).otherwise(r)
+
+
+def _mix61_col(hh: Column, hl: Column, a: int, c: int) -> Column:
+    """Literal-constant form of :func:`_mix61_parts` for one (a, c) draw."""
+    ah, al = a >> 31, a & _LOW31
+    return _mix61_parts(hh, hl, F.lit(ah), F.lit(al), F.lit(c))
+
+
+def _mixer_struct_array(mixers: list[tuple[int, int]]) -> Column:
+    """The mixer constants as ONE array<struct<ah,al,c>> literal, pre-split
+    for :func:`_mix61_parts`. Mixing all ``num_hashes`` values via a single
+    ``F.transform`` over this array keeps the generated code one small loop
+    body instead of ``num_hashes`` unrolled copies of the split arithmetic
+    — an order of magnitude less janino/JIT work per fresh plan shape, and
+    measurably faster steady-state too (the loop stays in icache)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(a >> 31).alias("ah"),
+                F.lit(a & _LOW31).alias("al"),
+                F.lit(c).alias("c"),
+            )
+            for a, c in mixers
+        ]
+    )
 
 
 # ---------------------------------------------------------------- exact ----
@@ -136,25 +161,27 @@ def minhash_signature_col(
         lambda s: hash60_col(s, portable=portable),
     )
 
-    # one-parameter lambda via a closure factory: a `lambda h, ac=ac:` form
-    # would be bound by Spark as a binary (element, index) lambda and pass
-    # the index Column as `ac`
-    def _mixer(a: int, c: int):
-        return lambda h: _mix61_col(
-            F.shiftrightunsigned(h, 31), h.bitwiseAND(F.lit(_LOW31)), a, c
-        )
-
     # bind the hash array ONCE via transform-over-singleton (Column `let`):
-    # referencing `hs` inside each mixer's transform would inline the whole
-    # string-hash pass num_hashes times per row
+    # referencing `hs` inside the mixer transform would inline the whole
+    # string-hash pass num_hashes times per row. The outer transform over
+    # the literal mixer array generates the split arithmetic once as a
+    # loop body (see _mixer_struct_array) instead of num_hashes unrolled
+    # copies.
     return F.element_at(
         F.transform(
             F.array(hs),
-            lambda hsb: F.array(
-                *[
-                    F.array_min(F.transform(hsb, _mixer(a, c)))
-                    for a, c in mixers
-                ]
+            lambda hsb: F.transform(
+                _mixer_struct_array(mixers),
+                lambda m: F.array_min(
+                    F.transform(
+                        hsb,
+                        lambda h: _mix61_parts(
+                            F.shiftrightunsigned(h, 31),
+                            h.bitwiseAND(F.lit(_LOW31)),
+                            m["ah"], m["al"], m["c"],
+                        ),
+                    )
+                ),
             ),
         ),
         F.lit(1),
@@ -202,21 +229,34 @@ def minhash_signatures(
     signatures are engine-portable (DuckDB twin mixes with the same
     constants); default xxhash64 is the production path."""
     mixers = minhash_mixers(num_hashes)
-    # stage the 31-bit split of the 60-bit base hash once per shingle row:
-    # every mixer's _mix61_col shares the same (hh, hl) pair
-    ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k, portable).select(
+    # (shingle row) x (mixer) via posexplode of the literal mixer array:
+    # ONE small mix expression in whole-stage codegen (columns, not
+    # num_hashes unrolled literal copies — the unrolled form generated so
+    # much source that janino+JIT charged ~10s to every fresh plan shape,
+    # and a higher-order-function variant fell out of codegen entirely and
+    # ran 4x slower). Two-stage aggregation: partial min on (_id, pos)
+    # combines map-side to ~num_hashes longs per doc before either
+    # shuffle, so shuffle volume stays O(num_hashes) per doc — the second
+    # (array assembly) shuffle moves one num_hashes-row group per doc.
+    marr = _mixer_struct_array(mixers)
+    ex = _exploded_shingle_hashes(df, id_col, text_col, shingle_k, portable)
+    rows = ex.select(
+        "_id", "_h", F.posexplode(marr).alias("_pos", "_m")
+    ).select(
         "_id",
-        F.shiftrightunsigned(F.col("_h"), 31).alias("_hh"),
-        F.col("_h").bitwiseAND(F.lit(_LOW31)).alias("_hl"),
+        "_pos",
+        _mix61_parts(
+            F.shiftrightunsigned(F.col("_h"), 31),
+            F.col("_h").bitwiseAND(F.lit(_LOW31)),
+            F.col("_m.ah"), F.col("_m.al"), F.col("_m.c"),
+        ).alias("_v"),
     )
-    mins = ex.groupBy("_id").agg(
-        *[
-            F.min(_mix61_col(F.col("_hh"), F.col("_hl"), a, c)).alias(f"_m{i}")
-            for i, (a, c) in enumerate(mixers)
-        ]
-    )
-    return mins.select(
-        "_id", F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("_sig")
+    mins = rows.groupBy("_id", "_pos").agg(F.min("_v").alias("_v"))
+    return mins.groupBy("_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_v"))),
+            lambda s: s["_v"],
+        ).alias("_sig")
     )
 
 

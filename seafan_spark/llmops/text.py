@@ -418,7 +418,10 @@ def vocab_top_terms(df, text_col: str = "text", k: int = 50) -> "DataFrame":
         .orderBy(F.col("n").desc(), F.col("term").asc())
         .limit(k)
     )
-    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    # constant partition key: the relation is <= k rows post-limit, so the
+    # single-task window is deliberate — the explicit key documents that
+    # (and keeps WindowExec's single-partition warning out of the logs)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("n").desc(), F.col("term").asc())
     return counts.select(
         "term", "n", F.row_number().over(w).cast("bigint").alias("rank")
     )

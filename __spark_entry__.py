@@ -1147,6 +1147,33 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_counts(p, ["o_orderstatus", "o_orderpriority", "o_custkey"])
 
 
+def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch table (sketches.distinct_over_slices): build
+    per-(returnflag, linestatus) DataSketches HLL sketches of l_partkey
+    in one scan, roll them up to returnflag by sketch UNION (kilobytes,
+    no rescan), and assert the estimate lands within the lg_k=12 error
+    band of the exact count — the band check is the hash-checkable
+    output, so the oracle verifies both the exact path and the sketch's
+    accuracy contract."""
+    from seafan_spark.sketches import distinct_over_slices
+
+    li = _pipe(spark, sf_dir, "lineitem").df
+    est = distinct_over_slices(
+        li, ["l_returnflag", "l_linestatus"], ["l_returnflag"], "l_partkey"
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return est.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("estimate") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("est_ok"),
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order event funnel view -> click -> purchase
     (temporal.funnel): per-step earliest-qualifying-time aggregation,
@@ -1218,6 +1245,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
+    "distinct_sketch": q_distinct_sketch,
     # --- oracled, implementation touched recently ---
     "funnel": q_funnel,
     "retention": q_retention,
@@ -2384,6 +2412,13 @@ ORACLES["distinct_counts"] = """
         SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority) FROM orders
         UNION ALL
         SELECT 'o_custkey', COUNT(DISTINCT o_custkey) FROM orders
+    """
+
+ORACLES["distinct_sketch"] = """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS est_ok
+        FROM lineitem GROUP BY l_returnflag
     """
 
 ORACLES["funnel"] = """

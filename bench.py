@@ -45,9 +45,10 @@ def main() -> None:
     # one-time JIT.
     warm_dir = "/root/testdata/sf0.001"
     for wname in ("join_3way", "window_cume", "simhash_pairs", "minhash_pairs",
-                  "multimodal", "model_glm", "describe", "ks", "decile",
-                  "marginal", "ngram_jaccard", "irr_by", "ann_ivf", "winnow",
-                  "minhash_incr", "minhash_clusters", "sort_rank"):
+                  "minhash_pairs_fast", "multimodal", "model_glm", "describe",
+                  "ks", "decile", "marginal", "ngram_jaccard", "irr_by",
+                  "ann_ivf", "winnow", "minhash_incr", "minhash_clusters",
+                  "sort_rank"):
         try:
             force(qs[wname](spark, warm_dir))
         except Exception:

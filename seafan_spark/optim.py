@@ -71,8 +71,13 @@ class SoftmaxLinearModel:
         return F.array(*[e / den for e in exps])
 
 
-def _grad_pass(d: DataFrame, W: np.ndarray, n_classes: int) -> tuple[np.ndarray, np.ndarray, int]:
-    """One distributed pass: returns (sum G_i blocks, per-class sum r^2, N)."""
+def _grad_pass(
+    d: DataFrame, W: np.ndarray, n_classes: int, nparts: int | None = None
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """One distributed pass: returns (sum G_i blocks, per-class sum r^2, N).
+    When the caller reports more than ``_TREE_MERGE_MIN_PARTS`` tasks, the
+    per-task gradient rows are pre-summed JVM-side (see
+    ``_tree_merge_gradients``) so driver transfer stays O(buckets x |W|)."""
     spark = d.sparkSession
     bW = spark.sparkContext.broadcast(W)
     fp1, C = W.shape
@@ -113,7 +118,10 @@ def _grad_pass(d: DataFrame, W: np.ndarray, n_classes: int) -> tuple[np.ndarray,
                 G[i] += X.T @ M
         yield pd.DataFrame({"g": [G.ravel().tolist()], "ss": [ss.tolist()], "n": [n]})
 
-    rows = d.mapInPandas(part, schema=out_schema).collect()
+    mapped = d.mapInPandas(part, schema=out_schema)
+    if nparts is not None and nparts > _TREE_MERGE_MIN_PARTS:
+        mapped = _tree_merge_gradients(mapped, [("g", C * fp1 * C), ("ss", C)])
+    rows = mapped.collect()
     G = np.zeros((C, fp1, C))
     ss = np.zeros(C)
     n = 0
@@ -158,7 +166,8 @@ def fit_softrms(
     # coalesce never INCREASES partitioning, so no partition-count probe
     # is needed: asking for ceil(rows/25k) is a no-op when the source is
     # already narrower (narrow dependency either way - no shuffle)
-    data = data.coalesce(max(1, -(-nrows // 25_000)))
+    nparts = max(1, -(-nrows // 25_000))
+    data = data.coalesce(nparts)
 
     W = np.zeros((n_feat + 1, C))
     best_W, best_loss, since_best = W.copy(), float("inf"), 0
@@ -170,7 +179,7 @@ def fit_softrms(
     it = 0
     while it < max_iter:
         it += 1
-        G, ss, n = _grad_pass(data, W, C)
+        G, ss, n = _grad_pass(data, W, C, nparts=nparts)
         L_i = np.sqrt(ss / max(n, 1))
         loss = float(L_i[1:].sum())
         if not np.isfinite(loss):
@@ -541,6 +550,38 @@ _NN_OUT = T.StructType(
     ]
 )
 
+# Above this many gradient rows (one per task), per-iteration driver
+# transfer (rows x |weights| doubles) is merged JVM-side first — a
+# treeAggregate: bucket the rows, element-wise-sum each bucket's arrays
+# in parallel, collect only `buckets` pre-summed rows.
+_TREE_MERGE_MIN_PARTS = 64
+
+
+def _tree_merge_gradients(
+    rows_df: DataFrame, arr_cols: list[tuple[str, int]], buckets: int = 32
+) -> DataFrame:
+    """Element-wise sum of the per-task gradient rows in `buckets` parallel
+    groups (summation is associative, so bucket shape can't change the
+    result beyond float addition order — same tolerance class as any
+    partial aggregation). Cuts driver transfer from O(tasks x |w|) to
+    O(buckets x |w|); `array_repeat` keeps the zero literal O(1) in plan
+    size regardless of |w|. ``arr_cols`` = [(array column, its length)];
+    the long count column ``n`` is always summed."""
+    add = lambda a, b: F.zip_with(a, b, lambda x, y: x + y)  # noqa: E731
+    aggs = [
+        F.aggregate(
+            F.collect_list(c), F.array_repeat(F.lit(0.0), ln), add
+        ).alias(c)
+        for c, ln in arr_cols
+    ] + [F.sum("n").alias("n")]
+    return (
+        rows_df.groupBy(
+            F.pmod(F.spark_partition_id(), F.lit(buckets)).alias("_b")
+        )
+        .agg(*aggs)
+        .drop("_b")
+    )
+
 
 def fit_nn(
     pipe: Pipeline,
@@ -613,7 +654,8 @@ def fit_nn(
     # coalesce never INCREASES partitioning, so no partition-count probe
     # is needed: asking for ceil(rows/25k) is a no-op when the source is
     # already narrower (narrow dependency either way - no shuffle)
-    data = data.coalesce(max(1, -(-nrows // 25_000)))
+    nparts = max(1, -(-nrows // 25_000))
+    data = data.coalesce(nparts)
 
     # Glorot-uniform init, deterministic by seed (gorgonia GlorotN, nn.go)
     rng = np.random.default_rng(seed)
@@ -628,7 +670,12 @@ def fit_nn(
             blocks, shapes, acts, head, C, mode, dropouts, seed, it, batch_frac,
             wflat, lw,
         )
-        rows = data.mapInPandas(pf, schema=_NN_OUT).collect()
+        mapped = data.mapInPandas(pf, schema=_NN_OUT)
+        if nparts > _TREE_MERGE_MIN_PARTS:
+            mapped = _tree_merge_gradients(
+                mapped, [("g", wflat.shape[0]), ("ls", max(C, 1))]
+            )
+        rows = mapped.collect()
         g = np.zeros(wflat.shape[0]) if mode != "_fwd_ss" else None
         ls = np.zeros(max(C, 1))
         n = 0

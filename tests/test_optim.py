@@ -256,3 +256,55 @@ def test_nn_softrms_with_hidden_layer(spark):
     )
     fr = fit(p, ms, cost="softrms", max_iter=120, lr=0.1, patience=25)
     assert fr.model.loss_history[-1] < 0.7 * fr.model.loss_history[0]
+
+
+# ---------------------------------------------------------------------------
+# tree merge of per-task gradient rows
+# ---------------------------------------------------------------------------
+
+
+def test_tree_merge_gradients_matches_driver_sum(spark):
+    """JVM-side bucketed summation must agree with summing every row on
+    the driver (associative float addition; identical up to tolerance)."""
+    import seafan_spark.optim as optim
+
+    rng = np.random.default_rng(3)
+    W, L, P = 37, 3, 24
+    rows = [
+        (rng.normal(size=W).tolist(), rng.normal(size=L).tolist(), int(i + 1))
+        for i in range(P)
+    ]
+    df = spark.createDataFrame(rows, "g array<double>, ls array<double>, n long").repartition(P)
+    merged = optim._tree_merge_gradients(df, [("g", W), ("ls", L)], buckets=5).collect()
+    g = np.zeros(W); ls = np.zeros(L); n = 0
+    for r in merged:
+        g += np.array(r["g"]); ls += np.array(r["ls"]); n += r["n"]
+    want_g = np.sum([r[0] for r in rows], axis=0)
+    want_ls = np.sum([r[1] for r in rows], axis=0)
+    assert n == sum(r[2] for r in rows)
+    assert np.allclose(g, want_g) and np.allclose(ls, want_ls)
+    assert len(merged) <= 5
+
+
+def test_grad_pass_tree_path_matches_direct(spark):
+    """_grad_pass with the tree merge forced on returns the same
+    (G, ss, n) as the direct-collect path."""
+    from seafan_spark.model import _assemble, _label_col, parse_modspec
+    from seafan_spark.optim import _grad_pass
+
+    p = _binary_pipe(spark, n=200, seed=13)
+    ms = parse_modspec(["Input(x1+x2)", "FC(size:1, activation:sigmoid)", "Target(y)"])
+    d_lab, label, _, _ = _label_col(p, ms)
+    d, _, n_feat = _assemble(p._derive(d_lab), ms)
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as FF
+
+    d2 = d.select(
+        vector_to_array(FF.col("_features")).alias("_f"),
+        FF.col(label).cast("long").alias("_l"),
+    ).repartition(8)
+    W = np.random.default_rng(5).normal(size=(n_feat + 1, 2))
+    G1, ss1, n1 = _grad_pass(d2, W, 2, nparts=None)
+    G2, ss2, n2 = _grad_pass(d2, W, 2, nparts=10_000)  # force tree path
+    assert n1 == n2
+    assert np.allclose(G1, G2) and np.allclose(ss1, ss2)

@@ -1174,6 +1174,21 @@ def q_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram LM quality scores (llmops.lm.lm_score_docs): Laplace-
+    smoothed bigram mean log-likelihood per document, self-scored — the
+    perplexity-filter quality gate. The count-table "model" is two small
+    broadcast DataFrames; scoring is explode + broadcast joins + one
+    per-doc mean. The DuckDB twin rebuilds counts and scores in pure SQL
+    and matches to 6 decimal places."""
+    from seafan_spark.llmops.lm import lm_score_docs
+
+    p = _pipe(spark, sf_dir, "documents")
+    return lm_score_docs(p.df, "doc_id", "text").select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order event funnel view -> click -> purchase
     (temporal.funnel): per-step earliest-qualifying-time aggregation,
@@ -1246,6 +1261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
     "distinct_sketch": q_distinct_sketch,
+    "lm_score": q_lm_score,
     # --- oracled, implementation touched recently ---
     "funnel": q_funnel,
     "retention": q_retention,
@@ -1283,11 +1299,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix": q_mix,
     "skew_report": q_skew_report,
     "pivot": q_pivot,
+    # --- end of the driver's 50-entry correctness window ---
+    # oracled, driver-green in both round 1 and round 2
     "salted_join": q_salted_join,
     "salted_agg": q_salted_agg,
     "contamination": q_contamination,
-    # --- end of the driver's 50-entry correctness window ---
-    # oracled, driver-green in both round 1 and round 2
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
@@ -2412,6 +2428,44 @@ ORACLES["distinct_counts"] = """
         SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority) FROM orders
         UNION ALL
         SELECT 'o_custkey', COUNT(DISTINCT o_custkey) FROM orders
+    """
+
+ORACLES["lm_score"] = """
+        WITH norm AS (
+            SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+            FROM documents
+        ), arr AS (
+            SELECT doc_id,
+                   CASE WHEN t IS NULL OR length(t) = 0 THEN []::VARCHAR[]
+                        ELSE string_split(t, ' ') END AS a
+            FROM norm
+        ), tok AS (
+            SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos FROM arr
+        ), uni AS (
+            SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ), big AS (
+            SELECT t1.w AS w1, t2.w AS w2, COUNT(*) AS c
+            FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+            GROUP BY 1, 2
+        ), v AS (SELECT COUNT(*) + 1.0 AS v1 FROM uni),
+        pairs AS (
+            SELECT t1.doc_id, t1.w AS w1, t2.w AS w2
+            FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        ), lp AS (
+            SELECT p.doc_id,
+                   ln((COALESCE(b.c, 0) + 0.1) / (COALESCE(u.c, 0) + 0.1 * v.v1)) AS lp
+            FROM pairs p
+            LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+            LEFT JOIN uni u ON p.w1 = u.w
+            CROSS JOIN v
+        ), per AS (
+            SELECT doc_id, COUNT(*) AS n_bigrams, AVG(lp) AS avg_logprob
+            FROM lp GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               ROUND(per.avg_logprob, 6) AS avg_logprob
+        FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
     """
 
 ORACLES["distinct_sketch"] = """

@@ -1,0 +1,144 @@
+"""N-gram language-model quality scoring (the "perplexity filter").
+
+The standard large-corpus quality gate (CCNet / Gopher / RefinedWeb
+lineage): train a cheap n-gram LM on a reference corpus, score every
+candidate document by its mean token log-likelihood, and drop the tails
+(gibberish scores far below the corpus mode; boilerplate repeats far
+above). This module is that filter as pure Spark SQL relational algebra —
+counts are aggregations, probabilities are joins, the score is a per-doc
+mean — so there is no model artifact to ship: the "model" IS two small
+DataFrames (unigram + bigram counts) that broadcast-join against the
+corpus being scored.
+
+Scale shape (100 TB): training is one explode pass over the reference
+corpus with map-side partial aggregation into at most |vocab| and
+|vocab|^2-bounded (in practice corpus-bigram-bounded) count tables;
+scoring joins the exploded candidate bigrams against those tables on
+token equi-keys — broadcastable whenever the reference vocabulary is
+bounded (it is: counts tables grow with distinct n-grams, not corpus
+size), after which scoring is shuffle-free except the final per-doc mean.
+
+Smoothing is Laplace (add-``alpha``) over a vocabulary of size V+1 (one
+slot reserved for unseen tokens):
+
+    p(w2 | w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * (V + 1))
+
+deliberately simple and exactly reproducible in ANSI SQL, which is what
+makes the DuckDB oracle able to verify scores value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from seafan_spark.llmops.text import norm_text_col
+
+DEFAULT_ALPHA = 0.1
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens of the normalized text (empty text -> empty
+    array, so blank docs score NULL, not a phantom token)."""
+    t = norm_text_col(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+
+
+def lm_unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token -> count over the corpus: ``(w, c)``. One explode +
+    map-side-combined aggregation; output is vocabulary-sized."""
+    return (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def lm_bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adjacent token pair -> count: ``(w1, w2, c)``. Pairs come from
+    zipping the token array with its own tail (JVM-side, no UDF); docs
+    with fewer than two tokens contribute nothing."""
+    toks = tokens_col(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def lm_score_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    unigrams: DataFrame | None = None,
+    bigrams: DataFrame | None = None,
+    alpha: float = DEFAULT_ALPHA,
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Mean bigram log-likelihood per document:
+    ``(id, n_bigrams, avg_logprob)``.
+
+    ``unigrams``/``bigrams`` default to counts trained on ``df`` itself
+    (self-scoring — the usual "find the corpus's own outliers" mode); pass
+    counts trained on a held-out reference corpus for the filter-new-data
+    mode. ``broadcast_model=True`` hints both count tables as broadcast
+    sides (they are vocabulary-sized, not corpus-sized); disable only if
+    the reference vocabulary is genuinely huge, in which case the joins
+    fall back to shuffle equi-joins on the token keys.
+
+    Docs with fewer than 2 tokens have no bigrams: ``n_bigrams = 0`` and
+    NULL ``avg_logprob`` (explicitly not penalized — filter on n_bigrams
+    separately)."""
+    if unigrams is None:
+        unigrams = lm_unigram_counts(df, text_col)
+    if bigrams is None:
+        bigrams = lm_bigram_counts(df, text_col)
+    if broadcast_model:
+        unigrams = F.broadcast(unigrams)
+        bigrams = F.broadcast(bigrams)
+    # V+1: one reserved slot so unseen tokens get nonzero mass
+    vocab1 = unigrams.agg((F.count("*") + 1).cast("double").alias("_v1"))
+
+    toks = tokens_col(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    doc_pairs = df.select(
+        F.col(id_col).alias("_id"), F.explode(pairs).alias("p")
+    ).select("_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+
+    scored = (
+        doc_pairs.join(bigrams, ["w1", "w2"], "left")
+        .withColumnRenamed("c", "c12")
+        .join(unigrams.withColumnRenamed("w", "w1"), ["w1"], "left")
+        .withColumnRenamed("c", "c1")
+        .crossJoin(F.broadcast(vocab1))
+        .select(
+            "_id",
+            F.log(
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("_v1"))
+            ).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count("*").alias("n_bigrams"), F.avg("_lp").alias("avg_logprob")
+    )
+    # re-attach zero-bigram docs with an explicit NULL score
+    all_ids = df.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        all_ids.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )

@@ -1075,6 +1075,7 @@ def minhash_pairs_incremental(
     threshold: float = 0.5,
     portable: bool = False,
     check_store: bool = True,
+    new_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Dedupe a NEW batch of documents against an existing corpus
     signature store (plus within itself) — the append-only ingestion
@@ -1095,6 +1096,9 @@ def minhash_pairs_incremental(
       and drop every true near-duplicate of an old document.
     - only the new batch is shingled/hashed; the store is banded with
       cheap literal arithmetic and joined on (band, bucket);
+    - ``new_sig``: optionally a precomputed (_id, _sig) table for the new
+      batch (same scheme), skipping the shingle pass here — the streaming
+      ingest loop computes it once and reuses it for the store append;
     - emitted pairs have at least one NEW side: new-vs-store and
       new-vs-new; store-vs-store pairs are the previous batches' output
       and are never recomputed.
@@ -1121,9 +1125,13 @@ def minhash_pairs_incremental(
                 "minhash_signatures, or pass check_store=False if this "
                 "corpus-sized store is legitimately tiny-valued"
             )
-    new_sig = minhash_signatures(
-        new_pipe.df, id_col, text_col, num_hashes, shingle_k, portable
-    ).localCheckpoint(eager=True)
+    if new_sig is None:
+        # accept a Pipeline or a bare DataFrame (streaming foreachBatch
+        # hands a DataFrame)
+        new_df = getattr(new_pipe, "df", new_pipe)
+        new_sig = minhash_signatures(
+            new_df, id_col, text_col, num_hashes, shingle_k, portable
+        ).localCheckpoint(eager=True)
     # a re-ingested id (present in the store AND the new batch) must not
     # duplicate: the fresh signature wins, the stale store row is dropped
     # (broadcast anti-join on the small new side)

@@ -299,6 +299,108 @@ def run_to_memory(
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def stream_dedup_ingest(
+    stream_docs: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    portable: bool = False,
+    keep_dups: bool = True,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming near-duplicate ingestion against a persisted MinHash
+    signature store (``foreachBatch`` + ``llmops.dedup``).
+
+    Per micro-batch: shingle/sign ONLY the arriving documents, band them
+    against the parquet signature store at ``store_path`` (store docs are
+    never re-shingled), append the discovered pairs (new-vs-store and
+    new-vs-new, ``id_a < id_b``) to ``pairs_path``, and append the new
+    signatures to the store so later batches dedupe against them. With
+    ``keep_dups=False`` a new document already matched to an earlier one
+    is NOT added to the store (keep-first ingestion policy).
+
+    Why ``foreachBatch`` and not a streaming state store: the dedup state
+    is the whole corpus's signature table — O(corpus) and queryable by
+    band join, which is exactly what a parquet table is for; streaming
+    state stores are for per-key state that fits executors. At scale the
+    same loop runs with the store bucketed by band key.
+
+    Delivery note: parquet appends are at-least-once under micro-batch
+    retries — production deployments should write both sinks through a
+    transactional table format (or key the append on ``batch_id``) for
+    exactly-once; this harness targets the ``availableNow`` test/dev
+    shape. Runs the query to completion (availableNow) and returns."""
+    import shutil
+
+    from seafan_spark.llmops.dedup import (
+        minhash_pairs_incremental,
+        minhash_signatures,
+    )
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="seafan_dedup_ckpt_")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_sig = minhash_signatures(
+            batch_df, id_col, text_col, num_hashes, shingle_k, portable
+        ).localCheckpoint(eager=True)
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:  # first batch: no store yet
+            store = spark.createDataFrame([], new_sig.schema)
+        pairs = minhash_pairs_incremental(
+            batch_df,
+            store,
+            id_col,
+            text_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_k=shingle_k,
+            threshold=threshold,
+            portable=portable,
+            check_store=False,  # the store is our own append lineage
+            new_sig=new_sig,
+        ).localCheckpoint(eager=True)
+        pairs.write.mode("append").parquet(pairs_path)
+        to_add = new_sig
+        if not keep_dups:
+            # keep-first: a new doc that matched anything earlier (store
+            # or earlier-id in this batch) stays out of the store
+            dup_new = pairs.select(F.col("id_b").alias("_id")).distinct()
+            to_add = to_add.join(F.broadcast(dup_new), "_id", "left_anti")
+        # re-ingested ids keep their original store row (append-only).
+        # NOTE the store is the BIG side here, so no broadcast hint — the
+        # anti-join shuffles on _id (AQE may still broadcast a small store)
+        if store.isEmpty():
+            to_add.write.mode("append").parquet(store_path)
+        else:
+            to_add.join(store.select("_id"), "_id", "left_anti").write.mode(
+                "append"
+            ).parquet(store_path)
+
+    try:
+        q = (
+            stream_docs.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"dedup ingest did not finish in {timeout_sec}s")
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def stream_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -184,3 +184,85 @@ def test_running_totals_string_key(spark, batch):
     }
     have = {(r["user_id"], r["n"]) for r in got.collect()}
     assert want <= have  # every key's final totals present
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup ingestion against a persisted signature store
+# ---------------------------------------------------------------------------
+
+
+def _dup_docs(spark, tmpdir):
+    """Two source files -> two micro-batches. Planted dups: (1, 2) inside
+    file 1; doc 103 in file 2 duplicates doc 3 from file 1 (cross-batch,
+    against the store)."""
+    import time as _t
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    # disjoint vocabularies per doc: no accidental near-dups
+    uniq = lambda i: " ".join(f"tok{i}x{j}q" for j in range(40))  # noqa: E731
+    f1 = [(1, base + " twin one"), (2, base + " twin one"), (3, uniq(3)), (4, uniq(44)), (5, uniq(555))]
+    f2 = [(101, uniq(1010)), (102, uniq(2022)), (103, uniq(3))]
+    src = f"{tmpdir}/docs"
+    spark.createDataFrame(f1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _t.sleep(1.1)  # distinct mtimes -> file 1 forms the first micro-batch
+    spark.createDataFrame(f2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    return src, f1 + f2
+
+
+def test_stream_dedup_ingest_matches_batch(spark, tmp_path):
+    from seafan_spark.llmops.dedup import minhash_pairs_incremental
+    from seafan_spark.streaming import stream_dedup_ingest
+
+    src, all_rows = _dup_docs(spark, str(tmp_path))
+    store, pairs_out = f"{tmp_path}/store", f"{tmp_path}/pairs"
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_dedup_ingest(
+        sdf, store, pairs_out, num_hashes=32, bands=4, threshold=0.5
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_out).collect()
+    )
+    assert got == [(1, 2), (3, 103)]
+    # the store holds one signature per ingested doc
+    sig = spark.read.parquet(store)
+    assert sig.count() == len(all_rows)
+    assert sorted(r["_id"] for r in sig.collect()) == sorted(r[0] for r in all_rows)
+    # batch twin: one incremental pass of everything against an empty store
+    batch = spark.read.parquet(src)
+    want = minhash_pairs_incremental(
+        batch,
+        spark.createDataFrame([], sig.schema),
+        "doc_id",
+        "text",
+        num_hashes=32,
+        bands=4,
+        threshold=0.5,
+        check_store=False,
+    )
+    assert sorted((r["id_a"], r["id_b"]) for r in want.collect()) == got
+
+
+def test_stream_dedup_ingest_keep_first(spark, tmp_path):
+    from seafan_spark.streaming import stream_dedup_ingest
+
+    src, _ = _dup_docs(spark, str(tmp_path))
+    store, pairs_out = f"{tmp_path}/store", f"{tmp_path}/pairs"
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_dedup_ingest(
+        sdf, store, pairs_out, num_hashes=32, bands=4, threshold=0.5, keep_dups=False
+    )
+    kept = sorted(r["_id"] for r in spark.read.parquet(store).collect())
+    # dup ids 2 (of 1) and 103 (of 3) are kept OUT of the store
+    assert kept == [1, 3, 4, 5, 101, 102]

@@ -22,6 +22,7 @@ from seafan_spark.encode import append_cat, cat_code_col, fit_levels, fit_normal
 from seafan_spark.exprlang import add_to_pipe
 from seafan_spark.ftypes import FParam, FType, FRole
 from seafan_spark.pipeline import Pipeline
+from seafan_spark.rounding import round_col
 from seafan_spark.sources import parquet_to_pipe
 
 
@@ -51,10 +52,10 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         p,
         ["l_returnflag", "l_linestatus"],
         {
-            "sum_qty": F.round(F.sum("l_quantity"), 2),
-            "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
-            "sum_disc_price": F.round(F.sum("disc_price"), 2),
-            "avg_disc": F.round(F.avg("l_discount"), 6),
+            "sum_qty": round_col(F.sum("l_quantity"), 2),
+            "sum_base_price": round_col(F.sum("l_extendedprice"), 2),
+            "sum_disc_price": round_col(F.sum("disc_price"), 2),
+            "avg_disc": round_col(F.avg("l_discount"), 6),
             "count_order": F.count(F.lit(1)),
         },
     )
@@ -71,7 +72,7 @@ def q_expr_if(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.df.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("net_price", 4).alias("net_price"),
+        round_col("net_price", 4).alias("net_price"),
         F.col("flags").cast("double").alias("flags"),
     )
 
@@ -89,9 +90,9 @@ def q_expr_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         p = add_to_pipe(p, expr, name)
     return (
         p.df.select(
-            F.round("sum_qty", 2).alias("sum_qty"),
-            F.round("mean_price", 4).alias("mean_price"),
-            F.round("std_disc", 6).alias("std_disc"),
+            round_col("sum_qty", 2).alias("sum_qty"),
+            round_col("mean_price", 4).alias("mean_price"),
+            round_col("std_disc", 6).alias("std_disc"),
             F.col("max_ship").alias("max_ship"),
             F.col("n").cast("bigint").alias("n"),
         )
@@ -108,7 +109,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "c_mktsegment",
-        F.round("o_totalprice", 2).alias("o_totalprice"),
+        round_col("o_totalprice", 2).alias("o_totalprice"),
     )
 
 
@@ -121,7 +122,7 @@ def q_join_left_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = j.df.select(
         "c_custkey",
         "c_name",
-        F.round("o_totalprice", 2).alias("o_totalprice"),
+        round_col("o_totalprice", 2).alias("o_totalprice"),
         "o_orderstatus",
     )
     return out
@@ -137,7 +138,7 @@ def q_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_by(
         c_n_r,
         ["r_name"],
-        {"n_cust": F.count(F.lit(1)), "acctbal": F.round(F.sum("c_acctbal"), 2)},
+        {"n_cust": F.count(F.lit(1)), "acctbal": round_col(F.sum("c_acctbal"), 2)},
     )
 
 
@@ -200,8 +201,8 @@ def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.df.select(
         "event_id",
         "user_id",
-        F.round("run_sum", 4).alias("run_sum"),
-        F.round("prev_value", 4).alias("prev_value"),
+        round_col("run_sum", 4).alias("run_sum"),
+        round_col("prev_value", 4).alias("prev_value"),
         F.col("seq").cast("bigint").alias("seq"),
     )
 
@@ -224,7 +225,7 @@ def q_encode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.df.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(normalized_col(ft), 6).alias("q_z"),
+        round_col(normalized_col(ft), 6).alias("q_z"),
     )
 
 
@@ -251,8 +252,8 @@ def q_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = decile_table(p, "l_extendedprice", "obs", tiebreak=["l_orderkey", "l_linenumber"])
     return t.select(
         F.col("bucket").cast("bigint").alias("bucket"),
-        F.round("mean_fit", 4).alias("mean_fit"),
-        F.round("mean_obs", 6).alias("mean_obs"),
+        round_col("mean_fit", 4).alias("mean_fit"),
+        round_col("mean_obs", 6).alias("mean_obs"),
         F.col("n").cast("bigint").alias("n"),
     )
 
@@ -268,10 +269,10 @@ def q_assess_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = assess_r2_df(p, "fit", "obs", cutoff=0.5)
     return t.select(
         F.col("n"),
-        F.round("precision", 6).alias("prec"),
-        F.round("recall", 6).alias("recall"),
-        F.round("accuracy", 6).alias("accuracy"),
-        F.round("r2", 4).alias("r2"),
+        round_col("precision", 6).alias("prec"),
+        round_col("recall", 6).alias("recall"),
+        round_col("accuracy", 6).alias("accuracy"),
+        round_col("r2", 4).alias("r2"),
     )
 
 
@@ -286,8 +287,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.token_count_col(t).cast("bigint").alias("n_tokens"),
         tx.char_count_col(t).cast("bigint").alias("n_chars2"),
-        F.round(tx.punct_ratio_col(t), 6).alias("punct_ratio"),
-        F.round(tx.avg_token_len_col(t), 6).alias("avg_tok_len"),
+        round_col(tx.punct_ratio_col(t), 6).alias("punct_ratio"),
+        round_col(tx.avg_token_len_col(t), 6).alias("avg_tok_len"),
     )
 
 
@@ -340,7 +341,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         p,
         "user_bucket",
         "event_type",
-        F.round(F.sum("value"), 4),
+        round_col(F.sum("value"), 4),
         values=["click", "error", "purchase", "signup", "view"],
     )
     return out.select(
@@ -384,8 +385,8 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt=16,
     )
     return out.select(
-        "event_type", "n", F.round("sum_v", 4).alias("sum_v"),
-        "max_v", F.round("avg_v", 6).alias("avg_v"),
+        "event_type", "n", round_col("sum_v", 4).alias("sum_v"),
+        "max_v", round_col("avg_v", 6).alias("avg_v"),
     )
 
 
@@ -405,11 +406,11 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = random_projection_col(F.col("embedding"), 64, 8)
     return p.df.select(
         "vec_id",
-        *[F.round(proj[j], 6).alias(f"p{j}") for j in range(8)],
-        F.round(
+        *[round_col(proj[j], 6).alias(f"p{j}") for j in range(8)],
+        round_col(
             F.sqrt(F.aggregate(proj, F.lit(0.0), lambda a, x: a + x * x)), 6
         ).alias("proj_norm"),
-        F.round(
+        round_col(
             F.sqrt(
                 F.aggregate(
                     l2_normalize_col(F.col("embedding")),
@@ -458,7 +459,7 @@ def q_pii_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.pii_count_col(t, "email").alias("n_email"),
         tx.pii_count_col(t, "ipv4").alias("n_ipv4"),
         tx.pii_count_col(t, "ssn").alias("n_ssn"),
-        F.round(tx.repetition_ratio_col(t, 3), 6).alias("rep3"),
+        round_col(tx.repetition_ratio_col(t, 3), 6).alias("rep3"),
     )
 
 
@@ -566,7 +567,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.groupBy("event_id", "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
-            F.round(F.sum("click_value"), 4).alias("click_value_sum"),
+            round_col(F.sum("click_value"), 4).alias("click_value_sum"),
         )
     )
 
@@ -765,7 +766,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(oc.keep(["l_orderkey", "n_nationkey", "n_name"]), "l_orderkey", "inner")
     j = j.filter(F.col("s_nationkey") == F.col("n_nationkey"))
     j = add_to_pipe(j, "l_extendedprice*(1-l_discount)", "rev")
-    return group_by(j, ["n_name"], {"revenue": F.round(F.sum("rev"), 2)})
+    return group_by(j, ["n_name"], {"revenue": round_col(F.sum("rev"), 2)})
 
 
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,7 +778,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_parquet(spark, f"{sf_dir}/events.parquet")
     return tumbling_agg(
         df,
-        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+        {"n": F.count(F.lit(1)), "sum_value": round_col(F.sum("value"), 4)},
         window="1 hour",
         keys=["event_type"],
     )
@@ -808,7 +809,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = read_parquet(spark, f"{sf_dir}/events.parquet")
     return sessionize(
         df,
-        {"n": F.count(F.lit(1)), "sum_value": F.round(F.sum("value"), 4)},
+        {"n": F.count(F.lit(1)), "sum_value": round_col(F.sum("value"), 4)},
         gap="30 minutes",
         keys=["user_id"],
     )
@@ -825,7 +826,7 @@ def q_npv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.df.select("l_orderkey", "order_npv")
         .distinct()
-        .select("l_orderkey", F.round("order_npv", 2).alias("order_npv"))
+        .select("l_orderkey", round_col("order_npv", 2).alias("order_npv"))
     )
 
 
@@ -837,7 +838,7 @@ def q_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pipe(spark, sf_dir, "customer")
     p = add_to_pipe(p, "c_acctbal", "bal")
     p = loop(p, "x", 0, 3, [("bal*1.05 + 10", "bal")])
-    return p.df.select("c_custkey", F.round("bal", 4).alias("bal"))
+    return p.df.select("c_custkey", round_col("bal", 4).alias("bal"))
 
 
 def q_expr_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -855,12 +856,12 @@ def q_expr_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.df.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("qcap", 2).alias("qcap"),
-        F.round("mintd", 6).alias("mintd"),
-        F.round("tax2", 6).alias("tax2"),
+        round_col("qcap", 2).alias("qcap"),
+        round_col("mintd", 6).alias("mintd"),
+        round_col("tax2", 6).alias("tax2"),
         "qstr",
         F.col("disc_pct").cast("bigint").alias("disc_pct"),
-        F.round("qsq", 2).alias("qsq"),
+        round_col("qsq", 2).alias("qsq"),
     )
 
 
@@ -881,10 +882,10 @@ def q_window_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.df.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("qty_after", 2).alias("qty_after"),
+        round_col("qty_after", 2).alias("qty_after"),
         F.col("n_after").cast("bigint").alias("n_after"),
-        F.round("disc_prod", 6).alias("disc_prod"),
-        F.round("prev_qty", 2).alias("prev_qty"),
+        round_col("disc_prod", 6).alias("disc_prod"),
+        round_col("prev_qty", 2).alias("prev_qty"),
     )
 
 
@@ -892,7 +893,7 @@ def q_subset_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional Subset (gdata.go:852-895) against an explicit order."""
     p = _pipe(spark, sf_dir, "customer", order_cols=["c_custkey"])
     p = p.subset(list(range(10)) + [100, 200, 300])
-    return p.df.select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    return p.df.select("c_custkey", round_col("c_acctbal", 2).alias("c_acctbal"))
 
 
 def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,9 +904,9 @@ def q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = describe_df(p, "l_extendedprice")
     return d.select(
         F.col("n").cast("bigint").alias("n"),
-        F.round("mean", 4).alias("mean"),
-        F.round("std", 4).alias("std"),
-        *[F.round(f"q{q}", 4).alias(f"q{q}") for q in (0, 10, 25, 50, 75, 90, 100)],
+        round_col("mean", 4).alias("mean"),
+        round_col("std", 4).alias("std"),
+        *[round_col(f"q{q}", 4).alias(f"q{q}") for q in (0, 10, 25, 50, 75, 90, 100)],
     )
 
 
@@ -921,9 +922,9 @@ def q_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "l_returnflag",
         F.col("n").cast("bigint").alias("n"),
-        F.round("mean_obs", 6).alias("mean_obs"),
-        F.round("obs_se", 6).alias("obs_se"),
-        F.round("mean_fit_corrected", 6).alias("fit_corr"),
+        round_col("mean_obs", 6).alias("mean_obs"),
+        round_col("obs_se", 6).alias("obs_se"),
+        round_col("mean_fit_corrected", 6).alias("fit_corr"),
     )
 
 
@@ -952,8 +953,8 @@ def q_coalesce_logodds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("_p", 6).alias("p12"),
-        F.round(logodds_col(F.col("_p")), 6).alias("lodds"),
+        round_col("_p", 6).alias("p12"),
+        round_col(logodds_col(F.col("_p")), 6).alias("lodds"),
     )
 
 
@@ -1004,7 +1005,7 @@ def q_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cost = half the undiscounted flow total: a root is bracketed at any
     # SF (npv(0) = 2*cost > cost; npv(inf) -> first flow < cost)
     p = add_to_pipe(p, "irr(sum(value)/2, value)", "rate")
-    return p.df.select(F.round("rate", 6).alias("rate")).limit(1)
+    return p.df.select(round_col("rate", 6).alias("rate")).limit(1)
 
 
 def q_irr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,7 +1023,7 @@ def q_irr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost = F.sum("value").over(Window.partitionBy("user_id")) / 2
     p = p.with_column("grp_cost", cost)
     out = irr_by(p, ["user_id"], "value", cost_col="grp_cost")
-    return out.select("user_id", F.round("rate", 6).alias("rate"))
+    return out.select("user_id", round_col("rate", 6).alias("rate"))
 
 
 def q_model_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1070,8 +1071,8 @@ def q_model_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = add_fitted(fr, p, name="fit")
     return scored.df.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.round(F.avg("fit"), 3).alias("mean_p"),
-        F.round(F.avg((F.col("fit") > 0.5).cast("double")), 3).alias("frac_flagged"),
+        round_col(F.avg("fit"), 3).alias("mean_p"),
+        round_col(F.avg((F.col("fit") > 0.5).cast("double")), 3).alias("frac_flagged"),
         F.lit(len(fr.model.loss_history)).cast("bigint").alias("iters"),
     )
 
@@ -1089,7 +1090,7 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_image_features(d, "doc_id", "payload")
     meta = d.select("doc_id", F.col("payload_meta.n_bytes").alias("n_bytes"))
     return feats.join(meta, "doc_id").select(
-        "doc_id", "height", "width", "channels", F.round("mean_luma", 6).alias("mean_luma"),
+        "doc_id", "height", "width", "channels", round_col("mean_luma", 6).alias("mean_luma"),
         "n_bytes",
     )
 
@@ -1108,8 +1109,8 @@ def q_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = marginal(fr, p, "l_quantity", n_seg=4, n_sweep=4, take=500)
     return t.select(
         "fit_seg",
-        F.round("x_value", 4).alias("x_value"),
-        F.round("mean_fit", 2).alias("mean_fit"),
+        round_col("x_value", 4).alias("x_value"),
+        round_col("mean_fit", 2).alias("mean_fit"),
         F.col("n").cast("bigint").alias("n"),
     )
 
@@ -1124,7 +1125,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_table(
         p,
         ["l_returnflag", "l_linestatus"],
-        {"sum_qty": F.round(F.sum("l_quantity"), 2), "n": F.count(F.lit(1))},
+        {"sum_qty": round_col(F.sum("l_quantity"), 2), "n": F.count(F.lit(1))},
     )
 
 
@@ -1135,7 +1136,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _pipe(spark, sf_dir, "lineitem")
     m = corr_matrix(p, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
-    return m.select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+    return m.select("col_a", "col_b", round_col("corr", 6).alias("corr"))
 
 
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,7 +1186,7 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _pipe(spark, sf_dir, "documents")
     return lm_score_docs(p.df, "doc_id", "text").select(
-        "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob")
+        "doc_id", "n_bigrams", round_col("avg_logprob", 6).alias("avg_logprob")
     )
 
 
@@ -1236,7 +1237,7 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pipe(spark, sf_dir, "lineitem")
     p = winsorize(p, "l_extendedprice", 0.05, 0.95, name="price_w")
     return p.df.select(
-        "l_orderkey", "l_linenumber", F.round("price_w", 4).alias("price_w")
+        "l_orderkey", "l_linenumber", round_col("price_w", 4).alias("price_w")
     )
 
 
@@ -1516,7 +1517,7 @@ ORACLES: dict[str, str] = {
             FROM t
         )
         SELECT doc_id,
-               ROUND(0.4*LEAST(toks, 100.0)/100.0
+               ROUND(0.4*(LEAST(toks, 100.0)/100.0)
                    + 0.3*(1.0 - LEAST(pr*4, 1.0))
                    + 0.3*LEAST(GREATEST((awl-2)/6.0, 0.0), 1.0), 6) AS quality,
                CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'

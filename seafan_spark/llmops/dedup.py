@@ -17,6 +17,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from seafan_spark.rounding import round_col
+
 from seafan_spark.llmops.text import fingerprint_col, hash60_col, shingles_col, word_ngrams_col
 from seafan_spark.pipeline import Pipeline
 
@@ -363,7 +365,7 @@ def minhash_pairs(
             / (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", round_col("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -454,9 +456,9 @@ def minhash_calibration(
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(true_j, 6).alias("jaccard"),
-        F.round(est, 6).alias("est_jaccard"),
-        F.round(F.abs(est - true_j), 6).alias("abs_err"),
+        round_col(true_j, 6).alias("jaccard"),
+        round_col(est, 6).alias("est_jaccard"),
+        round_col(F.abs(est - true_j), 6).alias("abs_err"),
     )
 
 
@@ -469,10 +471,10 @@ def minhash_calibration_summary(cal: DataFrame, threshold: float = 0.5) -> DataF
     thr = F.lit(float(threshold))
     return cal.agg(
         F.count(F.lit(1)).alias("pairs"),
-        F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
-        F.round(F.avg("est_jaccard"), 6).alias("mean_est"),
-        F.round(F.avg(F.col("est_jaccard") - F.col("jaccard")), 6).alias("bias"),
-        F.round(F.avg("abs_err"), 6).alias("mae"),
+        round_col(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        round_col(F.avg("est_jaccard"), 6).alias("mean_est"),
+        round_col(F.avg(F.col("est_jaccard") - F.col("jaccard")), 6).alias("bias"),
+        round_col(F.avg("abs_err"), 6).alias("mae"),
         F.sum(
             ((F.col("est_jaccard") >= thr) & (F.col("jaccard") < thr)).cast("bigint")
         ).alias("false_pos"),
@@ -852,7 +854,7 @@ def ngram_jaccard_pairs(
             / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", round_col("jaccard", 6).alias("jaccard"))
     )
     return out
 
@@ -960,7 +962,7 @@ def embedding_neardup_pairs(
     if exact:
         pairs = _exact_pairs_blocked(raw, threshold)
         return pairs.select(
-            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+            "id_a", "id_b", round_col("cosine", 6).alias("cosine")
         )
     if dim is None:
         dim = infer_vec_dim(raw, "_raw", "embedding_neardup_pairs")
@@ -990,7 +992,7 @@ def embedding_neardup_pairs(
     return (
         cand.withColumn("cosine", dot_col(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .select("id_a", "id_b", round_col("cosine", 6).alias("cosine"))
     )
 
 

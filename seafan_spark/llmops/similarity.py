@@ -26,6 +26,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from seafan_spark.rounding import round_col
+
 from seafan_spark.pipeline import Pipeline
 
 
@@ -102,7 +104,7 @@ def ann_brute_topk(
         .select(
             F.col(query_id).alias("q_id"),
             F.col("_nid").alias("neighbor_id"),
-            F.round("cosine", 6).alias("cosine"),
+            round_col("cosine", 6).alias("cosine"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
@@ -378,7 +380,7 @@ def ann_ivf_topk(
         .select(
             F.col(query_id).alias("q_id"),
             F.col("_nid").alias("neighbor_id"),
-            F.round("cosine", 6).alias("cosine"),
+            round_col("cosine", 6).alias("cosine"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
@@ -426,5 +428,5 @@ def ann_lsh_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), F.col("rank").cast("bigint").alias("rank"))
+        .select("q_id", "neighbor_id", round_col("cosine", 6).alias("cosine"), F.col("rank").cast("bigint").alias("rank"))
     )

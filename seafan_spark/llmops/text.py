@@ -13,6 +13,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from seafan_spark.rounding import round_col
+
 # small per-language stopword probes (word-boundary counted, lowercased)
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "in"],
@@ -112,7 +114,7 @@ def quality_score_col(text: Column) -> Column:
     c1 = F.least(toks, F.lit(100.0)) / F.lit(100.0)
     c2 = F.lit(1.0) - F.least(punct * 4, F.lit(1.0))
     c3 = F.least(F.greatest((awl - 2) / 6, F.lit(0.0)), F.lit(1.0))
-    return F.round(0.4 * c1 + 0.3 * c2 + 0.3 * c3, 6)
+    return round_col(0.4 * c1 + 0.3 * c2 + 0.3 * c3, 6)
 
 
 def add_text_features(df, text_col: str = "text"):
@@ -173,7 +175,7 @@ def add_text_features(df, text_col: str = "text"):
     s3 = s2.withColumns(
         {
             "avg_tok_len": awl,
-            "quality": F.round(0.4 * c1 + 0.3 * c2 + 0.3 * c3, 6),
+            "quality": round_col(0.4 * c1 + 0.3 * c2 + 0.3 * c3, 6),
             "pred_lang": best_lang,
         }
     )
@@ -379,7 +381,7 @@ def tfidf_top_terms(
         .select(
             F.col("_id").alias(id_col),
             "term",
-            F.round("score", 6).alias("score"),
+            round_col("score", 6).alias("score"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )

@@ -20,6 +20,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from seafan_spark.rounding import round_col
+
 
 from seafan_spark.pipeline import as_df as _df  # shared unwrap contract
 
@@ -142,8 +144,8 @@ def skew_report(
         .select(
             *key_list,
             F.col("n"),
-            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
-            F.round(F.col("n") * F.col("_nkeys") / F.col("_total"), 4).alias(
+            round_col(F.col("n") / F.col("_total"), 6).alias("share"),
+            round_col(F.col("n") * F.col("_nkeys") / F.col("_total"), 4).alias(
                 "skew_ratio"
             ),
         )

@@ -1,0 +1,53 @@
+"""round_col: bit-exact parity with DuckDB ROUND on doubles, including
+the half-ulp boundary class where Spark's F.round diverges."""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from seafan_spark.rounding import round_col
+
+
+@pytest.mark.parametrize("d", [2, 4, 6])
+def test_matches_duckdb_round(spark, d):
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(-1000, 1000) for _ in range(20000)]
+    # adversarial: values engineered near the .5*10^-d boundary
+    vals += [x + k / 10**d + 0.5 / 10**d for x in (0.0, 1.0, 202.0, -77.0) for k in range(200)]
+    pdf = pd.DataFrame({"x": vals})
+    sdf = spark.createDataFrame(pdf)
+    got = [r["r"] for r in sdf.select(round_col("x", d).alias("r")).collect()]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = [r[0] for r in con.sql(f"SELECT ROUND(x, {d}) FROM t").fetchall()]
+    assert got == want
+
+
+def test_known_spark_round_divergence(spark):
+    """The sf0.1 regression case: F.round says 202.3905, the binary value
+    (and DuckDB) say 202.3904."""
+    x = 202.39044999999998708
+    row = (
+        spark.createDataFrame([(x,)], "x double")
+        .select(round_col("x", 4).alias("rc"), F.round("x", 4).alias("fr"))
+        .first()
+    )
+    assert row["rc"] == 202.3904
+    assert row["fr"] == 202.3905  # documents WHY F.round is not used
+
+
+def test_null_nan_inf_passthrough(spark):
+    import math
+
+    rows = spark.createDataFrame(
+        [(None,), (float("nan"),), (float("inf",),), (-float("inf"),), (2.5,)],
+        "x double",
+    ).select(round_col("x", 1).alias("r")).collect()
+    vals = [r["r"] for r in rows]
+    assert vals[0] is None
+    assert math.isnan(vals[1])
+    assert vals[2] == float("inf") and vals[3] == -float("inf")
+    assert vals[4] == 2.5

@@ -710,6 +710,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs on the PRODUCTION hash path (default xxhash64 base —
+    no DuckDB twin, rows-only): same votes/chunk-join/hamming machinery
+    as q_simhash_pairs; this is the benchmark's view of what simhash
+    dedup costs at 100 TB (the md5 portable mode exists for oracle
+    reproducibility only)."""
+    from seafan_spark.llmops.dedup import simhash_pairs
+
+    p = _pipe(spark, sf_dir, "documents")
+    return simhash_pairs(
+        p, "doc_id", "text", bits=60, chunks=4, max_hamming=3, portable=False
+    )
+
+
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem with
     date predicates through the expression language; dims broadcast, the
@@ -1325,6 +1339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_tokens": q_text_tokens,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "minhash_pairs_fast": q_minhash_pairs_fast,
+    "simhash_pairs_fast": q_simhash_pairs_fast,
     "irr": q_irr,
     "irr_by": q_irr_by,
     "model_glm": q_model_glm,

@@ -29,12 +29,22 @@ from pyspark.sql import functions as F
 
 
 def round_col(c: Column | str, d: int) -> Column:
-    """DuckDB-exact rounding of a double column to ``d`` decimals."""
+    """DuckDB-exact rounding of a double column to ``d`` decimals.
+
+    The input expression is let-bound ONCE via transform-over-singleton
+    before the NaN/Inf branch references it: the naive ``F.when`` form
+    mentions its argument six times, and Catalyst does not eliminate the
+    common subexpression across conditional branches — with an expensive
+    argument (an array/n-gram pipeline, say) that measured ~5x the cost
+    of the computation itself."""
     col = F.col(c) if isinstance(c, str) else c
-    col = col.cast("double")
     s = F.lit(float(10**d))
-    finite = ~(F.isnan(col) | (F.abs(col) == float("inf")))
-    return F.when(
-        col.isNotNull() & finite,
-        F.signum(col) * F.floor(F.abs(col) * s + F.lit(0.5)) / s,
-    ).otherwise(col)
+
+    def body(x: Column) -> Column:
+        finite = ~(F.isnan(x) | (F.abs(x) == float("inf")))
+        return F.when(
+            x.isNotNull() & finite,
+            F.signum(x) * F.floor(F.abs(x) * s + F.lit(0.5)) / s,
+        ).otherwise(x)
+
+    return F.element_at(F.transform(F.array(col.cast("double")), body), 1)

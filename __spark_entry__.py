@@ -1255,6 +1255,51 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram sketch table (histogram.py): build
+    fine per-(returnflag, linestatus) bucket counts of l_extendedprice in
+    one scan, then MERGE them up to returnflag — the oracle computes the
+    coarse histogram directly, so the hash check proves the rollup merge
+    is exact (the property incremental refresh rests on). Bucket indices
+    use explicit double arithmetic shared verbatim with the SQL twin
+    (bucket_sql), not the engine's width_bucket."""
+    from seafan_spark.histogram import histogram_rollup, histogram_sketch_table
+
+    li = _pipe(spark, sf_dir, "lineitem").df
+    fine = histogram_sketch_table(
+        li, ["l_returnflag", "l_linestatus"], "l_extendedprice", 900.0, 105000.0, 32
+    )
+    rolled = histogram_rollup(fine, ["l_returnflag"])
+    return rolled.select(
+        "l_returnflag",
+        "bucket",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        "bin_min",
+        "bin_max",
+    )
+
+
+def q_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster representative selection
+    (llmops.dedup.select_representatives): keep the longest document per
+    cluster (ties to the smallest doc_id) — the keep-which-copy decision
+    of a dedup pipeline, one window shuffle. The operator accepts any
+    (row -> cluster) assignment (exact fingerprints, minhash_clusters
+    output); this corpus has no exact dups, so the driver query clusters
+    on a 2-hex-char fingerprint prefix to get real multi-doc groups that
+    exercise the score ranking."""
+    from seafan_spark.llmops.dedup import select_representatives
+    from seafan_spark.llmops.text import fingerprint_col
+
+    d = _pipe(spark, sf_dir, "documents").df.withColumn(
+        "cl", F.substring(fingerprint_col(F.col("text")), 1, 2)
+    )
+    reps = select_representatives(d, "cl", "doc_id", F.length("text"))
+    return reps.select(
+        "cl", "doc_id", F.col("cluster_size").cast("bigint").alias("cluster_size")
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -1277,6 +1322,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal": q_multimodal,
     "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
+    "hist_sketch": q_hist_sketch,
+    "dedup_reps": q_dedup_reps,
     # --- oracled, implementation touched recently ---
     "funnel": q_funnel,
     "retention": q_retention,
@@ -1294,6 +1341,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_project": q_embed_project,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    # --- oracled, first driver check pending (added round 3) ---
+    "mix": q_mix,
+    "skew_report": q_skew_report,
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -1310,12 +1360,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof": q_asof,
     "range_join": q_range_join,
     "sample_split": q_sample_split,
-    "pack": q_pack,
-    "mix": q_mix,
-    "skew_report": q_skew_report,
-    "pivot": q_pivot,
     # --- end of the driver's 50-entry correctness window ---
     # oracled, driver-green in both round 1 and round 2
+    "pack": q_pack,
+    "pivot": q_pivot,
     "salted_join": q_salted_join,
     "salted_agg": q_salted_agg,
     "contamination": q_contamination,
@@ -2555,6 +2603,42 @@ ORACLES["winsorize"] = """
         SELECT l_orderkey, l_linenumber,
                ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 4) AS price_w
         FROM lineitem CROSS JOIN c
+    """
+
+# the bucket expression is histogram.bucket_sql('l_extendedprice', 900.0,
+# 105000.0, 32) verbatim — same multiply-then-divide double arithmetic as
+# histogram.bucket_col, so assignments are bit-identical across engines.
+# The Spark side builds FINE (returnflag x linestatus) sketches and MERGES
+# them to returnflag; this twin aggregates directly, so a hash match
+# proves the rollup merge is exact.
+ORACLES["hist_sketch"] = """
+        SELECT l_returnflag,
+               CASE WHEN l_extendedprice IS NULL THEN NULL
+                    WHEN l_extendedprice < 900.0 THEN 0
+                    WHEN l_extendedprice >= 105000.0 THEN 33
+                    ELSE 1 + LEAST(31, CAST(FLOOR((l_extendedprice - 900.0) * 32.0 / 104100.0) AS BIGINT))
+               END AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               MIN(l_extendedprice) AS bin_min,
+               MAX(l_extendedprice) AS bin_max
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+ORACLES["dedup_reps"] = """
+        WITH f AS (
+            SELECT doc_id, LENGTH(text) AS score,
+                   SUBSTR(MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g')), 1, 2) AS cl
+            FROM documents
+        ), r AS (
+            SELECT doc_id, cl,
+                   ROW_NUMBER() OVER (PARTITION BY cl ORDER BY score DESC, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY cl) AS cluster_size
+            FROM f
+        )
+        SELECT cl, doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
+        FROM r WHERE rn = 1
     """
 
 

@@ -1167,3 +1167,44 @@ def minhash_pairs_incremental(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+# ---------------------------------------------------- representatives ----
+def select_representatives(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    score_col: str | Column | None = None,
+    keep_all: bool = False,
+) -> DataFrame:
+    """Pick one representative document per duplicate cluster — the step
+    after dedup that decides WHICH copy survives. Ranking: highest
+    ``score_col`` (quality score, length, recency...) wins, ties broken
+    by smallest ``id_col`` so the choice is deterministic; with no score
+    the min-id row wins (the reference keeps first-seen: dedup semantics
+    of seafan's Where/row selection generalized to groups).
+
+    One shuffle (window by cluster). ``keep_all=False`` returns only the
+    winners plus ``cluster_size``; ``keep_all=True`` returns every row
+    with ``is_rep``/``rep_id`` attached (the form a filter-or-audit
+    pipeline wants). Input is any (row -> cluster) assignment: exact-dup
+    fingerprints, minhash_clusters output, or a custom grouping.
+    """
+    score = (
+        (F.col(score_col) if isinstance(score_col, str) else score_col)
+        if score_col is not None
+        else None
+    )
+    order = [F.col(id_col).asc()]
+    if score is not None:
+        order.insert(0, score.desc())
+    w = Window.partitionBy(cluster_col)
+    wo = w.orderBy(*order)
+    d = (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("rep_id", F.first(F.col(id_col)).over(wo))
+    )
+    if keep_all:
+        return d.withColumn("is_rep", (F.col("_rn") == 1).cast("double")).drop("_rn")
+    return d.filter(F.col("_rn") == 1).drop("_rn", "rep_id")

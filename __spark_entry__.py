@@ -1300,6 +1300,20 @@ def q_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (sampling.cap_per_group): keep the top-10
+    docs per source by (n_chars desc, doc_id) — the per-domain cap of
+    pretraining curation. One shuffle: Catalyst's WindowGroupLimit caps
+    each map task's contribution at 10 rows per source BEFORE the
+    exchange (Partial/Final pair in the plan), so a hot source never
+    floods the final rank task."""
+    from seafan_spark.sampling import cap_per_group
+
+    d = _pipe(spark, sf_dir, "documents").df
+    kept = cap_per_group(d, "source", "doc_id", 10, "n_chars")
+    return kept.select("source", "doc_id", "n_chars")
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -1324,6 +1338,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
     "dedup_reps": q_dedup_reps,
+    "source_cap": q_source_cap,
     # --- oracled, implementation touched recently ---
     "funnel": q_funnel,
     "retention": q_retention,
@@ -1359,9 +1374,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "asof": q_asof,
     "range_join": q_range_join,
-    "sample_split": q_sample_split,
     # --- end of the driver's 50-entry correctness window ---
     # oracled, driver-green in both round 1 and round 2
+    "sample_split": q_sample_split,
     "pack": q_pack,
     "pivot": q_pivot,
     "salted_join": q_salted_join,
@@ -2639,6 +2654,15 @@ ORACLES["dedup_reps"] = """
         )
         SELECT cl, doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
         FROM r WHERE rn = 1
+    """
+
+ORACLES["source_cap"] = """
+        WITH r AS (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents
+        )
+        SELECT source, doc_id, n_chars FROM r WHERE rn <= 10
     """
 
 

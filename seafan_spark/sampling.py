@@ -204,3 +204,56 @@ def mix_sources(
             continue
         fracs[s] = min(1.0, ((w / totw) * budget) / float(tot))
     return stratified_sample(d, key_col, source_col, fracs, 0.0, salt)
+
+
+def cap_per_group(
+    df,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    score_col: str | Column | None = None,
+    presplit: int = 0,
+) -> DataFrame:
+    """Per-group cap — keep at most ``cap`` rows per group, highest
+    ``score_col`` first, ties (and the no-score case) to smallest
+    ``id_col``. The per-domain/per-source cap of pretraining curation:
+    stops one giant domain from dominating the mixture.
+
+    Deterministic total order makes the kept set reproducible and
+    SQL-twinnable. Skew note: Catalyst compiles the rank<=cap filter to
+    ``WindowGroupLimit`` with a PARTIAL pass before the shuffle (visible
+    in the plan as Partial/Final pairs), so each map task forwards at
+    most ``cap`` rows per group — a hot group costs the final task only
+    ``cap * num_map_partitions`` rows, already bounded. ``presplit > 0``
+    adds an explicit two-phase rank (per-(group, hash-salt-bucket)
+    top-cap first) for the rare case where that bound is still too big;
+    any global top-cap row is in its bucket's top-cap, so the two-phase
+    result is exactly the one-phase result — at the price of a second
+    shuffle, so leave it 0 unless the plan proves otherwise."""
+    from pyspark.sql import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    d = _df(df)
+    score = (
+        (F.col(score_col) if isinstance(score_col, str) else score_col)
+        if score_col is not None
+        else None
+    )
+    order = [F.col(id_col).asc()]
+    if score is not None:
+        order.insert(0, score.desc())
+    if presplit > 0:
+        salt = hash_bucket_col(F.col(id_col).cast("string"), "cap") % presplit
+        w1 = Window.partitionBy(F.col(group_col), salt.alias("_salt")).orderBy(*order)
+        d = (
+            d.withColumn("_rn1", F.row_number().over(w1))
+            .filter(F.col("_rn1") <= cap)
+            .drop("_rn1")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

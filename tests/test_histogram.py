@@ -143,3 +143,31 @@ def test_select_representatives(spark):
         r["cl"]: r["id"] for r in select_representatives(df, "cl", "id").collect()
     }
     assert noscore == {"a": 1, "b": 4, "c": 6}
+
+
+def test_cap_per_group(spark):
+    from seafan_spark.sampling import cap_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = cap_per_group(docs, "source", "doc_id", 5, "n_chars")
+    # every group capped, winners are the per-source top-5 by (n_chars, -id)
+    sizes = {
+        r["source"]: r["n"]
+        for r in plain.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes and all(n <= 5 for n in sizes.values())
+    # two-phase (skew-safe) result is exactly the one-phase result
+    split = cap_per_group(docs, "source", "doc_id", 5, "n_chars", presplit=8)
+    assert plain.select("doc_id").exceptAll(split.select("doc_id")).count() == 0
+    assert split.select("doc_id").exceptAll(plain.select("doc_id")).count() == 0
+    # no score: min-ids kept
+    by_id = cap_per_group(docs.where(F.col("source") == "src0"), "source", "doc_id", 3)
+    got = sorted(r["doc_id"] for r in by_id.collect())
+    want = sorted(
+        r["doc_id"]
+        for r in docs.where(F.col("source") == "src0")
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    )
+    assert got == want

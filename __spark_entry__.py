@@ -287,8 +287,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         tx.token_count_col(t).cast("bigint").alias("n_tokens"),
         tx.char_count_col(t).cast("bigint").alias("n_chars2"),
-        round_col(tx.punct_ratio_col(t), 6).alias("punct_ratio"),
-        round_col(tx.avg_token_len_col(t), 6).alias("avg_tok_len"),
+        round_col(tx.punct_ratio_col(t), 6, expensive=True).alias("punct_ratio"),
+        round_col(tx.avg_token_len_col(t), 6, expensive=True).alias("avg_tok_len"),
     )
 
 
@@ -406,9 +406,11 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = random_projection_col(F.col("embedding"), 64, 8)
     return p.df.select(
         "vec_id",
-        *[round_col(proj[j], 6).alias(f"p{j}") for j in range(8)],
+        *[round_col(proj[j], 6, expensive=True).alias(f"p{j}") for j in range(8)],
         round_col(
-            F.sqrt(F.aggregate(proj, F.lit(0.0), lambda a, x: a + x * x)), 6
+            F.sqrt(F.aggregate(proj, F.lit(0.0), lambda a, x: a + x * x)),
+            6,
+            expensive=True,
         ).alias("proj_norm"),
         round_col(
             F.sqrt(
@@ -459,7 +461,7 @@ def q_pii_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.pii_count_col(t, "email").alias("n_email"),
         tx.pii_count_col(t, "ipv4").alias("n_ipv4"),
         tx.pii_count_col(t, "ssn").alias("n_ssn"),
-        round_col(tx.repetition_ratio_col(t, 3), 6).alias("rep3"),
+        round_col(tx.repetition_ratio_col(t, 3), 6, expensive=True).alias("rep3"),
     )
 
 

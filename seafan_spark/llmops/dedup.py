@@ -456,9 +456,9 @@ def minhash_calibration(
     return pairs.select(
         "id_a",
         "id_b",
-        round_col(true_j, 6).alias("jaccard"),
-        round_col(est, 6).alias("est_jaccard"),
-        round_col(F.abs(est - true_j), 6).alias("abs_err"),
+        round_col(true_j, 6, expensive=True).alias("jaccard"),
+        round_col(est, 6, expensive=True).alias("est_jaccard"),
+        round_col(F.abs(est - true_j), 6, expensive=True).alias("abs_err"),
     )
 
 

@@ -114,7 +114,8 @@ def quality_score_col(text: Column) -> Column:
     c1 = F.least(toks, F.lit(100.0)) / F.lit(100.0)
     c2 = F.lit(1.0) - F.least(punct * 4, F.lit(1.0))
     c3 = F.least(F.greatest((awl - 2) / 6, F.lit(0.0)), F.lit(1.0))
-    return round_col(0.4 * c1 + 0.3 * c2 + 0.3 * c3, 6)
+    # expensive: the components are regex ratios over the raw text
+    return round_col(0.4 * c1 + 0.3 * c2 + 0.3 * c3, 6, expensive=True)
 
 
 def add_text_features(df, text_col: str = "text"):

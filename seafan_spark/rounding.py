@@ -28,15 +28,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def round_col(c: Column | str, d: int) -> Column:
+def round_col(c: Column | str, d: int, expensive: bool = False) -> Column:
     """DuckDB-exact rounding of a double column to ``d`` decimals.
 
-    The input expression is let-bound ONCE via transform-over-singleton
-    before the NaN/Inf branch references it: the naive ``F.when`` form
-    mentions its argument six times, and Catalyst does not eliminate the
-    common subexpression across conditional branches — with an expensive
-    argument (an array/n-gram pipeline, say) that measured ~5x the cost
-    of the computation itself."""
+    The NaN/Inf-guarded form references its argument six times, and
+    Catalyst does NOT eliminate common subexpressions across CASE
+    branches — with a costly argument (a regex ratio, an array/zip_with
+    pipeline) the recompute measured ~5x the cost of the rounding itself.
+    Pass ``expensive=True`` for such arguments: the input is then
+    let-bound ONCE via transform-over-a-singleton-array before the
+    branches reference it. The binding is not the default because the
+    higher-order-function detour itself costs ~0.2s per 600k rows and
+    column — a bad trade for the common case of rounding a plain column
+    or aggregate (whose re-reference is free)."""
     col = F.col(c) if isinstance(c, str) else c
     s = F.lit(float(10**d))
 
@@ -47,4 +51,6 @@ def round_col(c: Column | str, d: int) -> Column:
             F.signum(x) * F.floor(F.abs(x) * s + F.lit(0.5)) / s,
         ).otherwise(x)
 
-    return F.element_at(F.transform(F.array(col.cast("double")), body), 1)
+    if expensive:
+        return F.element_at(F.transform(F.array(col.cast("double")), body), 1)
+    return body(col.cast("double"))

@@ -1281,6 +1281,25 @@ def q_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimates from the histogram sketch table
+    (histogram.quantiles_from_histogram): per-returnflag P25/P50/P75/P99
+    of l_extendedprice answered from sketch rows only — never rescanning
+    facts. The DuckDB twin replays the identical cume-window +
+    within-bucket interpolation arithmetic (same operation order on IEEE
+    doubles), so the estimates are hash-checked, not just bound-tested."""
+    from seafan_spark.histogram import histogram_sketch_table, quantiles_from_histogram
+
+    li = _pipe(spark, sf_dir, "lineitem").df
+    hist = histogram_sketch_table(
+        li, ["l_returnflag"], "l_extendedprice", 900.0, 105000.0, 32
+    )
+    q = quantiles_from_histogram(hist, ["l_returnflag"], [0.25, 0.5, 0.75, 0.99])
+    return q.select(
+        "l_returnflag", "q", round_col("estimate", 6).alias("estimate")
+    )
+
+
 def q_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster representative selection
     (llmops.dedup.select_representatives): keep the longest document per
@@ -1339,6 +1358,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
+    "hist_quantiles": q_hist_quantiles,
     "dedup_reps": q_dedup_reps,
     "source_cap": q_source_cap,
     # --- oracled, implementation touched recently ---
@@ -1375,9 +1395,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_lang": q_text_quality_lang,
     "dedup_exact": q_dedup_exact,
     "asof": q_asof,
-    "range_join": q_range_join,
     # --- end of the driver's 50-entry correctness window ---
     # oracled, driver-green in both round 1 and round 2
+    "range_join": q_range_join,
     "sample_split": q_sample_split,
     "pack": q_pack,
     "pivot": q_pivot,
@@ -2656,6 +2676,44 @@ ORACLES["dedup_reps"] = """
         )
         SELECT cl, doc_id, CAST(cluster_size AS BIGINT) AS cluster_size
         FROM r WHERE rn = 1
+    """
+
+# replays quantiles_from_histogram's arithmetic verbatim: same cume
+# windows, same GREATEST(q*total, 1e-12) target, same within-bucket
+# interpolation with identical operation order on IEEE doubles
+ORACLES["hist_quantiles"] = """
+        WITH h AS (
+            SELECT l_returnflag,
+                   CASE WHEN l_extendedprice < 900.0 THEN 0
+                        WHEN l_extendedprice >= 105000.0 THEN 33
+                        ELSE 1 + LEAST(31, CAST(FLOOR((l_extendedprice - 900.0) * 32.0 / 104100.0) AS BIGINT))
+                   END AS bucket,
+                   COUNT(*) AS cnt,
+                   MIN(l_extendedprice) AS bin_min,
+                   MAX(l_extendedprice) AS bin_max
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL
+            GROUP BY 1, 2
+        ), c AS (
+            SELECT *,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cume,
+                   SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+            FROM h
+        ), qv(q) AS (
+            VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                   (CAST(0.75 AS DOUBLE)), (CAST(0.99 AS DOUBLE))
+        ),
+        j AS (
+            SELECT c.l_returnflag, qv.q,
+                   GREATEST(qv.q * c.total, 1e-12) AS target,
+                   c.cume, c.cnt, c.bin_min, c.bin_max
+            FROM c CROSS JOIN qv
+            WHERE (c.cume - c.cnt) < GREATEST(qv.q * c.total, 1e-12)
+              AND c.cume >= GREATEST(qv.q * c.total, 1e-12)
+        )
+        SELECT l_returnflag, q,
+               ROUND(bin_min + ((target - (cume - cnt)) / cnt) * (bin_max - bin_min), 6) AS estimate
+        FROM j
     """
 
 ORACLES["source_cap"] = """

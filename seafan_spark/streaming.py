@@ -401,6 +401,73 @@ def stream_dedup_ingest(
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def stream_sketch_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming maintenance of a mergeable histogram sketch table
+    (``foreachBatch`` + ``histogram``): per micro-batch, sketch ONLY the
+    arriving rows (one scan of the batch), merge with the persisted
+    sketch table at ``store_path`` (kilobytes — counts add, extrema
+    combine), and rewrite the store. Because the merge is exact, the
+    store always equals the sketch of every row ingested so far, so any
+    later quantile/histogram question over the full history reads sketch
+    rows, never re-scanning the stream's accumulated facts.
+
+    Same state-shape rationale as :func:`stream_dedup_ingest`: the state
+    is a queryable TABLE (group x bucket), which is what parquet is for —
+    not per-key executor state. The merged result is localCheckpointed
+    before the overwrite so the store is never read and rewritten in the
+    same job. Overwrite-per-batch is idempotent under micro-batch retries
+    for a re-run of the SAME batch (the merge of already-merged rows with
+    the same batch again would double-count — production deployments
+    should key batches by ``batch_id`` in a transactional table; this
+    harness targets the ``availableNow`` test/dev shape)."""
+    import shutil
+
+    from seafan_spark.histogram import histogram_rollup, histogram_sketch_table
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="seafan_sketch_ckpt_")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_hist = histogram_sketch_table(
+            batch_df, group_cols, value_col, lo, hi, nbins
+        )
+        try:
+            store = spark.read.parquet(store_path)
+            merged = histogram_rollup(
+                store.unionByName(batch_hist), group_cols
+            )
+        except Exception:  # first batch: no store yet
+            merged = batch_hist
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(store_path)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"sketch ingest did not finish in {timeout_sec}s")
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def stream_enrich(
     stream: DataFrame,
     dim: DataFrame,

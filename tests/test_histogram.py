@@ -171,3 +171,29 @@ def test_cap_per_group(spark):
         .collect()
     )
     assert got == want
+
+
+def test_stream_sketch_ingest_equals_batch(spark, tmp_path):
+    """Streaming-maintained sketch store == one batch sketch of all rows
+    (the merge-exactness contract, exercised through foreachBatch)."""
+    from seafan_spark.streaming import stream_sketch_ingest
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    src = f"{tmp_path}/src"
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    li.repartition(3).write.parquet(src)
+    store = f"{tmp_path}/sketch_store"
+    sdf = (
+        spark.readStream.schema("l_returnflag string, l_extendedprice double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_sketch_ingest(sdf, store, ["l_returnflag"], "l_extendedprice", LO, HI, NB)
+    got = spark.read.parquet(store)
+    want = histogram_sketch_table(
+        spark.read.parquet(src), ["l_returnflag"], "l_extendedprice", LO, HI, NB
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -1300,6 +1300,35 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift PSI between two histogram sketch tables
+    (histogram.psi_from_histograms): l_extendedprice of returnflag 'A'
+    lines vs 'R' lines, per linestatus — two single-scan sketches, then
+    a sketch-sized outer join + one aggregation. The DuckDB twin replays
+    the share/smoothing/log arithmetic on the same bucket grid."""
+    from seafan_spark.histogram import histogram_sketch_table, psi_from_histograms
+
+    li = _pipe(spark, sf_dir, "lineitem").df
+    a = histogram_sketch_table(
+        li.where(F.col("l_returnflag") == "A"),
+        ["l_linestatus"],
+        "l_extendedprice",
+        900.0,
+        105000.0,
+        32,
+    )
+    r = histogram_sketch_table(
+        li.where(F.col("l_returnflag") == "R"),
+        ["l_linestatus"],
+        "l_extendedprice",
+        900.0,
+        105000.0,
+        32,
+    )
+    out = psi_from_histograms(a, r, ["l_linestatus"])
+    return out.select("l_linestatus", round_col("psi", 6).alias("psi"))
+
+
 def q_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster representative selection
     (llmops.dedup.select_representatives): keep the longest document per
@@ -1359,6 +1388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
     "hist_quantiles": q_hist_quantiles,
+    "psi_drift": q_psi_drift,
     "dedup_reps": q_dedup_reps,
     "source_cap": q_source_cap,
     # --- oracled, implementation touched recently ---
@@ -1394,9 +1424,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "assess_r2": q_assess_r2,
     "text_quality_lang": q_text_quality_lang,
     "dedup_exact": q_dedup_exact,
-    "asof": q_asof,
     # --- end of the driver's 50-entry correctness window ---
     # oracled, driver-green in both round 1 and round 2
+    "asof": q_asof,
     "range_join": q_range_join,
     "sample_split": q_sample_split,
     "pack": q_pack,
@@ -2714,6 +2744,34 @@ ORACLES["hist_quantiles"] = """
         SELECT l_returnflag, q,
                ROUND(bin_min + ((target - (cume - cnt)) / cnt) * (bin_max - bin_min), 6) AS estimate
         FROM j
+    """
+
+# replays psi_from_histograms on the same bucket grid: bucket shares per
+# side, GREATEST(share, 1e-6) smoothing, (p-q)*ln(p/q) summed per group
+ORACLES["psi_drift"] = """
+        WITH h AS (
+            SELECT l_linestatus,
+                   CASE WHEN l_extendedprice < 900.0 THEN 0
+                        WHEN l_extendedprice >= 105000.0 THEN 33
+                        ELSE 1 + LEAST(31, CAST(FLOOR((l_extendedprice - 900.0) * 32.0 / 104100.0) AS BIGINT))
+                   END AS bucket,
+                   SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS cnt_a,
+                   SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS cnt_b
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_returnflag IN ('A', 'R')
+            GROUP BY 1, 2
+        ), t AS (
+            SELECT *,
+                   SUM(cnt_a) OVER (PARTITION BY l_linestatus) AS tot_a,
+                   SUM(cnt_b) OVER (PARTITION BY l_linestatus) AS tot_b
+            FROM h
+        )
+        SELECT l_linestatus,
+               ROUND(SUM(
+                   (GREATEST(cnt_a / tot_a, 1e-6) - GREATEST(cnt_b / tot_b, 1e-6))
+                   * LN(GREATEST(cnt_a / tot_a, 1e-6) / GREATEST(cnt_b / tot_b, 1e-6))
+               ), 6) AS psi
+        FROM t GROUP BY 1
     """
 
 ORACLES["source_cap"] = """

@@ -151,3 +151,45 @@ def quantiles_from_histogram(
     # exactly rather than an epsilon-rank interpolation
     est = F.when(F.col("q") == 0.0, F.col("bin_min")).otherwise(est)
     return d.select(*group_cols, "q", est.alias("estimate"))
+
+
+def psi_from_histograms(
+    hist_a: DataFrame,
+    hist_b: DataFrame,
+    group_cols: Sequence[str],
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index per group between two sketch tables on
+    the SAME (lo, hi, nbins) grid — the drift monitor of a recurring
+    pipeline: PSI(a, b) = sum_buckets (p_i - q_i) * ln(p_i / q_i), where
+    p/q are the bucket shares of each side, floored at ``eps`` so a
+    bucket empty on one side contributes a finite penalty instead of
+    infinity. Common reading: < 0.1 stable, 0.1-0.25 shifting, > 0.25
+    drifted.
+
+    Because the inputs are sketch tables, comparing this week's corpus
+    against last week's touches kilobytes per question — the sketches
+    were each built in their own single scan. Sketch-sized shuffles only:
+    a full outer join on (group, bucket), then one aggregation. PSI is
+    symmetric-ish in shape but not in value; a and b are conventionally
+    (expected/baseline, actual/current)."""
+    keys = [*group_cols, "bucket"]
+    a = hist_a.select(*keys, F.col("cnt").alias("cnt_a"))
+    b = hist_b.select(*keys, F.col("cnt").alias("cnt_b"))
+    j = a.join(b, on=keys, how="full_outer").select(
+        *group_cols,
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    wt = (
+        Window.partitionBy(*group_cols)
+        if group_cols
+        else Window.partitionBy(F.lit(1))
+    )
+    p = F.greatest(F.col("cnt_a") / F.sum("cnt_a").over(wt), F.lit(float(eps)))
+    q = F.greatest(F.col("cnt_b") / F.sum("cnt_b").over(wt), F.lit(float(eps)))
+    term = (p - q) * F.log(p / q)
+    d = j.withColumn("_term", term)
+    if group_cols:
+        return d.groupBy(*group_cols).agg(F.sum("_term").alias("psi"))
+    return d.agg(F.sum("_term").alias("psi"))

@@ -197,3 +197,37 @@ def test_stream_sketch_ingest_equals_batch(spark, tmp_path):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_psi_from_histograms(spark, lineitem):
+    from seafan_spark.histogram import psi_from_histograms
+
+    a = histogram_sketch_table(
+        lineitem.where(F.col("l_returnflag") == "A"), [], "l_extendedprice", LO, HI, NB
+    )
+    # identical distributions -> PSI 0
+    same = psi_from_histograms(a, a, []).collect()[0]["psi"]
+    assert abs(same) < 1e-12
+    # a genuinely different distribution (shifted value range) -> PSI > 0
+    shifted = histogram_sketch_table(
+        lineitem.where(F.col("l_returnflag") == "A").select(
+            (F.col("l_extendedprice") * 0.5).alias("l_extendedprice")
+        ),
+        [],
+        "l_extendedprice",
+        LO,
+        HI,
+        NB,
+    )
+    drift = psi_from_histograms(a, shifted, []).collect()[0]["psi"]
+    assert drift > 0.25  # halving every value is a major shift
+    # near-identical populations (A vs R returnflags are iid slices) -> small
+    r = histogram_sketch_table(
+        lineitem.where(F.col("l_returnflag") == "R"), [], "l_extendedprice", LO, HI, NB
+    )
+    near = psi_from_histograms(a, r, []).collect()[0]["psi"]
+    assert 0 <= near < 0.1
+    # grouped variant returns one psi per group
+    ga = histogram_sketch_table(lineitem, ["l_linestatus"], "l_extendedprice", LO, HI, NB)
+    out = psi_from_histograms(ga, ga, ["l_linestatus"]).collect()
+    assert {r["l_linestatus"] for r in out} and all(abs(r["psi"]) < 1e-12 for r in out)

@@ -442,12 +442,21 @@ def stream_sketch_ingest(
         batch_hist = histogram_sketch_table(
             batch_df, group_cols, value_col, lo, hi, nbins
         )
+        # distinguish "first batch, no store yet" from a real read failure:
+        # this sink OVERWRITES, so treating a transient store-read error as
+        # first-batch would silently replace the whole history with one
+        # batch's sketch (the append-mode dedup ingest above can afford a
+        # loose except; this one cannot)
+        from pyspark.errors import AnalysisException
+
         try:
             store = spark.read.parquet(store_path)
             merged = histogram_rollup(
                 store.unionByName(batch_hist), group_cols
             )
-        except Exception:  # first batch: no store yet
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
             merged = batch_hist
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(store_path)

@@ -186,8 +186,16 @@ def psi_from_histograms(
         if group_cols
         else Window.partitionBy(F.lit(1))
     )
-    p = F.greatest(F.col("cnt_a") / F.sum("cnt_a").over(wt), F.lit(float(eps)))
-    q = F.greatest(F.col("cnt_b") / F.sum("cnt_b").over(wt), F.lit(float(eps)))
+    # a group present on only one side has total 0 there: 0/0 would abort
+    # under ANSI — and "drift vs nothing" is not a meaningful PSI, so such
+    # groups are dropped (inner semantics at the group level)
+    j = (
+        j.withColumn("_tot_a", F.sum("cnt_a").over(wt))
+        .withColumn("_tot_b", F.sum("cnt_b").over(wt))
+        .where((F.col("_tot_a") > 0) & (F.col("_tot_b") > 0))
+    )
+    p = F.greatest(F.col("cnt_a") / F.col("_tot_a"), F.lit(float(eps)))
+    q = F.greatest(F.col("cnt_b") / F.col("_tot_b"), F.lit(float(eps)))
     term = (p - q) * F.log(p / q)
     d = j.withColumn("_term", term)
     if group_cols:

@@ -231,3 +231,21 @@ def test_psi_from_histograms(spark, lineitem):
     ga = histogram_sketch_table(lineitem, ["l_linestatus"], "l_extendedprice", LO, HI, NB)
     out = psi_from_histograms(ga, ga, ["l_linestatus"]).collect()
     assert {r["l_linestatus"] for r in out} and all(abs(r["psi"]) < 1e-12 for r in out)
+
+
+def test_psi_one_sided_group_dropped(spark):
+    """A group present on only one side must be dropped, not abort with
+    an ANSI 0/0 on its empty-side total."""
+    from seafan_spark.histogram import psi_from_histograms
+
+    a = spark.createDataFrame(
+        [("x", 1, 10, 0.0, 1.0), ("y", 1, 5, 0.0, 1.0)],
+        "g string, bucket bigint, cnt bigint, bin_min double, bin_max double",
+    )
+    b = spark.createDataFrame(
+        [("x", 1, 10, 0.0, 1.0)],
+        "g string, bucket bigint, cnt bigint, bin_min double, bin_max double",
+    )
+    out = psi_from_histograms(a, b, ["g"]).collect()
+    assert {r["g"] for r in out} == {"x"}
+    assert abs(out[0]["psi"]) < 1e-12

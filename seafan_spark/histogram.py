@@ -39,7 +39,10 @@ def bucket_col(v: Column, lo: float, hi: float, nbins: int) -> Column:
     ``nbins + 1`` = overflow (v >= hi), else 1..nbins. The in-range index
     is ``1 + floor((v - lo) * nbins / (hi - lo))`` clamped to nbins — the
     multiply-then-divide order is part of the contract (IEEE doubles make
-    it reproducible across engines when written identically)."""
+    it reproducible across engines when written identically). NaN lands
+    in the overflow bucket on BOTH engines (Spark and DuckDB each order
+    NaN above every value, so ``NaN >= hi`` is true in both — verified,
+    not assumed)."""
     if not (hi > lo) or nbins < 1:
         raise ValueError(f"need hi > lo and nbins >= 1, got [{lo}, {hi}) x {nbins}")
     x = v.cast("double")

@@ -69,6 +69,27 @@ def hll_estimate(sketch: Column | str) -> Column:
     return F.hll_sketch_estimate(c).alias("estimate")
 
 
+def hll_overlap(
+    sketch_a: Column | str,
+    sketch_b: Column | str,
+) -> Column:
+    """Estimated |A ∩ B| of two sketch columns by inclusion-exclusion:
+    |A| + |B| - |A ∪ B|, all three terms read from the sketches — the
+    corpus-overlap question ("how many of this week's users/docs did we
+    already see?") answered without touching either corpus. Error
+    compounds across the three estimates (still ~1%-scale at lg_k=12)
+    and can go slightly negative for near-disjoint sets; clamped at 0."""
+    a = F.col(sketch_a) if isinstance(sketch_a, str) else sketch_a
+    b = F.col(sketch_b) if isinstance(sketch_b, str) else sketch_b
+    union = F.hll_union(a, b, True)
+    inter = (
+        F.hll_sketch_estimate(a)
+        + F.hll_sketch_estimate(b)
+        - F.hll_sketch_estimate(union)
+    )
+    return F.greatest(inter, F.lit(0)).alias("overlap")
+
+
 def distinct_over_slices(
     df: DataFrame,
     fine_cols: Sequence[str],

@@ -85,3 +85,29 @@ def test_rollup_plan_has_partial_aggregation(facts):
     fine = hll_sketch_table(facts, ["day", "seg"], "user")
     plan = fine._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hll_sketch_agg") >= 2  # partial + final modes
+
+
+def test_hll_overlap(spark):
+    from seafan_spark.sketches import hll_overlap, hll_sketch_table
+
+    # two overlapping id ranges with known intersection size
+    a = spark.range(0, 10000).select(F.col("id"))
+    b = spark.range(7000, 20000).select(F.col("id"))
+    sa = hll_sketch_table(a, [], "id").select(F.col("sketch").alias("sa"))
+    sb = hll_sketch_table(b, [], "id").select(F.col("sketch").alias("sb"))
+    est = (
+        sa.crossJoin(sb)
+        .select(hll_overlap("sa", "sb").alias("overlap"))
+        .collect()[0]["overlap"]
+    )
+    # true overlap 3000; three ~1.6% estimates compound -> allow 10%
+    assert abs(est - 3000) <= 0.10 * 20000, est
+    # disjoint sets: clamped at >= 0 and small
+    c = spark.range(50000, 60000)
+    sc = hll_sketch_table(c, [], "id").select(F.col("sketch").alias("sb"))
+    est0 = (
+        sa.crossJoin(sc)
+        .select(hll_overlap("sa", "sb").alias("overlap"))
+        .collect()[0]["overlap"]
+    )
+    assert 0 <= est0 <= 0.05 * 20000, est0

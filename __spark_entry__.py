@@ -1300,6 +1300,33 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report (quality.check_rules): five rules
+    over lineitem evaluated in ONE aggregation pass (sum-of-case per
+    row rule, count-minus-distinct for uniqueness), unpivoted to
+    (rule, violations, passed). The DuckDB twin recomputes each rule's
+    count independently."""
+    from seafan_spark.quality import (
+        accepted_values,
+        check_rules,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    li = _pipe(spark, sf_dir, "lineitem").df
+    return check_rules(
+        li,
+        [
+            not_null("l_orderkey"),
+            in_range("l_discount", 0.0, 0.1),
+            in_range("l_quantity", 1.0, 50.0),
+            accepted_values("l_returnflag", ["A", "N", "R"]),
+            unique("l_orderkey"),
+        ],
+    )
+
+
 def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift PSI between two histogram sketch tables
     (histogram.psi_from_histograms): l_extendedprice of returnflag 'A'
@@ -1389,6 +1416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_sketch": q_hist_sketch,
     "hist_quantiles": q_hist_quantiles,
     "psi_drift": q_psi_drift,
+    "quality_rules": q_quality_rules,
     "dedup_reps": q_dedup_reps,
     "source_cap": q_source_cap,
     # --- oracled, implementation touched recently ---
@@ -1423,8 +1451,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decile": q_decile,
     "assess_r2": q_assess_r2,
     "text_quality_lang": q_text_quality_lang,
-    "dedup_exact": q_dedup_exact,
     # --- end of the driver's 50-entry correctness window ---
+    "dedup_exact": q_dedup_exact,
     # oracled, driver-green in both round 1 and round 2
     "asof": q_asof,
     "range_join": q_range_join,
@@ -2744,6 +2772,31 @@ ORACLES["hist_quantiles"] = """
         SELECT l_returnflag, q,
                ROUND(bin_min + ((target - (cume - cnt)) / cnt) * (bin_max - bin_min), 6) AS estimate
         FROM j
+    """
+
+ORACLES["quality_rules"] = """
+        WITH v AS (
+            SELECT 'not_null(l_orderkey)' AS rule,
+                   CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'in_range(l_discount,0.0,0.1)',
+                   CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'in_range(l_quantity,1.0,50.0)',
+                   CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'accepted_values(l_returnflag,[A,N,R])',
+                   CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'unique(l_orderkey)',
+                   CAST(COUNT(l_orderkey) - COUNT(DISTINCT l_orderkey) AS BIGINT)
+            FROM lineitem
+        )
+        SELECT rule, violations, violations = 0 AS passed FROM v
     """
 
 # replays psi_from_histograms on the same bucket grid: bucket shares per

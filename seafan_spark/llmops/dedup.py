@@ -1208,3 +1208,91 @@ def select_representatives(
     if keep_all:
         return d.withColumn("is_rep", (F.col("_rn") == 1).cast("double")).drop("_rn")
     return d.filter(F.col("_rn") == 1).drop("_rn", "rep_id")
+
+
+# ------------------------------------- incremental embedding near-dup ----
+def embedding_store_prepare(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(_id, _v unit-normalized, _bkt hyperplane bucket) — the persisted
+    vector-store row. Normalization and bucketing happen ONCE here, at
+    ingestion, so neither is ever recomputed for store rows on later
+    batches (the embedding analogue of persisting minhash signatures)."""
+    from seafan_spark.llmops.similarity import norm_col, with_hyperplane_bucket
+
+    raw = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_raw"))
+    staged = raw.select("_id", "_raw", norm_col(F.col("_raw")).alias("_n"))
+    safe_n = F.when(F.col("_n") == 0.0, F.lit(1.0)).otherwise(F.col("_n"))
+    return with_hyperplane_bucket(staged, "_raw", "_bkt", dim, planes, seed).select(
+        "_id",
+        F.transform(F.col("_raw"), lambda x: x.cast("double") / safe_n).alias("_v"),
+        "_bkt",
+    )
+
+
+def embedding_neardup_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+    probe_bits: int = 1,
+    new_prepared: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs of a NEW batch of embeddings against a
+    persisted vector store (plus within itself) — the append-only
+    ingestion shape of :func:`embedding_neardup_pairs`: only the new
+    vectors are normalized/bucketed; store rows join by their persisted
+    bucket key. ``store`` must come from :func:`embedding_store_prepare`
+    with the SAME (dim, planes, seed). Multi-probe bit flips run on the
+    new side only — bucket hamming distance is symmetric, so the
+    candidate set equals the one-shot full-corpus pass at the same
+    ``probe_bits``. Emitted pairs have at least one new side
+    (store-vs-store pairs are earlier batches' output); a re-ingested id
+    pairs with its fresh vector, the stale store row is dropped first.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b."""
+    from seafan_spark.llmops.similarity import dot_col, probe_buckets_col
+
+    if new_prepared is None:
+        new_prepared = embedding_store_prepare(
+            new_df, id_col, vec_col, dim, planes, seed
+        ).localCheckpoint(eager=True)
+    store_only = store.select("_id", "_v", "_bkt").join(
+        F.broadcast(new_prepared.select("_id")), "_id", "left_anti"
+    )
+    everyone = store_only.unionByName(new_prepared)
+    a = new_prepared.select(
+        F.col("_id").alias("_na"), F.col("_v").alias("va"), "_bkt"
+    )
+    if probe_bits > 0:
+        a = a.select(
+            "_na",
+            "va",
+            F.explode(probe_buckets_col(F.col("_bkt"), planes, probe_bits)).alias(
+                "_bkt"
+            ),
+        )
+    b = everyone.select(F.col("_id").alias("_nb"), F.col("_v").alias("vb"), "_bkt")
+    cand = (
+        a.join(b, "_bkt")
+        .filter(F.col("_na") != F.col("_nb"))
+        .select(
+            F.least("_na", "_nb").alias("id_a"),
+            F.greatest("_na", "_nb").alias("id_b"),
+            # dot is commutative elementwise, so no ordering needed
+            dot_col(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", round_col("cosine", 6).alias("cosine")
+    )

@@ -401,6 +401,84 @@ def stream_dedup_ingest(
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def stream_embed_ingest(
+    stream_vecs: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 42,
+    probe_bits: int = 1,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming embedding near-duplicate ingestion against a persisted
+    vector store — the ANN twin of :func:`stream_dedup_ingest`. Per
+    micro-batch: normalize + hyperplane-bucket ONLY the arriving vectors,
+    join them (with multi-probe flips) against the store's persisted
+    bucket keys, append discovered pairs (new-vs-store and new-vs-new) to
+    ``pairs_path``, and append the prepared rows to the store so later
+    batches match against them. Store rows are never re-normalized or
+    re-bucketed. Same at-least-once append caveat as the dedup ingest."""
+    import shutil
+
+    from seafan_spark.llmops.dedup import (
+        embedding_neardup_incremental,
+        embedding_store_prepare,
+    )
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="seafan_embed_ckpt_")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prepared = embedding_store_prepare(
+            batch_df, id_col, vec_col, dim, planes, seed
+        ).localCheckpoint(eager=True)
+        try:
+            store = spark.read.parquet(store_path)
+        except Exception:  # first batch: no store yet (append-mode sink)
+            store = spark.createDataFrame([], prepared.schema)
+        pairs = embedding_neardup_incremental(
+            batch_df,
+            store,
+            id_col,
+            vec_col,
+            dim,
+            threshold=threshold,
+            planes=planes,
+            seed=seed,
+            probe_bits=probe_bits,
+            new_prepared=prepared,
+        ).localCheckpoint(eager=True)
+        pairs.write.mode("append").parquet(pairs_path)
+        # re-ingested ids keep their original store row (append-only)
+        if store.isEmpty():
+            prepared.write.mode("append").parquet(store_path)
+        else:
+            prepared.join(store.select("_id"), "_id", "left_anti").write.mode(
+                "append"
+            ).parquet(store_path)
+
+    try:
+        q = (
+            stream_vecs.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"embed ingest did not finish in {timeout_sec}s")
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def stream_sketch_ingest(
     stream_df: DataFrame,
     store_path: str,

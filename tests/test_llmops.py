@@ -31,6 +31,7 @@ from seafan_spark.llmops.text import (
     word_ngrams_col,
 )
 from seafan_spark.llmops import multimodal
+from seafan_spark.pipeline import Pipeline
 from seafan_spark.sources import vec_to_pipe
 
 
@@ -793,3 +794,66 @@ def test_ngram_jaccard_capped_vocabulary_consistent(spark):
     # kept grams doc1 = {b c q, c q w, q w e}, doc2 = {b c q, c q w, q w r}
     # inter = 2, union = 4 -> 0.5 (with full sizes it would be 2/6)
     assert got[(1, 2)] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_embedding_neardup_incremental_equals_full(vec_pipe, spark):
+    """Two-batch incremental ingestion finds exactly the pairs the
+    one-shot full-corpus LSH pass finds at the same probe settings."""
+    from seafan_spark.llmops.dedup import (
+        embedding_neardup_incremental,
+        embedding_neardup_pairs,
+        embedding_store_prepare,
+    )
+
+    pipe, ids, vecs = vec_pipe
+    df = pipe.df
+    full = embedding_neardup_pairs(
+        pipe, "vec_id", "embedding", threshold=0.9, planes=8, dim=16, probe_bits=1
+    )
+    want = sorted((r["id_a"], r["id_b"]) for r in full.collect())
+    assert (0, 50) in want and (1, 51) in want
+
+    first = df.where(F.col("vec_id") < 25)   # has 0 and 1
+    second = df.where(F.col("vec_id") >= 25)  # has the planted dups 50, 51
+    store = embedding_store_prepare(first, "vec_id", "embedding", 16, 8)
+    p1 = embedding_neardup_incremental(
+        first, store.limit(0), "vec_id", "embedding", 16,
+        threshold=0.9, planes=8, probe_bits=1,
+    )
+    p2 = embedding_neardup_incremental(
+        second, store, "vec_id", "embedding", 16,
+        threshold=0.9, planes=8, probe_bits=1,
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in p1.unionByName(p2).collect())
+    assert got == want
+
+
+def test_stream_embed_ingest_equals_batch(vec_pipe, spark, tmp_path):
+    from seafan_spark.llmops.dedup import embedding_neardup_pairs
+    from seafan_spark.streaming import stream_embed_ingest
+
+    pipe, ids, vecs = vec_pipe
+    src = f"{tmp_path}/vsrc"
+    pipe.df.repartition(3).write.parquet(src)
+    store, pairs_out = f"{tmp_path}/vstore", f"{tmp_path}/vpairs"
+    sdf = (
+        spark.readStream.schema(pipe.df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_embed_ingest(
+        sdf, store, pairs_out, "vec_id", "embedding", dim=16,
+        threshold=0.9, planes=8, probe_bits=1,
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_out).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            Pipeline(spark.read.parquet(src)), "vec_id", "embedding",
+            threshold=0.9, planes=8, dim=16, probe_bits=1,
+        ).collect()
+    )
+    assert (0, 50) in want and got == want
+    assert spark.read.parquet(store).count() == len(ids)

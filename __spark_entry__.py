@@ -1300,6 +1300,31 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup against a persisted vector store
+    (llmops.dedup.embedding_neardup_incremental): ingest even vec_ids
+    into an empty store, then dedupe the odd half against it — the union
+    must equal the one-shot full-corpus LSH pass, which is what the
+    DuckDB twin computes (bucket bits from the SAME ±1 literal weights,
+    divide-then-dot cosine in the same operation order). probe_bits=0
+    keeps the twin a plain bucket equi-join."""
+    from seafan_spark.llmops.dedup import (
+        embedding_neardup_incremental,
+        embedding_store_prepare,
+    )
+
+    emb = _pipe(spark, sf_dir, "embeddings").df
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    store = embedding_store_prepare(first, "vec_id", "embedding", 64, planes=8)
+    kw = dict(threshold=0.3, planes=8, probe_bits=0)
+    p1 = embedding_neardup_incremental(
+        first, store.limit(0), "vec_id", "embedding", 64, **kw
+    )
+    p2 = embedding_neardup_incremental(second, store, "vec_id", "embedding", 64, **kw)
+    return p1.unionByName(p2)
+
+
 def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectations report (quality.check_rules): five rules
     over lineitem evaluated in ONE aggregation pass (sum-of-case per
@@ -1417,6 +1442,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_quantiles": q_hist_quantiles,
     "psi_drift": q_psi_drift,
     "quality_rules": q_quality_rules,
+    "embed_incr": q_embed_incr,
     "dedup_reps": q_dedup_reps,
     "source_cap": q_source_cap,
     # --- oracled, implementation touched recently ---
@@ -1450,8 +1476,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encode_normalize": q_encode_normalize,
     "decile": q_decile,
     "assess_r2": q_assess_r2,
-    "text_quality_lang": q_text_quality_lang,
     # --- end of the driver's 50-entry correctness window ---
+    "text_quality_lang": q_text_quality_lang,
     "dedup_exact": q_dedup_exact,
     # oracled, driver-green in both round 1 and round 2
     "asof": q_asof,
@@ -2222,6 +2248,48 @@ def _ann_lsh_oracle(dim: int = 64, planes: int = 8, k: int = 5, seed: int = 42) 
 
 
 ORACLES["ann_lsh"] = _ann_lsh_oracle()
+
+
+def _embed_incr_oracle(dim: int = 64, planes: int = 8, threshold: float = 0.3, seed: int = 42) -> str:
+    """DuckDB twin of q_embed_incr: the incremental union equals the
+    one-shot full-corpus LSH pair pass — bucket bits from the SAME ±1
+    literal weights, pairs on bucket equality, cosine as
+    divide-by-norm-then-dot (the exact operation order of
+    embedding_store_prepare + dot_col, with the norm-0 -> divide-by-1
+    guard)."""
+    from seafan_spark.llmops.similarity import hyperplane_weights
+
+    ws = hyperplane_weights(planes, dim, seed)
+
+    def lit(w: list[float]) -> str:
+        return "[" + ", ".join(f"{x:.1f}" for x in w) + "]"
+
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(e, {lit(ws[p])}) >= 0 THEN '1' ELSE '0' END)"
+        for p in range(planes)
+    )
+    return f"""
+        WITH d AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ), b AS (
+            SELECT vec_id,
+                   list_transform(e, x -> x / (CASE WHEN nrm = 0 THEN 1 ELSE nrm END)) AS v,
+                   {bits} AS bkt
+            FROM d
+        ), s AS (
+            SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                   list_dot_product(a.v, c.v) AS cos
+            FROM b a JOIN b c ON a.bkt = c.bkt AND a.vec_id < c.vec_id
+        )
+        SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+        FROM s WHERE cos >= {threshold!r}
+    """
+
+
+ORACLES["embed_incr"] = _embed_incr_oracle()
 
 # Shared DuckDB twin of llmops.text norm_text_col + shingles_col (k=5) +
 # the portable 60-bit md5 hash (text.hash60_col).

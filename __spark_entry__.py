@@ -1335,6 +1335,7 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         accepted_values,
         check_rules,
         in_range,
+        matches,
         not_null,
         unique,
     )
@@ -1347,6 +1348,7 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             in_range("l_discount", 0.0, 0.1),
             in_range("l_quantity", 1.0, 50.0),
             accepted_values("l_returnflag", ["A", "N", "R"]),
+            matches("l_linestatus", "[FO]"),
             unique("l_orderkey"),
         ],
     )
@@ -2858,6 +2860,10 @@ ORACLES["quality_rules"] = """
             UNION ALL
             SELECT 'accepted_values(l_returnflag,[A,N,R])',
                    CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'matches(l_linestatus)',
+                   CAST(SUM(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_full_match(l_linestatus, '(?:[FO])') THEN 1 ELSE 0 END) AS BIGINT)
             FROM lineitem
             UNION ALL
             SELECT 'unique(l_orderkey)',

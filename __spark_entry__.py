@@ -1228,10 +1228,20 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs with prefix+length blocking
     (llmops.dedup.edit_distance_pairs) — typo-class duplicates the
-    shingle methods overlook."""
+    shingle methods overlook. The raw corpus has no typo-class pairs at
+    small SF (the driver row would be vacuously green on 0 rows), so the
+    input deterministically plants one: every 17th doc is re-ingested
+    under doc_id+10_000_000 with a single appended character — each
+    planted copy must come back as a dist 1-2 pair with its source, so
+    the hash check exercises real pairs."""
     from seafan_spark.llmops.dedup import edit_distance_pairs
 
-    p = _pipe(spark, sf_dir, "documents")
+    base = _pipe(spark, sf_dir, "documents").df.select("doc_id", "text")
+    typos = base.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("x")).alias("text"),
+    )
+    p = Pipeline(base.unionByName(typos))
     return edit_distance_pairs(p, "doc_id", "text", max_dist=2, prefix_len=8)
 
 
@@ -1467,6 +1477,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, first driver check pending (added round 3) ---
     "mix": q_mix,
     "skew_report": q_skew_report,
+    # --- rows-only, never driver-checked before round 5 (rotated into the
+    # window this round per VERDICT r4 task 6; the driver records a
+    # rows-only check for them — no SQL twin exists by nature) ---
+    "minhash_pairs_fast": q_minhash_pairs_fast,
+    "simhash_pairs_fast": q_simhash_pairs_fast,
+    "irr_by": q_irr_by,
+    "model_nn": q_model_nn,
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
@@ -1474,11 +1491,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "expr_summary": q_expr_summary,
     "join_left_default": q_join_left_default,
     "join_3way": q_join_3way,
+    # --- end of the driver's 50-entry correctness window ---
     "window_cume": q_window_cume,
     "encode_normalize": q_encode_normalize,
     "decile": q_decile,
     "assess_r2": q_assess_r2,
-    # --- end of the driver's 50-entry correctness window ---
     "text_quality_lang": q_text_quality_lang,
     "dedup_exact": q_dedup_exact,
     # oracled, driver-green in both round 1 and round 2
@@ -1509,12 +1526,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
-    "minhash_pairs_fast": q_minhash_pairs_fast,
-    "simhash_pairs_fast": q_simhash_pairs_fast,
     "irr": q_irr,
-    "irr_by": q_irr_by,
     "model_glm": q_model_glm,
-    "model_nn": q_model_nn,
     "marginal": q_marginal,
 }
 
@@ -2734,9 +2747,14 @@ ORACLES["retention"] = """
     """
 
 ORACLES["edit_distance"] = """
-        WITH d AS (
+        WITH aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text || 'x' AS text
+            FROM documents WHERE doc_id % 17 = 0
+        ), d AS (
             SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
-            FROM documents
+            FROM aug
         ), p AS (
             SELECT doc_id, t, substr(t, 1, 8) AS pfx FROM d
         )

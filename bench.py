@@ -2,27 +2,32 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-     "queries_fresh": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is forced to full evaluation with a checksum aggregate over every
 output column (column pruning cannot skip computed columns), so timings
 reflect real work, not plan construction.
 
-Measurement protocol — every query runs TWICE at the bench SF:
+Measurement protocol — every query runs FOUR times at the bench SF:
 
-- run 1 ("queries_fresh"): pays the one-time costs of a never-seen plan
-  shape — janino source generation and JVM JIT of the generated classes.
-  Instrumented runs show this dominates the heaviest queries' first
-  execution (e.g. 8s of compiler-thread time on a 4s query), and a
-  small-SF warmup cannot absorb it because AQE picks different physical
-  shapes at the bench SF.
-- run 2 ("queries", summed into "value"): steady-state compute — the cost
-  a recurring production run pays, and the number that extrapolates to a
-  long-running cluster where one-time JIT amortizes to zero.
+- run 1 ("queries_fresh" in BENCH_detail.json): pays the one-time costs of
+  a never-seen plan shape — janino source generation and JVM JIT of the
+  generated classes. Instrumented runs show this dominates the heaviest
+  queries' first execution (e.g. 8s of compiler-thread time on a 4s
+  query), and a small-SF warmup cannot absorb it because AQE picks
+  different physical shapes at the bench SF.
+- runs 2-4 ("queries", median of the 3, summed into "value"): steady-state
+  compute — the cost a recurring production run pays, and the number that
+  extrapolates to a long-running cluster where one-time JIT amortizes to
+  zero. The MEDIAN of 3 trials is reported because a single trial was
+  measured ×2.4 noisy on identical code (round 3 vs round 4); medians make
+  round-over-round per-query deltas a usable regression gate (<15% drift
+  on a no-change rerun).
 
-Both are reported so neither story hides the other; round-over-round
-comparisons should use like-for-like fields.
+The printed line is kept compact (2-decimal medians, no fresh dict) so the
+driver's bounded output capture can store and parse it whole; the full
+per-trial record — fresh timings, all steady trials, medians — is written
+to BENCH_detail.json at the repo root.
 """
 
 from __future__ import annotations
@@ -30,6 +35,7 @@ from __future__ import annotations
 import gc
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -94,31 +100,58 @@ def main() -> None:
         # it a beat so cleanup doesn't overlap the next timed query
         time.sleep(0.3)
 
+    steady_trials_n = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}
     fresh: dict[str, float] = {}
+    steady_trials: dict[str, list[float]] = {}
     for name, fn in qs.items():
         # run 1: fresh plan shape — includes one-time codegen + JIT
         t0 = time.perf_counter()
         force(fn(spark, sf_dir))
         fresh[name] = round(time.perf_counter() - t0, 4)
         cleanup()
-        # run 2: steady state — the recurring production cost
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 4)
-        cleanup()
+        # runs 2..4: steady state — report the median (single trials were
+        # measured ×2.4 noisy on identical code; medians gate regressions)
+        trials = []
+        for _ in range(steady_trials_n):
+            t0 = time.perf_counter()
+            force(fn(spark, sf_dir))
+            trials.append(round(time.perf_counter() - t0, 4))
+            cleanup()
+        steady_trials[name] = trials
+        timings[name] = round(statistics.median(trials), 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
-                "metric": "seafan_spark headline queries, steady-state wall clock (fresh-plan timings in queries_fresh)",
+                "metric": "seafan_spark headline queries: full per-trial record",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "queries_fresh": fresh,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries_steady_trials": steady_trials,
+                "steady_trials_per_query": steady_trials_n,
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
+        )
+    # ONE compact line on stdout — 2-dp medians, no fresh dict — so a
+    # bounded output capture stores it whole and can parse it (the r03/r04
+    # driver records held only an unparseable tail of the old 4 KB line)
+    print(
+        json.dumps(
+            {
+                "metric": f"steady-state sec/query, median of {steady_trials_n}; detail in BENCH_detail.json",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -2,12 +2,12 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schemas, batch
-iteration, partition sizing, output contracts. The actual media DECODERS
-are stubbed (this environment ships no image/audio libraries): each stub
-either raises NotImplementedError (strict mode) or produces a
-deterministic fake derived from the bytes, so pipelines are fully
-exercisable end-to-end and swapping in a real decoder (PIL/ffmpeg) changes
-one function.
+iteration, partition sizing, output contracts. Image decode/resize take a
+``decoder`` mode: 'fake' (default — a deterministic md5-derived stand-in,
+the only mode the synthetic hash-checked corpus supports), 'pil' (real
+Pillow decode when the library is installed; raises otherwise), or 'auto'
+(probe for Pillow at call time, fall back to the fake). Video decoding
+remains a stub (no ffmpeg here); strict mode raises instead of faking.
 
 Design for 100 TB: media bytes never leave the executor except through
 Arrow batches; metadata-only transformations (filtering by size/type)
@@ -47,6 +47,33 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 STRICT_STUBS = False  # True -> decoder stubs raise instead of faking
 
 
+def _pil_module():
+    """Probe for Pillow at call time (executor-side). Returns the
+    PIL.Image module or None — this sandbox ships no imaging libs, so the
+    probe usually fails, but deployments with Pillow get real decoding
+    without a code change."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except Exception:
+        return None
+
+
+def _resolve_decoder(decoder: str) -> str:
+    """Map decoder mode -> effective mode. 'auto' = PIL when importable
+    else the deterministic fake; 'pil' = require PIL (raise if absent);
+    'fake' = always the md5-derived stand-in (the hash-oracle mode — the
+    test corpus payloads are synthetic bytes no real decoder accepts)."""
+    if decoder not in ("auto", "pil", "fake"):
+        raise ValueError(f"decoder must be auto|pil|fake, got {decoder!r}")
+    if decoder == "pil" and _pil_module() is None:
+        raise NotImplementedError("decoder='pil' requires Pillow")
+    if decoder == "auto":
+        return "pil" if _pil_module() is not None else "fake"
+    return decoder
+
+
 def attach_media_metadata(df: DataFrame, binary_col: str, media_type: str, fmt: str) -> DataFrame:
     """Add the typed metadata struct for an opaque binary column — pure
     Column ops, payload untouched (and prunable)."""
@@ -78,16 +105,41 @@ def _fake_decode_image(payload: bytes) -> tuple[int, int, int, float]:
     return h, w, c, luma
 
 
-def extract_image_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+def _pil_decode_image(payload: bytes) -> tuple[int, int, int, float]:
+    """Real image decode via Pillow: dimensions from the header, mean
+    luma from the 8-bit grayscale conversion. Caller guarantees Pillow is
+    importable (``_resolve_decoder``)."""
+    import io
+
+    img = _pil_module().open(io.BytesIO(payload))
+    w, h = img.size
+    c = len(img.getbands())
+    gray = img.convert("L")
+    hist = gray.histogram()  # 256 bins; mean without materializing numpy
+    n = sum(hist) or 1
+    luma = sum(i * cnt for i, cnt in enumerate(hist)) / (n * 255.0)
+    return h, w, c, luma
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str, binary_col: str, decoder: str = "fake"
+) -> DataFrame:
     """Decode + featurize images via mapInPandas: Arrow batches of
     (id, bytes) in, small feature rows out — the payload never returns to
-    the driver, and output is ~40 bytes/row regardless of image size."""
+    the driver, and output is ~40 bytes/row regardless of image size.
+
+    ``decoder``: 'fake' (default — deterministic md5-derived features,
+    the only mode the synthetic hash-checked corpus supports), 'pil'
+    (real Pillow decode, raises if Pillow is absent), or 'auto' (Pillow
+    when importable, else the fake)."""
+    mode = _resolve_decoder(decoder)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _pil_decode_image if mode == "pil" else _fake_decode_image
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
-                h, w, c, luma = _fake_decode_image(bytes(payload) if payload is not None else b"")
+                h, w, c, luma = decode(bytes(payload) if payload is not None else b"")
                 rows.append((int(doc_id), h, w, c, luma))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "height", "width", "channels", "mean_luma"]
@@ -96,12 +148,17 @@ def extract_image_features(df: DataFrame, id_col: str, binary_col: str) -> DataF
     return df.select(id_col, binary_col).mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
-def resize_images(df: DataFrame, id_col: str, binary_col: str, size: tuple[int, int]) -> DataFrame:
+def resize_images(
+    df: DataFrame, id_col: str, binary_col: str, size: tuple[int, int],
+    decoder: str = "fake",
+) -> DataFrame:
     """Resize plumbing: binary in, binary out, same partitioning.
 
-    The stub 'resize' tags the payload with the target size (real
-    implementation: decode -> resample -> re-encode inside the batch
-    loop)."""
+    ``decoder='pil'``/``'auto'`` (with Pillow importable) really decodes,
+    resamples to ``size`` and re-encodes as PNG inside the batch loop;
+    the default stub 'resize' tags the payload with the target size so
+    the synthetic corpus stays exercisable."""
+    mode = _resolve_decoder(decoder)
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -111,13 +168,22 @@ def resize_images(df: DataFrame, id_col: str, binary_col: str, size: tuple[int, 
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag = f"resized:{size[0]}x{size[1]}:".encode()
-        for pdf in it:
+
+        def one(p) -> bytes:
+            payload = bytes(p) if p is not None else b""
+            if mode == "pil":
+                import io
+
+                img = _pil_module().open(io.BytesIO(payload)).resize(size)
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue()
             if STRICT_STUBS:
                 raise NotImplementedError("image resize requires an imaging library")
-            rows = [
-                (int(i), tag + hashlib.md5(bytes(p) if p is not None else b"").digest())
-                for i, p in zip(pdf[id_col], pdf[binary_col])
-            ]
+            return tag + hashlib.md5(payload).digest()
+
+        for pdf in it:
+            rows = [(int(i), one(p)) for i, p in zip(pdf[id_col], pdf[binary_col])]
             yield pd.DataFrame(rows, columns=["doc_id", "resized"])
 
     return df.select(id_col, binary_col).mapInPandas(batches, schema=out_schema)

@@ -71,11 +71,17 @@ def accepted_values(col: str, values: Sequence) -> Rule:
 
 
 def matches(col: str, pattern: str) -> Rule:
-    """Non-null values must fully match the regex; NULLs pass."""
+    """Non-null values must fully match the regex; NULLs pass.
+
+    Anchored with ``\\A(?:pat)\\z``, not ``^...$``: Java's ``$`` also
+    matches just before a trailing newline, so ``'F\\n'`` would pass a
+    ``^[FO]$`` rule — looser than "fully match" and than the DuckDB
+    ``regexp_full_match`` oracle twin. ``\\A``/``\\z`` are true
+    string-boundary anchors."""
     c = F.col(col)
     return Rule(
         name=f"matches({col})",
-        violation=c.isNotNull() & ~c.rlike(f"^(?:{pattern})$"),
+        violation=c.isNotNull() & ~c.rlike(f"\\A(?:{pattern})\\z"),
     )
 
 

@@ -46,9 +46,15 @@ def round_col(c: Column | str, d: int, expensive: bool = False) -> Column:
 
     def body(x: Column) -> Column:
         finite = ~(F.isnan(x) | (F.abs(x) == float("inf")))
+        scaled = F.abs(x) * s
+        # Saturation guard: F.floor on a double yields BIGINT, which
+        # saturates at Long.MAX — round_col(1e30, 2) would silently return
+        # ~9.22e16. Once |x|*10^d >= 2^52 the double's ulp is >= 1, so the
+        # scaled value has no fractional part and rounding is a no-op on
+        # the binary value (DuckDB ROUND agrees): pass x through unchanged.
         return F.when(
-            x.isNotNull() & finite,
-            F.signum(x) * F.floor(F.abs(x) * s + F.lit(0.5)) / s,
+            x.isNotNull() & finite & (scaled < F.lit(float(2**52))),
+            F.signum(x) * F.floor(scaled + F.lit(0.5)) / s,
         ).otherwise(x)
 
     if expensive:

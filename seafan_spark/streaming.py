@@ -371,9 +371,22 @@ def stream_dedup_ingest(
         pairs.write.mode("append").parquet(pairs_path)
         to_add = new_sig
         if not keep_dups:
-            # keep-first: a new doc that matched anything earlier (store
-            # or earlier-id in this batch) stays out of the store
-            dup_new = pairs.select(F.col("id_b").alias("_id")).distinct()
+            # keep-first: a new doc that matched anything earlier stays out
+            # of the store. "Earlier" = ANY stored doc (the store copy wins
+            # regardless of id order — a new doc with a SMALLER id than its
+            # store match is still the later arrival), or a lower-id doc in
+            # this same batch. Taking only id_b would implement
+            # keep-lowest-id and let the new side of a (new, store) pair
+            # with new_id < store_id slip into the store.
+            store_ids = store.select(F.col("_id").alias("_other"))
+            sided = pairs.select(
+                F.col("id_a").alias("_id"), F.col("id_b").alias("_other")
+            ).union(
+                pairs.select(F.col("id_b").alias("_id"), F.col("id_a").alias("_other"))
+            )
+            vs_store = sided.join(store_ids, "_other", "semi").select("_id")
+            within_batch = pairs.select(F.col("id_b").alias("_id"))
+            dup_new = vs_store.union(within_batch).distinct()
             to_add = to_add.join(F.broadcast(dup_new), "_id", "left_anti")
         # re-ingested ids keep their original store row (append-only).
         # NOTE the store is the BIG side here, so no broadcast hint — the

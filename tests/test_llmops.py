@@ -857,3 +857,41 @@ def test_stream_embed_ingest_equals_batch(vec_pipe, spark, tmp_path):
     )
     assert (0, 50) in want and got == want
     assert spark.read.parquet(store).count() == len(ids)
+
+
+def test_multimodal_decoder_modes(spark):
+    """Decoder probe contract: 'fake' always works (the hash-oracle mode),
+    'pil' raises without Pillow, 'auto' falls back to the fake, and an
+    unknown mode is rejected."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, b"\x89fakebytes")], "doc_id long, media binary")
+    fake = multimodal.extract_image_features(df, "doc_id", "media", decoder="fake").collect()
+    auto = multimodal.extract_image_features(df, "doc_id", "media", decoder="auto").collect()
+    if multimodal._pil_module() is None:
+        assert fake == auto  # auto falls back to the deterministic fake
+        with _pytest.raises(NotImplementedError):
+            multimodal.extract_image_features(df, "doc_id", "media", decoder="pil")
+    with _pytest.raises(ValueError):
+        multimodal.extract_image_features(df, "doc_id", "media", decoder="ffmpeg")
+
+
+def test_multimodal_pil_real_decode(spark):
+    """Real Pillow decode path — skipped in sandboxes without Pillow."""
+    import pytest as _pytest
+
+    Image = multimodal._pil_module()
+    if Image is None:
+        _pytest.skip("Pillow not installed")
+    import io
+
+    img = Image.new("RGB", (20, 10), color=(255, 255, 255))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "doc_id long, media binary")
+    feats = multimodal.extract_image_features(df, "doc_id", "media", decoder="pil").collect()
+    assert (feats[0]["height"], feats[0]["width"], feats[0]["channels"]) == (10, 20, 3)
+    assert feats[0]["mean_luma"] == _pytest.approx(1.0)
+    resized = multimodal.resize_images(df, "doc_id", "media", (5, 5), decoder="pil").collect()
+    rimg = Image.open(io.BytesIO(resized[0]["resized"]))
+    assert rimg.size == (5, 5)

@@ -69,3 +69,26 @@ def test_rule_validation():
         Rule(name="bad")
     with pytest.raises(ValueError):
         check_rules(None, [])
+
+
+def test_matches_rejects_trailing_newline(spark):
+    """'F\\n' must count as a violation: Java's $ matches before a trailing
+    newline, so the old ^...$ anchoring silently passed it while the
+    DuckDB regexp_full_match twin counted it — \\A...\\z closes the gap."""
+    df = spark.createDataFrame(
+        [("F",), ("O",), ("F\n",), ("\nF",), ("FO",), (None,)], "flag string"
+    )
+    report = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in check_rules(df, [matches("flag", "[FO]")]).collect()
+    }
+    # violations: 'F\n', '\nF', 'FO'; NULL passes
+    assert report["matches(flag)"] == (3, False)
+    import duckdb
+
+    n = duckdb.sql(
+        "SELECT SUM(CASE WHEN v IS NOT NULL AND NOT regexp_full_match(v, '(?:[FO])')"
+        " THEN 1 ELSE 0 END) FROM (VALUES ('F'), ('O'), ('F' || chr(10)),"
+        " (chr(10) || 'F'), ('FO'), (NULL)) t(v)"
+    ).fetchone()[0]
+    assert n == 3  # the Spark gate now agrees with its oracle twin

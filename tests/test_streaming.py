@@ -266,3 +266,35 @@ def test_stream_dedup_ingest_keep_first(spark, tmp_path):
     kept = sorted(r["_id"] for r in spark.read.parquet(store).collect())
     # dup ids 2 (of 1) and 103 (of 3) are kept OUT of the store
     assert kept == [1, 3, 4, 5, 101, 102]
+
+
+def test_stream_dedup_ingest_keep_first_smaller_new_id(spark, tmp_path):
+    """Keep-FIRST, not keep-lowest-id: a new doc whose id is SMALLER than
+    its store match is still the later arrival and must stay out of the
+    store. The old id_b-only rule let it slip in (round-3 ADVICE item 3)."""
+    import time as _t
+
+    from seafan_spark.streaming import stream_dedup_ingest
+
+    uniq = lambda i: " ".join(f"tok{i}x{j}q" for j in range(40))  # noqa: E731
+    src = f"{tmp_path}/docs"
+    # batch 1: doc 50 ingested first
+    spark.createDataFrame([(50, uniq(9)), (60, uniq(77))], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    _t.sleep(1.1)
+    # batch 2: doc 7 duplicates stored doc 50 (7 < 50) and doc 8 is clean
+    spark.createDataFrame([(7, uniq(9)), (8, uniq(88))], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    store, pairs_out = f"{tmp_path}/store", f"{tmp_path}/pairs"
+    sdf = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_dedup_ingest(
+        sdf, store, pairs_out, num_hashes=32, bands=4, threshold=0.5, keep_dups=False
+    )
+    got = sorted((r["id_a"], r["id_b"]) for r in spark.read.parquet(pairs_out).collect())
+    assert got == [(7, 50)]
+    kept = sorted(r["_id"] for r in spark.read.parquet(store).collect())
+    assert kept == [8, 50, 60]  # the store copy (50) wins; 7 stays out

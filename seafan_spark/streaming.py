@@ -378,13 +378,18 @@ def stream_dedup_ingest(
             # this same batch. Taking only id_b would implement
             # keep-lowest-id and let the new side of a (new, store) pair
             # with new_id < store_id slip into the store.
-            store_ids = store.select(F.col("_id").alias("_other"))
+            #
+            # Scale shape: pairs hold ONLY new-vs-store and new-vs-new
+            # sides, so "partner is in the store" == "partner is not in
+            # this batch" — resolved against the batch's own (small,
+            # broadcast) id set, NEVER by scanning the O(corpus) store.
+            new_ids = new_sig.select(F.col("_id").alias("_other"))
             sided = pairs.select(
                 F.col("id_a").alias("_id"), F.col("id_b").alias("_other")
             ).union(
                 pairs.select(F.col("id_b").alias("_id"), F.col("id_a").alias("_other"))
             )
-            vs_store = sided.join(store_ids, "_other", "semi").select("_id")
+            vs_store = sided.join(F.broadcast(new_ids), "_other", "left_anti").select("_id")
             within_batch = pairs.select(F.col("id_b").alias("_id"))
             dup_new = vs_store.union(within_batch).distinct()
             to_add = to_add.join(F.broadcast(dup_new), "_id", "left_anti")

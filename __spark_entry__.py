@@ -1432,7 +1432,9 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
 # oracled queries already driver-green in rounds 1 AND 2, (4) rows-only
-# queries (no SQL twin: iterative/optimizer outputs) last.
+# queries (no SQL twin: iterative/optimizer outputs) last — EXCEPT round 5
+# rotates the four never-driver-checked rows-only queries into the window
+# once so the driver record shows them (rotate back out next round).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, never driver-checked before round 3 ---
     "npv": q_npv,

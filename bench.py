@@ -88,14 +88,19 @@ def main() -> None:
     gc.collect()
     spark.sparkContext._jvm.System.gc()
 
+    # Per-cleanup blocking JVM full GCs (4 per query, ~340 per run over a
+    # pre-touched 8g heap) measured SLOWER in total (~8%) and no stabler
+    # than letting G1 run incrementally — off by default, knob retained.
+    jvm_gc = os.environ.get("SPARK_GRAFT_BENCH_JVMGC", "0") == "1"
+
     def cleanup() -> None:
         # isolate queries: drop cached blocks / checkpoint RDDs / broadcasts
-        # the query left behind so later timings don't pay its GC bill;
-        # the explicit JVM full GC keeps one query's garbage from inflating
-        # its neighbors (cleanup itself is outside the timed region)
+        # the query left behind so later timings don't pay its GC bill
+        # (cleanup itself is outside the timed region)
         spark.catalog.clearCache()
         gc.collect()
-        spark.sparkContext._jvm.System.gc()
+        if jvm_gc:
+            spark.sparkContext._jvm.System.gc()
         # ContextCleaner releases checkpoint/broadcast blocks async — give
         # it a beat so cleanup doesn't overlap the next timed query
         time.sleep(0.3)

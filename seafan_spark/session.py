@@ -47,6 +47,13 @@ def get_session(
         # inter-query full GCs (bench hygiene) disproportionately slow.
         # On a real cluster this is spark.executor.memory territory.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # pin the initial heap to the max and pre-touch it: adaptive heap
+        # growth + lazy page commit made identical bench processes differ
+        # 30-40% on individual queries (run-level, not trial-level, noise)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')} -XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1225,6 +1225,17 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(ev, "user_id", "ts", period="week")
 
 
+def q_ols_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form simple OLS (agg.ols_by): regress
+    l_extendedprice on l_quantity within (returnflag, linestatus) — one
+    moment-sum aggregation pass, arithmetic on one row per group. The
+    hash-checked twin of the otherwise rows-only model surface."""
+    from seafan_spark.agg import ols_by
+
+    li = _pipe(spark, sf_dir, "lineitem")
+    return ols_by(li, "l_quantity", "l_extendedprice", ["l_returnflag", "l_linestatus"])
+
+
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs with prefix+length blocking
     (llmops.dedup.edit_distance_pairs) — typo-class duplicates the
@@ -1436,6 +1447,8 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rotates the four never-driver-checked rows-only queries into the window
 # once so the driver record shows them (rotate back out next round).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- oracled, new in round 5 ---
+    "ols_simple": q_ols_simple,
     # --- oracled, never driver-checked before round 3 ---
     "npv": q_npv,
     "loop": q_loop,
@@ -1492,8 +1505,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "groupby_agg": q_groupby_agg,
     "expr_summary": q_expr_summary,
     "join_left_default": q_join_left_default,
-    "join_3way": q_join_3way,
     # --- end of the driver's 50-entry correctness window ---
+    "join_3way": q_join_3way,
     "window_cume": q_window_cume,
     "encode_normalize": q_encode_normalize,
     "decile": q_decile,
@@ -2746,6 +2759,36 @@ ORACLES["retention"] = """
                CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
         FROM e JOIN f USING (user_id)
         GROUP BY cohort, (p - cohort)
+    """
+
+# replays ols_by's moment sums and closed-form arithmetic in the SAME
+# association order (n*sxy - sx*sy, etc.) so 6-dp rounding sees identical
+# doubles; the zero-variance CASE guards mirror the Spark F.when guards
+ORACLES["ols_simple"] = """
+        WITH a AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(l_quantity AS DOUBLE)) AS sx,
+                   SUM(CAST(l_extendedprice AS DOUBLE)) AS sy,
+                   SUM(CAST(l_quantity AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS sxy,
+                   SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sxx,
+                   SUM(CAST(l_extendedprice AS DOUBLE) * CAST(l_extendedprice AS DOUBLE)) AS syy
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ), b AS (
+            SELECT l_returnflag, l_linestatus, n,
+                   CAST(n AS DOUBLE) * sxy - sx * sy AS cov_n,
+                   CAST(n AS DOUBLE) * sxx - sx * sx AS var_x_n,
+                   CAST(n AS DOUBLE) * syy - sy * sy AS var_y_n,
+                   sx, sy
+            FROM a
+        )
+        SELECT l_returnflag, l_linestatus, n,
+               ROUND(CASE WHEN var_x_n <> 0 THEN cov_n / var_x_n END, 6) AS slope,
+               ROUND((sy - (CASE WHEN var_x_n <> 0 THEN cov_n / var_x_n END) * sx)
+                     / CAST(n AS DOUBLE), 6) AS intercept,
+               ROUND(CASE WHEN var_x_n <> 0 AND var_y_n <> 0
+                          THEN (cov_n * cov_n) / (var_x_n * var_y_n) END, 6) AS r2
+        FROM b
     """
 
 ORACLES["edit_distance"] = """

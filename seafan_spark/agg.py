@@ -333,3 +333,48 @@ def distinct_counts(
     return agg.select(
         F.expr(f"stack({len(cols)}, {stack_args}) AS (field, n_distinct)")
     )
+
+
+def ols_by(
+    pipe: Pipeline, x_col: str, y_col: str, keys: Sequence[str]
+) -> DataFrame:
+    """Per-group simple linear regression (y = intercept + slope*x) in
+    closed form: (keys..., n, slope, intercept, r2), one aggregation
+    pass. The closed-form bridge between the expression language's
+    scalar ``corr`` and the iterative model layer (model_glm is
+    rows-only checkable; this surface is exactly SQL-twinnable).
+
+    Scale shape: ONE map-side-partial groupBy computing the five moment
+    sums; slope/intercept/r2 are post-aggregation arithmetic on one row
+    per group. The moment formulas are written in the same association
+    order as the DuckDB oracle so the hash check sees identical doubles
+    after 6-dp rounding. Groups with zero x-variance get NULL slope/r2
+    (the division is guarded, so ANSI mode never trips)."""
+    from seafan_spark.rounding import round_col
+
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    agg = pipe.df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    var_x_n = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y_n = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(var_x_n != 0.0, cov_n / var_x_n)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / n
+    r2 = F.when(
+        (var_x_n != 0.0) & (var_y_n != 0.0),
+        (cov_n * cov_n) / (var_x_n * var_y_n),
+    )
+    return agg.select(
+        *keys,
+        F.col("n"),
+        round_col(slope, 6).alias("slope"),
+        round_col(intercept, 6).alias("intercept"),
+        round_col(r2, 6).alias("r2"),
+    )

@@ -94,3 +94,32 @@ def test_pivot_table(spark):
     out2 = pivot_table(p, "g", "cat", F.sum("v"), values=["a", "b", "zzz"])
     assert out2.columns == ["g", "a", "b", "zzz"]
     assert all(r["zzz"] is None for r in out2.collect())
+
+
+def test_ols_by_matches_numpy(spark):
+    """Closed-form grouped OLS vs numpy.polyfit per group, plus the
+    zero-variance NULL guard."""
+    import numpy as np
+
+    from seafan_spark.agg import ols_by
+    from seafan_spark.pipeline import Pipeline
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g in ("a", "b"):
+        x = rng.uniform(0, 50, 400)
+        y = (3.0 if g == "a" else -1.5) * x + 7.0 + rng.normal(0, 2.0, 400)
+        rows += [(g, float(xi), float(yi)) for xi, yi in zip(x, y)]
+    rows += [("flat", 4.0, float(v)) for v in rng.normal(0, 1, 50)]  # var(x)=0
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in ols_by(Pipeline(df), "x", "y", ["g"]).collect()}
+    for g in ("a", "b"):
+        xs = np.array([r[1] for r in rows if r[0] == g])
+        ys = np.array([r[2] for r in rows if r[0] == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r2 = np.corrcoef(xs, ys)[0, 1] ** 2
+        assert abs(got[g]["slope"] - slope) < 1e-6
+        assert abs(got[g]["intercept"] - intercept) < 1e-6
+        assert abs(got[g]["r2"] - r2) < 1e-6
+        assert got[g]["n"] == 400
+    assert got["flat"]["slope"] is None and got["flat"]["r2"] is None

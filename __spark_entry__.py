@@ -1225,6 +1225,39 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention(ev, "user_id", "ts", period="week")
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation compose — the 'switch your whole workflow to
+    this engine' flagship: exact dedup (keep first copy) -> text-quality
+    features -> quality gate -> per-source cap (top-20 by length) ->
+    deterministic train/val/test split -> per-split corpus stats. Every
+    stage is the public API of an individually-oracled operator; the
+    composed DuckDB twin replays all five stages, so the hash check
+    covers the whole pipeline, not just its parts. Scale shape: one
+    window shuffle for dedup, staged projections for features (no
+    shuffle), one WindowGroupLimit shuffle for the cap, a pure-filter
+    split, and a 3-group aggregate."""
+    from seafan_spark.llmops import text as tx
+    from seafan_spark.llmops.dedup import exact_dedup
+    from seafan_spark.sampling import cap_per_group, train_val_test_split
+
+    p = _pipe(spark, sf_dir, "documents")
+    keep = (
+        exact_dedup(p, "text", "doc_id").df
+        .filter(F.col("is_dup") == 0.0)
+        .select("doc_id")
+    )
+    base = p.df.select("doc_id", "source", "text").join(keep, "doc_id")
+    feats = tx.add_text_features(base, "text")
+    q = feats.filter(F.col("quality") >= 0.5)
+    capped = cap_per_group(q, "source", "doc_id", 20, "n_chars")
+    s = train_val_test_split(capped, "doc_id", weights=(0.8, 0.1, 0.1), salt="cur")
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        round_col(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
 def q_ols_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group closed-form simple OLS (agg.ols_by): regress
     l_extendedprice on l_quantity within (returnflag, linestatus) — one
@@ -1448,6 +1481,7 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # once so the driver record shows them (rotate back out next round).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
+    "curation_pipeline": q_curation_pipeline,
     "ols_simple": q_ols_simple,
     # --- oracled, never driver-checked before round 3 ---
     "npv": q_npv,
@@ -1504,8 +1538,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q5": q_tpch_q5,
     "groupby_agg": q_groupby_agg,
     "expr_summary": q_expr_summary,
-    "join_left_default": q_join_left_default,
     # --- end of the driver's 50-entry correctness window ---
+    "join_left_default": q_join_left_default,
     "join_3way": q_join_3way,
     "window_cume": q_window_cume,
     "encode_normalize": q_encode_normalize,
@@ -2759,6 +2793,64 @@ ORACLES["retention"] = """
                CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
         FROM e JOIN f USING (user_id)
         GROUP BY cohort, (p - cohort)
+    """
+
+# replays the five curation stages end-to-end: dedup keeper window,
+# the text_quality_lang feature arithmetic (verbatim, plus source/n_chars
+# pass-through), the quality gate, the per-source cap window, and the
+# md5-bucket split — so the hash check covers the composed pipeline
+ORACLES["curation_pipeline"] = """
+        WITH k AS (
+            SELECT doc_id, source, text,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'))
+                       ORDER BY doc_id) AS rn
+            FROM documents
+        ), t AS (
+            SELECT doc_id, source, text, TRIM(text) AS tt,
+                   STR_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS toks_l
+            FROM k WHERE rn = 1
+        ), m AS (
+            SELECT doc_id, source,
+                   CAST(LENGTH(text) AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN LENGTH(tt)=0 THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END AS DOUBLE) AS toks,
+                   CASE WHEN LENGTH(text)=0 THEN 0.0
+                        ELSE CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                             '[.,;:!?''"()\\[\\]{}\\-]', '', 'g')) AS DOUBLE)/LENGTH(text)
+                   END AS pr,
+                   CASE WHEN (CASE WHEN LENGTH(tt)=0 THEN 0
+                              ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END) = 0 THEN 0.0
+                        ELSE CAST(LENGTH(REGEXP_REPLACE(tt, '\\s+', '', 'g')) AS DOUBLE)
+                             / (CASE WHEN LENGTH(tt)=0 THEN 0
+                                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END)
+                   END AS awl
+            FROM t
+        ), q AS (
+            SELECT doc_id, source, n_chars,
+                   ROUND(0.4*(LEAST(toks, 100.0)/100.0)
+                       + 0.3*(1.0 - LEAST(pr*4, 1.0))
+                       + 0.3*LEAST(GREATEST((awl-2)/6.0, 0.0), 1.0), 6) AS quality
+            FROM m
+        ), c AS (
+            SELECT * FROM (
+                SELECT q.*, ROW_NUMBER() OVER (
+                    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn2
+                FROM q WHERE quality >= 0.5
+            ) WHERE rn2 <= 20
+        ), s AS (
+            SELECT quality, n_chars,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'cur'), 1, 8))
+                        AS UBIGINT) % 1000000 AS spl
+            FROM c
+        )
+        SELECT CASE WHEN spl < 800000 THEN 'train'
+                    WHEN spl < 900000 THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               ROUND(AVG(quality), 6) AS avg_quality
+        FROM s GROUP BY 1
     """
 
 # replays ols_by's moment sums and closed-form arithmetic in the SAME

@@ -1269,6 +1269,67 @@ def q_ols_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_by(li, "l_quantity", "l_extendedprice", ["l_returnflag", "l_linestatus"])
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (sampling.leakage_safe_split):
+    every MinHash near-dup component keys its split on the component's
+    min id, so near-duplicate copies can never straddle train and eval.
+    One broadcast left join against the (tiny) cluster table + the same
+    pure-Column md5-bucket split as sample_split; hash-checked against a
+    DuckDB twin that replays the recursive-CTE closure and the identical
+    bucket arithmetic."""
+    from seafan_spark.llmops.dedup import minhash_clusters, minhash_pairs
+    from seafan_spark.sampling import leakage_safe_split
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    pairs = minhash_pairs(
+        p, "doc_id", "text", num_hashes=32, bands=4, threshold=0.5, portable=True
+    )
+    clusters = minhash_clusters(pairs)
+    out = leakage_safe_split(
+        p.df.select("doc_id"), "doc_id", clusters, weights=(0.8, 0.1, 0.1), salt="lk"
+    )
+    return out.select("doc_id", "split")
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (llmops.versioning.snapshot_diff): added /
+    removed / changed documents between two snapshot versions, compared
+    by md5 text fingerprint so the full text never shuffles — one
+    full-outer join over (id, fp) projections. Snapshots are derived
+    deterministically from `documents`: ids ≡5 (mod 11) arrive only in
+    the new snapshot, ids ≡3 (mod 11) were removed from it, and ids
+    ≡2 (mod 7) had their text rewritten."""
+    from seafan_spark.llmops.versioning import snapshot_diff, snapshot_fingerprints
+
+    d = _pipe(spark, sf_dir, "documents").df.select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 11 != 5)
+    new = d.filter(F.col("doc_id") % 11 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(
+        snapshot_fingerprints(old, "doc_id"), snapshot_fingerprints(new, "doc_id")
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 tokens via bounded-memory Misra-Gries candidates +
+    an exact verification pass (sketches.heavy_hitters) — the two-pass
+    heavy-hitter pattern that never runs a full-width groupBy, with an
+    exactness certificate (k-th count > n/width) checked at runtime, so
+    the output hash-matches a plain SQL GROUP BY / ORDER BY / LIMIT
+    twin."""
+    from seafan_spark.sketches import heavy_hitters
+
+    d = _pipe(spark, sf_dir, "documents").df
+    tokens = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters(tokens, "token", k=20, width=256)
+
+
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs with prefix+length blocking
     (llmops.dedup.edit_distance_pairs) — typo-class duplicates the
@@ -1483,6 +1544,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "curation_pipeline": q_curation_pipeline,
     "ols_simple": q_ols_simple,
+    "leakage_split": q_leakage_split,
+    "snapshot_diff": q_snapshot_diff,
+    "heavy_hitters": q_heavy_hitters,
     # --- oracled, never driver-checked before round 3 ---
     "npv": q_npv,
     "loop": q_loop,
@@ -1535,10 +1599,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_nn": q_model_nn,
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
+    # --- end of the driver's 50-entry correctness window ---
     "tpch_q5": q_tpch_q5,
     "groupby_agg": q_groupby_agg,
     "expr_summary": q_expr_summary,
-    # --- end of the driver's 50-entry correctness window ---
     "join_left_default": q_join_left_default,
     "join_3way": q_join_3way,
     "window_cume": q_window_cume,
@@ -2555,6 +2619,64 @@ def _minhash_clusters_oracle(num_hashes: int = 32, bands: int = 8, threshold: fl
 
 
 ORACLES["minhash_clusters"] = _minhash_clusters_oracle(bands=4)
+
+
+def _leakage_split_oracle() -> str:
+    """DuckDB twin of q_leakage_split: the same recursive-CTE component
+    closure as the minhash_clusters oracle, left-joined onto documents,
+    then the identical md5-bucket split arithmetic keyed on
+    COALESCE(cluster, doc_id)."""
+    clusters_sql = _minhash_clusters_oracle(bands=4)
+    return f"""
+        WITH cl AS ({clusters_sql}),
+        keyed AS (
+            SELECT d.doc_id,
+                   CAST(('0x' || substr(md5(
+                        CAST(COALESCE(cl.cluster, d.doc_id) AS VARCHAR) || 'lk'
+                   ), 1, 8)) AS UBIGINT) % 1000000 AS b
+            FROM documents d LEFT JOIN cl ON d.doc_id = cl.id
+        )
+        SELECT doc_id,
+               CASE WHEN b < 800000 THEN 'train'
+                    WHEN b < 900000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed
+    """
+
+
+ORACLES["leakage_split"] = _leakage_split_oracle()
+
+ORACLES["snapshot_diff"] = """
+    WITH old AS (
+        SELECT doc_id AS id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 5
+    ), new AS (
+        SELECT doc_id AS id,
+               md5(CASE WHEN doc_id % 7 = 2 THEN text || ' rev2' ELSE text END) AS fp
+        FROM documents WHERE doc_id % 11 <> 3
+    )
+    SELECT COALESCE(old.id, new.id) AS id,
+           CASE WHEN old.fp IS NULL THEN 'added'
+                WHEN new.fp IS NULL THEN 'removed'
+                WHEN old.fp <> new.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           old.fp AS old_fp, new.fp AS new_fp
+    FROM old FULL OUTER JOIN new ON old.id = new.id
+    WHERE old.fp IS NULL OR new.fp IS NULL OR old.fp <> new.fp
+"""
+
+ORACLES["heavy_hitters"] = """
+    SELECT item, cnt FROM (
+        SELECT item, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(string_split_regex(lower(text), '\\s+')) AS item
+            FROM documents
+        )
+        WHERE item <> ''
+        GROUP BY item
+    )
+    ORDER BY cnt DESC, item ASC
+    LIMIT 20
+"""
 
 
 def _minhash_calibration_oracle(

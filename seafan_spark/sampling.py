@@ -93,6 +93,48 @@ def train_val_test_split(
     return d.withColumn(out_col, split_col(F.col(key_col), weights, names, salt))
 
 
+def leakage_safe_split(
+    df,
+    id_col: str,
+    clusters: DataFrame,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "",
+    out_col: str = "split",
+    broadcast_clusters: bool = True,
+) -> DataFrame:
+    """Split so near-duplicates never straddle train/val/test.
+
+    A plain per-document hash split leaks: two near-dup copies of the
+    same text land in different splits and the eval set scores memorized
+    training data. Here every document keys its split on its duplicate
+    component instead — ``clusters`` is any ``(id, cluster)`` assignment
+    (``minhash_clusters`` over MinHash/SimHash/embedding pairs, or exact
+    fingerprint groups); documents missing from it are singletons and
+    key on their own id. The whole component therefore shares one
+    hash bucket and one split label.
+
+    Scale: one left join against the cluster table — which holds only
+    documents that HAVE a near-dup, typically a few percent of the
+    corpus — broadcast when it fits (default), else a shuffle join on
+    the corpus's own id (co-located for an id-bucketed corpus). The
+    split itself stays the same pure-Column md5-bucket arithmetic as
+    ``train_val_test_split`` — deterministic across engines, runs, and
+    task retries, and exactly reproducible in SQL for the oracle.
+    """
+    d = _df(df)
+    cl = clusters.select(
+        F.col("id").alias("__lss_id"), F.col("cluster").alias("__lss_cluster")
+    )
+    if broadcast_clusters:
+        cl = F.broadcast(cl)
+    joined = d.join(cl, d[id_col] == cl["__lss_id"], "left").drop("__lss_id")
+    key = F.coalesce(F.col("__lss_cluster"), F.col(id_col)).cast("string")
+    return joined.withColumn(out_col, split_col(key, weights, names, salt)).drop(
+        "__lss_cluster"
+    )
+
+
 def stratified_sample(
     df,
     key_col: str,

@@ -90,6 +90,130 @@ def hll_overlap(
     return F.greatest(inter, F.lit(0)).alias("overlap")
 
 
+def misra_gries_candidates(
+    df: DataFrame, item_col: str, width: int = 4096
+) -> DataFrame:
+    """Per-partition Misra–Gries frequent-item survivors.
+
+    One ``mapInPandas`` pass holding at most ``width`` counters per
+    partition regardless of domain size (the whole point: a full
+    ``groupBy`` over trillions of distinct n-grams shuffles the entire
+    domain; this never materializes more than ``width`` items per task).
+    Each Arrow batch is counted vectorized (``value_counts``), merged
+    into the summary, then batch-decremented: subtract the
+    (width+1)-th largest count and drop non-positives — the mergeable-
+    summaries form of the MG decrement (Agarwal et al., PODS'12), which
+    preserves the classic guarantee that any item with partition count
+    > n_p/width survives. Summing over partitions: any item with GLOBAL
+    count > n_total/width survives in at least one partition's summary.
+
+    Output: one row per surviving item (column ``item``) plus one
+    null-item row per partition carrying the partition's row count
+    (``pcount``) so callers get n_total from the same single scan.
+    """
+    if width < 1:
+        raise ValueError("misra_gries_candidates: width must be >= 1")
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    item_type = df.schema[item_col].dataType
+    out_schema = StructType(
+        [StructField("item", item_type), StructField("pcount", LongType())]
+    )
+    col = item_col
+
+    def mg(batches):
+        counts: dict = {}
+        n_p = 0
+        for pdf in batches:
+            s = pdf[col].dropna()
+            n_p += len(s)
+            vc = s.value_counts()
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > width:
+                cut = sorted(counts.values(), reverse=True)[width]
+                counts = {i: c - cut for i, c in counts.items() if c > cut}
+        yield pd.DataFrame(
+            {
+                "item": list(counts.keys()) + [None],
+                "pcount": [None] * len(counts) + [n_p],
+            }
+        )
+
+    return df.select(col).mapInPandas(mg, schema=out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    k: int = 20,
+    width: int = 4096,
+    require_exact: bool = True,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """EXACT top-``k`` items by count over an unbounded domain, without
+    ever running a full-width groupBy.
+
+    Pass 1 (:func:`misra_gries_candidates`): bounded-memory per-partition
+    survivors — a superset of every item with count > n/width. Pass 2:
+    exact counts restricted to the candidate set (broadcast semi join
+    against the corpus, map-side partial agg over only candidate rows),
+    then top-k by (count desc, item asc).
+
+    Exactness certificate: MG guarantees no item outside the candidate
+    set has count > n/width, so if the k-th exact candidate count
+    EXCEEDS n/width, the result provably equals the exact top-k. The
+    operator checks that on the (checkpointed, k-row) result and raises
+    under ``require_exact`` when the certificate fails — the fix is a
+    larger ``width``. For zipfian text the certificate holds with tiny
+    widths; the k-row output is hash-checkable against a plain SQL
+    ``GROUP BY … ORDER BY count DESC LIMIT k`` twin.
+
+    Scale: candidates ≤ partitions × width before the distinct, but for
+    skewed real-world domains survivors are far fewer; set
+    ``broadcast_candidates=False`` to fall back to a shuffle semi-join
+    when the candidate table outgrows broadcast comfort.
+    """
+    cand_rows = misra_gries_candidates(df, item_col, width).localCheckpoint(
+        eager=True
+    )
+    n_total = cand_rows.agg(F.sum("pcount")).first()[0] or 0
+    cand = cand_rows.filter(F.col("item").isNotNull()).select("item").distinct()
+    if broadcast_candidates:
+        cand = F.broadcast(cand)
+    counted = (
+        df.select(F.col(item_col).alias("item"))
+        .join(cand, "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    topk = (
+        counted.orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+    if require_exact:
+        kth = topk.agg(F.min("cnt")).first()[0]
+        if kth is not None and kth * width <= n_total:
+            raise ValueError(
+                f"heavy_hitters: top-k not provably exact "
+                f"(k-th count {kth} <= n/width = {n_total}/{width}); "
+                "increase width"
+            )
+        if topk.count() < k:
+            # fewer candidates than k: exact only if the candidates cover
+            # the whole corpus (then they ARE every distinct item)
+            covered = counted.agg(F.sum("cnt")).first()[0] or 0
+            if covered < n_total:
+                raise ValueError(
+                    "heavy_hitters: fewer than k certified candidates; "
+                    "increase width"
+                )
+    return topk
+
+
 def distinct_over_slices(
     df: DataFrame,
     fine_cols: Sequence[str],

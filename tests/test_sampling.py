@@ -147,3 +147,34 @@ def test_mix_sources_budget(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_leakage_safe_split_clusters_stay_together(spark):
+    """Every member of a dup component gets the component key's label;
+    docs absent from the cluster table split exactly like a plain
+    per-id train_val_test_split."""
+    from seafan_spark.sampling import leakage_safe_split, train_val_test_split
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # components {0,1,2}->0, {10,150}->10; everything else singleton
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (150, 10)], "id long, cluster long"
+    )
+    out = leakage_safe_split(docs, "doc_id", clusters, salt="t").collect()
+    lab = {r["doc_id"]: r["split"] for r in out}
+    assert len(lab) == 200
+    assert lab[0] == lab[1] == lab[2]
+    assert lab[10] == lab[150]
+    # singletons match the per-id split keyed on the same salt
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(docs, "doc_id", salt="t").collect()
+    }
+    clustered = {0, 1, 2, 10, 150}
+    for i in set(lab) - clustered:
+        assert lab[i] == plain[i]
+    # component label == the plain label of its min-id representative
+    assert lab[0] == plain[0]
+    assert lab[10] == plain[10]

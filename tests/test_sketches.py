@@ -111,3 +111,85 @@ def test_hll_overlap(spark):
         .collect()[0]["overlap"]
     )
     assert 0 <= est0 <= 0.05 * 20000, est0
+
+
+# ------------------------------------------------------------ heavy hitters
+
+
+@pytest.fixture(scope="module")
+def zipf_tokens(spark):
+    # zipf-ish: token t_i appears ~600/i times, i in 1..40, spread over
+    # several partitions so the per-partition MG summaries actually merge
+    rows = [(f"t{i:02d}",) for i in range(1, 41) for _ in range(600 // i)]
+    return spark.createDataFrame(rows, "token string").repartition(7)
+
+
+def test_heavy_hitters_matches_exact_groupby(zipf_tokens):
+    from seafan_spark.sketches import heavy_hitters
+
+    got = heavy_hitters(zipf_tokens, "token", k=10, width=64).collect()
+    exact = (
+        zipf_tokens.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(10)
+        .collect()
+    )
+    assert [(r["item"], r["cnt"]) for r in got] == [
+        (r["token"], r["cnt"]) for r in exact
+    ]
+
+
+def test_misra_gries_candidates_superset_and_bounded(zipf_tokens):
+    """Every item with global count > n/width survives; per-partition
+    survivor sets respect the width bound."""
+    from seafan_spark.sketches import misra_gries_candidates
+
+    width = 8
+    rows = misra_gries_candidates(zipf_tokens, "token", width=width).collect()
+    n = sum(r["pcount"] for r in rows if r["pcount"] is not None)
+    cand = {r["item"] for r in rows if r["item"] is not None}
+    exact = {
+        r["token"]: r["cnt"]
+        for r in zipf_tokens.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    for tok, cnt in exact.items():
+        if cnt > n / width:
+            assert tok in cand, f"{tok} (cnt {cnt}) missing at n={n}"
+    # ≤ width survivors per partition (7 partitions)
+    assert len([r for r in rows if r["item"] is not None]) <= width * 7
+
+
+def test_heavy_hitters_certificate_raises_on_narrow_width(spark):
+    """Uniform high-cardinality data can't certify a top-k at tiny
+    width: the operator must refuse rather than return a plausible-but-
+    unprovable answer."""
+    from seafan_spark.sketches import heavy_hitters
+
+    uniform = spark.createDataFrame(
+        [(f"u{i}",) for i in range(3000)], "token string"
+    ).repartition(4)
+    with pytest.raises(ValueError, match="not provably exact|fewer than k"):
+        heavy_hitters(uniform, "token", k=5, width=4)
+
+
+def test_heavy_hitters_small_domain_returns_all(spark):
+    """Distinct domain smaller than k: full coverage certificate accepts
+    and returns every item with exact counts."""
+    from seafan_spark.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, "token string"
+    ).repartition(3)
+    got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "token", k=10, width=16).collect()}
+    assert got == {("a", 5), ("b", 3), ("c", 2)}
+
+
+def test_heavy_hitters_ignores_nulls(spark):
+    from seafan_spark.sketches import heavy_hitters
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], "token string"
+    )
+    got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "token", k=5, width=16).collect()}
+    assert got == {("a", 2), ("b", 1)}

@@ -1330,6 +1330,19 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(tokens, "token", k=20, width=256)
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (llmops.dedup.duplicated_spans —
+    the substring-level dedup of Lee et al. 2022, as sharded k-gram
+    runs): maximal per-doc character ranges (>=50 chars) every 20-gram
+    of which occurs in >=2 documents. Output carries positions, not
+    hashes, so the DuckDB twin — which groups the raw substrings — must
+    agree exactly."""
+    from seafan_spark.llmops.dedup import duplicated_spans
+
+    p = _pipe(spark, sf_dir, "documents")
+    return duplicated_spans(p, "doc_id", "text", min_len=50, gram_k=20)
+
+
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs with prefix+length blocking
     (llmops.dedup.edit_distance_pairs) — typo-class duplicates the
@@ -1547,6 +1560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "leakage_split": q_leakage_split,
     "snapshot_diff": q_snapshot_diff,
     "heavy_hitters": q_heavy_hitters,
+    "duplicated_spans": q_duplicated_spans,
     # --- oracled, never driver-checked before round 3 ---
     "npv": q_npv,
     "loop": q_loop,
@@ -2676,6 +2690,24 @@ ORACLES["heavy_hitters"] = """
     )
     ORDER BY cnt DESC, item ASC
     LIMIT 20
+"""
+
+ORACLES["duplicated_spans"] = """
+    WITH g AS (
+        SELECT doc_id, unnest(range(1, length(text) - 20 + 2)) AS pos, text
+        FROM documents WHERE length(text) >= 20
+    ), g2 AS (
+        SELECT doc_id, pos, substr(text, CAST(pos AS INT), 20) AS gram FROM g
+    ), dup AS (
+        SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), d AS (
+        SELECT g2.doc_id, g2.pos,
+               g2.pos - ROW_NUMBER() OVER (PARTITION BY g2.doc_id ORDER BY g2.pos) AS grp
+        FROM g2 JOIN dup USING (gram)
+    )
+    SELECT doc_id, MIN(pos) AS start, COUNT(*) + 20 - 1 AS span_len
+    FROM d GROUP BY doc_id, grp
+    HAVING COUNT(*) + 20 - 1 >= 50
 """
 
 

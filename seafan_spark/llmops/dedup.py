@@ -859,6 +859,90 @@ def ngram_jaccard_pairs(
     return out
 
 
+def duplicated_spans(
+    pipe: Pipeline | DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 50,
+    gram_k: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans — the substring-level dedup of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499), whose suffix-array pass finds verbatim
+    text shared across documents so it can be CUT rather than dropping
+    whole near-dup docs. Re-expressed Spark-first as character-k-gram
+    runs (a suffix array is a single-machine artifact; k-gram posting
+    lists shard):
+
+    1. explode each doc into ``(id, pos, xxhash64(substr(text,pos,k)))``
+       — one stage, no UDF; the text column dies at the projection, so
+       the gram shuffle carries 8-byte hashes + positions, never text;
+    2. keep hashes occurring in >= ``min_docs`` distinct docs (map-side
+       partial agg on the slim hash key);
+    3. per doc, coalesce consecutive duplicated positions into maximal
+       runs with the gaps-and-islands window (pos - row_number());
+    4. emit runs whose character span ``run + gram_k - 1 >= min_len``.
+
+    Returns ``(id_col, start, span_len)``, start 1-based. Every
+    length-``gram_k`` window of an emitted span occurs in >= ``min_docs``
+    documents. A span duplicated as a unit is always found exactly; a
+    maximal run may also chain overlapping duplications from DIFFERENT
+    partner docs — deliberately kept, since cut-the-duplicated-text
+    policies want any locally-duplicated region either way. Exact (no
+    sampling/sketching) up to xxhash64 collisions; output carries no
+    hashes, so the DuckDB twin groups raw substrings and must agree.
+
+    Scale: gram explosion is ~len(text) rows per doc — inherent to
+    substring-level dedup (the paper's suffix array is also O(corpus
+    chars)); everything after step 1 moves only (id, pos) pairs for
+    duplicated grams, and the final window partitions by doc id, state
+    bounded by one doc's duplicated positions.
+    """
+    d = pipe.df if isinstance(pipe, Pipeline) else pipe
+    from seafan_spark.partitions import spread_if_narrow
+
+    raw = d.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")).filter(
+        F.length("_txt") >= gram_k
+    )
+    target = d.sparkSession.sparkContext.defaultParallelism
+    raw = spread_if_narrow(raw, target, "_id")
+    grams = (
+        raw.select(
+            "_id",
+            F.posexplode(
+                F.expr(f"sequence(1, length(_txt) - {gram_k} + 1)")
+            ).alias("_i", "pos"),
+            "_txt",
+        )
+        .select(
+            "_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.xxhash64(F.expr(f"substring(_txt, pos, {gram_k})")).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("_id").alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("h")
+    )
+    hits = grams.join(dup, "h").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    runs = (
+        hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("_id", "_grp")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.count(F.lit(1)) + F.lit(gram_k - 1)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select(F.col("_id").alias(id_col), "start", "span_len")
+    )
+    return runs
+
+
 # ------------------------------------------------- embedding near-dup ----
 def _exact_pairs_blocked(d: DataFrame, threshold: float) -> DataFrame:
     """All-pairs cosine >= threshold by blocked BLAS matmul.

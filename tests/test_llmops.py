@@ -895,3 +895,52 @@ def test_multimodal_pil_real_decode(spark):
     resized = multimodal.resize_images(df, "doc_id", "media", (5, 5), decoder="pil").collect()
     rimg = Image.open(io.BytesIO(resized[0]["resized"]))
     assert rimg.size == (5, 5)
+
+
+# ------------------------------------------------------- duplicated spans
+
+
+def test_duplicated_spans_planted(spark):
+    """A verbatim 60-char block shared by two docs is found in both, at
+    the right offsets and exact length; unique text yields nothing."""
+    from seafan_spark.llmops.dedup import duplicated_spans
+
+    block = "the quick brown fox jumps over the lazy dog again and again!"  # 60 chars
+    assert len(block) == 60
+    docs = spark.createDataFrame(
+        [
+            (1, "A" * 30 + block + "B" * 25),
+            (2, "C" * 10 + block + "D" * 40),
+            (3, "totally unrelated text that repeats nothing from the others x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["start"], r["span_len"])
+        for r in duplicated_spans(docs, "doc_id", "text", min_len=50, gram_k=20).collect()
+    }
+    assert out == {(1, 31, 60), (2, 11, 60)}
+
+
+def test_duplicated_spans_chained_and_short(spark):
+    """Runs shorter than min_len are dropped; a doc shorter than gram_k
+    is skipped outright (no sequence() on a negative range)."""
+    from seafan_spark.llmops.dedup import duplicated_spans
+
+    shared = "0123456789abcdefghijklmnopqrs"  # 29 chars: spans of 29 < 40
+    docs = spark.createDataFrame(
+        [
+            (1, "xx" + shared + "yy" * 20),
+            (2, "zz" + shared + "ww" * 20),
+            (3, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(docs, "doc_id", "text", min_len=40, gram_k=20)
+    assert out.count() == 0
+    # the same spans ARE reported at a lower threshold
+    low = {
+        (r["doc_id"], r["span_len"])
+        for r in duplicated_spans(docs, "doc_id", "text", min_len=20, gram_k=20).collect()
+    }
+    assert (1, 29) in low and (2, 29) in low

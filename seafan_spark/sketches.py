@@ -107,9 +107,10 @@ def misra_gries_candidates(
     > n_p/width survives. Summing over partitions: any item with GLOBAL
     count > n_total/width survives in at least one partition's summary.
 
-    Output: one row per surviving item (column ``item``) plus one
-    null-item row per partition carrying the partition's row count
-    (``pcount``) so callers get n_total from the same single scan.
+    Output: one row per surviving item (columns ``item``, ``est`` — the
+    MG estimate, which undercounts by at most n_p/(width+1)) plus one
+    null-item row per partition carrying the partition's non-null row
+    count (``pcount``) so callers get n_total from the same single scan.
     """
     if width < 1:
         raise ValueError("misra_gries_candidates: width must be >= 1")
@@ -119,7 +120,11 @@ def misra_gries_candidates(
 
     item_type = df.schema[item_col].dataType
     out_schema = StructType(
-        [StructField("item", item_type), StructField("pcount", LongType())]
+        [
+            StructField("item", item_type),
+            StructField("est", LongType()),
+            StructField("pcount", LongType()),
+        ]
     )
     col = item_col
 
@@ -138,6 +143,7 @@ def misra_gries_candidates(
         yield pd.DataFrame(
             {
                 "item": list(counts.keys()) + [None],
+                "est": list(counts.values()) + [None],
                 "pcount": [None] * len(counts) + [n_p],
             }
         )
@@ -212,6 +218,99 @@ def heavy_hitters(
                     "increase width"
                 )
     return topk
+
+
+def _mg_compress(items: DataFrame, width: int) -> DataFrame:
+    """Compress an ``(item, est)`` count table back to <= ``width`` rows
+    with the mergeable-summaries decrement: subtract the (width+1)-th
+    largest estimate from everything, keep positives. The cut is read
+    from a distributed top-(width+1) (TakeOrdered over a table that is
+    already <= partitions x width rows); only the 2-value (count, min)
+    scalar ever reaches the driver."""
+    top = items.orderBy(F.col("est").desc()).limit(width + 1)
+    row = top.agg(
+        F.count(F.lit(1)).alias("c"), F.min("est").alias("m")
+    ).first()
+    cut = int(row["m"]) if (row["c"] or 0) == width + 1 else 0
+    if cut == 0:
+        return items
+    return items.filter(F.col("est") > cut).withColumn(
+        "est", F.col("est") - F.lit(cut)
+    )
+
+
+def misra_gries_summary(df: DataFrame, item_col: str, width: int = 4096) -> DataFrame:
+    """GLOBAL Misra–Gries summary: at most ``width`` rows of
+    ``(item, est)`` plus one null-item row whose ``est`` is the total
+    non-null item count n. Built by summing the per-partition summaries
+    (:func:`misra_gries_candidates`) per item — a map-side-combined
+    aggregation over <= partitions x width slim rows — then one
+    decrement back to ``width``.
+
+    Mergeable-summaries guarantee (Agarwal et al., PODS'12): for every
+    item, est <= true count <= est + n/(width+1), and any item with true
+    count > n/(width+1) is present. The summary is a tiny persistable
+    TABLE — the streaming ingest (streaming.stream_heavy_hitters_ingest)
+    folds micro-batches into it with :func:`merge_mg_summaries`, with
+    the same bound against the all-time n.
+    """
+    rows = misra_gries_candidates(df, item_col, width).localCheckpoint(eager=True)
+    item_type = df.schema[item_col].dataType
+    n_row = (
+        rows.filter(F.col("item").isNull())
+        .agg(F.sum("pcount").alias("est"))
+        .select(F.lit(None).cast(item_type).alias("item"), F.coalesce("est", F.lit(0)).alias("est"))
+    )
+    summed = (
+        rows.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("est").alias("est"))
+    )
+    return _mg_compress(summed, width).unionByName(n_row)
+
+
+def merge_mg_summaries(a: DataFrame, b: DataFrame, width: int = 4096) -> DataFrame:
+    """Merge two MG summaries (the ``(item, est)`` + null-item-n shape of
+    :func:`misra_gries_summary`) into one with the same shape and the
+    same error bound against the COMBINED n: item estimates add, then
+    one decrement back to ``width``; the n rows add. Associative and
+    shuffle-light (the inputs are <= width+1 rows each)."""
+    u = a.unionByName(b)
+    n_row = (
+        u.filter(F.col("item").isNull())
+        .agg(F.sum("est").alias("est"))
+        .select(
+            F.lit(None).cast(a.schema["item"].dataType).alias("item"),
+            F.coalesce("est", F.lit(0)).alias("est"),
+        )
+    )
+    summed = (
+        u.filter(F.col("item").isNotNull()).groupBy("item").agg(F.sum("est").alias("est"))
+    )
+    return _mg_compress(summed, width).unionByName(n_row)
+
+
+def heavy_hitters_from_summary(summary: DataFrame, k: int, width: int) -> DataFrame:
+    """Top-k candidates from a persisted MG summary with honest bounds:
+    ``(item, est_lo, est_hi)`` where est_lo <= true count <= est_hi
+    (= est + n/(width+1)). Reads only the summary table — never the
+    corpus. An item missing from the summary has true count <=
+    n/(width+1); report that floor as ``max_missed``."""
+    n = (
+        summary.filter(F.col("item").isNull()).agg(F.sum("est")).first()[0] or 0
+    )
+    slack = n // (width + 1)
+    return (
+        summary.filter(F.col("item").isNotNull())
+        .select(
+            "item",
+            F.col("est").alias("est_lo"),
+            (F.col("est") + F.lit(slack)).alias("est_hi"),
+            F.lit(slack).alias("max_missed"),
+        )
+        .orderBy(F.col("est_lo").desc(), F.col("item").asc())
+        .limit(k)
+    )
 
 
 def distinct_over_slices(

@@ -573,6 +573,66 @@ def stream_sketch_ingest(
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def stream_heavy_hitters_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    item_col: str,
+    width: int = 4096,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming maintenance of a Misra–Gries heavy-hitter summary
+    (``foreachBatch`` + ``sketches``): per micro-batch, summarize ONLY
+    the arriving rows (one bounded-memory pass), merge with the
+    persisted summary at ``store_path`` (<= width+1 slim rows —
+    estimates add, one decrement re-compresses), and rewrite the store.
+
+    The mergeable-summaries bound survives every merge: against the
+    ALL-TIME item count n, any item with true count > n/(width+1) is in
+    the store and its estimate undercounts by at most n/(width+1) — so
+    "what tokens/domains/urls dominate the stream so far" is answered by
+    reading kilobytes (``sketches.heavy_hitters_from_summary``), never
+    re-scanning the accumulated stream. Same strict first-batch handling
+    as :func:`stream_sketch_ingest`: this sink overwrites, so only a
+    PATH_NOT_FOUND counts as "no store yet"."""
+    import shutil
+
+    from seafan_spark.sketches import merge_mg_summaries, misra_gries_summary
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="seafan_hh_ckpt_")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_sum = misra_gries_summary(batch_df, item_col, width)
+        from pyspark.errors import AnalysisException
+
+        try:
+            store = spark.read.parquet(store_path)
+            merged = merge_mg_summaries(store, batch_sum, width)
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            merged = batch_sum
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(store_path)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"heavy-hitter ingest did not finish in {timeout_sec}s")
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def stream_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -193,3 +193,116 @@ def test_heavy_hitters_ignores_nulls(spark):
     )
     got = {(r["item"], r["cnt"]) for r in heavy_hitters(df, "token", k=5, width=16).collect()}
     assert got == {("a", 2), ("b", 1)}
+
+
+# ------------------------------------------- mergeable MG summaries / stream
+
+
+def test_mg_summary_guarantee_and_bounds(zipf_tokens):
+    """Global summary: every item with count > n/(width+1) present;
+    est <= true <= est + n/(width+1); <= width+1 rows total."""
+    from seafan_spark.sketches import misra_gries_summary
+
+    width = 8
+    rows = misra_gries_summary(zipf_tokens, "token", width=width).collect()
+    n = next(r["est"] for r in rows if r["item"] is None)
+    ests = {r["item"]: r["est"] for r in rows if r["item"] is not None}
+    exact = {
+        r["token"]: r["cnt"]
+        for r in zipf_tokens.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert n == sum(exact.values())
+    assert len(ests) <= width
+    slack = n / (width + 1)
+    for tok, cnt in exact.items():
+        if cnt > slack:
+            assert tok in ests
+    for tok, est in ests.items():
+        assert est <= exact[tok] <= est + slack
+
+
+def test_mg_merge_matches_combined_guarantee(spark):
+    """merge(summary(A), summary(B)) keeps the bound against A u B and
+    adds the n rows."""
+    from seafan_spark.sketches import merge_mg_summaries, misra_gries_summary
+
+    a = spark.createDataFrame(
+        [(f"t{i}",) for i in range(1, 11) for _ in range(120 // i)], "token string"
+    ).repartition(3)
+    b = spark.createDataFrame(
+        [(f"t{i}",) for i in range(5, 21) for _ in range(200 // i)], "token string"
+    ).repartition(4)
+    width = 6
+    m = merge_mg_summaries(
+        misra_gries_summary(a, "token", width),
+        misra_gries_summary(b, "token", width),
+        width,
+    ).collect()
+    n = next(r["est"] for r in m if r["item"] is None)
+    ests = {r["item"]: r["est"] for r in m if r["item"] is not None}
+    exact: dict = {}
+    for df in (a, b):
+        for r in df.groupBy("token").agg(F.count("*").alias("c")).collect():
+            exact[r["token"]] = exact.get(r["token"], 0) + r["c"]
+    assert n == sum(exact.values())
+    assert len(ests) <= width
+    slack = n / (width + 1)
+    for tok, cnt in exact.items():
+        if cnt > slack:
+            assert tok in ests
+    for tok, est in ests.items():
+        assert est <= exact[tok] <= est + slack
+
+
+def test_heavy_hitters_from_summary_bounds(zipf_tokens):
+    from seafan_spark.sketches import heavy_hitters_from_summary, misra_gries_summary
+
+    width = 16
+    s = misra_gries_summary(zipf_tokens, "token", width=width)
+    got = heavy_hitters_from_summary(s, k=5, width=width).collect()
+    exact = {
+        r["token"]: r["cnt"]
+        for r in zipf_tokens.groupBy("token").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert len(got) == 5
+    for r in got:
+        assert r["est_lo"] <= exact[r["item"]] <= r["est_hi"]
+    # the true #1 item is reported first (its count dwarfs the slack)
+    assert got[0]["item"] == "t01"
+
+
+def test_stream_heavy_hitters_ingest(spark, tmp_path):
+    """Two micro-batches folded into a persisted summary: bound holds
+    against the all-time counts; store stays <= width+1 rows."""
+    import time as _t
+
+    from seafan_spark.streaming import stream_heavy_hitters_ingest
+
+    src = f"{tmp_path}/toks"
+    f1 = [(f"t{i}",) for i in range(1, 11) for _ in range(90 // i)]
+    f2 = [(f"t{i}",) for i in range(3, 15) for _ in range(140 // i)]
+    spark.createDataFrame(f1, "token string").coalesce(1).write.mode("append").parquet(src)
+    _t.sleep(1.1)
+    spark.createDataFrame(f2, "token string").coalesce(1).write.mode("append").parquet(src)
+    store = f"{tmp_path}/hh_store"
+    sdf = (
+        spark.readStream.schema("token string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    width = 8
+    stream_heavy_hitters_ingest(sdf, store, "token", width=width)
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) <= width + 1
+    n = next(r["est"] for r in rows if r["item"] is None)
+    ests = {r["item"]: r["est"] for r in rows if r["item"] is not None}
+    exact: dict = {}
+    for tok, in f1 + f2:
+        exact[tok] = exact.get(tok, 0) + 1
+    assert n == len(f1) + len(f2)
+    slack = n / (width + 1)
+    for tok, cnt in exact.items():
+        if cnt > slack:
+            assert tok in ests
+    for tok, est in ests.items():
+        assert est <= exact[tok] <= est + slack

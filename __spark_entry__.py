@@ -1361,6 +1361,26 @@ def q_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return misra_gries_summary(tokens, "token", width=4096)
 
 
+def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup CUT policy end to end
+    (llmops.dedup.cut_duplicated_spans): duplicated spans -> per-doc
+    overlap merge -> remainder stitched by a JVM aggregate() walk. Slim
+    hash-checkable output: (doc_id, clean_chars, clean_fp) where
+    clean_fp is md5 of the cleaned text; the DuckDB twin replays spans,
+    island-merge, and gap stitching with string_agg."""
+    from seafan_spark.llmops.dedup import cut_duplicated_spans
+
+    p = _pipe(spark, sf_dir, "documents")
+    out = cut_duplicated_spans(
+        p.df.select("doc_id", "text"), "doc_id", "text", min_len=50, gram_k=20
+    )
+    return out.select(
+        "doc_id",
+        F.length("clean_text").cast("bigint").alias("clean_chars"),
+        F.md5("clean_text").alias("clean_fp"),
+    )
+
+
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs with prefix+length blocking
     (llmops.dedup.edit_distance_pairs) — typo-class duplicates the
@@ -1580,6 +1600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "heavy_hitters": q_heavy_hitters,
     "duplicated_spans": q_duplicated_spans,
     "mg_summary": q_mg_summary,
+    "cut_spans": q_cut_spans,
     # --- oracled, never driver-checked before round 3 ---
     "npv": q_npv,
     "loop": q_loop,
@@ -1620,8 +1641,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_project": q_embed_project,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
-    # --- oracled, first driver check pending (added round 3) ---
-    "skew_report": q_skew_report,
     # --- rows-only, never driver-checked before round 5 (rotated into the
     # window this round per VERDICT r4 task 6; the driver records a
     # rows-only check for them — no SQL twin exists by nature) ---
@@ -1632,6 +1651,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "skew_report": q_skew_report,
     "mix": q_mix,
     "tpch_q5": q_tpch_q5,
     "groupby_agg": q_groupby_agg,
@@ -2719,6 +2739,59 @@ ORACLES["mg_summary"] = """
     SELECT item, CAST(COUNT(*) AS BIGINT) AS est FROM t GROUP BY item
     UNION ALL
     SELECT NULL AS item, CAST(COUNT(*) AS BIGINT) AS est FROM t
+"""
+
+ORACLES["cut_spans"] = """
+    WITH g AS (
+        SELECT doc_id, unnest(range(1, length(text) - 20 + 2)) AS pos, text
+        FROM documents WHERE length(text) >= 20
+    ), g2 AS (
+        SELECT doc_id, pos, substr(text, CAST(pos AS INT), 20) AS gram FROM g
+    ), dup AS (
+        SELECT gram FROM g2 GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), isl AS (
+        SELECT g2.doc_id, g2.pos,
+               g2.pos - ROW_NUMBER() OVER (PARTITION BY g2.doc_id ORDER BY g2.pos) AS grp
+        FROM g2 JOIN dup USING (gram)
+    ), spans AS (
+        SELECT doc_id, MIN(pos) AS s, MIN(pos) + COUNT(*) + 20 - 2 AS e
+        FROM isl GROUP BY doc_id, grp
+        HAVING COUNT(*) + 20 - 1 >= 50
+    ), m0 AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > COALESCE(MAX(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    THEN 1 ELSE 0 END AS brk
+        FROM spans
+    ), m1 AS (
+        SELECT doc_id, s, e,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS isl_id
+        FROM m0
+    ), m AS (
+        SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM m1 GROUP BY doc_id, isl_id
+    ), gaps AS (
+        SELECT m.doc_id, m.s, m.e,
+               COALESCE(LAG(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.s), 0) AS prev_e,
+               d2.text
+        FROM m JOIN documents d2 USING (doc_id)
+    ), segs AS (
+        SELECT doc_id, s AS ord,
+               substr(text, CAST(prev_e + 1 AS INT), CAST(s - prev_e - 1 AS INT)) AS seg
+        FROM gaps
+        UNION ALL
+        SELECT doc_id, 2000000000 AS ord,
+               substr(text, CAST(MAX(e) + 1 AS INT)) AS seg
+        FROM gaps GROUP BY doc_id, text
+    ), cleaned AS (
+        SELECT doc_id, string_agg(seg, '' ORDER BY ord) AS clean
+        FROM segs GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(COALESCE(c.clean, d.text)) AS BIGINT) AS clean_chars,
+           md5(COALESCE(c.clean, d.text)) AS clean_fp
+    FROM documents d LEFT JOIN cleaned c USING (doc_id)
 """
 
 ORACLES["duplicated_spans"] = """

@@ -943,6 +943,85 @@ def duplicated_spans(
     return runs
 
 
+def cut_duplicated_spans(
+    pipe: Pipeline | DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 50,
+    gram_k: int = 20,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Apply the CUT policy of substring-level dedup: remove every
+    duplicated span (:func:`duplicated_spans`) from every document's
+    text and keep the stitched remainder — Lee et al. 2022's
+    ExactSubstr removal, under the simple symmetric policy (the
+    duplicated region is cut from ALL docs that carry it; keep-one-copy
+    variants can pre-filter ``spans`` by a representative choice before
+    passing them in).
+
+    Pipeline: spans -> per-doc overlapping-interval merge (runs from
+    adjacent gram islands can overlap in CHARACTER space by up to
+    gram_k-1) via a running-max window -> one sorted interval array per
+    doc -> remainder stitched with a JVM ``aggregate`` higher-order
+    function (substring concat walking the gaps). No Python in the row
+    path; the only shuffles are the span window and one groupBy(id) for
+    the interval arrays, both partitioned by doc id with per-doc state
+    bounded by a doc's span count.
+
+    Returns the input columns plus ``out_col``; docs with no duplicated
+    span pass through verbatim.
+    """
+    d = pipe.df if isinstance(pipe, Pipeline) else pipe
+    if spans is None:
+        spans = duplicated_spans(
+            d.select(id_col, text_col), id_col, text_col,
+            min_len=min_len, gram_k=gram_k, min_docs=min_docs,
+        )
+    iv = spans.select(
+        F.col(id_col).alias("_cid"),
+        F.col("start").alias("_s"),
+        (F.col("start") + F.col("span_len") - 1).alias("_e"),
+    )
+    w = Window.partitionBy("_cid").orderBy("_s")
+    prev_max_e = F.max("_e").over(
+        Window.partitionBy("_cid").orderBy("_s").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    island = F.sum(
+        F.when(F.col("_s") > F.coalesce(prev_max_e, F.lit(0)), 1).otherwise(0)
+    ).over(w)
+    merged = (
+        iv.withColumn("_isl", island)
+        .groupBy("_cid", "_isl")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+    )
+    arrs = merged.groupBy("_cid").agg(
+        F.sort_array(F.collect_list(F.struct("_s", "_e"))).alias("_ivs")
+    )
+    joined = d.join(arrs, d[id_col] == arrs["_cid"], "left").drop("_cid")
+    stitched = F.expr(
+        f"""aggregate(
+            _ivs,
+            named_struct('pos', CAST(1 AS BIGINT), 'acc', ''),
+            (st, iv) -> named_struct(
+                'pos', iv._e + CAST(1 AS BIGINT),
+                'acc', concat(st.acc, substring({text_col},
+                              CAST(st.pos AS INT),
+                              CAST(iv._s - st.pos AS INT)))),
+            st -> concat(st.acc, substring({text_col}, CAST(st.pos AS INT),
+                         CAST(greatest(length({text_col}) - st.pos + 1, 0) AS INT)))
+        )"""
+    )
+    out = joined.withColumn(
+        out_col,
+        F.when(F.col("_ivs").isNull(), F.col(text_col)).otherwise(stitched),
+    ).drop("_ivs")
+    return out
+
+
 # ------------------------------------------------- embedding near-dup ----
 def _exact_pairs_blocked(d: DataFrame, threshold: float) -> DataFrame:
     """All-pairs cosine >= threshold by blocked BLAS matmul.

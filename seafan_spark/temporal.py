@@ -347,3 +347,82 @@ def retention(
         .groupBy(F.col("_cohort").alias("cohort"), (F.col("_p") - F.col("_cohort")).alias("period_offset"))
         .agg(F.count_distinct("_u").alias("n_users"))
     )
+
+
+def ts_topk_matches(
+    df,
+    key_col: str,
+    order_cols: Sequence[str],
+    value_col: str,
+    query: Sequence[float],
+    k: int = 5,
+    znorm_series: bool = False,
+) -> DataFrame:
+    """Distributed sliding-window pattern search over per-key time
+    series: the euclidean distance between EVERY length-L window of each
+    key's ordered series and the (broadcast-literal) ``query`` pattern,
+    returning the global top-``k`` matches ``(key, start, dist)`` —
+    the distributed subsequence-similarity-search primitive
+    (Echihabi et al.'s distributed data-series search line, VLDB'23,
+    re-expressed relationally).
+
+    Shape: one per-key window pass builds each offset's length-L array
+    with a BOUNDED frame (``ROWS BETWEEN CURRENT AND L-1 FOLLOWING`` —
+    state is L doubles, never a whole series), the distance is a pure
+    JVM ``zip_with``+``aggregate`` expression against the inlined query
+    literal (sequential summation — exactly reproducible in the
+    oracle), and the top-k is orderBy+limit (TakeOrdered: per-partition
+    heaps, no global sort materialization). ``znorm_series=True``
+    z-normalizes each key's WHOLE series first (amplitude/offset
+    invariance) with one windowed avg/stddev pass; per-window z-norm (UCR
+    style) would compose the same way with window-frame moments.
+
+    ``start`` is the 1-based offset of the window within its key's
+    series under ``order_cols``. Keys shorter than L yield no rows.
+    """
+    L = len(query)
+    if L < 1:
+        raise ValueError("ts_topk_matches: query must be non-empty")
+    d = _df(df)
+    ordw = Window.partitionBy("_k").orderBy(*[F.col(c) for c in order_cols])
+    s = d.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("double").alias("_v"),
+    ).withColumn("_rn", F.row_number().over(ordw))
+    if znorm_series:
+        kw = Window.partitionBy("_k")
+        mu = F.avg("_v").over(kw)
+        sd = F.stddev_samp("_v").over(kw)
+        s = s.withColumn(
+            "_v",
+            F.when(sd.isNull() | (sd == 0), F.lit(0.0)).otherwise(
+                (F.col("_v") - mu) / sd
+            ),
+        )
+    fr = (
+        Window.partitionBy("_k")
+        .orderBy("_rn")
+        .rowsBetween(Window.currentRow, L - 1)
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in query])
+    arr = F.collect_list("_v").over(fr)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("_arr"), qlit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    out = (
+        s.withColumn("_arr", arr)
+        .filter(F.size("_arr") == L)
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_rn").alias("start"),
+            dist.alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col(key_col).asc(), F.col("start").asc())
+        .limit(k)
+    )
+    return out

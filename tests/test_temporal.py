@@ -158,3 +158,65 @@ def test_range_join_exact_buckets_at_nano_scale(spark):
     out = range_join(l, r, on="k", left_time="ts", before=5, after=5, bucket=3)
     got = sorted(r["ts_r"] for r in out.collect())
     assert got == [base + 3, base + 8]
+
+
+# --------------------------------------------------------- pattern search
+
+
+def test_ts_topk_matches_vs_bruteforce(spark):
+    """Sliding-window ED matches a numpy brute force, including an exact
+    planted pattern (dist 0) and ordering/tiebreaks."""
+    import numpy as np
+
+    from seafan_spark.temporal import ts_topk_matches
+
+    rng = np.random.default_rng(7)
+    q = [1.0, 3.0, 2.0, 5.0]
+    rows, series = [], {}
+    for u in range(6):
+        vals = list(np.round(rng.uniform(0, 8, size=25), 3))
+        if u == 2:
+            vals[10:14] = q  # planted exact match at start=11
+        series[u] = vals
+        rows += [(u, t, float(v)) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    got = ts_topk_matches(df, "user_id", ["ts"], "value", q, k=8).collect()
+
+    brute = []
+    for u, vals in series.items():
+        for s in range(len(vals) - len(q) + 1):
+            d = float(np.sqrt(sum((vals[s + i] - q[i]) ** 2 for i in range(len(q)))))
+            brute.append((d, u, s + 1))
+    brute.sort()
+    expect = [(u, s, d) for d, u, s in brute[:8]]
+    assert [(r["user_id"], r["start"]) for r in got] == [(u, s) for u, s, _ in expect]
+    for r, (_, _, d) in zip(got, expect):
+        assert abs(r["dist"] - d) < 1e-9
+    assert (got[0]["user_id"], got[0]["start"], got[0]["dist"]) == (2, 11, 0.0)
+
+
+def test_ts_topk_znorm_finds_scaled_pattern(spark):
+    """Series z-normalization makes an amplitude-scaled copy of the
+    pattern the best match."""
+    from seafan_spark.temporal import ts_topk_matches
+
+    base = [0.0, 2.0, 1.0, 3.0, 0.5, 2.5, 1.5, 0.2, 2.2, 1.2]
+    rows = [(1, t, v) for t, v in enumerate(base)]
+    rows += [(2, t, v * 10 + 50) for t, v in enumerate(base)]  # scaled+shifted
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    q = base[3:7]
+    # without znorm the scaled series is far away
+    raw = ts_topk_matches(df, "user_id", ["ts"], "value", q, k=1).collect()
+    assert raw[0]["user_id"] == 1
+    # with znorm both series' pattern positions score identically; the
+    # query gets z-normed implicitly by normalizing... (query is in raw
+    # units of series 1; normalize series -> compare against the znormed
+    # query values of series 1's stats)
+    import statistics
+
+    mu, sd = statistics.mean(base), statistics.stdev(base)
+    qz = [(v - mu) / sd for v in q]
+    zn = ts_topk_matches(df, "user_id", ["ts"], "value", qz, k=2, znorm_series=True).collect()
+    assert {r["user_id"] for r in zn} == {1, 2}
+    assert all(r["start"] == 4 for r in zn)
+    assert all(abs(r["dist"]) < 1e-9 for r in zn)

@@ -356,7 +356,7 @@ def ts_topk_matches(
     value_col: str,
     query: Sequence[float],
     k: int = 5,
-    znorm_series: bool = False,
+    znorm: str = "none",
 ) -> DataFrame:
     """Distributed sliding-window pattern search over per-key time
     series: the euclidean distance between EVERY length-L window of each
@@ -372,10 +372,20 @@ def ts_topk_matches(
     JVM ``zip_with``+``aggregate`` expression against the inlined query
     literal (sequential summation — exactly reproducible in the
     oracle), and the top-k is orderBy+limit (TakeOrdered: per-partition
-    heaps, no global sort materialization). ``znorm_series=True``
-    z-normalizes each key's WHOLE series first (amplitude/offset
-    invariance) with one windowed avg/stddev pass; per-window z-norm (UCR
-    style) would compose the same way with window-frame moments.
+    heaps, no global sort materialization).
+
+    ``znorm`` controls amplitude/offset invariance:
+
+    - ``"none"``: raw euclidean distance (the oracle-checked mode);
+    - ``"series"``: z-normalize each key's WHOLE series first (one
+      windowed avg/stddev pass); the caller supplies ``query`` on the
+      normalized scale;
+    - ``"window"``: UCR-style per-window z-normalization — each window
+      is normalized by ITS OWN population moments (computed from the
+      same length-L array, still pure expressions), and ``query`` is
+      z-normalized driver-side, so a window matching the pattern's
+      SHAPE scores ~0 regardless of local level/amplitude. Constant
+      (zero-variance) windows and queries normalize to all-zeros.
 
     ``start`` is the 1-based offset of the window within its key's
     series under ``order_cols``. Keys shorter than L yield no rows.
@@ -383,6 +393,8 @@ def ts_topk_matches(
     L = len(query)
     if L < 1:
         raise ValueError("ts_topk_matches: query must be non-empty")
+    if znorm not in ("none", "series", "window"):
+        raise ValueError("ts_topk_matches: znorm must be none|series|window")
     d = _df(df)
     ordw = Window.partitionBy("_k").orderBy(*[F.col(c) for c in order_cols])
     s = d.select(
@@ -390,7 +402,7 @@ def ts_topk_matches(
         *[F.col(c) for c in order_cols],
         F.col(value_col).cast("double").alias("_v"),
     ).withColumn("_rn", F.row_number().over(ordw))
-    if znorm_series:
+    if znorm == "series":
         kw = Window.partitionBy("_k")
         mu = F.avg("_v").over(kw)
         sd = F.stddev_samp("_v").over(kw)
@@ -405,15 +417,33 @@ def ts_topk_matches(
         .orderBy("_rn")
         .rowsBetween(Window.currentRow, L - 1)
     )
-    qlit = F.array(*[F.lit(float(v)) for v in query])
+    qvals = [float(v) for v in query]
+    if znorm == "window":
+        qmu = sum(qvals) / L
+        qsd = (sum((v - qmu) ** 2 for v in qvals) / L) ** 0.5
+        qvals = [0.0 if qsd == 0 else (v - qmu) / qsd for v in qvals]
+    qlit = F.array(*[F.lit(v) for v in qvals])
     arr = F.collect_list("_v").over(fr)
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(F.col("_arr"), qlit, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+
+    def sq_sum(pairs):
+        return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+    if znorm == "window":
+        # population moments of the window, from the same array
+        wmu = sq_sum(F.col("_arr")) / L
+        wvar = (
+            sq_sum(F.transform(F.col("_arr"), lambda x: (x - wmu) * (x - wmu)))
+            / L
         )
-    )
+        wsd = F.sqrt(wvar)
+        znormed = F.transform(
+            F.col("_arr"),
+            lambda x: F.when(wsd == 0, F.lit(0.0)).otherwise((x - wmu) / wsd),
+        )
+        pairs = F.zip_with(znormed, qlit, lambda x, y: (x - y) * (x - y))
+    else:
+        pairs = F.zip_with(F.col("_arr"), qlit, lambda x, y: (x - y) * (x - y))
+    dist = F.sqrt(sq_sum(pairs))
     out = (
         s.withColumn("_arr", arr)
         .filter(F.size("_arr") == L)

@@ -216,7 +216,61 @@ def test_ts_topk_znorm_finds_scaled_pattern(spark):
 
     mu, sd = statistics.mean(base), statistics.stdev(base)
     qz = [(v - mu) / sd for v in q]
-    zn = ts_topk_matches(df, "user_id", ["ts"], "value", qz, k=2, znorm_series=True).collect()
+    zn = ts_topk_matches(df, "user_id", ["ts"], "value", qz, k=2, znorm="series").collect()
     assert {r["user_id"] for r in zn} == {1, 2}
     assert all(r["start"] == 4 for r in zn)
     assert all(abs(r["dist"]) < 1e-9 for r in zn)
+
+
+def test_ts_topk_window_znorm_shape_match(spark):
+    """UCR per-window z-norm: a window matching the pattern's SHAPE at a
+    different local level/amplitude scores ~0; raw mode does not find
+    it. Verified against a numpy per-window reference."""
+    import numpy as np
+
+    from seafan_spark.temporal import ts_topk_matches
+
+    rng = np.random.default_rng(3)
+    q = [1.0, 4.0, 2.0, 6.0]
+    rows, series = [], {}
+    for u in range(4):
+        vals = list(np.round(rng.uniform(0, 5, size=20), 3))
+        series[u] = vals
+        rows += [(u, t, float(v)) for t, v in enumerate(vals)]
+    # plant a scaled+shifted copy of q in user 9 (slope*q + shift)
+    planted = [v * 7 + 100 for v in q]
+    vals9 = [200.0, 210.0] + planted + [190.0, 205.0]
+    series[9] = vals9
+    rows += [(9, t, float(v)) for t, v in enumerate(vals9)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+
+    got = ts_topk_matches(df, "user_id", ["ts"], "value", q, k=3, znorm="window").collect()
+    assert (got[0]["user_id"], got[0]["start"]) == (9, 3)
+    assert abs(got[0]["dist"]) < 1e-9
+
+    # numpy reference over every window of every series
+    def zn(a):
+        a = np.asarray(a, dtype=float)
+        sd = a.std()
+        return np.zeros_like(a) if sd == 0 else (a - a.mean()) / sd
+
+    qz = zn(q)
+    brute = []
+    for u, vals in series.items():
+        for s0 in range(len(vals) - len(q) + 1):
+            w = zn(vals[s0 : s0 + len(q)])
+            brute.append((float(np.sqrt(((w - qz) ** 2).sum())), u, s0 + 1))
+    brute.sort()
+    assert [(r["user_id"], r["start"]) for r in got] == [
+        (u, s) for _, u, s in brute[:3]
+    ]
+    for r, (dd, _, _) in zip(got, brute[:3]):
+        assert abs(r["dist"] - dd) < 1e-9
+
+
+def test_ts_topk_rejects_bad_znorm(spark):
+    from seafan_spark.temporal import ts_topk_matches
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "user_id long, ts long, value double")
+    with pytest.raises(ValueError, match="znorm"):
+        ts_topk_matches(df, "user_id", ["ts"], "value", [1.0], znorm="bogus")

@@ -123,8 +123,15 @@ def leakage_safe_split(
     task retries, and exactly reproducible in SQL for the oracle.
     """
     d = _df(df)
-    cl = clusters.select(
-        F.col("id").alias("__lss_id"), F.col("cluster").alias("__lss_cluster")
+    # defensively collapse duplicate assignment rows (min cluster wins,
+    # deterministically): a dup id in `clusters` would otherwise FAN OUT
+    # corpus rows through the left join — cheap on the small cluster side
+    cl = (
+        clusters.select(
+            F.col("id").alias("__lss_id"), F.col("cluster").alias("__lss_cluster")
+        )
+        .groupBy("__lss_id")
+        .agg(F.min("__lss_cluster").alias("__lss_cluster"))
     )
     if broadcast_clusters:
         cl = F.broadcast(cl)

@@ -230,3 +230,23 @@ def test_temperature_mix_shifts_composition(spark):
     a = {r["doc_id"] for r in temperature_mix(df, "doc_id", "source", "sz", 20_000, 0.3).collect()}
     b = {r["doc_id"] for r in temperature_mix(df, "doc_id", "source", "sz", 20_000, 0.3).collect()}
     assert a == b
+
+
+def test_leakage_safe_split_dedups_assignment_rows(spark):
+    """A duplicate id in the cluster table must not fan out corpus rows;
+    the min cluster wins deterministically."""
+    from seafan_spark.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame([(i, "t") for i in range(10)], "doc_id long, text string")
+    clusters = spark.createDataFrame(
+        [(3, 1), (3, 0), (4, 4)], "id long, cluster long"
+    )
+    out = leakage_safe_split(docs, "doc_id", clusters, salt="dd").collect()
+    assert len(out) == 10  # no fan-out
+    lab = {r["doc_id"]: r["split"] for r in out}
+    # doc 3 keyed on cluster 0 (min), i.e. same label as doc 0's own key
+    ref = leakage_safe_split(
+        docs, "doc_id", spark.createDataFrame([(3, 0)], "id long, cluster long"),
+        salt="dd",
+    ).collect()
+    assert lab[3] == {r["doc_id"]: r["split"] for r in ref}[3]

@@ -1013,6 +1013,23 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_clusters(pairs)
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC + exact re-rank
+    (llmops.similarity.ann_pq_topk — Jegou et al. 2011): corpus scanned
+    as m-byte PQ codes, per-query distance LUT broadcast, exact cosine
+    only on the k*refine shortlist. KMeans codebooks have no SQL twin —
+    rows-only check; recall vs ann_brute is pytest-asserted."""
+    from seafan_spark.llmops.similarity import ann_pq_topk
+
+    p = _pipe(spark, sf_dir, "embeddings")
+    q = p.df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann_pq_topk(
+        p, "vec_id", "embedding", queries=q, k=5, m=8, k_codes=16, dim=64, refine=6
+    )
+
+
 def q_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IRR root-find over an ordered cashflow (parser.go:617-658).
     Iterative driver-side solve — rows-only check."""
@@ -1716,6 +1733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "irr": q_irr,
     "model_glm": q_model_glm,
     "marginal": q_marginal,
+    "ann_pq": q_ann_pq,
 }
 
 ORACLES: dict[str, str] = {

@@ -430,3 +430,170 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "neighbor_id", round_col("cosine", 6).alias("cosine"), F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+# ----------------------------------------------------- product quantization
+
+
+def pq_fit(
+    pipe: Pipeline | DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Fit product-quantization codebooks: split the ``dim`` dimensions
+    into ``m`` contiguous subspaces and k-means each subspace to
+    ``k_codes`` centroids (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"). Returns ``codebooks[m][k_codes][dim/m]``
+    — a tiny driver-side object (m*k*dim/m = dim*k floats) that inlines
+    into encode/search plans as literals, like the JL / hyperplane
+    weight tables.
+
+    Each subspace fit is a distributed MLlib KMeans over a SLICE
+    projection of the corpus (the full vectors never collect); m fits
+    run sequentially, each a few passes over one slim column.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    df = pipe.df if isinstance(pipe, Pipeline) else pipe
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = df.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), j * dsub + 1, dsub)
+            ).alias("_mlv")
+        )
+        km = KMeans(
+            k=k_codes, seed=seed + j, maxIter=max_iter,
+            featuresCol="_mlv", predictionCol="_c",
+        )
+        model = km.fit(sub)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_code_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """PQ encode as a pure JVM Column: for each subspace, the index of
+    the nearest codebook centroid (squared L2, sequential arithmetic,
+    first-min tiebreak via array_position). Codebooks inline as plan
+    literals; output is ``array<int>`` of length m — the 100 TB point:
+    a 64-dim float vector (256B+) compresses to m small ints, and
+    search never touches the original vectors."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(vec, j * dsub + 1, dsub)
+        blit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in book])
+        dists = F.transform(
+            blit,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def ann_pq_topk(
+    pipe: Pipeline,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame | None = None,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+    k: int = 10,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int | None = None,
+    seed: int = 42,
+    refine: int = 4,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC) + exact
+    re-rank: the memory-scale path alongside IVF/LSH — the corpus is
+    scanned as m-byte PQ codes, never as raw vectors, until the final
+    re-rank touches only ``k*refine`` candidates per query.
+
+    - fit codebooks (:func:`pq_fit`), encode the corpus JVM-side
+      (:func:`pq_code_col`);
+    - per query, the ADC lookup table LUT[j][c] = ||q_j - codebook[j][c]||^2
+      is m*k_codes floats computed driver-side and broadcast with the
+      query row; approximate distance is a JVM fold over the code array
+      (element_at into the flattened LUT — no vector math per row);
+    - keep the ``k*refine`` best ADC candidates per query (one window
+      over the slim scored codes), then exact cosine on just those and
+      final top-k, so output ranks are true cosine ranks whenever the
+      ADC shortlist contains the true neighbors (recall grows with
+      ``refine`` and ``k_codes``).
+
+    Returns (q_id, neighbor_id, cosine, rank) like the other ANN ops.
+    """
+    df = pipe.df
+    if dim is None:
+        dim = infer_vec_dim(df, vec_col, "ann_pq_topk")
+    books = pq_fit(df, vec_col, dim, m=m, k_codes=k_codes, seed=seed)
+    corpus = df.select(
+        F.col(id_col).alias("_nid"),
+        F.col(vec_col).alias("_nv"),
+        pq_code_col(checked_vec_col(F.col(vec_col), dim, "ann_pq_topk"), books).alias("_codes"),
+    )
+    if queries is None:
+        q = df.select(F.col(id_col).alias(query_id), F.col(vec_col).alias(query_vec))
+    else:
+        q = queries
+    qrows = q.collect()  # query side small by contract (like brute/IVF)
+    if not qrows:
+        raise ValueError("ann_pq_topk: empty query set")
+    dsub = dim // m
+    lut_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r[query_vec]]
+        flat = []
+        for j, book in enumerate(books):
+            sub = qv[j * dsub : (j + 1) * dsub]
+            for c in book:
+                flat.append(sum((a - b) * (a - b) for a, b in zip(sub, c)))
+        lut_rows.append((r[query_id], qv, flat))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(lut_rows, schema=[query_id, query_vec, "_lut"])
+    # ADC over codes: sum_j LUT[j*k_codes + code_j]  (1-based element_at)
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("_codes"),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(F.col("_lut"), (j * k_codes + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(qdf))
+        .filter(F.col("_nid") != F.col(query_id))
+        .withColumn("_adc", adc)
+    )
+    wa = Window.partitionBy(query_id).orderBy(F.col("_adc").asc(), F.col("_nid").asc())
+    shortlist = (
+        cand.withColumn("_arank", F.row_number().over(wa))
+        .filter(F.col("_arank") <= k * refine)
+    )
+    scored = shortlist.withColumn("cosine", cosine_col(F.col(query_vec), F.col("_nv")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("_nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id).alias("q_id"),
+            F.col("_nid").alias("neighbor_id"),
+            round_col("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

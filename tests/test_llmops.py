@@ -983,3 +983,62 @@ def test_cut_duplicated_spans_explicit_spans(spark):
     )
     out = cut_duplicated_spans(docs, "doc_id", "text", spans=spans).collect()
     assert out[0]["clean_text"] == "a" + "gh"
+
+
+# ------------------------------------------------------ product quantization
+
+
+def test_pq_codes_and_recall(spark):
+    """PQ encode returns valid codes; ADC + exact re-rank recovers most
+    true top-k neighbors on clustered synthetic vectors."""
+    import numpy as np
+
+    from seafan_spark.llmops.similarity import ann_brute_topk, ann_pq_topk, pq_code_col, pq_fit
+    from seafan_spark.pipeline import Pipeline
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters = 16, 6
+    centers = rng.normal(0, 5, size=(n_clusters, dim))
+    rows = []
+    for i in range(240):
+        v = centers[i % n_clusters] + rng.normal(0, 0.6, size=dim)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pipe = Pipeline(df)
+
+    books = pq_fit(df, "embedding", dim, m=4, k_codes=8, seed=1)
+    assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+    codes = df.select(pq_code_col(F.col("embedding"), books).alias("c")).collect()
+    for r in codes:
+        assert len(r["c"]) == 4 and all(0 <= c < 8 for c in r["c"])
+
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    approx = ann_pq_topk(
+        pipe, "vec_id", "embedding", queries=q, k=10, m=4, k_codes=8,
+        dim=dim, seed=1, refine=6,
+    ).collect()
+    exact = ann_brute_topk(pipe, "vec_id", "embedding", queries=q, k=10).collect()
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ap[qid] & ex[qid]) / len(ex[qid]) for qid in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # cosine values on returned rows are TRUE cosines (re-ranked)
+    exact_map = {(r["q_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+    for r in approx:
+        key = (r["q_id"], r["neighbor_id"])
+        if key in exact_map:
+            assert abs(r["cosine"] - exact_map[key]) < 1e-9
+
+
+def test_pq_fit_rejects_bad_split(spark):
+    from seafan_spark.llmops.similarity import pq_fit
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, v array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_fit(df, "v", 3, m=2)

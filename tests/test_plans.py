@@ -40,6 +40,7 @@ GLOBAL_ORDER_OK = {
 NLJ_OK = {
     "ann_topk": "intentional broadcast query-set scoring (exact path)",
     "ann_ivf": "broadcast probe set onto clustered corpus",
+    "ann_pq": "broadcast per-query ADC LUT over the m-byte code scan",
 }
 
 

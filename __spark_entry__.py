@@ -982,6 +982,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(p, "doc_id", "text", n=3, threshold=0.3, max_df=1000)
 
 
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed word-3-gram containment pairs (llmops.dedup) — Broder's
+    C = inter/min(|A|,|B|), the quote-inclusion companion to Jaccard."""
+    from seafan_spark.llmops.dedup import ngram_containment_pairs
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    return ngram_containment_pairs(p, "doc_id", "text", n=3, threshold=0.5, max_df=1000)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (llmops.dedup, arXiv:2303.09540) in the
+    deterministic seed-centroid mode so the DuckDB twin replays
+    assignment + within-cluster pairs + keep-first end-to-end; the
+    MLlib-KMeans scale mode is pytest-equivalenced on the same corpus."""
+    from seafan_spark.llmops.dedup import semantic_dedup
+
+    # eps=0.42 sits 1.7e-3 from the nearest within-cluster cosine at sf0.01
+    # (cross-engine-safe boundary) and drops 11/500 rows, so the keep-first
+    # path is genuinely exercised — synthetic embeddings are near-orthogonal
+    # and a production-like 0.9x eps would drop nothing
+    p = _pipe(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        p, "vec_id", "embedding", n_clusters=8, eps=0.42, centroids="seeds", dim=64
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact scoring path (recall 1.0)."""
     from seafan_spark.llmops.dedup import embedding_neardup_pairs
@@ -1650,6 +1676,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks": q_ks,
     "coalesce_logodds": q_coalesce_logodds,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_containment": q_ngram_containment,
+    "semantic_dedup": q_semantic_dedup,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
@@ -2144,6 +2172,71 @@ ORACLES: dict[str, str] = {
         JOIN sz sa ON id_a = sa.doc_id
         JOIN sz sb ON id_b = sb.doc_id
         WHERE CAST(i AS DOUBLE)/(sa.ng + sb.ng - i) >= 0.3
+    """,
+    "ngram_containment": """
+        WITH d AS (
+            SELECT doc_id,
+                   STR_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS toks
+            FROM documents
+        ), n AS (
+            SELECT doc_id,
+                   CASE WHEN LEN(toks) < 3 THEN [ARRAY_TO_STRING(toks, ' ')]
+                        ELSE LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(toks)-2),
+                             i -> ARRAY_TO_STRING(toks[i:i+2], ' '))) END AS grams
+            FROM d
+        ), e AS (
+            SELECT doc_id, UNNEST(grams) AS g FROM n
+        ), keep AS (
+            SELECT g FROM e GROUP BY g HAVING COUNT(*) <= 1000
+        ), ek AS (
+            SELECT e.doc_id, e.g FROM e JOIN keep USING (g)
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS ng FROM ek GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM ek a JOIN ek b USING (g)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b,
+               ROUND(CAST(i AS DOUBLE)/LEAST(sa.ng, sb.ng), 6) AS containment
+        FROM inter
+        JOIN sz sa ON id_a = sa.doc_id
+        JOIN sz sb ON id_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE)/LEAST(sa.ng, sb.ng) >= 0.5
+    """,
+    # semantic_dedup twin: replays seed-centroid assignment (max-cosine,
+    # min-seed-id tiebreak), within-cluster pairs, and keep-first verbatim
+    "semantic_dedup": """
+        WITH v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), u AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+                        ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+                   END AS ve
+            FROM v
+        ), seeds AS (
+            SELECT vec_id AS cell, ve AS cv FROM u ORDER BY vec_id LIMIT 8
+        ), scored AS (
+            SELECT u.vec_id, u.ve, s.cell, list_dot_product(u.ve, s.cv) AS cos
+            FROM u CROSS JOIN seeds s
+        ), assigned AS (
+            SELECT vec_id, ve, cell FROM (
+                SELECT vec_id, ve, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, cell ASC) AS rk
+                FROM scored
+            ) WHERE rk = 1
+        ), dropped AS (
+            SELECT DISTINCT b.vec_id AS did
+            FROM assigned a JOIN assigned b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.ve, b.ve) >= 0.42
+        )
+        SELECT a.vec_id AS id, CAST(a.cell AS BIGINT) AS cluster,
+               CASE WHEN d.did IS NULL THEN 1 ELSE 0 END AS keep
+        FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.did
     """,
     "embed_neardup": """
         WITH v AS (

@@ -789,25 +789,25 @@ def contamination_check(
     )
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_stats(
     pipe: Pipeline,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    max_df: int = 1000,
+    n: int,
+    max_df: int,
 ) -> DataFrame:
-    """Word-n-gram Jaccard near-dup pairs over the df-capped vocabulary.
+    """Shared candidate stage for word-n-gram set-overlap metrics: returns
+    ``(id_a, id_b, inter, na, nb)`` over the df-capped gram vocabulary.
 
     (id, ngram) exploded -> n-grams seen in more than ``max_df`` docs are
     dropped (stop-grams: they generate quadratic candidates and carry no
-    signal) -> self-join on ngram -> per-pair intersection counts ->
-    jaccard = inter / (|A| + |B| - inter), where BOTH the intersections
-    and the set sizes count only sub-``max_df`` grams (one consistent
-    vocabulary — like stopword removal). Exact within that vocabulary;
-    pairs sharing ONLY capped grams are not candidates (the deliberate
-    trade that avoids joining quadratic stop-gram postings). Shuffles on
-    ngram then on the pair key; both partial-aggregated map-side.
+    signal) -> self-join on ngram -> per-pair intersection counts, joined
+    with per-doc set sizes. BOTH the intersections and the set sizes count
+    only sub-``max_df`` grams (one consistent vocabulary — like stopword
+    removal). Exact within that vocabulary; pairs sharing ONLY capped
+    grams are not candidates (the deliberate trade that avoids joining
+    quadratic stop-gram postings). Shuffles on ngram then on the pair key;
+    both partial-aggregated map-side.
     """
     # spread + materialize: tokenization is the CPU-heavy stage, so spread
     # the doc rows first if the source arrived under-partitioned (a single
@@ -833,7 +833,7 @@ def ngram_jaccard_pairs(
     df_cap = ex.groupBy("g").count().filter(F.col("count") <= max_df).select("g")
     ex = ex.join(F.broadcast(df_cap), "g")
     # sizes from the SAME capped gram vocabulary as the intersections:
-    # jaccard is computed entirely over sub-max_df grams (stop-grams are
+    # the metric is computed entirely over sub-max_df grams (stop-grams are
     # excluded from numerator AND denominator — mixing full-set sizes with
     # capped intersections would systematically underestimate)
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
@@ -845,10 +845,28 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    out = (
+    return (
         inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("na")), "id_a")
         .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("nb")), "id_b")
-        .withColumn(
+    )
+
+
+def ngram_jaccard_pairs(
+    pipe: Pipeline,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Word-n-gram Jaccard near-dup pairs over the df-capped vocabulary.
+
+    jaccard = inter / (|A| + |B| - inter) over the shared candidate stage
+    (see _ngram_pair_stats for the vocabulary-capping and shuffle story).
+    """
+    stats = _ngram_pair_stats(pipe, id_col, text_col, n, max_df)
+    return (
+        stats.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
@@ -856,7 +874,41 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", round_col("jaccard", 6).alias("jaccard"))
     )
-    return out
+
+
+def ngram_containment_pairs(
+    pipe: Pipeline,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Directed n-gram containment pairs: C = inter / min(|A|, |B|).
+
+    Broder's containment measure (SEQUENCES'97 "On the resemblance and
+    containment of documents"): the fraction of the SMALLER document's
+    gram set found in the other. Catches quote-inclusion dups — a short
+    document reproduced verbatim inside a much longer one — which
+    symmetric Jaccard structurally misses (a 100-gram doc inside a
+    10,000-gram doc has J <= 0.01 but containment 1.0). The standard
+    companion to Jaccard dedup in pretraining curation (e.g. quote/
+    boilerplate-inclusion sweeps).
+
+    Same candidate structure, vocabulary capping, and shuffle story as
+    ngram_jaccard_pairs (see _ngram_pair_stats); only the denominator
+    differs. Output: (id_a, id_b, containment), id_a < id_b — the side
+    being contained is whichever has the smaller capped gram set.
+    """
+    stats = _ngram_pair_stats(pipe, id_col, text_col, n, max_df)
+    return (
+        stats.withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.least("na", "nb").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", round_col("containment", 6).alias("containment"))
+    )
 
 
 def duplicated_spans(
@@ -1466,4 +1518,118 @@ def embedding_neardup_incremental(
     )
     return cand.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", round_col("cosine", 6).alias("cosine")
+    )
+
+
+def semantic_dedup(
+    pipe: Pipeline,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    eps: float = 0.95,
+    centroids: str = "kmeans",
+    seed: int = 42,
+    max_iter: int = 20,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then find
+    near-duplicate pairs ONLY within each cluster and keep one document
+    per epsilon-neighborhood.
+
+    Semantics (exactly replayable in SQL, hash-checked by the oracle):
+    a document x is DROPPED iff some same-cluster y with a smaller id has
+    cosine(x, y) >= eps — greedy keep-first in id order, the same policy
+    as the stream-dedup store. Returns (id, cluster, keep 0/1) for every
+    input row.
+
+    ``centroids`` picks the coarse quantizer:
+
+    - ``"kmeans"`` (default, the scale path): distributed MLlib KMeans —
+      data-adaptive cells like ann_ivf_topk, so cluster populations stay
+      balanced and the within-cluster pairwise cost is controlled.
+    - ``"seeds"`` (the oracle path): the ``n_clusters`` lowest-id vectors
+      ARE the centers, each row assigned to its max-cosine seed with
+      min-seed-id tiebreak. Fully deterministic and SQL-replayable, so
+      the DuckDB twin can hash-check assignment + pair + keep logic
+      end-to-end; pytest proves the kmeans path agrees with a direct
+      per-cluster reference on the same assignment.
+
+    100 TB story: the cluster id is the ONLY blocking structure — the
+    corpus shuffles once on cluster for the self-join, never all-pairs;
+    per-pair work is one JVM dot product over unit-normalized vectors
+    (normalized n times, not O(pairs) times); the dropped-id set is a
+    slim (id) anti-join back to the assignment. Within-cluster pairwise
+    is O(sum c_i^2): scale n_clusters ~ sqrt(N) (the paper runs 50k
+    clusters on LAION) to bound c_i; seeds mode costs an extra k-row
+    broadcast expansion per row, which is why kmeans is the scale
+    default.
+    """
+    from seafan_spark.llmops.similarity import (
+        checked_vec_col,
+        dot_col,
+        infer_vec_dim,
+        l2_normalize_col,
+    )
+
+    if centroids not in ("kmeans", "seeds"):
+        raise ValueError(f"semantic_dedup: unknown centroids mode {centroids!r}")
+    raw = pipe.df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_raw"))
+    if dim is None:
+        dim = infer_vec_dim(raw, "_raw", "semantic_dedup")
+    vec = checked_vec_col(F.col("_raw"), dim, "semantic_dedup")
+    unit = raw.select("_id", l2_normalize_col(vec).alias("_v"))
+
+    if centroids == "seeds":
+        # the k lowest-id unit vectors are the centers; every row joins the
+        # broadcast k-row seed table and keeps its max-cosine seed
+        # (min-seed-id tiebreak) — deterministic, no training job
+        seeds = (
+            unit.orderBy("_id")
+            .limit(n_clusters)
+            .select(F.col("_id").alias("_cell"), F.col("_v").alias("_cv"))
+        )
+        scored = unit.crossJoin(F.broadcast(seeds)).withColumn(
+            "_cos", dot_col(F.col("_v"), F.col("_cv"))
+        )
+        w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cell").asc())
+        assigned = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("_id", "_v", "_cell")
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        ml = unit.withColumn("_mlv", array_to_vector(F.col("_v")))
+        km = KMeans(
+            k=n_clusters, seed=seed, maxIter=max_iter,
+            featuresCol="_mlv", predictionCol="_cell",
+        )
+        model = km.fit(ml)
+        assigned = model.transform(ml).select("_id", "_v", "_cell")
+
+    # localCheckpoint: the assignment feeds both self-join sides and the
+    # final output — without it the quantizer (or the k-row argmax) re-runs
+    # three times, and the kmeans path would re-train per branch
+    assigned = assigned.localCheckpoint(eager=True)
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_cell")
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_cell")
+    # unit vectors: cosine == dot. id_a < id_b means id_b is the dropped side
+    # under keep-first, so the dropped set is just the distinct id_b values.
+    dropped = (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot_col(F.col("va"), F.col("vb")) >= F.lit(float(eps)))
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_dup", F.lit(1)), "_id", "left")
+        .select(
+            F.col("_id").alias("id"),
+            F.col("_cell").cast("bigint").alias("cluster"),
+            F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
     )

@@ -1042,3 +1042,98 @@ def test_pq_fit_rejects_bad_split(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, v array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit(df, "v", 3, m=2)
+
+
+def test_ngram_containment_quote_inclusion(spark):
+    from seafan_spark.llmops.dedup import ngram_containment_pairs
+
+    short = "alpha beta gamma delta epsilon"  # 5 tokens -> 3 trigrams
+    long = (
+        "intro words here " + short + " trailing content words follow after "
+        "more and more unrelated filler sentences keep the documents apart"
+    )
+    p = vec_to_pipe(
+        spark,
+        {"doc_id": [1, 2, 3], "text": [short, long, "unrelated totally different text now"]},
+    )
+    pairs = ngram_containment_pairs(p, "doc_id", "text", n=3, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in pairs.collect()}
+    # every trigram of the short doc appears verbatim in the long one
+    assert got == {(1, 2): pytest.approx(1.0, abs=1e-6)}
+    # symmetric Jaccard dilutes the same pair far below its containment
+    j = ngram_jaccard_pairs(p, "doc_id", "text", n=3, threshold=0.01)
+    jv = {(r["id_a"], r["id_b"]): r["jaccard"] for r in j.collect()}
+    assert jv[(1, 2)] < 0.5
+
+
+def test_semantic_dedup_seeds_planted(spark):
+    from seafan_spark.llmops.dedup import semantic_dedup
+
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],  # seed/cell 1 (x-axis)
+        2: [0.0, 1.0, 0.0, 0.0],  # seed/cell 2 (y-axis)
+        3: [0.999, 0.01, 0.0, 0.0],  # near-dup of 1
+        4: [0.01, 0.999, 0.0, 0.0],  # near-dup of 2
+        5: [0.0, 0.0, 1.0, 0.0],  # lone; cosine ties 0 -> min-seed-id cell
+    }
+    p = vec_to_pipe(
+        spark, {"vec_id": list(vecs), "embedding": [vecs[i] for i in vecs]}
+    )
+    out = {
+        r["id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(
+            p, "vec_id", "embedding", n_clusters=2, eps=0.95, centroids="seeds", dim=4
+        ).collect()
+    }
+    assert out == {1: (1, 1), 2: (2, 1), 3: (1, 0), 4: (2, 0), 5: (1, 1)}
+
+
+def test_semantic_dedup_kmeans_matches_reference(spark):
+    """The quantizer is free (kmeans vs seeds); GIVEN the returned
+    assignment, the pair + keep-first logic must match a direct numpy
+    replay: x dropped iff some same-cluster y with smaller id has
+    cosine >= eps."""
+    import numpy as np
+
+    from seafan_spark.llmops.dedup import semantic_dedup
+
+    rng = random.Random(7)
+    ids, rows = [], []
+    for i in range(60):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        ids.append(i)
+        rows.append(v)
+        if i % 5 == 0:  # plant a near-dup: same direction, tiny jitter
+            ids.append(1000 + i)
+            rows.append([x + rng.gauss(0, 0.001) for x in v])
+    p = vec_to_pipe(spark, {"vec_id": ids, "embedding": rows})
+    got = semantic_dedup(
+        p, "vec_id", "embedding", n_clusters=4, eps=0.9, centroids="kmeans", dim=16
+    ).collect()
+    by_id = {r["id"]: r for r in got}
+    assert set(by_id) == set(ids)
+    mat = {i: np.asarray(v) / np.linalg.norm(v) for i, v in zip(ids, rows)}
+    for r in got:
+        same = [
+            o["id"]
+            for o in got
+            if o["cluster"] == r["cluster"] and o["id"] < r["id"]
+        ]
+        dropped = any(float(mat[y] @ mat[r["id"]]) >= 0.9 for y in same)
+        assert r["keep"] == (0 if dropped else 1), r
+    # every planted dup that landed in its partner's cluster is dropped
+    planted = [
+        (i, 1000 + i)
+        for i in range(0, 60, 5)
+        if by_id[i]["cluster"] == by_id[1000 + i]["cluster"]
+    ]
+    assert planted, "kmeans separated every planted pair - test vacuous"
+    assert all(by_id[b]["keep"] == 0 for _, b in planted)
+
+
+def test_semantic_dedup_bad_mode_raises(spark):
+    from seafan_spark.llmops.dedup import semantic_dedup
+
+    p = vec_to_pipe(spark, {"vec_id": [1], "embedding": [[1.0, 0.0]]})
+    with pytest.raises(ValueError, match="centroids"):
+        semantic_dedup(p, "vec_id", "embedding", centroids="nope", dim=2)

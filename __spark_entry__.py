@@ -1259,6 +1259,38 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics (cdc.apply_changes): the events table split
+    into an already-ingested batch (event_id < 7000, compacted to a
+    per-user snapshot via cdc.latest_state) and a new changelog batch;
+    'error' events are deletes. Latest change per key wins; deletes
+    remove; untouched snapshot keys pass through."""
+    from seafan_spark.cdc import apply_changes, latest_state
+
+    ev = _pipe(spark, sf_dir, "events").df.withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(
+            F.lit("upsert")
+        ),
+    )
+    snap = latest_state(
+        ev.filter(F.col("event_id") < 7000), ["user_id"], "ts", op_col="op"
+    )
+    return apply_changes(
+        snap, ev.filter(F.col("event_id") >= 7000), ["user_id"], "ts", op_col="op"
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals (cdc.scd2_history): per-user event_type
+    history compressed to state-change rows with [valid_from, valid_to)
+    intervals, valid_to NULL for the current state."""
+    from seafan_spark.cdc import scd2_history
+
+    ev = _pipe(spark, sf_dir, "events").df
+    return scd2_history(ev, ["user_id"], "ts", ["event_type"])
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (temporal.retention): first-activity cohort
     x period offset distinct-user counts, fixed 7-day epoch buckets."""
@@ -1692,6 +1724,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap": q_source_cap,
     # --- oracled, implementation touched recently ---
     "retention": q_retention,
+    "cdc_apply": q_cdc_apply,
+    "scd2": q_scd2,
     "winsorize": q_winsorize,
     "encode_cat": q_encode_cat,
     "sort_rank": q_sort_rank,
@@ -3190,6 +3224,50 @@ ORACLES["funnel"] = """
         SELECT CAST(1 AS BIGINT) AS step, 'view' AS event, CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
         UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
         UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+    """
+
+# cdc_apply twin: replay compaction (latest per key), keep-first snapshot,
+# full-outer merge with change-side-wins and delete filtering verbatim
+ORACLES["cdc_apply"] = """
+        WITH ev AS (
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del
+            FROM events
+        ), snap AS (
+            SELECT user_id, event_id, ts, event_type, value, props FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC) AS rk
+                FROM ev WHERE event_id < 7000
+            ) WHERE rk = 1 AND is_del = 0
+        ), top AS (
+            SELECT user_id, event_id, ts, event_type, value, props, is_del FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY ts DESC) AS rk
+                FROM ev WHERE event_id >= 7000
+            ) WHERE rk = 1
+        )
+        SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+               CASE WHEN t.user_id IS NOT NULL THEN t.event_id ELSE s.event_id END AS event_id,
+               CASE WHEN t.user_id IS NOT NULL THEN t.ts ELSE s.ts END AS ts,
+               CASE WHEN t.user_id IS NOT NULL THEN t.event_type ELSE s.event_type END AS event_type,
+               CASE WHEN t.user_id IS NOT NULL THEN t.value ELSE s.value END AS value,
+               CASE WHEN t.user_id IS NOT NULL THEN t.props ELSE s.props END AS props
+        FROM snap s FULL OUTER JOIN top t ON s.user_id = t.user_id
+        WHERE t.user_id IS NULL OR t.is_del = 0
+    """
+
+ORACLES["scd2"] = """
+        WITH c AS (
+            SELECT user_id, event_type, ts,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+            FROM events
+        ), k AS (
+            SELECT user_id, event_type, ts FROM c
+            WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM k
     """
 
 ORACLES["retention"] = """

@@ -633,6 +633,111 @@ def stream_heavy_hitters_ingest(
             shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def stream_upsert_ingest(
+    stream_changes: DataFrame,
+    store_path: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    op_col: str | None = None,
+    delete_op: str = "delete",
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming MERGE-INTO maintenance of a current-state table
+    (``foreachBatch`` + ``cdc``): per micro-batch, compact the arriving
+    changes to their latest row per key and fold them into the snapshot
+    store at ``store_path`` — the streaming twin of ``cdc.apply_changes``.
+
+    Out-of-order tolerance via TOMBSTONES: the store keeps deleted keys
+    as rows flagged ``_del`` (with the delete's event time) instead of
+    physically removing them, and a change only wins against the stored
+    row when its event time is >= the stored one. A late-arriving older
+    upsert therefore cannot resurrect a newer delete, and the store state
+    equals ``cdc.latest_state`` over ALL changes ingested so far for ANY
+    batch partitioning and arrival order (exact when ``ts_col`` is unique
+    per key — cross-batch ties resolve in favor of the arriving change;
+    pytest proves shuffled-batch == one-shot-batch). Read the visible
+    state back with :func:`upsert_store_state`.
+
+    Same state-shape rationale as the other ingest loops: the state is a
+    queryable keyed TABLE (what parquet is for), not per-key executor
+    state; at scale the store is key-bucketed so the per-batch merge join
+    is co-located. The merged store is localCheckpointed before the
+    overwrite so it is never read and rewritten in the same job;
+    overwrite-per-batch has the same at-least-once caveat as
+    :func:`stream_sketch_ingest`."""
+    import shutil
+
+    from seafan_spark.cdc import latest_state
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="seafan_upsert_ckpt_")
+    keys = list(key_cols)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # compact the batch KEEPING deletes as flagged rows (latest_state
+        # would drop them; the store needs the tombstone + its ts)
+        flagged = batch_df.withColumn(
+            "_del",
+            (F.col(op_col) == F.lit(delete_op)) if op_col else F.lit(False),
+        )
+        if op_col:
+            flagged = flagged.drop(op_col)
+        top = latest_state(flagged, keys, ts_col)
+        from pyspark.errors import AnalysisException
+
+        try:
+            store = spark.read.parquet(store_path)
+            # one full-outer join per batch; arriving change wins iff its
+            # event time >= the stored row's (late old changes lose)
+            s = store.alias("s")
+            c = top.alias("c")
+            payload = [col for col in store.columns if col not in keys]
+            take_change = F.col(f"c.{ts_col}").isNotNull() & (
+                F.col(f"s.{ts_col}").isNull()
+                | (F.col(f"c.{ts_col}") >= F.col(f"s.{ts_col}"))
+            )
+            merged = s.join(c, keys, "full_outer").select(
+                *keys,
+                *[
+                    F.when(take_change, F.col(f"c.{col}"))
+                    .otherwise(F.col(f"s.{col}"))
+                    .alias(col)
+                    for col in payload
+                ],
+            )
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            merged = top
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(store_path)
+
+    try:
+        q = (
+            stream_changes.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"upsert ingest did not finish in {timeout_sec}s")
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def upsert_store_state(spark: SparkSession, store_path: str) -> DataFrame:
+    """Visible current state of a :func:`stream_upsert_ingest` store:
+    tombstoned keys filtered out, the ``_del`` flag dropped — the exact
+    schema and content of ``cdc.latest_state`` over everything ingested."""
+    store = spark.read.parquet(store_path)
+    return store.filter(~F.col("_del")).drop("_del")
+
+
 def stream_enrich(
     stream: DataFrame,
     dim: DataFrame,

@@ -298,3 +298,66 @@ def test_stream_dedup_ingest_keep_first_smaller_new_id(spark, tmp_path):
     assert got == [(7, 50)]
     kept = sorted(r["_id"] for r in spark.read.parquet(store).collect())
     assert kept == [8, 50, 60]  # the store copy (50) wins; 7 stays out
+
+
+def test_stream_upsert_ingest_matches_batch(spark, tmp_path):
+    """Store state == cdc.latest_state over everything ingested, with
+    keys updated, inserted, and deleted across micro-batches."""
+    from seafan_spark.cdc import latest_state
+    from seafan_spark.streaming import stream_upsert_ingest, upsert_store_state
+
+    src = f"{tmp_path}/changes"
+    b1 = [(1, 10, "a", "upsert"), (2, 10, "b", "upsert"), (3, 10, "c", "upsert")]
+    b2 = [(2, 20, "B", "upsert"), (3, 20, "c", "delete"), (4, 20, "d", "upsert")]
+    schema = "k long, ts long, v string, op string"
+    import time as _t
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    store = f"{tmp_path}/store"
+    sdf = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    stream_upsert_ingest(sdf, store, ["k"], "ts", op_col="op")
+    got = sorted(
+        (r["k"], r["ts"], r["v"]) for r in upsert_store_state(spark, store).collect()
+    )
+    assert got == [(1, 10, "a"), (2, 20, "B"), (4, 20, "d")]
+    # batch twin over the union of all batches
+    want = sorted(
+        (r["k"], r["ts"], r["v"])
+        for r in latest_state(
+            spark.read.parquet(src), ["k"], "ts", op_col="op"
+        ).collect()
+    )
+    assert got == want
+
+
+def test_stream_upsert_ingest_out_of_order_batches(spark, tmp_path):
+    """Tombstones make the store order-independent: a LATE batch carrying
+    an OLDER upsert for a newer-deleted key must not resurrect it, and an
+    older update must not clobber a newer one."""
+    from seafan_spark.streaming import stream_upsert_ingest, upsert_store_state
+
+    src = f"{tmp_path}/changes"
+    schema = "k long, ts long, v string, op string"
+    import time as _t
+
+    # batch 1 holds the LATER events; batch 2 arrives late with older ones
+    b1 = [(1, 30, "x", "delete"), (2, 30, "NEW", "upsert")]
+    b2 = [(1, 10, "ghost", "upsert"), (2, 10, "OLD", "upsert"), (3, 10, "z", "upsert")]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    _t.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    store = f"{tmp_path}/store"
+    sdf = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    stream_upsert_ingest(sdf, store, ["k"], "ts", op_col="op")
+    got = sorted(
+        (r["k"], r["ts"], r["v"]) for r in upsert_store_state(spark, store).collect()
+    )
+    # key 1: delete@30 beats upsert@10 (no resurrection); key 2: NEW@30
+    # survives OLD@10; key 3: plain insert
+    assert got == [(2, 30, "NEW"), (3, 10, "z")]

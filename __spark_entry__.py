@@ -1333,6 +1333,28 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Welch two-sample t-test (agg.ttest_by): does extended
+    price differ between open and closed line items, within each return
+    flag — one conditional-moment aggregation pass."""
+    from seafan_spark.agg import ttest_by
+
+    li = _pipe(spark, sf_dir, "lineitem")
+    p = Pipeline(li.df.withColumn("_is_o", (F.col("l_linestatus") == "O").cast("int")))
+    return ttest_by(p, "l_extendedprice", "_is_o", ["l_returnflag"])
+
+
+def q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group chi-square independence test (agg.chisq_by): ship mode
+    vs returned-flag within each line status, zero-cell-safe expansion
+    over the tiny counts table."""
+    from seafan_spark.agg import chisq_by
+
+    li = _pipe(spark, sf_dir, "lineitem")
+    p = Pipeline(li.df.withColumn("_ret", (F.col("l_returnflag") == "R").cast("int")))
+    return chisq_by(p, "l_shipmode", "_ret", ["l_linestatus"])
+
+
 def q_ols_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group closed-form simple OLS (agg.ols_by): regress
     l_extendedprice on l_quantity within (returnflag, linestatus) — one
@@ -1690,6 +1712,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "curation_pipeline": q_curation_pipeline,
     "ols_simple": q_ols_simple,
+    "ttest": q_ttest,
+    "chisq": q_chisq,
     "leakage_split": q_leakage_split,
     "snapshot_diff": q_snapshot_diff,
     "heavy_hitters": q_heavy_hitters,
@@ -3343,6 +3367,59 @@ ORACLES["curation_pipeline"] = """
 # replays ols_by's moment sums and closed-form arithmetic in the SAME
 # association order (n*sxy - sx*sy, etc.) so 6-dp rounding sees identical
 # doubles; the zero-variance CASE guards mirror the Spark F.when guards
+# ttest twin: identical conditional moment sums and association order
+ORACLES["ttest"] = """
+        WITH m AS (
+            SELECT l_returnflag,
+                   SUM(CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS n1,
+                   SUM(CASE WHEN l_linestatus = 'O' THEN 0.0 ELSE 1.0 END) AS n0,
+                   SUM(l_extendedprice * CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS s1,
+                   SUM(l_extendedprice * CASE WHEN l_linestatus = 'O' THEN 0.0 ELSE 1.0 END) AS s0,
+                   SUM(l_extendedprice * l_extendedprice * CASE WHEN l_linestatus = 'O' THEN 1.0 ELSE 0.0 END) AS q1,
+                   SUM(l_extendedprice * l_extendedprice * CASE WHEN l_linestatus = 'O' THEN 0.0 ELSE 1.0 END) AS q0
+            FROM lineitem GROUP BY l_returnflag
+        ), s AS (
+            SELECT l_returnflag, n1, n0, s1/n1 AS m1, s0/n0 AS m0,
+                   (n1*q1 - s1*s1)/(n1*(n1-1.0)) AS v1,
+                   (n0*q0 - s0*s0)/(n0*(n0-1.0)) AS v0
+            FROM m
+        ), e AS (
+            SELECT *, v1/n1 + v0/n0 AS se2 FROM s
+        )
+        SELECT l_returnflag,
+               CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+               ROUND(m1, 6) AS mean1, ROUND(m0, 6) AS mean0,
+               ROUND(CASE WHEN n1 >= 2 AND n0 >= 2 AND se2 > 0
+                          THEN (m1 - m0)/SQRT(se2) END, 6) AS t_stat,
+               ROUND(CASE WHEN n1 >= 2 AND n0 >= 2 AND se2 > 0
+                          THEN (se2*se2)/((v1/n1)*(v1/n1)/(n1-1.0)
+                                          + (v0/n0)*(v0/n0)/(n0-1.0)) END, 6) AS df
+        FROM e
+    """
+
+# chisq twin: zero-cell-safe expansion chi2 = n*sum(o^2/(rt*ct)) - n
+ORACLES["chisq"] = """
+        WITH d AS (
+            SELECT l_linestatus AS k, l_shipmode AS cat,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab
+            FROM lineitem
+        ), c AS (
+            SELECT k, cat, lab, CAST(COUNT(*) AS DOUBLE) AS o
+            FROM d GROUP BY k, cat, lab
+        ), t AS (
+            SELECT k, cat, lab, o,
+                   SUM(o) OVER (PARTITION BY k, cat) AS rt,
+                   SUM(o) OVER (PARTITION BY k, lab) AS ct,
+                   SUM(o) OVER (PARTITION BY k) AS n
+            FROM c
+        )
+        SELECT k AS l_linestatus,
+               CAST(MAX(n) AS BIGINT) AS n,
+               ROUND(MAX(n) * SUM(o*o/(rt*ct)) - MAX(n), 6) AS chi2,
+               CAST((COUNT(DISTINCT cat)-1)*(COUNT(DISTINCT lab)-1) AS BIGINT) AS dof
+        FROM t GROUP BY k
+    """
+
 ORACLES["ols_simple"] = """
         WITH a AS (
             SELECT l_returnflag, l_linestatus,

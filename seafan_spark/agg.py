@@ -378,3 +378,110 @@ def ols_by(
         round_col(intercept, 6).alias("intercept"),
         round_col(r2, 6).alias("r2"),
     )
+
+
+def ttest_by(
+    pipe: Pipeline, value_col: str, label_col: str, keys: Sequence[str]
+) -> DataFrame:
+    """Per-group Welch two-sample t-test of ``value_col`` between the
+    label=true and label=false populations: (keys..., n1, n0, mean1,
+    mean0, t_stat, df) — the A/B-comparison companion to the KS
+    diagnostic, in closed form.
+
+    ONE map-side-partial aggregation pass computes six conditional
+    moment sums; the statistic and Welch-Satterthwaite df are
+    post-aggregation arithmetic on one row per group, written in the
+    same association order as the DuckDB twin so the hash check sees
+    identical doubles after rounding. Groups without >= 2 rows on each
+    side (or with zero pooled variance) get NULL t/df — the divisions
+    are guarded, so ANSI mode never trips. No p-value column: neither
+    engine ships an erf/ibeta builtin; compare |t| against the normal
+    critical value at the df the row reports.
+    """
+    from seafan_spark.rounding import round_col
+
+    x = F.col(value_col).cast("double")
+    is1 = F.col(label_col).cast("boolean")
+    one = F.when(is1, 1.0).otherwise(0.0)
+    zero = F.when(is1, 0.0).otherwise(1.0)
+    agg = pipe.df.groupBy(*keys).agg(
+        F.sum(one).alias("_n1"),
+        F.sum(zero).alias("_n0"),
+        F.sum(x * one).alias("_s1"),
+        F.sum(x * zero).alias("_s0"),
+        F.sum(x * x * one).alias("_q1"),
+        F.sum(x * x * zero).alias("_q0"),
+    )
+    n1, n0 = F.col("_n1"), F.col("_n0")
+    m1, m0 = F.col("_s1") / n1, F.col("_s0") / n0
+    # sample variance, ddof=1, in n*q - s*s form (same as ols_by)
+    v1 = (n1 * F.col("_q1") - F.col("_s1") * F.col("_s1")) / (n1 * (n1 - 1.0))
+    v0 = (n0 * F.col("_q0") - F.col("_s0") * F.col("_s0")) / (n0 * (n0 - 1.0))
+    ok = (n1 >= 2.0) & (n0 >= 2.0)
+    se2 = v1 / n1 + v0 / n0
+    t = F.when(ok & (se2 > 0.0), (m1 - m0) / F.sqrt(se2))
+    df = F.when(
+        ok & (se2 > 0.0),
+        (se2 * se2)
+        / ((v1 / n1) * (v1 / n1) / (n1 - 1.0) + (v0 / n0) * (v0 / n0) / (n0 - 1.0)),
+    )
+    return agg.select(
+        *keys,
+        n1.cast("bigint").alias("n1"),
+        n0.cast("bigint").alias("n0"),
+        round_col(F.when(n1 > 0, m1), 6).alias("mean1"),
+        round_col(F.when(n0 > 0, m0), 6).alias("mean0"),
+        round_col(t, 6).alias("t_stat"),
+        round_col(df, 6).alias("df"),
+    )
+
+
+def chisq_by(
+    pipe: Pipeline, cat_col: str, label_col: str, keys: Sequence[str]
+) -> DataFrame:
+    """Per-group chi-square test of independence between ``cat_col`` and
+    ``label_col``: (keys..., n, chi2, dof).
+
+    Uses the zero-cell-safe expansion chi2 = n * sum_observed(o^2 /
+    (rowtot*coltot)) - n — unobserved cells contribute nothing to the
+    sum, so the contingency table never needs densifying. One map-side-
+    partial count over (keys, cat, label), then window totals over the
+    tiny counts table (cardinality = groups x cats x labels, never the
+    fact table) and one final group-by. dof = (#cats-1)*(#labels-1) per
+    group from the same counts.
+    """
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    d = pipe.df.select(
+        *keys, F.col(cat_col).alias("_cat"), F.col(label_col).alias("_lab")
+    )
+    c = d.groupBy(*keys, "_cat", "_lab").agg(
+        F.count(F.lit(1)).cast("double").alias("_o")
+    )
+    wk = Window.partitionBy(*keys)
+    rt = F.sum("_o").over(Window.partitionBy(*keys, "_cat"))
+    ct = F.sum("_o").over(Window.partitionBy(*keys, "_lab"))
+    n = F.sum("_o").over(wk)
+    cells = c.select(
+        *keys,
+        n.alias("_n"),
+        (F.col("_o") * F.col("_o") / (rt * ct)).alias("_term"),
+        F.col("_cat"),
+        F.col("_lab"),
+    )
+    out = cells.groupBy(*keys).agg(
+        F.first("_n").alias("_nn"),
+        F.sum("_term").alias("_sumterm"),
+        F.count_distinct("_cat").alias("_ncat"),
+        F.count_distinct("_lab").alias("_nlab"),
+    )
+    chi2 = F.col("_nn") * F.col("_sumterm") - F.col("_nn")
+    dof = (F.col("_ncat") - 1) * (F.col("_nlab") - 1)
+    return out.select(
+        *keys,
+        F.col("_nn").cast("bigint").alias("n"),
+        round_col(chi2, 6).alias("chi2"),
+        dof.cast("bigint").alias("dof"),
+    )

@@ -123,3 +123,72 @@ def test_ols_by_matches_numpy(spark):
         assert abs(got[g]["r2"] - r2) < 1e-6
         assert got[g]["n"] == 400
     assert got["flat"]["slope"] is None and got["flat"]["r2"] is None
+
+
+def test_ttest_by_matches_numpy(spark):
+    """Welch t vs the textbook formula computed in numpy per group, plus
+    the small-side NULL guard."""
+    import numpy as np
+
+    from seafan_spark.agg import ttest_by
+    from seafan_spark.pipeline import Pipeline
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g, shift in (("a", 2.0), ("b", 0.0)):
+        for v in rng.normal(10.0 + shift, 3.0, 300):
+            rows.append((g, float(v), 1))
+        for v in rng.normal(10.0, 2.0, 200):
+            rows.append((g, float(v), 0))
+    rows.append(("tiny", 1.0, 1))  # n1=1 -> NULL stat
+    rows.append(("tiny", 2.0, 0))
+    rows.append(("tiny", 3.0, 0))
+    df = spark.createDataFrame(rows, "g string, v double, lab int")
+    got = {r["g"]: r for r in ttest_by(Pipeline(df), "v", "lab", ["g"]).collect()}
+    for g in ("a", "b"):
+        x1 = np.array([r[1] for r in rows if r[0] == g and r[2] == 1])
+        x0 = np.array([r[1] for r in rows if r[0] == g and r[2] == 0])
+        v1, v0 = x1.var(ddof=1), x0.var(ddof=1)
+        se2 = v1 / len(x1) + v0 / len(x0)
+        t = (x1.mean() - x0.mean()) / np.sqrt(se2)
+        dfree = se2**2 / (
+            (v1 / len(x1)) ** 2 / (len(x1) - 1) + (v0 / len(x0)) ** 2 / (len(x0) - 1)
+        )
+        assert got[g]["n1"] == len(x1) and got[g]["n0"] == len(x0)
+        assert abs(got[g]["t_stat"] - t) < 1e-5
+        assert abs(got[g]["df"] - dfree) < 1e-3
+        assert abs(got[g]["mean1"] - x1.mean()) < 1e-6
+    assert got["a"]["t_stat"] > 5  # the planted shift is detected
+    assert abs(got["b"]["t_stat"]) < 3
+    assert got["tiny"]["t_stat"] is None and got["tiny"]["df"] is None
+
+
+def test_chisq_by_matches_reference(spark):
+    """Chi-square vs the dense (o-e)^2/e formula computed by hand,
+    including a structurally-zero cell."""
+    from seafan_spark.agg import chisq_by
+    from seafan_spark.pipeline import Pipeline
+
+    # group g: 2x2 table [[30, 10], [10, 30]] -> chi2 = 20*80*80/ (40*40*40*40) ...
+    rows = []
+    rows += [("g", "x", 1)] * 30 + [("g", "x", 0)] * 10
+    rows += [("g", "y", 1)] * 10 + [("g", "y", 0)] * 30
+    # group z has a zero cell: cat 'q' never sees lab=0
+    rows += [("z", "p", 1)] * 5 + [("z", "p", 0)] * 5 + [("z", "q", 1)] * 10
+    df = spark.createDataFrame(rows, "g string, cat string, lab int")
+    got = {r["g"]: r for r in chisq_by(Pipeline(df), "cat", "lab", ["g"]).collect()}
+
+    def dense_chi2(table):
+        n = sum(sum(r) for r in table)
+        rt = [sum(r) for r in table]
+        ct = [sum(c) for c in zip(*table)]
+        return sum(
+            (table[i][j] - rt[i] * ct[j] / n) ** 2 / (rt[i] * ct[j] / n)
+            for i in range(len(table))
+            for j in range(len(ct))
+        )
+
+    assert got["g"]["n"] == 80 and got["g"]["dof"] == 1
+    assert abs(got["g"]["chi2"] - dense_chi2([[10, 30], [30, 10]])) < 1e-6
+    assert got["z"]["n"] == 20 and got["z"]["dof"] == 1
+    assert abs(got["z"]["chi2"] - dense_chi2([[5, 5], [0, 10]])) < 1e-6

@@ -1345,14 +1345,16 @@ def q_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group chi-square independence test (agg.chisq_by): ship mode
-    vs returned-flag within each line status, zero-cell-safe expansion
-    over the tiny counts table."""
+    """Per-group chi-square independence test (agg.chisq_by): order
+    priority vs order status within each order year — a full R x C
+    table per group, zero-cell-safe expansion over the tiny counts."""
     from seafan_spark.agg import chisq_by
 
-    li = _pipe(spark, sf_dir, "lineitem")
-    p = Pipeline(li.df.withColumn("_ret", (F.col("l_returnflag") == "R").cast("int")))
-    return chisq_by(p, "l_shipmode", "_ret", ["l_linestatus"])
+    o = _pipe(spark, sf_dir, "orders")
+    p = Pipeline(
+        o.df.withColumn("o_year", F.year("o_orderdate").cast("bigint"))
+    )
+    return chisq_by(p, "o_orderpriority", "o_orderstatus", ["o_year"])
 
 
 def q_ols_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1712,8 +1714,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "curation_pipeline": q_curation_pipeline,
     "ols_simple": q_ols_simple,
-    "ttest": q_ttest,
-    "chisq": q_chisq,
     "leakage_split": q_leakage_split,
     "snapshot_diff": q_snapshot_diff,
     "heavy_hitters": q_heavy_hitters,
@@ -1732,8 +1732,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ks": q_ks,
     "coalesce_logodds": q_coalesce_logodds,
     "ngram_jaccard": q_ngram_jaccard,
-    "ngram_containment": q_ngram_containment,
-    "semantic_dedup": q_semantic_dedup,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
@@ -1748,8 +1746,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "source_cap": q_source_cap,
     # --- oracled, implementation touched recently ---
     "retention": q_retention,
-    "cdc_apply": q_cdc_apply,
-    "scd2": q_scd2,
     "winsorize": q_winsorize,
     "encode_cat": q_encode_cat,
     "sort_rank": q_sort_rank,
@@ -1815,6 +1811,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk": q_topk,
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
+    "ngram_containment": q_ngram_containment,
+    "semantic_dedup": q_semantic_dedup,
+    "cdc_apply": q_cdc_apply,
+    "scd2": q_scd2,
+    "ttest": q_ttest,
+    "chisq": q_chisq,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "irr": q_irr,
     "model_glm": q_model_glm,
@@ -3400,9 +3402,9 @@ ORACLES["ttest"] = """
 # chisq twin: zero-cell-safe expansion chi2 = n*sum(o^2/(rt*ct)) - n
 ORACLES["chisq"] = """
         WITH d AS (
-            SELECT l_linestatus AS k, l_shipmode AS cat,
-                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS lab
-            FROM lineitem
+            SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS k,
+                   o_orderpriority AS cat, o_orderstatus AS lab
+            FROM orders
         ), c AS (
             SELECT k, cat, lab, CAST(COUNT(*) AS DOUBLE) AS o
             FROM d GROUP BY k, cat, lab
@@ -3413,7 +3415,7 @@ ORACLES["chisq"] = """
                    SUM(o) OVER (PARTITION BY k) AS n
             FROM c
         )
-        SELECT k AS l_linestatus,
+        SELECT k AS o_year,
                CAST(MAX(n) AS BIGINT) AS n,
                ROUND(MAX(n) * SUM(o*o/(rt*ct)) - MAX(n), 6) AS chi2,
                CAST((COUNT(DISTINCT cat)-1)*(COUNT(DISTINCT lab)-1) AS BIGINT) AS dof

@@ -982,6 +982,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(p, "doc_id", "text", n=3, threshold=0.3, max_df=1000)
 
 
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (llmops.dedup, Vernica et al.
+    SIGMOD'10): IDENTICAL output contract to ngram_jaccard — candidates
+    from each doc's rarest-gram prefix instead of the full posting-list
+    self-join — hash-checked against the SAME DuckDB twin."""
+    from seafan_spark.llmops.dedup import ngram_jaccard_pairs
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    return ngram_jaccard_pairs(
+        p, "doc_id", "text", n=3, threshold=0.3, max_df=1000, method="prefix"
+    )
+
+
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed word-3-gram containment pairs (llmops.dedup) — Broder's
     C = inter/min(|A|,|B|), the quote-inclusion companion to Jaccard."""
@@ -1817,6 +1830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2": q_scd2,
     "ttest": q_ttest,
     "chisq": q_chisq,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "irr": q_irr,
     "model_glm": q_model_glm,
@@ -2582,6 +2596,10 @@ def _embed_project_oracle(dim: int = 64, out_dim: int = 8, seed: int = 42) -> st
         FROM d
     """
 
+
+# the prefix-filtered join is output-identical to the postings join by
+# the prefix-filter theorem (and by pytest) — same DuckDB twin
+ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 
 ORACLES["embed_project"] = _embed_project_oracle()
 

@@ -1137,3 +1137,37 @@ def test_semantic_dedup_bad_mode_raises(spark):
     p = vec_to_pipe(spark, {"vec_id": [1], "embedding": [[1.0, 0.0]]})
     with pytest.raises(ValueError, match="centroids"):
         semantic_dedup(p, "vec_id", "embedding", centroids="nope", dim=2)
+
+
+def test_ngram_jaccard_prefix_equals_postings(spark):
+    """The prefix-filtered set-similarity join (Vernica SIGMOD'10) must
+    return the exact pair set of the posting-list join at any threshold,
+    including near-identical, disjoint, and short documents."""
+    import random as _rnd
+
+    rng = _rnd.Random(3)
+    vocab = [f"w{i}" for i in range(150)]
+    docs = {}
+    for i in range(40):
+        docs[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 60)))
+    # planted near-dups: small perturbations of existing docs
+    for i in range(5):
+        toks = docs[i].split()
+        toks[rng.randrange(len(toks))] = "zz"
+        docs[100 + i] = " ".join(toks)
+    p = vec_to_pipe(spark, {"doc_id": list(docs), "text": [docs[k] for k in docs]})
+    for t in (0.2, 0.5, 0.9):
+        a = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                p, "doc_id", "text", n=3, threshold=t, max_df=1000
+            ).collect()
+        }
+        b = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                p, "doc_id", "text", n=3, threshold=t, max_df=1000, method="prefix"
+            ).collect()
+        }
+        assert a == b, f"threshold {t}: prefix != postings"
+    assert any(k for k in a), "no pairs at 0.9 - planted dups missing"

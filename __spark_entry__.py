@@ -1370,6 +1370,16 @@ def q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chisq_by(p, "o_orderpriority", "o_orderstatus", ["o_year"])
 
 
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group diversity metrics (agg.entropy_by): Shannon entropy and
+    Gini impurity of the documents' source mix within each language —
+    the is-the-mixture-collapsing corpus monitor."""
+    from seafan_spark.agg import entropy_by
+
+    docs = _pipe(spark, sf_dir, "documents")
+    return entropy_by(docs, "source", ["lang"])
+
+
 def q_ols_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group closed-form simple OLS (agg.ols_by): regress
     l_extendedprice on l_quantity within (returnflag, linestatus) — one
@@ -1831,6 +1841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ttest": q_ttest,
     "chisq": q_chisq,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+    "entropy": q_entropy,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "irr": q_irr,
     "model_glm": q_model_glm,
@@ -2600,6 +2611,22 @@ def _embed_project_oracle(dim: int = 64, out_dim: int = 8, seed: int = 42) -> st
 # the prefix-filtered join is output-identical to the postings join by
 # the prefix-filter theorem (and by pytest) — same DuckDB twin
 ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
+
+ORACLES["entropy"] = """
+        WITH c AS (
+            SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+            FROM documents GROUP BY lang, source
+        ), t AS (
+            SELECT lang, source, o, SUM(o) OVER (PARTITION BY lang) AS n
+            FROM c
+        )
+        SELECT lang,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cats,
+               ROUND(SUM(-(o/n) * LN(o/n)), 6) AS entropy,
+               ROUND(1.0 - SUM((o/n)*(o/n)), 6) AS gini
+        FROM t GROUP BY lang
+    """
 
 ORACLES["embed_project"] = _embed_project_oracle()
 

@@ -485,3 +485,43 @@ def chisq_by(
         round_col(chi2, 6).alias("chi2"),
         dof.cast("bigint").alias("dof"),
     )
+
+
+def entropy_by(
+    pipe: Pipeline, cat_col: str, keys: Sequence[str]
+) -> DataFrame:
+    """Per-group categorical diversity: (keys..., n, n_cats, entropy,
+    gini) — Shannon entropy (nats) and Gini impurity of ``cat_col``'s
+    distribution within each group. The standard corpus-monitoring
+    rollup (is one source/language/domain collapsing the mixture?).
+
+    One map-side-partial count over (keys, cat), a window total over the
+    tiny counts table, one final group-by — the fact table shuffles
+    once. Zero-probability cells can't occur (absent categories have no
+    count row), so the p*ln(p) terms are always finite.
+    """
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    d = pipe.df.select(*keys, F.col(cat_col).alias("_cat"))
+    c = d.groupBy(*keys, "_cat").agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    n = F.sum("_o").over(Window.partitionBy(*keys))
+    p = F.col("_o") / F.col("_n")
+    out = (
+        c.withColumn("_n", n)
+        .groupBy(*keys)
+        .agg(
+            F.first("_n").alias("_nn"),
+            F.count(F.lit(1)).alias("_ncats"),
+            F.sum(-p * F.log(p)).alias("_h"),
+            F.sum(p * p).alias("_sp2"),
+        )
+    )
+    return out.select(
+        *keys,
+        F.col("_nn").cast("bigint").alias("n"),
+        F.col("_ncats").cast("bigint").alias("n_cats"),
+        round_col(F.col("_h"), 6).alias("entropy"),
+        round_col(F.lit(1.0) - F.col("_sp2"), 6).alias("gini"),
+    )

@@ -192,3 +192,29 @@ def test_chisq_by_matches_reference(spark):
     assert abs(got["g"]["chi2"] - dense_chi2([[10, 30], [30, 10]])) < 1e-6
     assert got["z"]["n"] == 20 and got["z"]["dof"] == 1
     assert abs(got["z"]["chi2"] - dense_chi2([[5, 5], [0, 10]])) < 1e-6
+
+
+def test_entropy_by_matches_formula(spark):
+    """Entropy/Gini vs hand-computed values: a uniform 4-way group
+    (entropy ln 4, gini 0.75), a single-category group (both 0), and a
+    skewed 2-way group."""
+    import math
+
+    from seafan_spark.agg import entropy_by
+    from seafan_spark.pipeline import Pipeline
+
+    rows = (
+        [("u", c) for c in "abcd" * 10]
+        + [("one", "z")] * 7
+        + [("skew", "x")] * 9
+        + [("skew", "y")] * 1
+    )
+    df = spark.createDataFrame(rows, "g string, cat string")
+    got = {r["g"]: r for r in entropy_by(Pipeline(df), "cat", ["g"]).collect()}
+    assert got["u"]["n"] == 40 and got["u"]["n_cats"] == 4
+    assert abs(got["u"]["entropy"] - math.log(4)) < 1e-6
+    assert abs(got["u"]["gini"] - 0.75) < 1e-6
+    assert got["one"]["entropy"] == 0.0 and got["one"]["gini"] == 0.0
+    h = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
+    assert abs(got["skew"]["entropy"] - h) < 1e-6
+    assert abs(got["skew"]["gini"] - (1 - 0.81 - 0.01)) < 1e-6

@@ -1021,6 +1021,33 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup (llmops.dedup): base corpus (vec_id < 250)
+    materialized as a (store, centroid) pair, the rest ingested as a
+    batch against it — store UNION batch verdicts hash-equal the
+    one-shot semantic_dedup twin (same DuckDB oracle) because the
+    append-only id split keeps the seed set and witness order fixed."""
+    from seafan_spark.llmops.dedup import (
+        semantic_dedup_incremental,
+        semantic_dedup_store_prepare,
+    )
+
+    p = _pipe(spark, sf_dir, "embeddings")
+    base = Pipeline(p.df.filter(F.col("vec_id") < 250))
+    batch = p.df.filter(F.col("vec_id") >= 250)
+    store, cents = semantic_dedup_store_prepare(
+        base, "vec_id", "embedding", n_clusters=8, eps=0.42, centroids="seeds", dim=64
+    )
+    new_rows = semantic_dedup_incremental(
+        batch, store, cents, "vec_id", "embedding", eps=0.42, dim=64
+    )
+    return store.unionByName(new_rows).select(
+        F.col("_id").alias("id"),
+        F.col("_cell").cast("bigint").alias("cluster"),
+        F.col("_keep").alias("keep"),
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact scoring path (recall 1.0)."""
     from seafan_spark.llmops.dedup import embedding_neardup_pairs
@@ -1842,6 +1869,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chisq": q_chisq,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "entropy": q_entropy,
+    "semantic_dedup_incr": q_semantic_dedup_incr,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "irr": q_irr,
     "model_glm": q_model_glm,
@@ -2611,6 +2639,9 @@ def _embed_project_oracle(dim: int = 64, out_dim: int = 8, seed: int = 42) -> st
 # the prefix-filtered join is output-identical to the postings join by
 # the prefix-filter theorem (and by pytest) — same DuckDB twin
 ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
+
+# incremental SemDeDup under the append-only id split == one-shot
+ORACLES["semantic_dedup_incr"] = ORACLES["semantic_dedup"]
 
 ORACLES["entropy"] = """
         WITH c AS (

@@ -1629,6 +1629,86 @@ def embedding_neardup_incremental(
     )
 
 
+def _assign_to_centroids(unit: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every (_id, _v) row to its max-cosine centroid from the
+    broadcast (_cell, _cv) table, min-cell tiebreak — deterministic and
+    SQL-replayable. Returns (_id, _v, _cell)."""
+    from seafan_spark.llmops.similarity import dot_col
+
+    scored = unit.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos", dot_col(F.col("_v"), F.col("_cv"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cell").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("_id", "_v", "_cell")
+    )
+
+
+def _semantic_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    centroids: str,
+    seed: int,
+    max_iter: int,
+    dim: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared quantization stage for the SemDeDup family: unit-normalize,
+    pick centroids (seeds = k lowest-id vectors, deterministic and
+    SQL-replayable; kmeans = distributed MLlib, the scale path), assign
+    every row. Returns (assigned (_id, _v, _cell) localCheckpointed,
+    centroid table (_cell, _cv)) — the centroid table is what an
+    incremental pass persists so later batches quantize identically."""
+    from seafan_spark.llmops.similarity import (
+        checked_vec_col,
+        infer_vec_dim,
+        l2_normalize_col,
+    )
+
+    if centroids not in ("kmeans", "seeds"):
+        raise ValueError(f"semantic_dedup: unknown centroids mode {centroids!r}")
+    raw = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_raw"))
+    if dim is None:
+        dim = infer_vec_dim(raw, "_raw", "semantic_dedup")
+    vec = checked_vec_col(F.col("_raw"), dim, "semantic_dedup")
+    unit = raw.select("_id", l2_normalize_col(vec).alias("_v"))
+
+    if centroids == "seeds":
+        # the k lowest-id unit vectors are the centers; every row joins the
+        # broadcast k-row seed table and keeps its max-cosine seed
+        # (min-seed-id tiebreak) — deterministic, no training job
+        cents = (
+            unit.orderBy("_id")
+            .limit(n_clusters)
+            .select(F.col("_id").alias("_cell"), F.col("_v").alias("_cv"))
+            .localCheckpoint(eager=True)
+        )
+        assigned = _assign_to_centroids(unit, cents)
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        ml = unit.withColumn("_mlv", array_to_vector(F.col("_v")))
+        km = KMeans(
+            k=n_clusters, seed=seed, maxIter=max_iter,
+            featuresCol="_mlv", predictionCol="_cell",
+        )
+        model = km.fit(ml)
+        assigned = model.transform(ml).select("_id", "_v", "_cell")
+        spark = df.sparkSession
+        cents = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "_cell long, _cv array<double>",
+        )
+    # localCheckpoint: the assignment feeds both self-join sides and the
+    # final output — without it the quantizer (or the k-row argmax) re-runs
+    # three times, and the kmeans path would re-train per branch
+    return assigned.localCheckpoint(eager=True), cents
+
+
 def semantic_dedup(
     pipe: Pipeline,
     id_col: str,
@@ -1673,55 +1753,11 @@ def semantic_dedup(
     broadcast expansion per row, which is why kmeans is the scale
     default.
     """
-    from seafan_spark.llmops.similarity import (
-        checked_vec_col,
-        dot_col,
-        infer_vec_dim,
-        l2_normalize_col,
+    from seafan_spark.llmops.similarity import dot_col
+
+    assigned, _ = _semantic_assign(
+        pipe.df, id_col, vec_col, n_clusters, centroids, seed, max_iter, dim
     )
-
-    if centroids not in ("kmeans", "seeds"):
-        raise ValueError(f"semantic_dedup: unknown centroids mode {centroids!r}")
-    raw = pipe.df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_raw"))
-    if dim is None:
-        dim = infer_vec_dim(raw, "_raw", "semantic_dedup")
-    vec = checked_vec_col(F.col("_raw"), dim, "semantic_dedup")
-    unit = raw.select("_id", l2_normalize_col(vec).alias("_v"))
-
-    if centroids == "seeds":
-        # the k lowest-id unit vectors are the centers; every row joins the
-        # broadcast k-row seed table and keeps its max-cosine seed
-        # (min-seed-id tiebreak) — deterministic, no training job
-        seeds = (
-            unit.orderBy("_id")
-            .limit(n_clusters)
-            .select(F.col("_id").alias("_cell"), F.col("_v").alias("_cv"))
-        )
-        scored = unit.crossJoin(F.broadcast(seeds)).withColumn(
-            "_cos", dot_col(F.col("_v"), F.col("_cv"))
-        )
-        w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cell").asc())
-        assigned = (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1)
-            .select("_id", "_v", "_cell")
-        )
-    else:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        ml = unit.withColumn("_mlv", array_to_vector(F.col("_v")))
-        km = KMeans(
-            k=n_clusters, seed=seed, maxIter=max_iter,
-            featuresCol="_mlv", predictionCol="_cell",
-        )
-        model = km.fit(ml)
-        assigned = model.transform(ml).select("_id", "_v", "_cell")
-
-    # localCheckpoint: the assignment feeds both self-join sides and the
-    # final output — without it the quantizer (or the k-row argmax) re-runs
-    # three times, and the kmeans path would re-train per branch
-    assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_cell")
     b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_cell")
     # unit vectors: cosine == dot. id_a < id_b means id_b is the dropped side
@@ -1740,4 +1776,122 @@ def semantic_dedup(
             F.col("_cell").cast("bigint").alias("cluster"),
             F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         )
+    )
+
+
+def semantic_dedup_store_prepare(
+    pipe: Pipeline,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    eps: float = 0.95,
+    centroids: str = "kmeans",
+    seed: int = 42,
+    max_iter: int = 20,
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Materialize the persisted state for incremental SemDeDup: returns
+    (store, centroid table). Store rows are (_id, _v unit-normalized,
+    _cell, _keep) — normalization, quantization, and the keep verdict
+    happen ONCE at ingestion and are never recomputed; the centroid
+    table (_cell, _cv) freezes the quantizer so every later batch is
+    assigned identically (the semantic analogue of persisting minhash
+    signatures + their mixer scheme).
+
+    Dropped rows stay in the store with _keep=0: the one-shot keep rule
+    lets a dropped row witness-drop a later near-identical arrival, so
+    removing them would change verdicts.
+    """
+    assigned, cents = _semantic_assign(
+        pipe.df, id_col, vec_col, n_clusters, centroids, seed, max_iter, dim
+    )
+    from seafan_spark.llmops.similarity import dot_col
+
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_cell")
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_cell")
+    dropped = (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot_col(F.col("va"), F.col("vb")) >= F.lit(float(eps)))
+        .select(F.col("id_b").alias("_id"))
+        .distinct()
+    )
+    store = assigned.join(dropped.withColumn("_dup", F.lit(1)), "_id", "left").select(
+        "_id",
+        "_v",
+        "_cell",
+        F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("_keep"),
+    )
+    return store, cents
+
+
+def semantic_dedup_incremental(
+    new_pipe: Pipeline | DataFrame,
+    store: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eps: float = 0.95,
+    dim: int | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup: quantize and judge ONLY the arriving batch
+    against a persisted (store, centroid) pair from
+    :func:`semantic_dedup_store_prepare` — the corpus is never
+    re-normalized, re-assigned, or re-judged.
+
+    Keep policy (keep-first, same as the stream dedup store): a new row
+    is dropped if ANY same-cell store row is eps-close (the store copy
+    wins — it arrived first), or if a smaller-id same-cell row of this
+    batch is. When batch ids exceed all store ids (append-only id
+    discipline), store-union-result is row-identical to a one-shot
+    semantic_dedup over everything (pytest + the oracle's hash check
+    prove it) — the store's witness rows include its _keep=0 members,
+    exactly like the one-shot rule.
+
+    Scale shape: the centroid table broadcasts; the batch shuffles once
+    on _cell against the store's (co-located when the store is written
+    bucketed by _cell); new-vs-new is the same join on the small batch.
+    Returns store-schema rows (_id, _v, _cell, _keep) for the batch —
+    append them to the store for the next round.
+    """
+    from seafan_spark.llmops.similarity import (
+        checked_vec_col,
+        dot_col,
+        infer_vec_dim,
+        l2_normalize_col,
+    )
+
+    new_df = getattr(new_pipe, "df", new_pipe)
+    raw = new_df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_raw"))
+    if dim is None:
+        dim = infer_vec_dim(raw, "_raw", "semantic_dedup_incremental")
+    vec = checked_vec_col(F.col("_raw"), dim, "semantic_dedup_incremental")
+    unit = raw.select("_id", l2_normalize_col(vec).alias("_v"))
+    assigned = _assign_to_centroids(unit, cents).localCheckpoint(eager=True)
+
+    new_side = assigned.select(
+        F.col("_id").alias("_nid"), F.col("_v").alias("_nv"), "_cell"
+    )
+    store_side = store.select(
+        F.col("_id").alias("_sid"), F.col("_v").alias("_sv"), "_cell"
+    )
+    vs_store = (
+        new_side.join(store_side, "_cell")
+        .filter(dot_col(F.col("_nv"), F.col("_sv")) >= F.lit(float(eps)))
+        .select(F.col("_nid").alias("_id"))
+    )
+    a = assigned.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_cell")
+    b = assigned.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_cell")
+    vs_new = (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot_col(F.col("va"), F.col("vb")) >= F.lit(float(eps)))
+        .select(F.col("id_b").alias("_id"))
+    )
+    dropped = vs_store.union(vs_new).distinct()
+    return assigned.join(dropped.withColumn("_dup", F.lit(1)), "_id", "left").select(
+        "_id",
+        "_v",
+        "_cell",
+        F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("_keep"),
     )

@@ -1171,3 +1171,75 @@ def test_ngram_jaccard_prefix_equals_postings(spark):
         }
         assert a == b, f"threshold {t}: prefix != postings"
     assert any(k for k in a), "no pairs at 0.9 - planted dups missing"
+
+
+def test_semantic_dedup_incremental_equals_oneshot(spark):
+    """store_prepare(A) + incremental(B) UNION == one-shot semantic_dedup
+    over A+B when B's ids exceed A's (append-only id discipline)."""
+    import random as _rnd
+
+    from seafan_spark.llmops.dedup import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+        semantic_dedup_store_prepare,
+    )
+
+    rng = _rnd.Random(11)
+    ids, rows = [], []
+    base_vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(12)]
+    for i in range(60):
+        src = base_vecs[rng.randrange(len(base_vecs))]
+        ids.append(i)
+        rows.append([x + rng.gauss(0, 0.05) for x in src])  # clusters w/ dups
+    p = vec_to_pipe(spark, {"vec_id": ids, "embedding": rows})
+    one = {
+        r["id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(
+            p, "vec_id", "embedding", n_clusters=4, eps=0.97,
+            centroids="seeds", dim=8,
+        ).collect()
+    }
+    base = vec_to_pipe(
+        spark,
+        {"vec_id": ids[:30], "embedding": rows[:30]},
+    )
+    batch = vec_to_pipe(spark, {"vec_id": ids[30:], "embedding": rows[30:]}).df
+    store, cents = semantic_dedup_store_prepare(
+        base, "vec_id", "embedding", n_clusters=4, eps=0.97,
+        centroids="seeds", dim=8,
+    )
+    new_rows = semantic_dedup_incremental(
+        batch, store, cents, "vec_id", "embedding", eps=0.97, dim=8
+    )
+    incr = {
+        r["_id"]: (r["_cell"], r["_keep"])
+        for r in store.unionByName(new_rows).collect()
+    }
+    assert incr == one
+    assert 0 < sum(1 for v in one.values() if v[1] == 0) < len(one)
+
+
+def test_semantic_dedup_incremental_dropped_store_row_witnesses(spark):
+    """A _keep=0 store row still witness-drops a later near-identical
+    arrival (the one-shot rule counts dropped rows as witnesses)."""
+    from seafan_spark.llmops.dedup import (
+        semantic_dedup_incremental,
+        semantic_dedup_store_prepare,
+    )
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    base = vec_to_pipe(
+        spark,
+        {"vec_id": [1, 2, 3], "embedding": [v, v, [0.0, 1.0, 0.0, 0.0]]},
+    )
+    store, cents = semantic_dedup_store_prepare(
+        base, "vec_id", "embedding", n_clusters=2, eps=0.99,
+        centroids="seeds", dim=4,
+    )
+    s = {r["_id"]: r["_keep"] for r in store.collect()}
+    assert s == {1: 1, 2: 0, 3: 1}  # 2 is a dropped dup of 1
+    batch = vec_to_pipe(spark, {"vec_id": [9], "embedding": [v]}).df
+    got = semantic_dedup_incremental(
+        batch, store, cents, "vec_id", "embedding", eps=0.99, dim=4
+    ).collect()
+    assert [(r["_id"], r["_keep"]) for r in got] == [(9, 0)]

@@ -1397,6 +1397,19 @@ def q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chisq_by(p, "o_orderpriority", "o_orderstatus", ["o_year"])
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, exactly k per group
+    (sampling.weighted_sample_per_group, Efraimidis-Spirakis A-ES keys
+    on the deterministic md5-bucket uniform): 5 docs per language,
+    longer docs favored by n_chars weight."""
+    from seafan_spark.sampling import weighted_sample_per_group
+
+    docs = _pipe(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        docs, ["lang"], "doc_id", "n_chars", k=5, salt="ws"
+    )
+
+
 def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group diversity metrics (agg.entropy_by): Shannon entropy and
     Gini impurity of the documents' source mix within each language —
@@ -1870,6 +1883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
     "entropy": q_entropy,
     "semantic_dedup_incr": q_semantic_dedup_incr,
+    "weighted_sample": q_weighted_sample,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "irr": q_irr,
     "model_glm": q_model_glm,
@@ -2642,6 +2656,27 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 
 # incremental SemDeDup under the append-only id split == one-shot
 ORACLES["semantic_dedup_incr"] = ORACLES["semantic_dedup"]
+
+# weighted_sample twin: same md5-bucket uniform, same A-ES key arithmetic
+ORACLES["weighted_sample"] = """
+        WITH b AS (
+            SELECT lang, doc_id AS id, CAST(n_chars AS DOUBLE) AS weight,
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8))
+                         AS UBIGINT) % 1000000 + 0.5) / 1000000.0 AS u
+            FROM documents
+        ), es AS (
+            SELECT lang, id, weight, EXP(LN(u) / weight) AS k
+            FROM b WHERE weight > 0
+        ), r AS (
+            SELECT lang, id, weight, k,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY k DESC, id ASC) AS rnk
+            FROM es
+        )
+        SELECT lang, id, ROUND(weight, 6) AS weight, ROUND(k, 6) AS es_key,
+               CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 5
+    """
 
 ORACLES["entropy"] = """
         WITH c AS (

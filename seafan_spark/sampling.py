@@ -351,3 +351,61 @@ def cap_per_group(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def weighted_sample_per_group(
+    df,
+    keys: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k per group —
+    Efraimidis-Spirakis (IPL 2006) A-ES keys: each row draws a
+    deterministic uniform u from its id hash and competes on
+    u^(1/weight); the top-k keys per group are a true weighted sample
+    without replacement (inclusion follows the successive-sampling
+    distribution). The quality-weighted subset selector: "keep the best
+    5% per domain, favoring high-score docs, reproducibly".
+
+    Everything is pure Column arithmetic on the md5-bucket uniform
+    (hash_bucket_col), so the draw is reproducible across runs, engines,
+    partitionings, and retries — and DuckDB-replayable for the oracle.
+    The per-group top-k rides Catalyst's WindowGroupLimit (map-side
+    partial top-k before the one shuffle). Rows with NULL or
+    non-positive weight never qualify (documented exclusion: their A-ES
+    key is undefined). Ties on the key (possible: u has 1e-6
+    granularity) break by id for determinism.
+
+    Returns the winning rows: (keys..., id, weight, es_key, rank).
+    """
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    d = _df(df)
+    w = F.col(weight_col).cast("double")
+    # u in (0, 1): (bucket + 0.5) / 1e6 — the +0.5 keeps ln(u) finite
+    u = (hash_bucket_col(F.col(id_col), salt) + 0.5) / float(_BUCKETS)
+    es = F.when(w > 0.0, F.exp(F.log(u) / w))
+    ranked = (
+        d.select(*keys, F.col(id_col).alias("id"), w.alias("weight"), es.alias("_es"))
+        .filter(F.col("_es").isNotNull())
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(
+                    F.col("_es").desc(), F.col("id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= int(k))
+    )
+    return ranked.select(
+        *keys,
+        "id",
+        round_col(F.col("weight"), 6).alias("weight"),
+        round_col(F.col("_es"), 6).alias("es_key"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )

@@ -250,3 +250,38 @@ def test_leakage_safe_split_dedups_assignment_rows(spark):
         salt="dd",
     ).collect()
     assert lab[3] == {r["doc_id"]: r["split"] for r in ref}[3]
+
+
+def test_weighted_sample_per_group_basics(spark):
+    from seafan_spark.sampling import weighted_sample_per_group
+
+    rows = [("g", i, 1.0 if i % 2 else 5.0) for i in range(40)]
+    rows += [("g", 100, None), ("g", 101, 0.0), ("g", 102, -3.0)]  # excluded
+    rows += [("tiny", 200, 2.0)]  # group smaller than k
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    got = weighted_sample_per_group(df, ["grp"], "id", "w", k=5, salt="t").collect()
+    g = [r for r in got if r["grp"] == "g"]
+    assert len(g) == 5 and [r["rank"] for r in sorted(g, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+    assert all(r["id"] < 100 for r in g)  # null/zero/negative weights never win
+    t = [r for r in got if r["grp"] == "tiny"]
+    assert len(t) == 1 and t[0]["rank"] == 1
+    # deterministic: identical rerun
+    again = weighted_sample_per_group(df, ["grp"], "id", "w", k=5, salt="t").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-ES inclusion probability grows with weight: across many
+    replicated groups, a weight-20 row beats 9 weight-1 rows for the
+    single slot far more often than 1/10 of the time."""
+    from seafan_spark.sampling import weighted_sample_per_group
+
+    rows = []
+    for g in range(300):
+        for i in range(10):
+            rows.append((g, g * 100 + i, 20.0 if i == 0 else 1.0))
+    df = spark.createDataFrame(rows, "grp long, id long, w double")
+    won = weighted_sample_per_group(df, ["grp"], "id", "w", k=1, salt="p").collect()
+    heavy_wins = sum(1 for r in won if r["id"] % 100 == 0)
+    # expected inclusion ~ 20/29; uniform would be 30. Far apart.
+    assert heavy_wins > 150, heavy_wins

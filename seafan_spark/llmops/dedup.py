@@ -912,35 +912,58 @@ def _ngram_pair_stats_prefix(
     )
     pref = docs.select(
         "_id",
-        F.explode(
+        F.posexplode(
             F.slice(F.transform("_sg", lambda s: s["g"]), 1, F.col("_plen"))
-        ).alias("g"),
+        ).alias("_pos", "g"),
     )
+    # candidates + POSITION FILTER (Xiao et al., WWW'08 PPJoin): both
+    # arrays are sorted by the same global order, so the earliest shared
+    # token minimizes its position in BOTH docs simultaneously —
+    # min(pos_a), min(pos_b) per pair IS the first match. Every earlier
+    # token on either side is non-common, so overlap <= 1 +
+    # min(na-pa-1, nb-pb-1); prune pairs whose bound can't reach the
+    # t-jaccard overlap requirement t/(1+t)*(na+nb). Lossless (1e-9
+    # slack absorbs double rounding); the pruned pairs never ship their
+    # gram arrays — sizes join first, arrays only after the filter.
     cand = (
-        pref.select(F.col("_id").alias("id_a"), "g")
-        .join(pref.select(F.col("_id").alias("id_b"), "g"), "g")
+        pref.select(F.col("_id").alias("id_a"), F.col("_pos").alias("_pa"), "g")
+        .join(
+            pref.select(F.col("_id").alias("id_b"), F.col("_pos").alias("_pb"), "g"),
+            "g",
+        )
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.min("_pa").alias("_pa"), F.min("_pb").alias("_pb"))
+    )
+    sizes = docs.select("_id", "_n")
+    cand = (
+        cand.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("na")), "id_a"
+        )
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("nb")), "id_b")
+        .filter(
+            (
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("_pa") - 1, F.col("nb") - F.col("_pb") - 1
+                )
+            ).cast("double")
+            >= F.lit(float(threshold) / (1.0 + float(threshold)))
+            * (F.col("na") + F.col("nb")).cast("double")
+            - F.lit(1e-9)
+        )
+        .select("id_a", "id_b", "na", "nb")
     )
     full = docs.select(
-        "_id", F.transform("_sg", lambda s: s["g"]).alias("_grams"), "_n"
+        "_id", F.transform("_sg", lambda s: s["g"]).alias("_grams")
     )
     return (
         cand.join(
-            full.select(
-                F.col("_id").alias("id_a"),
-                F.col("_grams").alias("_ga"),
-                F.col("_n").alias("na"),
-            ),
+            full.select(F.col("_id").alias("id_a"), F.col("_grams").alias("_ga")),
             "id_a",
         )
         .join(
-            full.select(
-                F.col("_id").alias("id_b"),
-                F.col("_grams").alias("_gb"),
-                F.col("_n").alias("nb"),
-            ),
+            full.select(F.col("_id").alias("id_b"), F.col("_grams").alias("_gb")),
             "id_b",
         )
         .withColumn("inter", F.size(F.array_intersect("_ga", "_gb")))

@@ -26,6 +26,7 @@ Layout
 - ``llmops``     Scale extensions: dedup, similarity search, text analysis,
                  multimodal column plumbing.
 - ``streaming``  Structured Streaming operators over event streams.
+- ``cdc``        Changelog maintenance: MERGE-INTO apply, SCD2 history.
 """
 
 from seafan_spark.ftypes import FParam, FRole, FType, FTypes

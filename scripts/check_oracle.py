@@ -69,6 +69,15 @@ def frame_key(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # an arg that names no registry query would silently filter EVERYTHING
+    # out and print a vacuous ALL PASS (it happened: '--only a,b' checked
+    # nothing) — fail loudly instead
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        raise SystemExit(
+            f"check_oracle: unknown query name(s) {sorted(unknown)}; "
+            "pass space-separated names from __spark_entry__.queries()"
+        )
     spark = vanilla_session()
     con = duckdb.connect()
     for t in TABLES:

@@ -443,6 +443,7 @@ def pq_fit(
     k_codes: int = 16,
     seed: int = 42,
     max_iter: int = 20,
+    train_cap: int = 65536,
 ) -> list[list[list[float]]]:
     """Fit product-quantization codebooks: split the ``dim`` dimensions
     into ``m`` contiguous subspaces and k-means each subspace to
@@ -452,30 +453,61 @@ def pq_fit(
     into encode/search plans as literals, like the JL / hyperplane
     weight tables.
 
-    Each subspace fit is a distributed MLlib KMeans over a SLICE
-    projection of the corpus (the full vectors never collect); m fits
-    run sequentially, each a few passes over one slim column.
+    Training runs on a deterministic hash-sampled subset of at most
+    ``train_cap`` vectors, collected once, with seeded kmeans++ Lloyd
+    iterations in numpy — the FAISS convention: codebooks are corpus
+    STATISTICS, so a bounded sample fixes their quality independent of
+    corpus size, and one collect replaces m*max_iter distributed passes
+    (the previous per-subspace MLlib loop paid ~m*iters tiny-job
+    overheads — 10s of the bench on a 2000-row corpus). The sample is
+    chosen by an md5 hash of the vector bytes, so it is reproducible
+    across runs, partitionings, and engines; ENCODE and SEARCH remain
+    fully distributed — only dim*k_codes floats ever cross the driver.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
     if dim % m != 0:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
     dsub = dim // m
     df = pipe.df if isinstance(pipe, Pipeline) else pipe
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    n_total = vecs.count()
+    if n_total == 0:
+        raise ValueError("pq_fit: empty corpus")
+    if n_total > train_cap:
+        # deterministic content-hash sample: keep ~train_cap rows
+        frac = train_cap / n_total
+        h = F.conv(
+            F.substring(F.md5(F.col("_v").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        vecs = vecs.filter(h % 1_000_000 < int(frac * 1_000_000))
+    X = np.asarray([r["_v"] for r in vecs.collect()], dtype="float64")
+
     books: list[list[list[float]]] = []
     for j in range(m):
-        sub = df.select(
-            array_to_vector(
-                F.slice(F.col(vec_col), j * dsub + 1, dsub)
-            ).alias("_mlv")
-        )
-        km = KMeans(
-            k=k_codes, seed=seed + j, maxIter=max_iter,
-            featuresCol="_mlv", predictionCol="_c",
-        )
-        model = km.fit(sub)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        S = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
+        rng = np.random.default_rng(seed + j)
+        k = min(k_codes, len(S))
+        # kmeans++ seeding, then Lloyd; empty clusters keep their centroid
+        cent = S[rng.integers(len(S))][None, :].copy()
+        while len(cent) < k:
+            d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1).min(1)
+            tot = d2.sum()
+            probs = d2 / tot if tot > 0 else np.full(len(S), 1.0 / len(S))
+            cent = np.vstack([cent, S[rng.choice(len(S), p=probs)]])
+        for _ in range(max_iter):
+            lab = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+            new = cent.copy()
+            for c in range(k):
+                pts = S[lab == c]
+                if len(pts):
+                    new[c] = pts.mean(0)
+            if np.allclose(new, cent):
+                break
+            cent = new
+        if k < k_codes:  # degenerate corpora: pad by repeating centroids
+            cent = np.vstack([cent, cent[np.zeros(k_codes - k, dtype=int)]])
+        books.append([[float(x) for x in c] for c in cent])
     return books
 
 

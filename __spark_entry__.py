@@ -1331,6 +1331,28 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(ev, ["user_id"], "ts", ["event_type"])
 
 
+def q_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-1-hour rolling count and value sum over event
+    time (temporal.rolling_agg): one shared range frame, one
+    Exchange/Sort pair for both aggregates."""
+    from seafan_spark.temporal import rolling_agg
+
+    ev = _pipe(spark, sf_dir, "events").df
+    out = rolling_agg(
+        ev,
+        ["user_id"],
+        "ts",
+        {
+            "n_1h": F.count(F.lit(1)),
+            "sum_1h": F.sum("value"),
+        },
+        window="1 hour",
+    )
+    return out.select(
+        "user_id", "event_id", F.col("n_1h"), round_col(F.col("sum_1h"), 6).alias("sum_1h")
+    )
+
+
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention (temporal.retention): first-activity cohort
     x period offset distinct-user counts, fixed 7-day epoch buckets."""
@@ -1884,6 +1906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entropy": q_entropy,
     "semantic_dedup_incr": q_semantic_dedup_incr,
     "weighted_sample": q_weighted_sample,
+    "rolling": q_rolling,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "irr": q_irr,
     "model_glm": q_model_glm,
@@ -2656,6 +2679,17 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 
 # incremental SemDeDup under the append-only id split == one-shot
 ORACLES["semantic_dedup_incr"] = ORACLES["semantic_dedup"]
+
+# rolling twin: the same inclusive [t-1h, t] range frame over exact
+# epoch microseconds
+ORACLES["rolling"] = """
+        SELECT user_id, event_id,
+               COUNT(*) OVER w AS n_1h,
+               ROUND(SUM(value) OVER w, 6) AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """
 
 # weighted_sample twin: same md5-bucket uniform, same A-ES key arithmetic
 ORACLES["weighted_sample"] = """

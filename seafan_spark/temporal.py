@@ -456,3 +456,63 @@ def ts_topk_matches(
         .limit(k)
     )
     return out
+
+
+_DURATION_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def duration_us(window: str) -> int:
+    """Parse '<N> <unit>[s]' (e.g. '7 days', '1 hour') to microseconds."""
+    parts = window.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"duration_us: expected '<N> <unit>', got {window!r}")
+    n, unit = parts
+    unit = unit.rstrip("s").lower()
+    if unit not in _DURATION_US:
+        raise ValueError(f"duration_us: unknown unit {unit!r}")
+    return int(n) * _DURATION_US[unit]
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    window: str = "1 hour",
+) -> DataFrame:
+    """Event-time rolling aggregates per key: for every row, aggregate
+    over the key's rows in ``[t - window, t]`` (inclusive both ends) —
+    moving counts/sums/averages, the per-entity trailing-window feature
+    of fraud/abuse/engagement pipelines. ``aggs`` maps output name ->
+    aggregate Column (e.g. ``{"n_1h": F.count(F.lit(1))}``), all applied
+    over ONE shared range frame.
+
+    One shuffle + one sort on (key, event time); every requested
+    aggregate reuses the same Window spec, so Catalyst plans a single
+    Exchange/Sort pair regardless of how many aggregates ride it. The
+    frame is a rangeBetween over epoch MICROSECONDS (exact integer
+    arithmetic via epoch_us_col — no float drift, NTZ/nanos/timestamp
+    all normalized), so the same bounds replay exactly in the DuckDB
+    twin. State is bounded by the frame, not the key's history.
+    """
+    d = _df(df)
+    keys = list(key_cols)
+    us = duration_us(window)
+    d = d.withColumn("_ts_us", epoch_us_col(d, ts_col))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts_us").asc())
+        .rangeBetween(-us, 0)
+    )
+    out = d
+    for name, col in aggs.items():
+        out = out.withColumn(name, col.over(w))
+    return out.drop("_ts_us")

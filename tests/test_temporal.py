@@ -274,3 +274,58 @@ def test_ts_topk_rejects_bad_znorm(spark):
     df = spark.createDataFrame([(1, 1, 1.0)], "user_id long, ts long, value double")
     with pytest.raises(ValueError, match="znorm"):
         ts_topk_matches(df, "user_id", ["ts"], "value", [1.0], znorm="bogus")
+
+
+def test_rolling_agg_hand_computed(spark):
+    """Trailing-window aggregates vs hand-computed values, inclusive
+    [t-w, t] bounds, per-key isolation, and the shared-frame plan."""
+    from pyspark.sql import functions as F
+
+    from seafan_spark.temporal import rolling_agg
+
+    us = 1_000_000  # 1 second in micros; ts arrives as epoch NANOS bigint
+    rows = [
+        (1, 0, 10.0),
+        (1, 1, 20.0),   # 1s later
+        (1, 2, 40.0),
+        (1, 5, 80.0),   # gap: 2s-window excludes earlier rows
+        (2, 1, 7.0),    # other key never mixes
+    ]
+    df = spark.createDataFrame(
+        [(k, t * us * 1000, v) for k, t, v in rows], "k long, ts long, v double"
+    )
+    got = {
+        (r["k"], r["ts"]): (r["n"], r["s"])
+        for r in rolling_agg(
+            df, ["k"], "ts", {"n": F.count(F.lit(1)), "s": F.sum("v")}, "2 seconds"
+        ).collect()
+    }
+    key = lambda k, t: (k, t * us * 1000)  # noqa: E731
+    assert got[key(1, 0)] == (1, 10.0)
+    assert got[key(1, 1)] == (2, 30.0)
+    assert got[key(1, 2)] == (3, 70.0)   # 0,1,2 all within 2s inclusive
+    assert got[key(1, 5)] == (1, 80.0)   # 3..5 window holds only itself
+    assert got[key(2, 1)] == (1, 7.0)
+    # both aggregates share ONE Exchange/Sort pair
+    import io, contextlib, re
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rolling_agg(
+            df, ["k"], "ts", {"n": F.count(F.lit(1)), "s": F.sum("v")}, "2 seconds"
+        ).explain("formatted")
+    ops = re.findall(r"^\(\d+\) ([A-Za-z]+)", buf.getvalue(), re.M)
+    assert ops.count("Exchange") == 1 and ops.count("Sort") == 1, ops
+
+
+def test_duration_us_parse():
+    import pytest as _pt
+
+    from seafan_spark.temporal import duration_us
+
+    assert duration_us("1 hour") == 3_600_000_000
+    assert duration_us("7 days") == 7 * 86_400_000_000
+    assert duration_us("90 seconds") == 90_000_000
+    with _pt.raises(ValueError):
+        duration_us("soon")
+    with _pt.raises(ValueError):
+        duration_us("3 fortnights")

@@ -1432,6 +1432,17 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outlier summary (agg.robust_outliers_by):
+    median/MAD of extended price within each return flag, outliers
+    beyond 3 MADs — exact grouped medians by rank arithmetic, never a
+    group-sized percentile buffer."""
+    from seafan_spark.agg import robust_outliers_by
+
+    li = _pipe(spark, sf_dir, "lineitem")
+    return robust_outliers_by(li, "l_extendedprice", ["l_returnflag"], k=3.0)
+
+
 def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group diversity metrics (agg.entropy_by): Shannon entropy and
     Gini impurity of the documents' source mix within each language —
@@ -1907,6 +1918,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "semantic_dedup_incr": q_semantic_dedup_incr,
     "weighted_sample": q_weighted_sample,
     "rolling": q_rolling,
+    "robust_outliers": q_robust_outliers,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "irr": q_irr,
     "model_glm": q_model_glm,
@@ -2679,6 +2691,40 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 
 # incremental SemDeDup under the append-only id split == one-shot
 ORACLES["semantic_dedup_incr"] = ORACLES["semantic_dedup"]
+
+# robust_outliers twin: replays the rank-arithmetic exact medians (value,
+# then absolute deviation) and the k*MAD flag
+ORACLES["robust_outliers"] = """
+        WITH d AS (
+            SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS x
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ), r AS (
+            SELECT k, x, ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) AS rn,
+                   COUNT(*) OVER (PARTITION BY k) AS c
+            FROM d
+        ), med AS (
+            SELECT k, AVG(x) AS m FROM r
+            WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2 GROUP BY k
+        ), dev AS (
+            SELECT d.k, d.x, ABS(d.x - med.m) AS dv, med.m
+            FROM d JOIN med ON d.k = med.k
+        ), r2 AS (
+            SELECT k, dv, ROW_NUMBER() OVER (PARTITION BY k ORDER BY dv) AS rn,
+                   COUNT(*) OVER (PARTITION BY k) AS c
+            FROM dev
+        ), mad AS (
+            SELECT k, AVG(dv) AS md FROM r2
+            WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2 GROUP BY k
+        )
+        SELECT dev.k AS l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(MAX(dev.m), 6) AS median,
+               ROUND(MAX(mad.md), 6) AS mad,
+               CAST(SUM(CASE WHEN dev.dv > 3.0 * mad.md THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers
+        FROM dev JOIN mad ON dev.k = mad.k
+        GROUP BY dev.k
+    """
 
 # rolling twin: the same inclusive [t-1h, t] range frame over exact
 # epoch microseconds

@@ -525,3 +525,78 @@ def entropy_by(
         round_col(F.col("_h"), 6).alias("entropy"),
         round_col(F.lit(1.0) - F.col("_sp2"), 6).alias("gini"),
     )
+
+
+def _grouped_median(d: DataFrame, keys: Sequence[str], val: str) -> DataFrame:
+    """Exact per-group median via rank arithmetic: (keys..., _med).
+
+    One shuffle+sort on the group key; the two middle rows are picked by
+    row_number against the group count (avg of both — even groups get
+    the midpoint), so no aggregation buffer ever holds a group's
+    distinct values (F.median's buffer is group-sized; a 100 TB hot
+    group would sink it).
+    """
+    from pyspark.sql import Window
+
+    # ties in the order are broken arbitrarily, but the VALUE at each rank
+    # is deterministic (equal values are interchangeable), and values are
+    # all the median reads — no tiebreak column needed
+    w = Window.partitionBy(*keys).orderBy(F.col(val).asc())
+    wk = Window.partitionBy(*keys)
+    ranked = d.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_cnt", F.count(F.lit(1)).over(wk)
+    )
+    # Spark `/` is DOUBLE division: without floor, an even group's lower
+    # middle rank ((n+1)/2 = x.5) matches nothing and the "median" would
+    # silently become the upper-middle value
+    mid = ranked.filter(
+        (F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2))
+        | (F.col("_rn") == F.floor((F.col("_cnt") + 2) / 2))
+    )
+    return mid.groupBy(*keys).agg(F.avg(val).alias("_med"))
+
+
+def robust_outliers_by(
+    pipe: Pipeline, value_col: str, keys: Sequence[str], k: float = 3.0
+) -> DataFrame:
+    """Per-group robust outlier summary: (keys..., n, median, mad,
+    n_outliers) — an outlier is a row with |x - median| > k * MAD
+    (median absolute deviation, no consistency constant; mean/std
+    equivalents break down exactly when outliers are present, which is
+    the point of using them).
+
+    Scale shape: two grouped exact medians (value, then absolute
+    deviation), each ONE shuffle+sort on the group key with the middle
+    rows picked by rank arithmetic — never a group-sized aggregation
+    buffer (see _grouped_median); the per-group medians broadcast back
+    as slim joins. NULL values are excluded up front.
+    """
+    from seafan_spark.rounding import round_col
+
+    d = pipe.df.select(*keys, F.col(value_col).cast("double").alias("_x")).filter(
+        F.col("_x").isNotNull()
+    )
+    med = _grouped_median(d, keys, "_x")
+    dev = d.join(med, list(keys)).withColumn("_dev", F.abs(F.col("_x") - F.col("_med")))
+    mad = _grouped_median(dev.select(*keys, F.col("_dev").alias("_x")), keys, "_x").select(
+        *keys, F.col("_med").alias("_mad")
+    )
+    flagged = dev.join(mad, list(keys))
+    return (
+        flagged.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("_med").alias("_m"),
+            F.first("_mad").alias("_d"),
+            F.sum(
+                F.when(F.col("_dev") > F.lit(float(k)) * F.col("_mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            *keys,
+            F.col("n").cast("bigint").alias("n"),
+            round_col(F.col("_m"), 6).alias("median"),
+            round_col(F.col("_d"), 6).alias("mad"),
+            F.col("n_outliers").cast("bigint").alias("n_outliers"),
+        )
+    )

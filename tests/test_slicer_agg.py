@@ -218,3 +218,31 @@ def test_entropy_by_matches_formula(spark):
     h = -(0.9 * math.log(0.9) + 0.1 * math.log(0.1))
     assert abs(got["skew"]["entropy"] - h) < 1e-6
     assert abs(got["skew"]["gini"] - (1 - 0.81 - 0.01)) < 1e-6
+
+
+def test_robust_outliers_by_matches_numpy(spark):
+    """Median/MAD/outlier counts vs numpy, odd and even group sizes,
+    planted outliers."""
+    import numpy as np
+
+    from seafan_spark.agg import robust_outliers_by
+    from seafan_spark.pipeline import Pipeline
+
+    rng = np.random.default_rng(3)
+    rows = []
+    vals = {}
+    for g, n in (("odd", 101), ("even", 100)):
+        v = list(rng.normal(50, 5, n - 2)) + [500.0, -400.0]  # planted
+        vals[g] = np.array(v)
+        rows += [(g, float(x)) for x in v]
+    df = spark.createDataFrame(rows, "g string, x double")
+    got = {r["g"]: r for r in robust_outliers_by(Pipeline(df), "x", ["g"], k=3.0).collect()}
+    for g, v in vals.items():
+        med = np.median(v)
+        mad = np.median(np.abs(v - med))
+        n_out = int((np.abs(v - med) > 3.0 * mad).sum())
+        assert got[g]["n"] == len(v)
+        assert abs(got[g]["median"] - med) < 1e-6, g
+        assert abs(got[g]["mad"] - mad) < 1e-6, g
+        assert got[g]["n_outliers"] == n_out, g
+        assert n_out >= 2  # the planted points are flagged

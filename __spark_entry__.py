@@ -1021,6 +1021,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (llmops.similarity.hard_negatives): top-5
+    most-similar corpus vectors per anchor EXCLUDING the anchor and its
+    gold positive (deterministically the successor id) — exclusion
+    anti-joins before the top-k window so gold rows never displace a
+    negative."""
+    from seafan_spark.llmops.similarity import hard_negatives
+
+    p = _pipe(spark, sf_dir, "embeddings")
+    q = p.df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pos = p.df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), (F.col("vec_id") + 1).alias("pos_id")
+    )
+    return hard_negatives(p, "vec_id", "embedding", pos, k=5, queries=q)
+
+
 def q_semantic_dedup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SemDeDup (llmops.dedup): base corpus (vec_id < 250)
     materialized as a (store, centroid) pair, the rest ingested as a
@@ -1919,6 +1937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "rolling": q_rolling,
     "robust_outliers": q_robust_outliers,
+    "hard_negatives": q_hard_negatives,
     # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "irr": q_irr,
     "model_glm": q_model_glm,
@@ -2691,6 +2710,33 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 
 # incremental SemDeDup under the append-only id split == one-shot
 ORACLES["semantic_dedup_incr"] = ORACLES["semantic_dedup"]
+
+# hard_negatives twin: brute cosine with NOT-EXISTS gold exclusion
+ORACLES["hard_negatives"] = """
+        WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), pos AS (
+            SELECT vec_id AS q_id, vec_id + 1 AS pos_id
+            FROM embeddings WHERE vec_id < 5
+        ), c AS (
+            SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings
+        ), s AS (
+            SELECT q.q_id, c.nid, list_cosine_similarity(q.qv, c.nv) AS cos
+            FROM q CROSS JOIN c
+            WHERE c.nid != q.q_id
+              AND NOT EXISTS (SELECT 1 FROM pos
+                              WHERE pos.q_id = q.q_id AND pos.pos_id = c.nid)
+        ), r AS (
+            SELECT q_id, nid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, nid ASC) AS rnk
+            FROM s
+        )
+        SELECT q_id, nid AS neighbor_id, ROUND(cos, 6) AS cosine,
+               CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 5
+    """
 
 # robust_outliers twin: replays the rank-arithmetic exact medians (value,
 # then absolute deviation) and the k*MAD flag

@@ -629,3 +629,58 @@ def ann_pq_topk(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def hard_negatives(
+    pipe: Pipeline,
+    id_col: str,
+    vec_col: str,
+    positives: DataFrame,
+    k: int = 10,
+    queries: DataFrame | None = None,
+    query_id: str = "q_id",
+    query_vec: str = "q_vec",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    anchor, the top-``k`` most-similar corpus vectors that are NOT the
+    anchor itself and NOT one of its gold positives — the negatives that
+    actually move a ranking loss (random negatives are trivially easy).
+
+    ``positives`` is the gold relation ``(q_id, pos_id)``; exclusion is
+    one broadcast anti-join on the pair key BEFORE the top-k window, so
+    excluded rows can never displace a returned negative. Scoring is the
+    broadcast-query exact path (ann_brute_topk's shape: corpus never
+    shuffles, one WindowGroupLimit top-k); corpora too large for exact
+    scoring swap the candidate stage for ann_ivf_topk with an enlarged
+    fetch-k and apply the same anti-join + re-rank.
+
+    Returns (q_id, neighbor_id, cosine, rank).
+    """
+    corpus = pipe.df.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv"))
+    if queries is None:
+        q = pipe.df.select(
+            F.col(id_col).alias(query_id), F.col(vec_col).alias(query_vec)
+        )
+    else:
+        q = queries
+    pos = positives.select(
+        F.col(positives.columns[0]).alias(query_id),
+        F.col(positives.columns[1]).alias("_nid"),
+    )
+    joined = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("_nid") != F.col(query_id))
+        .join(F.broadcast(pos), [query_id, "_nid"], "left_anti")
+    )
+    scored = joined.withColumn("cosine", cosine_col(F.col(query_vec), F.col("_nv")))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("_nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id).alias("q_id"),
+            F.col("_nid").alias("neighbor_id"),
+            round_col("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

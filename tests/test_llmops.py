@@ -1243,3 +1243,37 @@ def test_semantic_dedup_incremental_dropped_store_row_witnesses(spark):
         batch, store, cents, "vec_id", "embedding", eps=0.99, dim=4
     ).collect()
     assert [(r["_id"], r["_keep"]) for r in got] == [(9, 0)]
+
+
+def test_hard_negatives_excludes_gold(spark):
+    """The anchor's self and gold positives never appear; the result is
+    exactly the brute top-k over the remaining corpus."""
+    from seafan_spark.llmops.similarity import ann_brute_topk, hard_negatives
+    from seafan_spark.pipeline import Pipeline
+
+    rng = random.Random(2)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p = Pipeline(df)
+    q = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # make the gold positives the anchors' TRUE top-1 so exclusion bites
+    top1 = {
+        r["q_id"]: r["neighbor_id"]
+        for r in ann_brute_topk(p, "vec_id", "embedding", queries=q, k=1).collect()
+    }
+    pos = spark.createDataFrame(
+        [(qid, nid) for qid, nid in top1.items()], "q_id long, pos_id long"
+    )
+    got = hard_negatives(p, "vec_id", "embedding", pos, k=5, queries=q).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append(r["neighbor_id"])
+    brute = ann_brute_topk(p, "vec_id", "embedding", queries=q, k=6).collect()
+    for qid, negs in by_q.items():
+        assert len(negs) == 5
+        assert top1[qid] not in negs and qid not in negs
+        # equals brute top-6 minus the gold top-1
+        want = [r["neighbor_id"] for r in brute if r["q_id"] == qid and r["neighbor_id"] != top1[qid]][:5]
+        assert negs == want, (qid, negs, want)

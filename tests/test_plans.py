@@ -41,6 +41,7 @@ NLJ_OK = {
     "ann_topk": "intentional broadcast query-set scoring (exact path)",
     "ann_ivf": "broadcast probe set onto clustered corpus",
     "ann_pq": "broadcast per-query ADC LUT over the m-byte code scan",
+    "hard_negatives": "broadcast anchor set scoring (ann_topk shape)",
 }
 
 

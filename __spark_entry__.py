@@ -438,6 +438,24 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(p, bench, n=8)
 
 
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered contamination screen
+    (llmops.dedup.contamination_check_bloom): the benchmark gram set is
+    compressed to a ~16-bit/gram Bloom bitmap broadcast as ONE row; the
+    corpus gram stream is cut map-side (xxhash64+getbit inside codegen)
+    before the exact verify join, so results are identical to
+    `contamination` — the oracle SQL is shared verbatim — while the
+    string join sees only the surviving sliver. At 100 TB this replaces
+    a GB-scale gram-table broadcast with a MB-scale bitmap."""
+    from seafan_spark.llmops.dedup import contamination_check_bloom
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    bench = p.df.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_check_bloom(p, bench, n=8)
+
+
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (llmops.text.tfidf_top_terms):
     explode -> tf -> vocab df -> term join -> broadcast N -> window
@@ -1907,6 +1925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join": q_salted_join,
     "salted_agg": q_salted_agg,
     "contamination": q_contamination,
+    "contamination_bloom": q_contamination_bloom,
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
@@ -2707,6 +2726,9 @@ def _embed_project_oracle(dim: int = 64, out_dim: int = 8, seed: int = 42) -> st
 # the prefix-filtered join is output-identical to the postings join by
 # the prefix-filter theorem (and by pytest) — same DuckDB twin
 ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
+# Bloom mode only PREfilters before the exact verify join — results are
+# identical to the exact screen, so the oracle is shared verbatim.
+ORACLES["contamination_bloom"] = ORACLES["contamination"]
 
 # incremental SemDeDup under the append-only id split == one-shot
 ORACLES["semantic_dedup_incr"] = ORACLES["semantic_dedup"]

@@ -789,6 +789,139 @@ def contamination_check(
     )
 
 
+def gram_bloom_filter(
+    grams: DataFrame,
+    gram_col: str = "_g",
+    num_hashes: int = 7,
+    bits_per_item: int = 16,
+    min_bits: int = 1024,
+) -> tuple[list[int], int]:
+    """Build a Bloom filter over a (small-side) gram relation as a dense
+    ``int64`` word list plus its power-of-two bit count.
+
+    Distributed build: each distinct gram contributes ``num_hashes`` bit
+    positions (``xxhash64(gram, seed) & (nbits-1)``); positions fold to
+    ``(word, 1<<bit)`` rows and a single ``groupBy(word).agg(bit_or)``
+    with map-side partial aggregation produces at most ``nbits/64`` rows
+    — kilobytes for a million-gram benchmark — which densify driver-side
+    like the PQ codebooks / JL weight tables: the filter is a *statistic*
+    of the small side, so only ``nbits/64`` longs ever cross the driver.
+
+    ``bits_per_item=16`` with 7 hashes gives ~0.05% false positives
+    (standard Bloom calculus, k ≈ 0.7·bits/item) — and callers here use
+    the filter only as a lossless prefilter before an exact check, so FP
+    rate affects cost, never results.
+    """
+    n_items = grams.select(gram_col).distinct().count()
+    nbits = min_bits
+    while nbits < n_items * bits_per_item:
+        nbits *= 2
+    mask = nbits - 1
+    g = F.col(gram_col)
+    contrib = grams.select(
+        F.explode(
+            F.array(
+                *[
+                    (F.xxhash64(g, F.lit(i)).bitwiseAND(F.lit(mask)))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("_pos")
+    ).select(
+        F.shiftrightunsigned(F.col("_pos"), 6).alias("_w"),
+        (F.col("_pos").bitwiseAND(F.lit(63))).alias("_b"),
+    )
+    words_sparse = (
+        contrib.select("_w", F.expr("shiftleft(1L, _b)").alias("_m"))
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_word"))
+        .collect()
+    )
+    words = [0] * (nbits // 64)
+    for r in words_sparse:
+        words[int(r["_w"])] = int(r["_word"])
+    return words, nbits
+
+
+def bloom_might_contain(bf_col: Column, nbits: int, value: Column, num_hashes: int = 7) -> Column:
+    """Membership probe against a Bloom filter held as an ``array<long>``
+    column (one broadcast row): true iff all ``num_hashes`` bits are set.
+    Pure JVM bit arithmetic — ``xxhash64`` + ``getbit`` — so the probe
+    runs map-side inside whole-stage codegen; no join, no shuffle."""
+    checks = []
+    for i in range(num_hashes):
+        pos = F.xxhash64(value, F.lit(i)).bitwiseAND(F.lit(nbits - 1))
+        word = F.element_at(bf_col, (F.shiftrightunsigned(pos, 6) + 1).cast("int"))
+        checks.append(F.getbit(word, pos.bitwiseAND(F.lit(63))) == 1)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def contamination_check_bloom(
+    corpus,
+    benchmark,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id: str = "bench_id",
+    bench_text: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+    num_hashes: int = 7,
+    bits_per_item: int = 16,
+) -> DataFrame:
+    """:func:`contamination_check` with a Bloom prefilter on the corpus
+    gram stream — identical results (the filter only *pre*-screens; every
+    surviving gram is still exactly verified by the gram equi-join), so
+    the exact-SQL oracle is shared verbatim.
+
+    Why it matters at 100 TB: the exact screen broadcasts the benchmark
+    gram table (say 10M grams ≈ 1 GB of strings) into a hash join that
+    every corpus gram — trillions of them — must probe. Here the
+    benchmark compresses to a Bloom bitmap ~100× smaller (16 bits/gram ≈
+    20 MB), broadcast as ONE row; the corpus gram stream is cut by the
+    filter *inside its own scan stage* (map-side, whole-stage codegen,
+    ~0.05% false positives) and only the surviving sliver — true hits
+    plus FP noise — reaches the string join. When the benchmark side is
+    too big to broadcast as a join table at all, this is the difference
+    between a full corpus shuffle and none.
+    """
+    c = getattr(corpus, "df", corpus)
+    b = getattr(benchmark, "df", benchmark)
+    bg = b.select(
+        F.col(bench_id).alias("_bid"),
+        F.explode(word_ngrams_col(F.col(bench_text), n)).alias("_g"),
+    ).distinct()
+    words, nbits = gram_bloom_filter(
+        bg, "_g", num_hashes=num_hashes, bits_per_item=bits_per_item
+    )
+    spark = c.sparkSession
+    bfdf = spark.createDataFrame(
+        [(words,)], schema="_bf: array<long>"
+    )
+    cg = (
+        c.select(
+            F.col(id_col).alias("_cid"),
+            F.explode(word_ngrams_col(F.col(text_col), n)).alias("_g"),
+        )
+        .crossJoin(F.broadcast(bfdf))
+        .filter(bloom_might_contain(F.col("_bf"), nbits, F.col("_g"), num_hashes))
+        .drop("_bf")
+    )
+    hits = (
+        cg.join(F.broadcast(bg), "_g")
+        .groupBy("_cid", "_bid")
+        .agg(F.count_distinct("_g").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+    return hits.select(
+        F.col("_cid").alias(id_col),
+        F.col("_bid").alias(bench_id),
+        F.col("shared_ngrams").cast("bigint").alias("shared_ngrams"),
+    )
+
+
 def _ngram_pair_stats(
     pipe: Pipeline,
     id_col: str,

@@ -485,6 +485,42 @@ def test_contamination_check(spark):
     assert got[(2, 100)] >= got[(0, 100)]
 
 
+def test_gram_bloom_filter_probe(spark):
+    from seafan_spark.llmops.dedup import bloom_might_contain, gram_bloom_filter
+
+    members = [f"gram number {i} present" for i in range(50)]
+    outsiders = [f"absent gram {i} missing" for i in range(500)]
+    gdf = spark.createDataFrame([(g,) for g in members], schema="_g: string")
+    words, nbits = gram_bloom_filter(gdf, "_g")
+    assert nbits >= 1024 and nbits & (nbits - 1) == 0  # power of two
+    bfdf = spark.createDataFrame([(words,)], schema="_bf: array<long>")
+    probe = spark.createDataFrame(
+        [(g, True) for g in members] + [(g, False) for g in outsiders],
+        schema="_g: string, member: boolean",
+    )
+    got = (
+        probe.crossJoin(F.broadcast(bfdf))
+        .select("_g", "member", bloom_might_contain(F.col("_bf"), nbits, F.col("_g")).alias("hit"))
+        .collect()
+    )
+    # no false negatives, and FP rate well under 5% at 16 bits/item
+    assert all(r["hit"] for r in got if r["member"])
+    fps = sum(1 for r in got if r["hit"] and not r["member"])
+    assert fps <= len(outsiders) * 0.05
+
+
+def test_contamination_bloom_matches_exact(spark):
+    from seafan_spark.llmops.dedup import contamination_check, contamination_check_bloom
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    exact = sorted(map(tuple, contamination_check(docs, bench, n=8).collect()))
+    bloom = sorted(map(tuple, contamination_check_bloom(docs, bench, n=8).collect()))
+    assert exact == bloom and len(exact) > 0
+
+
 def test_repetition_ratio(spark):
     from seafan_spark.llmops.text import repetition_ratio_col
 

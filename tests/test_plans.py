@@ -42,6 +42,7 @@ NLJ_OK = {
     "ann_ivf": "broadcast probe set onto clustered corpus",
     "ann_pq": "broadcast per-query ADC LUT over the m-byte code scan",
     "hard_negatives": "broadcast anchor set scoring (ann_topk shape)",
+    "contamination_bloom": "one-row Bloom bitmap broadcast onto the gram scan",
 }
 
 

@@ -438,6 +438,57 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(p, bench, n=8)
 
 
+def _annotations_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic annotation table derived from `documents`:
+    3 annotators label every doc; ~70% of votes hit the doc's "true"
+    class (doc_id % 3), the rest land on a per-annotator deterministic
+    alternative — pure integer arithmetic so the DuckDB twin replays it
+    exactly."""
+    p = _pipe(spark, sf_dir, "documents")
+    did, ann = F.col("item_id"), F.col("annotator")
+    return (
+        p.df.select(F.col("doc_id").alias("item_id"))
+        .select(
+            "item_id",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("annotator"),
+        )
+        .withColumn(
+            "label",
+            F.when((did * 31 + ann * 17) % 10 < 7, did % 3).otherwise(
+                (did * 7 + ann * 13) % 3
+            ),
+        )
+    )
+
+
+_ANNOTATIONS_SQL = """
+        SELECT doc_id AS item_id, a.ann AS annotator,
+               CASE WHEN (doc_id*31 + a.ann*17) % 10 < 7 THEN doc_id % 3
+                    ELSE (doc_id*7 + a.ann*13) % 3 END AS label
+        FROM documents, (VALUES (0), (1), (2)) AS a(ann)
+"""
+
+
+def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's kappa over a synthetic 3-annotator labeling of
+    `documents` (llmops.labels.annotator_agreement): one item-keyed
+    self-join, then all statistics over per-(pair, label) aggregates —
+    A^2*L rows, broadcast-sized for any real annotator pool."""
+    from seafan_spark.llmops.labels import annotator_agreement
+
+    return annotator_agreement(_annotations_df(spark, sf_dir))
+
+
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the same synthetic annotations
+    (llmops.labels.fleiss_kappa): two (item,label)-count aggregation
+    passes with map-side combine; p_bar folds to one exact-integer-sum
+    division so the double bit-matches the DuckDB twin."""
+    from seafan_spark.llmops.labels import fleiss_kappa
+
+    return fleiss_kappa(_annotations_df(spark, sf_dir))
+
+
 def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered contamination screen
     (llmops.dedup.contamination_check_bloom): the benchmark gram set is
@@ -1926,6 +1977,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_agg": q_salted_agg,
     "contamination": q_contamination,
     "contamination_bloom": q_contamination_bloom,
+    "label_agreement": q_label_agreement,
+    "fleiss_kappa": q_fleiss_kappa,
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
@@ -2729,6 +2782,67 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 # Bloom mode only PREfilters before the exact verify join — results are
 # identical to the exact screen, so the oracle is shared verbatim.
 ORACLES["contamination_bloom"] = ORACLES["contamination"]
+
+ORACLES["label_agreement"] = f"""
+    WITH ann AS ({_ANNOTATIONS_SQL}),
+    pairs AS (
+        SELECT x.item_id, x.annotator AS annotator_a, y.annotator AS annotator_b,
+               CAST(x.label AS VARCHAR) AS la, CAST(y.label AS VARCHAR) AS lb
+        FROM ann x JOIN ann y
+          ON x.item_id = y.item_id AND x.annotator < y.annotator
+    ),
+    tot AS (
+        SELECT annotator_a, annotator_b, COUNT(*) AS n_items,
+               AVG(CASE WHEN la = lb THEN 1.0 ELSE 0.0 END) AS po
+        FROM pairs GROUP BY 1, 2
+    ),
+    ca AS (SELECT annotator_a, annotator_b, la AS l, COUNT(*) AS c
+           FROM pairs GROUP BY 1, 2, 3),
+    cb AS (SELECT annotator_a, annotator_b, lb AS l, COUNT(*) AS c
+           FROM pairs GROUP BY 1, 2, 3),
+    pe AS (
+        SELECT ca.annotator_a, ca.annotator_b,
+               SUM(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS ab
+        FROM ca JOIN cb USING (annotator_a, annotator_b, l)
+        GROUP BY 1, 2
+    )
+    SELECT t.annotator_a, t.annotator_b,
+           CAST(t.n_items AS BIGINT) AS n_items,
+           ROUND(t.po, 6) AS p_o,
+           ROUND(pe.ab / (CAST(t.n_items AS DOUBLE) * CAST(t.n_items AS DOUBLE)), 6) AS p_e,
+           ROUND(CASE WHEN pe.ab / (CAST(t.n_items AS DOUBLE) * CAST(t.n_items AS DOUBLE)) < 1.0
+                 THEN (t.po - pe.ab / (CAST(t.n_items AS DOUBLE) * CAST(t.n_items AS DOUBLE)))
+                      / (1.0 - pe.ab / (CAST(t.n_items AS DOUBLE) * CAST(t.n_items AS DOUBLE)))
+                 END, 6) AS kappa
+    FROM tot t JOIN pe USING (annotator_a, annotator_b)
+    ORDER BY annotator_a, annotator_b
+"""
+
+ORACLES["fleiss_kappa"] = f"""
+    WITH ann AS ({_ANNOTATIONS_SQL}),
+    votes AS (
+        SELECT item_id, CAST(label AS VARCHAR) AS lab, COUNT(*) AS nij
+        FROM ann GROUP BY 1, 2
+    ),
+    per_item AS (
+        SELECT item_id, SUM(nij) AS n, SUM(nij * nij) AS sq
+        FROM votes GROUP BY 1
+    ),
+    pb AS (
+        SELECT COUNT(*) AS n_items,
+               (SUM(sq) - COUNT(*) * 3) * 1.0 / (COUNT(*) * 3 * 2) AS p_bar
+        FROM per_item
+    ),
+    lc AS (SELECT lab, CAST(SUM(nij) AS DOUBLE) AS cj FROM votes GROUP BY 1),
+    pe AS (SELECT SUM(cj * cj) / (SUM(cj) * SUM(cj)) AS p_e FROM lc)
+    SELECT CAST(pb.n_items AS BIGINT) AS n_items,
+           CAST(3 AS INT) AS n_raters,
+           ROUND(pb.p_bar, 6) AS p_bar,
+           ROUND(pe.p_e, 6) AS p_e,
+           ROUND(CASE WHEN pe.p_e < 1.0
+                 THEN (pb.p_bar - pe.p_e) / (1.0 - pe.p_e) END, 6) AS kappa
+    FROM pb, pe
+"""
 
 # incremental SemDeDup under the append-only id split == one-shot
 ORACLES["semantic_dedup_incr"] = ORACLES["semantic_dedup"]

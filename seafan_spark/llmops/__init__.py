@@ -15,8 +15,18 @@ operator families a 100 TB LLM-data pipeline needs, designed Spark-first:
                  (decoders stubbed — image/audio libs not in this
                  environment; schema/partitioning/batching are real).
 - ``lm``         n-gram LM perplexity filtering as relational algebra.
+- ``labels``     annotator-reliability statistics (Cohen/Fleiss kappa)
+                 for preference / classification label quality.
 - ``versioning`` corpus snapshot diff by fingerprint — what changed
                  between two corpus versions, text never shuffled.
 """
 
-from seafan_spark.llmops import dedup, lm, multimodal, similarity, text, versioning  # noqa: F401
+from seafan_spark.llmops import (  # noqa: F401
+    dedup,
+    labels,
+    lm,
+    multimodal,
+    similarity,
+    text,
+    versioning,
+)

@@ -1313,3 +1313,94 @@ def test_hard_negatives_excludes_gold(spark):
         # equals brute top-6 minus the gold top-1
         want = [r["neighbor_id"] for r in brute if r["q_id"] == qid and r["neighbor_id"] != top1[qid]][:5]
         assert negs == want, (qid, negs, want)
+
+
+def _py_cohen(items):
+    """Independent plain-Python Cohen's kappa over [(la, lb), ...]."""
+    n = len(items)
+    po = sum(1 for a, b in items if a == b) / n
+    from collections import Counter
+
+    ca, cb = Counter(a for a, _ in items), Counter(b for _, b in items)
+    pe = sum(ca[l] * cb[l] for l in set(ca) | set(cb)) / (n * n)
+    return po, pe, (po - pe) / (1 - pe) if pe < 1 else None
+
+
+def test_annotator_agreement_cohen(spark):
+    from seafan_spark.llmops.labels import annotator_agreement
+
+    rows = []
+    labs = {}
+    for item in range(60):
+        for ann in range(3):
+            lab = (item % 4) if (item * 31 + ann * 17) % 10 < 7 else (item + ann) % 4
+            rows.append((item, ann, lab))
+            labs[(item, ann)] = lab
+    df = spark.createDataFrame(rows, "item_id int, annotator int, label int")
+    got = {
+        (r["annotator_a"], r["annotator_b"]): r
+        for r in annotator_agreement(df, "item_id", "annotator", "label").collect()
+    }
+    assert set(got) == {(0, 1), (0, 2), (1, 2)}
+    for (a, b), r in got.items():
+        pairs = [(str(labs[(i, a)]), str(labs[(i, b)])) for i in range(60)]
+        po, pe, kap = _py_cohen(pairs)
+        assert r["n_items"] == 60
+        assert abs(r["p_o"] - po) < 1e-6 and abs(r["p_e"] - pe) < 1e-6
+        assert abs(r["kappa"] - kap) < 1e-6
+
+
+def test_annotator_agreement_perfect_and_degenerate(spark):
+    from seafan_spark.llmops.labels import annotator_agreement
+
+    # perfect agreement with varied labels -> kappa 1
+    rows = [(i, a, i % 3) for i in range(12) for a in range(2)]
+    df = spark.createDataFrame(rows, "item_id int, annotator int, label int")
+    r = annotator_agreement(df).collect()[0]
+    assert r["kappa"] == 1.0
+    # constant labels -> p_e = 1, kappa NULL
+    rows = [(i, a, 7) for i in range(12) for a in range(2)]
+    df = spark.createDataFrame(rows, "item_id int, annotator int, label int")
+    r = annotator_agreement(df).collect()[0]
+    assert r["p_o"] == 1.0 and r["p_e"] == 1.0 and r["kappa"] is None
+
+
+def test_fleiss_kappa(spark):
+    from seafan_spark.llmops.labels import fleiss_kappa
+
+    rows = []
+    votes = {}
+    for item in range(40):
+        for ann in range(4):
+            lab = (item % 3) if (item * 13 + ann * 7) % 5 < 3 else (item + ann) % 3
+            rows.append((item, ann, lab))
+            votes.setdefault(item, {}).setdefault(lab, 0)
+            votes[item][lab] += 1
+    df = spark.createDataFrame(rows, "item_id int, annotator int, label int")
+    r = fleiss_kappa(df, "item_id", "annotator", "label").collect()[0]
+    # independent plain-Python Fleiss computation
+    N, n = 40, 4
+    p_bar = sum(sum(c * c for c in v.values()) - n for v in votes.values()) / (
+        N * n * (n - 1)
+    )
+    from collections import Counter
+
+    cj = Counter()
+    for v in votes.values():
+        cj.update(v)
+    tot = sum(cj.values())
+    p_e = sum(c * c for c in cj.values()) / (tot * tot)
+    kap = (p_bar - p_e) / (1 - p_e)
+    assert r["n_items"] == N and r["n_raters"] == n
+    assert abs(r["p_bar"] - p_bar) < 1e-6
+    assert abs(r["p_e"] - p_e) < 1e-6
+    assert abs(r["kappa"] - kap) < 1e-6
+
+
+def test_fleiss_kappa_rejects_uneven_ratings(spark):
+    from seafan_spark.llmops.labels import fleiss_kappa
+
+    rows = [(0, 0, 1), (0, 1, 1), (1, 0, 1)]  # item 1 has only one rating
+    df = spark.createDataFrame(rows, "item_id int, annotator int, label int")
+    with pytest.raises(ValueError, match="constant"):
+        fleiss_kappa(df)

@@ -469,6 +469,28 @@ _ANNOTATIONS_SQL = """
 """
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (jsonops.flatten_json): infer the
+    schema of `events.props` from a deterministic content-hash sample
+    (driver-side statistic, like the PQ codebooks), from_json-flatten it
+    to typed columns, and aggregate the extracted field per event_type —
+    the whole row path is JVM json parsing, no UDF."""
+    from seafan_spark.jsonops import flatten_json
+
+    p = _pipe(spark, sf_dir, "events")
+    flat = flatten_json(p.df, "props", prefix="p_")
+    return (
+        flat.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("p_k").cast("bigint").alias("sum_k"),
+            round_col(F.avg("p_k"), 6).alias("avg_k"),
+            F.sum(F.col("p_k").isNull().cast("bigint")).alias("null_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Cohen's kappa over a synthetic 3-annotator labeling of
     `documents` (llmops.labels.annotator_agreement): one item-keyed
@@ -1979,6 +2001,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_bloom": q_contamination_bloom,
     "label_agreement": q_label_agreement,
     "fleiss_kappa": q_fleiss_kappa,
+    "json_extract": q_json_extract,
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
@@ -2782,6 +2805,22 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 # Bloom mode only PREfilters before the exact verify join — results are
 # identical to the exact screen, so the oracle is shared verbatim.
 ORACLES["contamination_bloom"] = ORACLES["contamination"]
+
+ORACLES["json_extract"] = """
+    WITH flat AS (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS p_k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(p_k) AS BIGINT) AS sum_k,
+           ROUND(AVG(p_k), 6) AS avg_k,
+           CAST(SUM(CASE WHEN p_k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_k
+    FROM flat
+    GROUP BY event_type
+    ORDER BY event_type
+"""
 
 ORACLES["label_agreement"] = f"""
     WITH ann AS ({_ANNOTATIONS_SQL}),

@@ -469,6 +469,29 @@ _ANNOTATIONS_SQL = """
 """
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column census (agg.profile_table): null/distinct/min/max
+    for five `orders` columns from ONE aggregation over ONE scan,
+    unpivoted by an inline array-of-structs explode. exact_distinct for
+    the oracle; production default is HLL++ approx (the only choice at
+    100 TB). Doubles excluded here only because engines format them
+    differently as strings."""
+    from seafan_spark.agg import profile_table
+
+    p = _pipe(spark, sf_dir, "orders")
+    return profile_table(
+        p,
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+        exact_distinct=True,
+    )
+
+
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction (jsonops.flatten_json): infer the
     schema of `events.props` from a deterministic content-hash sample
@@ -2002,6 +2025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "label_agreement": q_label_agreement,
     "fleiss_kappa": q_fleiss_kappa,
     "json_extract": q_json_extract,
+    "profile": q_profile,
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
@@ -2805,6 +2829,28 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 # Bloom mode only PREfilters before the exact verify join — results are
 # identical to the exact screen, so the oracle is shared verbatim.
 ORACLES["contamination_bloom"] = ORACLES["contamination"]
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_orderdate", "timestamp_ntz"),
+    ("o_orderpriority", "string"),
+]
+ORACLES["profile"] = (
+    "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS "column", '{dt}' AS dtype,
+           CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+        for c, dt in _PROFILE_COLS
+    )
+    + '\n    ORDER BY "column"'
+)
 
 ORACLES["json_extract"] = """
     WITH flat AS (

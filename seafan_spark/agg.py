@@ -600,3 +600,69 @@ def robust_outliers_by(
             F.col("n_outliers").cast("bigint").alias("n_outliers"),
         )
     )
+
+
+def profile_table(
+    pipe,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One-pass column census: for every (requested) column, the
+    non-null count, null count, distinct count, and min/max rendered as
+    strings — the profile a pipeline prints before trusting a new drop
+    of data.
+
+    ALL columns' statistics come from ONE aggregation over ONE scan
+    (map-side partial aggregation; no per-column jobs, no driver loop
+    over columns — profiling a 400-column table costs the same single
+    pass as profiling 4). The wide single-row result is then unpivoted
+    into one row per column via an inline array-of-structs explode —
+    driver-free reshaping of an already-tiny relation.
+
+    ``distinct`` defaults to HyperLogLog++ (``approx_count_distinct``,
+    relative error ``rsd``) — the only choice at 100 TB where per-column
+    exact distincts would keep full hash sets per column in every
+    partial aggregate; pass ``exact_distinct=True`` for the oracle-grade
+    exact census on bounded tables. min/max compute in the column's own
+    type (so numeric ordering is numeric) and cast to string only for
+    display."""
+    d = getattr(pipe, "df", pipe)
+    cols = list(columns) if columns is not None else list(d.columns)
+    missing = [c for c in cols if c not in d.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"__c{i}"))
+        aggs.append(
+            (
+                F.count_distinct(col)
+                if exact_distinct
+                else F.approx_count_distinct(col, rsd)
+            ).alias(f"__d{i}")
+        )
+        aggs.append(F.min(col).cast("string").alias(f"__mn{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"__mx{i}"))
+    wide = d.agg(*aggs)
+    dtypes = dict(d.dtypes)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(dtypes[c]).alias("dtype"),
+                F.col(f"__c{i}").cast("bigint").alias("n_non_null"),
+                (F.col("__n") - F.col(f"__c{i}")).cast("bigint").alias("n_null"),
+                F.col(f"__d{i}").cast("bigint").alias("n_distinct"),
+                F.col(f"__mn{i}").alias("min_value"),
+                F.col(f"__mx{i}").alias("max_value"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return (
+        wide.select(F.explode(entries).alias("p"))
+        .select("p.*")
+        .orderBy("column")
+    )

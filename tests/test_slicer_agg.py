@@ -246,3 +246,40 @@ def test_robust_outliers_by_matches_numpy(spark):
         assert abs(got[g]["mad"] - mad) < 1e-6, g
         assert got[g]["n_outliers"] == n_out, g
         assert n_out >= 2  # the planted points are flagged
+
+
+def test_profile_table(spark):
+    from seafan_spark.agg import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", None), (None, "b", 4.5)],
+        "k: int, s: string, v: double",
+    )
+    prof = {r["column"]: r for r in profile_table(df, exact_distinct=True).collect()}
+    assert set(prof) == {"k", "s", "v"}
+    assert prof["k"]["n_non_null"] == 3 and prof["k"]["n_null"] == 1
+    assert prof["k"]["n_distinct"] == 2
+    assert prof["k"]["min_value"] == "1" and prof["k"]["max_value"] == "2"
+    assert prof["s"]["n_distinct"] == 2 and prof["s"]["n_null"] == 1
+    assert prof["v"]["min_value"] == "1.5" and prof["v"]["max_value"] == "4.5"
+    assert prof["v"]["dtype"] == "double"
+    # numeric min/max is numeric, not lexicographic
+    df2 = spark.createDataFrame([(9,), (10,)], "x: int")
+    p2 = profile_table(df2, exact_distinct=True).collect()[0]
+    assert p2["min_value"] == "9" and p2["max_value"] == "10"
+    # approx default stays within rsd on a clean cardinality
+    df3 = spark.createDataFrame([(i % 100,) for i in range(1000)], "y: int")
+    p3 = profile_table(df3).collect()[0]
+    assert abs(p3["n_distinct"] - 100) <= 10
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, columns=["nope"])
+
+
+def test_profile_table_single_pass_plan(spark):
+    from seafan_spark.agg import profile_table
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    # one scan, one aggregation tree: no joins/unions of per-column jobs
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Union" not in plan

@@ -469,6 +469,18 @@ _ANNOTATIONS_SQL = """
 """
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over per-user event sequences
+    (temporal.transition_matrix): one lag window on the same per-key
+    partitioning sessionize/funnel use, then a groupBy on the
+    S^2-bounded bigram space; row normalization windows over the tiny
+    count relation, never the corpus."""
+    from seafan_spark.temporal import transition_matrix
+
+    p = _pipe(spark, sf_dir, "events")
+    return transition_matrix(p, "user_id", ["ts", "event_id"], "event_type")
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column census (agg.profile_table): null/distinct/min/max
     for five `orders` columns from ONE aggregation over ONE scan,
@@ -2026,6 +2038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fleiss_kappa": q_fleiss_kappa,
     "json_extract": q_json_extract,
     "profile": q_profile,
+    "transition_matrix": q_transition_matrix,
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
@@ -2829,6 +2842,25 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 # Bloom mode only PREfilters before the exact verify join — results are
 # identical to the exact screen, so the oracle is shared verbatim.
 ORACLES["contamination_bloom"] = ORACLES["contamination"]
+
+ORACLES["transition_matrix"] = """
+    WITH seq AS (
+        SELECT event_type AS state_to,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS state_from
+        FROM events
+    ),
+    big AS (
+        SELECT state_from, state_to, COUNT(*) AS n
+        FROM seq WHERE state_from IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT state_from, state_to, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY state_from) AS DOUBLE), 6) AS p
+    FROM big
+    ORDER BY state_from, state_to
+"""
 
 _PROFILE_COLS = [
     ("o_orderkey", "bigint"),

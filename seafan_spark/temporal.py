@@ -516,3 +516,49 @@ def rolling_agg(
     for name, col in aggs.items():
         out = out.withColumn(name, col.over(w))
     return out.drop("_ts_us")
+
+
+def transition_matrix(
+    df,
+    key_col: str,
+    order_cols: Sequence[str],
+    state_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for every observed ``(state_from, state_to)`` bigram, the
+    count and the row-normalized probability
+    ``p = n / sum_n(state_from)`` — journey mining / next-action
+    modeling over an event log.
+
+    One window pass: ``lag(state)`` partitioned by the key and ordered
+    by ``order_cols`` (include a unique tiebreaker for deterministic
+    sequences), then a groupBy on the S^2-bounded bigram space — the
+    per-key partition is the only corpus-sized shuffle, and it is the
+    SAME partitioning sessionize/funnel use, so an event table
+    pre-bucketed by key runs it shuffle-free. Row sums for the
+    normalization come from a window over the tiny (S^2-row) count
+    relation, never a second pass over the data."""
+    d = getattr(df, "df", df)
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c).asc() for c in order_cols])
+    bigrams = (
+        d.select(
+            F.col(state_col).alias("state_to"),
+            F.lag(F.col(state_col)).over(w).alias("state_from"),
+        )
+        .filter(F.col("state_from").isNotNull())
+        .groupBy("state_from", "state_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("state_from")
+    from seafan_spark.rounding import round_col
+
+    return bigrams.select(
+        "state_from",
+        "state_to",
+        F.col("n").cast("bigint").alias("n"),
+        round_col(
+            F.col("n").cast("double") / F.sum("n").over(wrow).cast("double"),
+            decimals,
+        ).alias("p"),
+    ).orderBy("state_from", "state_to")

@@ -329,3 +329,31 @@ def test_duration_us_parse():
         duration_us("soon")
     with _pt.raises(ValueError):
         duration_us("3 fortnights")
+
+
+def test_transition_matrix(spark):
+    from seafan_spark.temporal import transition_matrix
+
+    # user 1: a -> b -> a -> b ; user 2: b -> b -> c
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "b"), (2, 2, "b"), (2, 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u: int, t: int, s: string")
+    got = {
+        (r["state_from"], r["state_to"]): (r["n"], r["p"])
+        for r in transition_matrix(df, "u", ["t"], "s").collect()
+    }
+    # a->b twice (user 1); b->a once, b->b once, b->c once
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")][0] == 1 and abs(got[("b", "a")][1] - 1 / 3) < 1e-6
+    assert got[("b", "b")][0] == 1 and got[("b", "c")][0] == 1
+    # no cross-user bigram: user 1 ends 'b', user 2 starts 'b' -> no b->b extra
+    assert sum(n for n, _ in got.values()) == 5
+    # probabilities row-normalize to 1
+    from collections import defaultdict
+
+    rowsum = defaultdict(float)
+    for (f, _), (_, p) in got.items():
+        rowsum[f] += p
+    assert all(abs(v - 1.0) < 1e-5 for v in rowsum.values())

@@ -469,6 +469,26 @@ _ANNOTATIONS_SQL = """
 """
 
 
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact-balance k-fold assignment (sampling.kfold_split
+    exact mode): rank within (stratum, md5-bucket) cells + prefix
+    offsets from the tiny counts relation — ±1 fold balance per
+    event_type with no task ever seeing more than ~1e-6 of a stratum.
+    Default mode (hash % k) is the shuffle-free corpus-scale path."""
+    from seafan_spark.sampling import kfold_split
+
+    p = _pipe(spark, sf_dir, "events")
+    out = kfold_split(
+        p.df.select("event_id", "event_type"),
+        "event_id",
+        5,
+        stratify_by="event_type",
+        salt="cv",
+        exact=True,
+    )
+    return out.select("event_id", "event_type", "fold")
+
+
 def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transitions over per-user event sequences
     (temporal.transition_matrix): one lag window on the same per-key
@@ -2039,6 +2059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_extract": q_json_extract,
     "profile": q_profile,
     "transition_matrix": q_transition_matrix,
+    "kfold": q_kfold,
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
@@ -2842,6 +2863,19 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 # Bloom mode only PREfilters before the exact verify join — results are
 # identical to the exact screen, so the oracle is shared verbatim.
 ORACLES["contamination_bloom"] = ORACLES["contamination"]
+
+ORACLES["kfold"] = """
+    WITH b AS (
+        SELECT event_id, event_type,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'cv'), 1, 8))
+                    AS UBIGINT) % 1000000 AS bk
+        FROM events
+    )
+    SELECT event_id, event_type,
+           CAST((ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bk, event_id)
+                 - 1) % 5 AS INT) AS fold
+    FROM b
+"""
 
 ORACLES["transition_matrix"] = """
     WITH seq AS (

@@ -409,3 +409,66 @@ def weighted_sample_per_group(
         round_col(F.col("_es"), 6).alias("es_key"),
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+def kfold_split(
+    df,
+    key_col: str,
+    k: int,
+    stratify_by: str | Sequence[str] | None = None,
+    salt: str = "",
+    out_col: str = "fold",
+    exact: bool = False,
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation: appends an
+    ``int`` fold in ``[0, k)`` that is stable across runs, engines,
+    partitionings, and task retries.
+
+    Default mode is ``fold = hash_bucket(key) % k`` — a pure Column
+    filter-friendly projection with NO shuffle whose folds are uniform
+    to ~sqrt(n) per stratum automatically (a key-uniform hash is
+    independent of any stratum column), the right trade at corpus
+    scale.
+
+    ``exact=True`` guarantees ±1 balance per stratum (what sklearn's
+    StratifiedKFold gives on small eval sets, where binomial wobble is
+    material): rows rank within their stratum by (hash bucket, key) and
+    take ``rank % k``. The rank is built scale-safely — a per-(stratum,
+    bucket) count relation provides exclusive prefix offsets (window
+    over the TINY counts table), and row_number only ever runs inside
+    one (stratum, bucket) cell, so no task sees more than ~1e-6 of a
+    stratum; the corpus shuffles once on (stratum, bucket).
+    """
+    if k < 2:
+        raise ValueError("kfold_split: k must be >= 2")
+    d = _df(df)
+    key = F.col(key_col)
+    if not exact:
+        return d.withColumn(out_col, (hash_bucket_col(key, salt) % k).cast("int"))
+    from pyspark.sql import Window
+
+    strat = (
+        [stratify_by]
+        if isinstance(stratify_by, str)
+        else list(stratify_by or [])
+    )
+    d2 = d.withColumn("__kf_b", hash_bucket_col(key, salt))
+    counts = d2.groupBy(*strat, "__kf_b").agg(F.count(F.lit(1)).alias("__kf_n"))
+    woff = (
+        Window.partitionBy(*strat)
+        .orderBy("__kf_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__kf_off", F.coalesce(F.sum("__kf_n").over(woff), F.lit(0))
+    ).drop("__kf_n")
+    wcell = Window.partitionBy(*strat, "__kf_b").orderBy(key.asc())
+    out = (
+        d2.join(offsets, [*strat, "__kf_b"])
+        .withColumn(
+            out_col,
+            ((F.col("__kf_off") + F.row_number().over(wcell) - 1) % k).cast("int"),
+        )
+        .drop("__kf_b", "__kf_off")
+    )
+    return out

@@ -285,3 +285,41 @@ def test_weighted_sample_favors_heavy_rows(spark):
     heavy_wins = sum(1 for r in won if r["id"] % 100 == 0)
     # expected inclusion ~ 20/29; uniform would be 30. Far apart.
     assert heavy_wins > 150, heavy_wins
+
+
+def test_kfold_split_exact_balance(spark):
+    from seafan_spark.sampling import kfold_split
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(101)]
+    df = spark.createDataFrame(rows, "id: int, grp: string")
+    out = kfold_split(df, "id", 4, stratify_by="grp", exact=True)
+    sizes = {}
+    for r in out.groupBy("grp", "fold").count().collect():
+        sizes.setdefault(r["grp"], {})[r["fold"]] = r["count"]
+    for g, by_fold in sizes.items():
+        assert set(by_fold) == {0, 1, 2, 3}
+        assert max(by_fold.values()) - min(by_fold.values()) <= 1, (g, by_fold)
+    # deterministic: same assignment on recompute
+    a = {r["id"]: r["fold"] for r in out.collect()}
+    b = {r["id"]: r["fold"] for r in kfold_split(df, "id", 4, stratify_by="grp", exact=True).collect()}
+    assert a == b
+    # salt changes the assignment
+    c = {r["id"]: r["fold"] for r in kfold_split(df, "id", 4, stratify_by="grp", salt="x", exact=True).collect()}
+    assert a != c
+
+
+def test_kfold_split_hash_mode(spark):
+    from seafan_spark.sampling import kfold_split
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id: int")
+    out = kfold_split(df, "id", 5)
+    counts = {r["fold"]: r["count"] for r in out.groupBy("fold").count().collect()}
+    assert set(counts) == set(range(5))
+    # binomial tolerance: each fold within 20% of n/k
+    assert all(abs(v - 400) < 80 for v in counts.values())
+    # no shuffle in the default mode: plan has no Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with _pytest.raises(ValueError, match="k must be"):
+        kfold_split(df, "id", 1)

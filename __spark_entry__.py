@@ -469,6 +469,22 @@ _ANNOTATIONS_SQL = """
 """
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + NMI between event_type and a derived user
+    cohort per weekday (agg.mutual_info_by): one (keys, x, y) count
+    pass; marginals/totals are window sums over the tiny counts
+    relation — observed cells only, the X*Y space never densifies."""
+    from seafan_spark.agg import mutual_info_by
+
+    p = _pipe(spark, sf_dir, "events")
+    d = p.df.select(
+        F.dayofweek("ts").alias("dow"),
+        F.col("event_type"),
+        (F.col("user_id") % 4).alias("cohort"),
+    )
+    return mutual_info_by(d, "event_type", "cohort", keys=["dow"]).orderBy("dow")
+
+
 def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified exact-balance k-fold assignment (sampling.kfold_split
     exact mode): rank within (stratum, md5-bucket) cells + prefix
@@ -2060,6 +2076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile": q_profile,
     "transition_matrix": q_transition_matrix,
     "kfold": q_kfold,
+    "mutual_info": q_mutual_info,
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
@@ -2863,6 +2880,34 @@ ORACLES["ngram_jaccard_prefix"] = ORACLES["ngram_jaccard"]
 # Bloom mode only PREfilters before the exact verify join — results are
 # identical to the exact screen, so the oracle is shared verbatim.
 ORACLES["contamination_bloom"] = ORACLES["contamination"]
+
+ORACLES["mutual_info"] = """
+    WITH d AS (
+        SELECT dayofweek(ts) + 1 AS dow, -- DuckDB dayofweek 0=Sun; Spark 1=Sun
+               event_type AS x, user_id % 4 AS y
+        FROM events
+    ),
+    c AS (
+        SELECT dow, x, y, CAST(COUNT(*) AS DOUBLE) AS o
+        FROM d GROUP BY 1, 2, 3
+    ),
+    t AS (
+        SELECT dow, o,
+               SUM(o) OVER (PARTITION BY dow) AS n,
+               SUM(o) OVER (PARTITION BY dow, x) AS rx,
+               SUM(o) OVER (PARTITION BY dow, y) AS ry
+        FROM c
+    )
+    SELECT dow, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(SUM((o / n) * LN(o * n / (rx * ry))), 6) AS mi,
+           ROUND(CASE WHEN SQRT(SUM(-(o / n) * LN(rx / n))
+                           * SUM(-(o / n) * LN(ry / n))) > 0
+                 THEN SUM((o / n) * LN(o * n / (rx * ry)))
+                      / SQRT(SUM(-(o / n) * LN(rx / n))
+                             * SUM(-(o / n) * LN(ry / n)))
+                 END, 6) AS nmi
+    FROM t GROUP BY dow ORDER BY dow
+"""
 
 ORACLES["kfold"] = """
     WITH b AS (

@@ -666,3 +666,62 @@ def profile_table(
         .select("p.*")
         .orderBy("column")
     )
+
+
+def mutual_info_by(
+    pipe,
+    x_col: str,
+    y_col: str,
+    keys: Sequence[str] = (),
+    decimals: int = 6,
+) -> DataFrame:
+    """Mutual information between two categorical columns per group
+    (empty ``keys`` = whole table): ``(keys..., n, mi, nmi)`` with
+    ``mi = sum_xy p(x,y) ln(p(x,y) / (p(x) p(y)))`` in nats and ``nmi =
+    mi / sqrt(H(x) H(y))`` (NULL when either marginal entropy is 0 —
+    a constant column carries no information to normalize by). The
+    dependence screen chisq_by's p-value can't give: an effect SIZE
+    comparable across cardinalities — which metadata field actually
+    predicts quality/label, not merely non-independently.
+
+    Same scale shape as chisq_by: ONE map-side-partial count over
+    (keys, x, y); marginals and totals are window sums over that tiny
+    counts relation — only observed cells exist (absent cells contribute
+    0 to MI by the p log p -> 0 limit), so the X*Y space is never
+    densified and the fact table shuffles once.
+    """
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    d = getattr(pipe, "df", pipe).select(
+        *keys, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    )
+    c = d.groupBy(*keys, "_x", "_y").agg(F.count(F.lit(1)).cast("double").alias("_o"))
+    kw = list(keys)
+    c = (
+        c.withColumn("_n", F.sum("_o").over(Window.partitionBy(*kw)))
+        .withColumn("_rx", F.sum("_o").over(Window.partitionBy(*kw, "_x")))
+        .withColumn("_ry", F.sum("_o").over(Window.partitionBy(*kw, "_y")))
+    )
+    pxy = F.col("_o") / F.col("_n")
+    mi_term = pxy * F.log(F.col("_o") * F.col("_n") / (F.col("_rx") * F.col("_ry")))
+    # marginal entropies from the same relation: each cell contributes
+    # its o/row-total share of the row's -p ln p, so no second pass
+    hx_term = -(F.col("_o") / F.col("_n")) * F.log(F.col("_rx") / F.col("_n"))
+    hy_term = -(F.col("_o") / F.col("_n")) * F.log(F.col("_ry") / F.col("_n"))
+    agg = c.groupBy(*kw).agg(
+        F.first("_n").alias("_nn"),
+        F.sum(mi_term).alias("_mi"),
+        F.sum(hx_term).alias("_hx"),
+        F.sum(hy_term).alias("_hy"),
+    )
+    denom = F.sqrt(F.col("_hx") * F.col("_hy"))
+    return agg.select(
+        *kw,
+        F.col("_nn").cast("bigint").alias("n"),
+        round_col(F.col("_mi"), decimals).alias("mi"),
+        round_col(
+            F.when(denom > 0.0, F.col("_mi") / denom), decimals
+        ).alias("nmi"),
+    )

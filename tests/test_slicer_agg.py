@@ -283,3 +283,40 @@ def test_profile_table_single_pass_plan(spark):
     # one scan, one aggregation tree: no joins/unions of per-column jobs
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan and "Union" not in plan
+
+
+def test_mutual_info_by(spark):
+    import math
+    from collections import Counter
+
+    from seafan_spark.agg import mutual_info_by
+
+    rows = []
+    for i in range(200):
+        g = "g1" if i % 2 else "g2"
+        x = (i // 2) % 4  # all four x levels appear in BOTH groups
+        # g1: y depends on x (perfectly); g2: y independent-ish of x
+        y = x % 2 if g == "g1" else (i // 8) % 2
+        rows.append((g, x, y))
+    df = spark.createDataFrame(rows, "g: string, x: int, y: int")
+    got = {r["g"]: r for r in mutual_info_by(df, "x", "y", keys=["g"]).collect()}
+
+    def py_mi(sub):
+        n = len(sub)
+        jc, xc, yc = Counter(sub), Counter(x for x, _ in sub), Counter(y for _, y in sub)
+        mi = sum(c / n * math.log(c * n / (xc[x] * yc[y])) for (x, y), c in jc.items())
+        hx = -sum(c / n * math.log(c / n) for c in xc.values())
+        hy = -sum(c / n * math.log(c / n) for c in yc.values())
+        return mi, (mi / math.sqrt(hx * hy) if hx > 0 and hy > 0 else None)
+
+    for g in ("g1", "g2"):
+        sub = [(x, y) for gg, x, y in rows if gg == g]
+        mi, nmi = py_mi(sub)
+        assert abs(got[g]["mi"] - mi) < 1e-6, g
+        assert abs(got[g]["nmi"] - nmi) < 1e-6, g
+    # x determines y in g1 -> MI equals H(y); independence in g2 -> ~0
+    assert got["g1"]["mi"] > 0.5 and abs(got["g2"]["mi"]) < 0.05
+    # constant column -> nmi NULL, mi 0
+    df2 = spark.createDataFrame([(1, i % 3) for i in range(30)], "x: int, y: int")
+    r = mutual_info_by(df2, "x", "y").collect()[0]
+    assert r["mi"] == 0.0 and r["nmi"] is None

@@ -1998,14 +1998,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cut_spans": q_cut_spans,
     "ts_pattern": q_ts_pattern,
     # --- oracled, never driver-checked before round 3 ---
-    "npv": q_npv,
-    "loop": q_loop,
-    "expr_misc": q_expr_misc,
-    "window_after": q_window_after,
-    "subset_row": q_subset_row,
-    "describe": q_describe,
-    "seg": q_seg,
-    "ks": q_ks,
+    "contamination_bloom": q_contamination_bloom,
+    "label_agreement": q_label_agreement,
+    "fleiss_kappa": q_fleiss_kappa,
+    "json_extract": q_json_extract,
+    "profile": q_profile,
+    "transition_matrix": q_transition_matrix,
+    "kfold": q_kfold,
+    "mutual_info": q_mutual_info,
     "coalesce_logodds": q_coalesce_logodds,
     "ngram_jaccard": q_ngram_jaccard,
     "embed_neardup": q_embed_neardup,
@@ -2069,14 +2069,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join": q_salted_join,
     "salted_agg": q_salted_agg,
     "contamination": q_contamination,
-    "contamination_bloom": q_contamination_bloom,
-    "label_agreement": q_label_agreement,
-    "fleiss_kappa": q_fleiss_kappa,
-    "json_extract": q_json_extract,
-    "profile": q_profile,
-    "transition_matrix": q_transition_matrix,
-    "kfold": q_kfold,
-    "mutual_info": q_mutual_info,
     "tfidf": q_tfidf,
     "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
@@ -2113,6 +2105,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "model_glm": q_model_glm,
     "marginal": q_marginal,
     "ann_pq": q_ann_pq,
+    "npv": q_npv,
+    "loop": q_loop,
+    "expr_misc": q_expr_misc,
+    "window_after": q_window_after,
+    "subset_row": q_subset_row,
+    "describe": q_describe,
+    "seg": q_seg,
+    "ks": q_ks,
 }
 
 ORACLES: dict[str, str] = {

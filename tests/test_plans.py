@@ -35,6 +35,7 @@ GLOBAL_ORDER_OK = {
     "describe": "exact single-column quantiles (oracle-required path)",
     "window_cume": "explicit global-order variant kept for oracle parity",
     "multimodal": "tiny metadata summary join",
+    "profile": "one global aggregate ROW unpivoted (partial agg map-side)",
 }
 
 NLJ_OK = {

@@ -1979,6 +1979,98 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("source", "doc_id", "n_chars")
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style global line dedup (llmops.dedup.drop_common_lines):
+    documents split into 3-word lines, any line holding >= 0.02% of all
+    corpus lines is boilerplate and dropped, remainder reassembled in
+    order. The corpus shuffles only the slim exploded-line counts; the
+    common-line set collects to ONE md5-array row and cross-broadcasts,
+    so the cleaning pass is a JVM higher-order filter with no doc
+    shuffle."""
+    from seafan_spark.llmops.dedup import drop_common_lines
+
+    p = _pipe(spark, sf_dir, "documents")
+    d = p.df.select(
+        "doc_id",
+        F.regexp_replace("text", r"(\S+ \S+ \S+) ", "$1\n").alias("text"),
+    )
+    out = drop_common_lines(p._derive(d), "doc_id", "text", sep="\n", min_ratio=0.0002)
+    return out.df.select("doc_id", "n_lines", "n_dropped", "text_clean")
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 bigram collocations by PMI (llmops.text.collocation_top_terms,
+    Church & Hanks 1990): two explode->count passes shrunk map-side to
+    vocabulary domains, min_count tail pruning BEFORE the broadcast
+    unigram joins, totals as one-row cross joins — the association math
+    itself is pure Column arithmetic, hash-checked to 6 dp."""
+    from seafan_spark.llmops.text import collocation_top_terms
+
+    p = _pipe(spark, sf_dir, "documents")
+    out = collocation_top_terms(p, "text", k=40, min_count=5)
+    return out.select(
+        "w1", "w2", "c_xy", round_col(F.col("pmi"), 6).alias("pmi"), "rank"
+    )
+
+
+def q_score_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile-rank calibration of the quality score
+    (sampling.calibrate_scores_by_group): percent_rank windowed per
+    source — keyed shuffle, no global order — so one threshold selects
+    the same quantile of every source. The score arithmetic is the
+    text_quality_lang one, and the DuckDB twin replays both it and the
+    rank normalization."""
+    from seafan_spark.llmops import text as tx
+    from seafan_spark.sampling import calibrate_scores_by_group
+
+    p = _pipe(spark, sf_dir, "documents")
+    # rank on the 6-dp ROUNDED score: the raw double agrees with DuckDB
+    # only to ~1 ulp, and percent_rank amplifies a 1-ulp swap into a
+    # different rank — round_col is bit-parity-proven vs DuckDB ROUND, so
+    # the rounded ordering (ties share a rank) is cross-engine exact
+    d = p.df.select(
+        "doc_id",
+        "source",
+        round_col(tx.quality_score_col(F.col("text")), 6, expensive=True).alias("quality"),
+    )
+    out = calibrate_scores_by_group(d, "source", "quality", out_col="_pct")
+    return out.select(
+        "doc_id",
+        "source",
+        "quality",
+        round_col(F.col("_pct"), 6).alias("q_pct"),
+    )
+
+
+def q_fd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate functional-dependency discovery on orders
+    (agg.fd_report, g3 error of Kivinen & Mannila / TANE): per pair one
+    groupBy over the (lhs, rhs) combination domain — map-side partial
+    agg means the shuffle carries distinct combos, not rows — then a
+    scalar collapse; includes an exact key (o_orderkey -> o_orderstatus,
+    g3 = 0) and violated candidates."""
+    from seafan_spark.agg import fd_report
+
+    d = _pipe(spark, sf_dir, "orders").df
+    out = fd_report(
+        d,
+        [
+            ("o_orderkey", "o_orderstatus"),
+            ("o_custkey", "o_orderstatus"),
+            ("o_orderpriority", "o_orderstatus"),
+            ("o_orderstatus", "o_orderpriority"),
+        ],
+    )
+    return out.select(
+        "lhs",
+        "rhs",
+        "n_rows",
+        "n_groups",
+        "violating_groups",
+        round_col(F.col("g3_rate"), 6).alias("g3_rate"),
+    ).orderBy("lhs", "rhs")
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -1988,6 +2080,10 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # once so the driver record shows them (rotate back out next round).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
+    "dedup_lines": q_dedup_lines,
+    "collocations": q_collocations,
+    "score_calibrate": q_score_calibrate,
+    "fd_report": q_fd_report,
     "curation_pipeline": q_curation_pipeline,
     "ols_simple": q_ols_simple,
     "leakage_split": q_leakage_split,
@@ -2023,15 +2119,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, implementation touched recently ---
     "retention": q_retention,
     "winsorize": q_winsorize,
-    "encode_cat": q_encode_cat,
-    "sort_rank": q_sort_rank,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
-    "chunk": q_chunk,
     "minhash_incr": q_minhash_incr,
     "minhash_clusters": q_minhash_clusters,
     "minhash_calibration": q_minhash_calibration,
-    "winnow": q_winnow,
     "edit_distance": q_edit_distance,
     "embed_project": q_embed_project,
     "ann_topk": q_ann_topk,
@@ -2046,6 +2138,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "encode_cat": q_encode_cat,
+    "sort_rank": q_sort_rank,
+    "chunk": q_chunk,
+    "winnow": q_winnow,
     "funnel": q_funnel,
     "skew_report": q_skew_report,
     "mix": q_mix,
@@ -4199,6 +4295,162 @@ ORACLES["source_cap"] = """
         )
         SELECT source, doc_id, n_chars FROM r WHERE rn <= 10
     """
+
+
+
+
+ORACLES["dedup_lines"] = """
+    WITH doc AS (
+        SELECT doc_id,
+               REGEXP_REPLACE(text, '(\\S+ \\S+ \\S+) ', '\\1' || CHR(10), 'g') AS t
+        FROM documents
+    ), arr AS (
+        SELECT doc_id, STRING_SPLIT(t, CHR(10)) AS a FROM doc
+    ), lines AS (
+        SELECT doc_id, UNNEST(a) AS line, GENERATE_SUBSCRIPTS(a, 1) AS pos
+        FROM arr
+    ), c AS (
+        SELECT line, COUNT(*) AS c FROM lines GROUP BY line
+    ), tot AS (SELECT SUM(c) AS n FROM c),
+    common AS (SELECT line FROM c, tot WHERE c >= 0.0002 * n),
+    kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM lines l LEFT JOIN common cm ON l.line = cm.line
+        WHERE cm.line IS NULL
+    ), re AS (
+        SELECT doc_id, STRING_AGG(line, CHR(10) ORDER BY pos) AS text_clean,
+               COUNT(*) AS nk
+        FROM kept GROUP BY doc_id
+    )
+    SELECT a.doc_id,
+           CAST(LEN(a.a) AS BIGINT) AS n_lines,
+           CAST(LEN(a.a) - COALESCE(re.nk, 0) AS BIGINT) AS n_dropped,
+           COALESCE(re.text_clean, '') AS text_clean
+    FROM arr a LEFT JOIN re ON a.doc_id = re.doc_id
+"""
+
+ORACLES["collocations"] = """
+    WITH norm AS (
+        SELECT REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ), arr AS (
+        SELECT CASE WHEN t IS NULL OR LENGTH(t) = 0 THEN []::VARCHAR[]
+                    ELSE STRING_SPLIT(t, ' ') END AS a,
+               ROW_NUMBER() OVER () AS rid
+        FROM norm
+    ), tok AS (
+        SELECT rid, UNNEST(a) AS w, GENERATE_SUBSCRIPTS(a, 1) AS pos FROM arr
+    ), uni AS (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), big AS (
+        SELECT t1.w AS w1, t2.w AS w2, COUNT(*) AS c_xy
+        FROM tok t1 JOIN tok t2 ON t1.rid = t2.rid AND t2.pos = t1.pos + 1
+        GROUP BY 1, 2
+    ), nu AS (SELECT SUM(c) AS n FROM uni),
+    nb AS (SELECT SUM(c_xy) AS n FROM big),
+    scored AS (
+        SELECT b.w1, b.w2, b.c_xy,
+               LN((b.c_xy / nb.n) / ((u1.c / nu.n) * (u2.c / nu.n))) AS pmi
+        FROM big b
+        JOIN uni u1 ON b.w1 = u1.w
+        JOIN uni u2 ON b.w2 = u2.w
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE b.c_xy >= 5
+    ), top AS (
+        SELECT w1, w2, c_xy, pmi
+        FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 40
+    )
+    SELECT w1, w2, c_xy, ROUND(pmi, 6) AS pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT)
+               AS rank
+    FROM top
+"""
+
+ORACLES["score_calibrate"] = """
+    WITH t AS (
+        SELECT doc_id, source, text, TRIM(text) AS tt FROM documents
+    ), m AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN LENGTH(tt)=0 THEN 0
+                    ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END AS DOUBLE) AS toks,
+               CASE WHEN LENGTH(text)=0 THEN 0.0
+                    ELSE CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text,
+                         '[.,;:!?''"()\\[\\]{}\\-]', '', 'g')) AS DOUBLE)/LENGTH(text)
+               END AS pr,
+               CASE WHEN (CASE WHEN LENGTH(tt)=0 THEN 0
+                          ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END) = 0 THEN 0.0
+                    ELSE CAST(LENGTH(REGEXP_REPLACE(tt, '\\s+', '', 'g')) AS DOUBLE)
+                         / (CASE WHEN LENGTH(tt)=0 THEN 0
+                            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(tt, '\\s+')) END)
+               END AS awl
+        FROM t
+    ), q AS (
+        SELECT doc_id, source,
+               0.4*(LEAST(toks, 100.0)/100.0)
+                   + 0.3*(1.0 - LEAST(pr*4, 1.0))
+                   + 0.3*LEAST(GREATEST((awl-2)/6.0, 0.0), 1.0) AS q
+        FROM m
+    )
+    SELECT doc_id, source, ROUND(q, 6) AS quality,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                      ORDER BY ROUND(q, 6) ASC), 6) AS q_pct
+    FROM q
+"""
+
+ORACLES["fd_report"] = """
+    WITH pair1 AS (
+        SELECT o_orderkey AS a, o_orderstatus AS b, COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ), per1 AS (
+        SELECT a, MAX(c) AS m, SUM(c) AS n, COUNT(*) AS k FROM pair1 GROUP BY a
+    ), r1 AS (
+        SELECT 'o_orderkey' AS lhs, 'o_orderstatus' AS rhs,
+               CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_groups,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS violating_groups,
+               ROUND(1.0 - CAST(SUM(m) AS DOUBLE) / SUM(n), 6) AS g3_rate
+        FROM per1
+    ), pair2 AS (
+        SELECT o_custkey AS a, o_orderstatus AS b, COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ), per2 AS (
+        SELECT a, MAX(c) AS m, SUM(c) AS n, COUNT(*) AS k FROM pair2 GROUP BY a
+    ), r2 AS (
+        SELECT 'o_custkey' AS lhs, 'o_orderstatus' AS rhs,
+               CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_groups,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS violating_groups,
+               ROUND(1.0 - CAST(SUM(m) AS DOUBLE) / SUM(n), 6) AS g3_rate
+        FROM per2
+    ), pair3 AS (
+        SELECT o_orderpriority AS a, o_orderstatus AS b, COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ), per3 AS (
+        SELECT a, MAX(c) AS m, SUM(c) AS n, COUNT(*) AS k FROM pair3 GROUP BY a
+    ), r3 AS (
+        SELECT 'o_orderpriority' AS lhs, 'o_orderstatus' AS rhs,
+               CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_groups,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS violating_groups,
+               ROUND(1.0 - CAST(SUM(m) AS DOUBLE) / SUM(n), 6) AS g3_rate
+        FROM per3
+    ), pair4 AS (
+        SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ), per4 AS (
+        SELECT a, MAX(c) AS m, SUM(c) AS n, COUNT(*) AS k FROM pair4 GROUP BY a
+    ), r4 AS (
+        SELECT 'o_orderstatus' AS lhs, 'o_orderpriority' AS rhs,
+               CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_groups,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS violating_groups,
+               ROUND(1.0 - CAST(SUM(m) AS DOUBLE) / SUM(n), 6) AS g3_rate
+        FROM per4
+    )
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+    ORDER BY lhs, rhs
+"""
 
 
 # --------------------------------------------------------------------------

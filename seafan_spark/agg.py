@@ -725,3 +725,58 @@ def mutual_info_by(
             F.when(denom > 0.0, F.col("_mi") / denom), decimals
         ).alias("nmi"),
     )
+
+
+def fd_report(
+    df, pairs: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """Approximate functional-dependency discovery over column pairs.
+
+    For each candidate dependency ``lhs -> rhs``, reports the g3 error
+    (Kivinen & Mannila 1995; the measure TANE mines with): the minimum
+    fraction of rows that must be removed for the dependency to hold
+    exactly — ``1 - sum over lhs-groups of max rhs-count / n``.  0 means
+    the FD holds; small values flag near-keys and dirty denormalized
+    columns — the profiling complement to :func:`profile_table` and
+    :func:`mutual_info_by`.
+
+    Returns one row per pair: (lhs, rhs, n_rows, n_groups,
+    violating_groups, g3_rate).  NULL is an ordinary value on both sides
+    (groups like any other, matching SQL GROUP BY).
+
+    100 TB design: each pair costs one groupBy over its (lhs, rhs)
+    combination domain — map-side partial aggregation means the shuffle
+    carries distinct combinations, not rows — followed by a re-agg on
+    lhs and a scalar collapse; the per-pair scalar rows union into the
+    report driver-free.  Pairs are independent jobs over one scan each
+    (Catalyst prunes to the two columns).
+    """
+    outs = []
+    d = getattr(df, "df", df)
+    for lhs, rhs in pairs:
+        combos = d.groupBy(lhs, rhs).agg(F.count(F.lit(1)).alias("_c"))
+        per_lhs = combos.groupBy(lhs).agg(
+            F.max("_c").alias("_m"),
+            F.sum("_c").alias("_n"),
+            F.count(F.lit(1)).alias("_k"),
+        )
+        row = per_lhs.agg(
+            F.sum("_n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("_k") > 1, 1).otherwise(0)).alias(
+                "violating_groups"
+            ),
+            (F.lit(1.0) - F.sum("_m") / F.sum("_n")).alias("g3_rate"),
+        ).select(
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            "n_rows",
+            "n_groups",
+            "violating_groups",
+            "g3_rate",
+        )
+        outs.append(row)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

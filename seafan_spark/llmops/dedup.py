@@ -2051,3 +2051,102 @@ def semantic_dedup_incremental(
         "_cell",
         F.when(F.col("_dup").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("_keep"),
     )
+
+
+# ------------------------------------------------- line-level dedup ----
+def drop_common_lines(
+    pipe: Pipeline,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_count: int | None = None,
+    min_ratio: float | None = None,
+    distinct_docs: bool = False,
+    array_cap: int = 50_000,
+) -> Pipeline:
+    """CCNet-style line/paragraph-level global dedup (boilerplate removal).
+
+    Splits every document on ``sep``, counts each exact line corpus-wide,
+    and removes the lines whose count reaches the threshold — navigation
+    chrome, cookie banners, licence boilerplate — reassembling the
+    remainder in order.  Complements :func:`duplicated_spans` (k-gram
+    spans within near-dup *pairs*); this is the global frequency filter
+    of CCNet (Wenzek et al., LREC 2020) / RefinedWeb line-wise dedup.
+
+    Threshold: ``min_count`` is an absolute occurrence count (default 2);
+    ``min_ratio`` (overrides) is a fraction of all corpus lines — the
+    scale-invariant form.  ``distinct_docs=True`` counts documents
+    containing the line instead of occurrences.
+
+    Adds ``n_lines``, ``n_dropped``, ``text_clean`` (original columns
+    untouched).
+
+    100 TB design: the corpus shuffles ONLY the slim exploded line
+    relation for the count aggregation (map-side partial agg over the
+    distinct-line domain).  The common-line set is small by construction
+    (at most ``total_lines/min_count`` entries): when it fits
+    ``array_cap`` it is collected as ONE md5-hash array row and
+    cross-broadcast, so documents are cleaned by a JVM higher-order
+    ``filter`` without ever shuffling; above the cap, a left-anti join
+    against the hash set plus one groupBy(id) reassembly shuffle.
+    """
+    d = pipe.df
+    parts = F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+
+    lines = d.select(F.col(id_col).alias("_id"), F.explode(parts).alias("_line"))
+    cnt = (
+        F.count_distinct(F.col("_id")) if distinct_docs else F.count(F.lit(1))
+    )
+    counts = lines.groupBy("_line").agg(cnt.alias("_c"))
+    if min_ratio is not None:
+        tot = counts.agg(F.sum("_c").alias("_tot"))
+        cond = F.col("_c") >= F.col("_tot") * F.lit(float(min_ratio))
+        counts = counts.crossJoin(F.broadcast(tot))
+    else:
+        cond = F.col("_c") >= F.lit(int(min_count if min_count is not None else 2))
+    # tiny by construction (<= total_lines/threshold rows of one hash
+    # column); checkpoint so the count gate and the consumer share one run
+    common = (
+        counts.filter(cond)
+        .select(F.md5(F.col("_line")).alias("_lh"))
+        .localCheckpoint(eager=True)
+    )
+
+    if common.count() <= array_cap:
+        bp = common.agg(F.collect_list("_lh").alias("_bp"))
+        kept = F.filter(parts, lambda x: ~F.array_contains(F.col("_bp"), F.md5(x)))
+        out = (
+            d.crossJoin(F.broadcast(bp))
+            .withColumn("n_lines", F.size(parts).cast("bigint"))
+            .withColumn("_kept", kept)
+            .withColumn(
+                "n_dropped", (F.col("n_lines") - F.size("_kept")).cast("bigint")
+            )
+            .withColumn("text_clean", F.concat_ws(sep, F.col("_kept")))
+            .drop("_bp", "_kept")
+        )
+        return pipe._derive(out)
+
+    exploded = d.select(F.col(id_col).alias("_id"), F.posexplode(parts).alias("_pos", "_line"))
+    kept2 = exploded.join(common, F.md5(F.col("_line")) == F.col("_lh"), "left_anti")
+    reasm = kept2.groupBy("_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+        ).alias("_clean"),
+        F.count(F.lit(1)).alias("_nk"),
+    )
+    out = (
+        d.withColumn("n_lines", F.size(parts).cast("bigint"))
+        .join(reasm, F.col(id_col) == F.col("_id"), "left")
+        .withColumn(
+            "n_dropped",
+            (F.col("n_lines") - F.coalesce(F.col("_nk"), F.lit(0))).cast("bigint"),
+        )
+        .withColumn("text_clean", F.coalesce(F.col("_clean"), F.lit("")))
+        .drop("_id", "_nk", "_clean")
+    )
+    return pipe._derive(out)

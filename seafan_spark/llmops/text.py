@@ -484,3 +484,90 @@ def chunk_documents(
         F.col("_c.char_start").alias("char_start"),
         F.col("_c.chunk").alias("chunk"),
     )
+
+
+# --------------------------------------------------------- collocations ----
+def collocation_top_terms(
+    df, text_col: str = "text", k: int = 50, min_count: int = 5
+) -> "DataFrame":
+    """Top-``k`` adjacent-bigram collocations by pointwise mutual
+    information: PMI(x,y) = ln( p(x,y) / (p(x)p(y)) ) with p(x,y) over
+    all corpus bigrams and p(x) over all corpus unigrams.  The standard
+    corpus-linguistics association measure (Church & Hanks, CL 1990);
+    ``min_count`` suppresses the low-frequency pairs whose PMI is pure
+    noise.
+
+    Returns (w1, w2, c_xy, pmi, rank) — rank 1 = strongest association,
+    ties broken lexicographically.
+
+    100 TB design: two explode->groupBy count passes over the corpus
+    (map-side partial agg shrinks each to its vocabulary-sized domain
+    before the shuffle); the ``min_count`` filter prunes the bigram tail
+    BEFORE the two unigram joins, and the unigram table broadcasts (it
+    is vocabulary-sized, not corpus-sized).  Totals ride along as
+    one-row broadcast cross joins.  Top-k is an ORDER-BY-LIMIT over the
+    surviving bigram relation, never a one-partition window over data.
+    """
+    from pyspark.sql import Window
+
+    d = getattr(df, "df", df)
+    toks = F.split(norm_text_col(F.col(text_col)), " ")
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n_tok - 1),
+            F.slice(toks, 2, n_tok - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array())
+
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    bi = (
+        d.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    n_uni = uni.agg(F.sum("_c").alias("_nu"))
+    n_bi = bi.agg(F.sum("c_xy").alias("_nb"))
+
+    scored = (
+        bi.filter(F.col("c_xy") >= F.lit(int(min_count)))
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("_c").alias("_cx"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("_c").alias("_cy"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c_xy") / F.col("_nb"))
+                / ((F.col("_cx") / F.col("_nu")) * (F.col("_cy") / F.col("_nu")))
+            ),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )
+    # <= k rows post-limit; the constant key documents the deliberate
+    # single-task window (same convention as vocab_top_terms)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        "c_xy",
+        "pmi",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )

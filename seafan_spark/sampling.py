@@ -472,3 +472,32 @@ def kfold_split(
         .drop("__kf_b", "__kf_off")
     )
     return out
+
+
+# ----------------------------------------------------- score calibration ----
+def calibrate_scores_by_group(
+    df,
+    group_col: str,
+    score_col: str,
+    out_col: str = "score_pct",
+) -> "DataFrame":
+    """Per-group percentile-rank calibration of a score column.
+
+    Quality scores are not comparable across sources — a web crawl's
+    median heuristic score sits far below a books corpus's — so a single
+    global threshold over- or under-selects per source.  Rank-normalizing
+    within each group (``percent_rank``: 0 for the group minimum, 1 for
+    the maximum, ties share a rank) makes "keep the top 30% of every
+    source" a single filter on one calibrated column, the standard
+    per-domain quota construction in pretraining curation.
+
+    100 TB design: ONE window partitioned by the group key — a keyed
+    shuffle with no global order (each group sorts independently in its
+    own tasks; contrast ``rank.attach_running_ops`` for the unpartitioned
+    case).  Skewed sources behave like any skewed aggregation under AQE.
+    """
+    from pyspark.sql import Window
+
+    d = getattr(df, "df", df)
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    return d.withColumn(out_col, F.percent_rank().over(w))

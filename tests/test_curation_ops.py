@@ -1,0 +1,173 @@
+"""Tests for round-5 curation operators: line-level global dedup
+(CCNet-style), PMI collocations, per-group score calibration, and
+approximate functional-dependency discovery."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafan_spark.agg import fd_report
+from seafan_spark.llmops.dedup import drop_common_lines
+from seafan_spark.llmops.text import collocation_top_terms
+from seafan_spark.sampling import calibrate_scores_by_group
+from seafan_spark.sources import vec_to_pipe
+
+
+# ----------------------------------------------------------- dedup_lines ----
+@pytest.fixture(scope="module")
+def line_docs(spark):
+    # "cookie banner" appears in 3 of 4 docs; "unique N" lines are singletons
+    return vec_to_pipe(
+        spark,
+        {
+            "id": [1, 2, 3, 4],
+            "t": [
+                "cookie banner\nunique one\nunique two",
+                "unique three\ncookie banner",
+                "cookie banner\nunique four",
+                "unique five",
+            ],
+        },
+    )
+
+
+def test_drop_common_lines_removes_boilerplate(line_docs):
+    out = drop_common_lines(line_docs, "id", "t", sep="\n", min_count=3)
+    rows = {r["id"]: r for r in out.df.collect()}
+    assert rows[1]["text_clean"] == "unique one\nunique two"
+    assert rows[1]["n_lines"] == 3 and rows[1]["n_dropped"] == 1
+    assert rows[2]["text_clean"] == "unique three"
+    assert rows[4]["text_clean"] == "unique five"
+    assert rows[4]["n_dropped"] == 0
+
+
+def test_drop_common_lines_all_dropped_doc(spark):
+    p = vec_to_pipe(spark, {"id": [1, 2], "t": ["dup", "dup\nkeep"]})
+    out = drop_common_lines(p, "id", "t", min_count=2)
+    rows = {r["id"]: r for r in out.df.collect()}
+    assert rows[1]["text_clean"] == "" and rows[1]["n_dropped"] == 1
+    assert rows[2]["text_clean"] == "keep"
+
+
+def test_drop_common_lines_join_path_matches_array_path(line_docs):
+    fast = drop_common_lines(line_docs, "id", "t", min_count=3)
+    slow = drop_common_lines(line_docs, "id", "t", min_count=3, array_cap=0)
+    cols = ["id", "n_lines", "n_dropped", "text_clean"]
+    a = sorted(tuple(r) for r in fast.df.select(*cols).collect())
+    b = sorted(tuple(r) for r in slow.df.select(*cols).collect())
+    assert a == b
+
+
+def test_drop_common_lines_min_ratio(line_docs):
+    # 8 lines total; ratio 0.3 -> threshold 2.4 -> only count-3 line drops
+    out = drop_common_lines(line_docs, "id", "t", min_ratio=0.3)
+    rows = {r["id"]: r for r in out.df.collect()}
+    assert rows[1]["n_dropped"] == 1 and rows[4]["n_dropped"] == 0
+
+
+def test_drop_common_lines_distinct_docs(spark):
+    # line repeated twice in ONE doc: occurrence count 2, doc count 1
+    p = vec_to_pipe(spark, {"id": [1, 2], "t": ["x\nx", "y"]})
+    occ = drop_common_lines(p, "id", "t", min_count=2)
+    assert {r["id"]: r["n_dropped"] for r in occ.df.collect()} == {1: 2, 2: 0}
+    docs = drop_common_lines(p, "id", "t", min_count=2, distinct_docs=True)
+    assert {r["id"]: r["n_dropped"] for r in docs.df.collect()} == {1: 0, 2: 0}
+
+
+# ---------------------------------------------------------- collocations ----
+def test_collocation_pmi_known_value(spark):
+    # corpus: "a b" x4, "a c" x1 as docs; bigrams: (a,b)x4, (a,c)x1
+    p = vec_to_pipe(spark, {"t": ["a b", "a b", "a b", "a b", "a c"]})
+    out = collocation_top_terms(p, "t", k=10, min_count=1).collect()
+    by = {(r["w1"], r["w2"]): r for r in out}
+    # unigrams: a=5, b=4, c=1 (n=10); bigrams: n=5
+    ab = by[("a", "b")]
+    assert ab["c_xy"] == 4
+    expect = math.log((4 / 5) / ((5 / 10) * (4 / 10)))
+    assert ab["pmi"] == pytest.approx(expect, rel=1e-12)
+    # (a,c): ln((1/5)/(0.5*0.1)) = ln(4) — TIES (a,b); lexicographic break
+    assert by[("a", "c")]["pmi"] == pytest.approx(expect, rel=1e-12)
+    assert ab["rank"] == 1 and by[("a", "c")]["rank"] == 2
+
+
+def test_collocation_min_count_prunes(spark):
+    p = vec_to_pipe(spark, {"t": ["a b", "a b", "c d"]})
+    out = collocation_top_terms(p, "t", k=10, min_count=2).collect()
+    assert {(r["w1"], r["w2"]) for r in out} == {("a", "b")}
+
+
+def test_collocation_single_token_docs_no_bigrams(spark):
+    p = vec_to_pipe(spark, {"t": ["solo", "alone", "solo"]})
+    assert collocation_top_terms(p, "t", k=5, min_count=1).count() == 0
+
+
+# ----------------------------------------------------- score calibration ----
+def test_calibrate_percent_rank_per_group(spark):
+    p = vec_to_pipe(
+        spark,
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "s": [10.0, 20.0, 30.0, 5.0, 50.0],
+        },
+    )
+    out = calibrate_scores_by_group(p, "g", "s").collect()
+    got = {(r["g"], r["s"]): r["score_pct"] for r in out}
+    assert got[("a", 10.0)] == 0.0
+    assert got[("a", 20.0)] == 0.5
+    assert got[("a", 30.0)] == 1.0
+    # group b min/max unaffected by group a's scale
+    assert got[("b", 5.0)] == 0.0 and got[("b", 50.0)] == 1.0
+
+
+def test_calibrate_ties_share_rank(spark):
+    p = vec_to_pipe(spark, {"g": ["a"] * 4, "s": [1.0, 2.0, 2.0, 3.0]})
+    out = calibrate_scores_by_group(p, "g", "s").collect()
+    pcts = sorted(r["score_pct"] for r in out)
+    # percent_rank: (rank-1)/(n-1) with ties sharing rank
+    assert pcts == [0.0, 1 / 3, 1 / 3, 1.0]
+
+
+# ------------------------------------------------------------- fd_report ----
+def test_fd_exact_dependency_zero_error(spark):
+    p = vec_to_pipe(
+        spark, {"k": [1, 2, 3, 4], "v": ["x", "x", "y", "y"]}
+    )
+    row = fd_report(p, [("k", "v")]).collect()[0]
+    assert row["g3_rate"] == 0.0
+    assert row["violating_groups"] == 0
+    assert row["n_groups"] == 4 and row["n_rows"] == 4
+
+
+def test_fd_violation_rate_known(spark):
+    # a -> b: group 1 has b in {x,x,y} (keep 2 of 3), group 2 pure
+    p = vec_to_pipe(
+        spark,
+        {"a": [1, 1, 1, 2, 2], "b": ["x", "x", "y", "z", "z"]},
+    )
+    row = fd_report(p, [("a", "b")]).collect()[0]
+    assert row["g3_rate"] == pytest.approx(1 - 4 / 5)
+    assert row["violating_groups"] == 1
+    assert row["n_groups"] == 2
+
+
+def test_fd_null_is_a_value(spark):
+    p = vec_to_pipe(
+        spark, {"a": [1, 1, None, None], "b": ["x", "y", "z", "z"]}
+    )
+    rows = {(_r["lhs"], _r["rhs"]): _r for _r in fd_report(p, [("a", "b")]).collect()}
+    r = rows[("a", "b")]
+    # NULL lhs group is pure (z,z); group 1 violates
+    assert r["n_groups"] == 2
+    assert r["violating_groups"] == 1
+    assert r["g3_rate"] == pytest.approx(1 - 3 / 4)
+
+
+def test_fd_multiple_pairs_one_report(spark):
+    p = vec_to_pipe(spark, {"a": [1, 2], "b": ["x", "y"], "c": ["m", "m"]})
+    out = fd_report(p, [("a", "b"), ("b", "c"), ("c", "a")]).collect()
+    by = {(r["lhs"], r["rhs"]): r["g3_rate"] for r in out}
+    assert by[("a", "b")] == 0.0 and by[("b", "c")] == 0.0
+    assert by[("c", "a")] == pytest.approx(0.5)

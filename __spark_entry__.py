@@ -2134,6 +2134,47 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_stats(p, "text", top_n=500)
 
 
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over (user, day) event-type baskets
+    (agg.association_rules): distinct-basket dedup, key-equi self-join
+    bounded per basket by the max_basket cap, broadcast item supports,
+    Agrawal-Srikant support/confidence/lift, top-k by lift."""
+    from seafan_spark.agg import association_rules
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        F.concat_ws(
+            "|", F.col("user_id").cast("string"),
+            F.to_date("ts").cast("string"),
+        ).alias("basket"),
+        "event_type",
+    )
+    out = association_rules(d, "basket", "event_type", min_support=0.01, k=20)
+    return out.select(
+        "antecedent",
+        "consequent",
+        "pair_n",
+        round_col(F.col("support"), 6).alias("support"),
+        round_col(F.col("confidence"), 6).alias("confidence"),
+        round_col(F.col("lift"), 6).alias("lift"),
+    )
+
+
+def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (similarity.kcenter_select,
+    Gonzalez 1985): 8 most mutually-distant embeddings — the diversity
+    complement of semantic_dedup. k-1 scans of a cached unit-vector
+    relation, argmax via ORDER-BY-LIMIT-1, driver state k ids+vectors.
+    Iterative (k chained argmax rounds) — no SQL twin; rows-only check,
+    pytest-verified against a numpy reference implementation."""
+    from seafan_spark.llmops.similarity import kcenter_select
+
+    emb = _pipe(spark, sf_dir, "embeddings").df
+    out = kcenter_select(emb, "vec_id", "embedding", k=8)
+    return out.select("round", "id", round_col(F.col("dist"), 6).alias("dist"))
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2144,6 +2185,8 @@ def q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "assoc_rules": q_assoc_rules,
+    "kcenter": q_kcenter,
     "interval_join": q_interval_join,
     "ols_multi": q_ols_multi,
     "zipf": q_zipf,
@@ -2180,8 +2223,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psi_drift": q_psi_drift,
     "quality_rules": q_quality_rules,
     "embed_incr": q_embed_incr,
-    "dedup_reps": q_dedup_reps,
-    "source_cap": q_source_cap,
     # --- oracled, implementation touched recently ---
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2201,6 +2242,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "dedup_reps": q_dedup_reps,
+    "source_cap": q_source_cap,
     "retention": q_retention,
     "winsorize": q_winsorize,
     "embed_project": q_embed_project,
@@ -4625,6 +4668,48 @@ ORACLES["zipf"] = """
                       / ((s.md * s.sxx - s.sx * s.sx) * (s.md * s.syy - s.sy * s.sy))
                  END, 6) AS zipf_r2
     FROM totals t, sl s
+"""
+
+
+
+
+ORACLES["assoc_rules"] = """
+    WITH b AS (
+        SELECT DISTINCT
+               CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) AS k,
+               event_type AS i
+        FROM events WHERE event_type IS NOT NULL
+    ), n AS (SELECT COUNT(DISTINCT k) AS nb FROM b),
+    it AS (SELECT i, COUNT(*) AS ci FROM b GROUP BY i),
+    pr AS (
+        SELECT a.i AS ia, c.i AS ib, COUNT(*) AS pair_n
+        FROM b a JOIN b c ON a.k = c.k AND a.i < c.i
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 0.01 * (SELECT nb FROM n)
+    ), j AS (
+        SELECT p.ia, p.ib, p.pair_n, ua.ci AS ca, ub.ci AS cb, n.nb
+        FROM pr p JOIN it ua ON p.ia = ua.i JOIN it ub ON p.ib = ub.i
+        CROSS JOIN n
+    ), rules AS (
+        SELECT ia AS antecedent, ib AS consequent, pair_n,
+               pair_n / CAST(nb AS DOUBLE) AS support,
+               pair_n / CAST(ca AS DOUBLE) AS confidence,
+               pair_n * CAST(nb AS DOUBLE) / (ca * cb) AS lift
+        FROM j
+        UNION ALL
+        SELECT ib, ia, pair_n,
+               pair_n / CAST(nb AS DOUBLE),
+               pair_n / CAST(cb AS DOUBLE),
+               pair_n * CAST(nb AS DOUBLE) / (ca * cb)
+        FROM j
+    )
+    SELECT antecedent, consequent, pair_n,
+           ROUND(support, 6) AS support,
+           ROUND(confidence, 6) AS confidence,
+           ROUND(lift, 6) AS lift
+    FROM rules
+    ORDER BY lift DESC, antecedent ASC, consequent ASC
+    LIMIT 20
 """
 
 

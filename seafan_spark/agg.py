@@ -917,3 +917,95 @@ def ols_multi_by(
             )
 
     return m.select(*moment_cols).mapInPandas(solve, schema=out_schema)
+
+
+def association_rules(
+    df,
+    key_col: str,
+    item_col: str,
+    min_support: float = 0.01,
+    k: int = 100,
+    max_basket: int = 64,
+) -> DataFrame:
+    """Pairwise association rules (market-basket): for item pairs
+    co-occurring in at least ``min_support`` of baskets, emit both
+    directed rules ``a -> b`` with support, confidence and lift — the
+    classic Agrawal-Srikant measures restricted to pairs (the useful
+    and scale-safe core; longer itemsets explode combinatorially and
+    pair lift already surfaces the structure).
+
+    A basket is the DISTINCT item set of one ``key_col`` value; baskets
+    with more than ``max_basket`` items are excluded (documented cap —
+    a hot basket contributes quadratically to the pair join).
+
+    Returns (antecedent, consequent, pair_n, support, confidence, lift)
+    ordered by lift desc, top-``k``.
+
+    100 TB design: baskets dedupe with one (key, item) groupBy; the
+    pair generation self-joins ON THE KEY, so the shuffle carries
+    (key, item) rows once per side and the quadratic blowup is bounded
+    per key by ``max_basket``; item supports are a vocabulary-sized
+    relation broadcast onto the pair counts; top-k is ORDER-BY-LIMIT
+    over the surviving pair relation.
+    """
+    d = getattr(df, "df", df)
+    baskets = (
+        d.select(F.col(key_col).alias("_k"), F.col(item_col).alias("_i"))
+        .filter(F.col("_i").isNotNull())
+        .distinct()
+    )
+    sizes = baskets.groupBy("_k").agg(F.count(F.lit(1)).alias("_sz"))
+    ok = baskets.join(
+        F.broadcast(sizes.filter(F.col("_sz") > max_basket)), "_k", "left_anti"
+    ).localCheckpoint(eager=True)  # feeds totals, item counts AND both join sides
+
+    n_baskets = ok.select("_k").distinct().count()
+    if n_baskets == 0:
+        raise ValueError("association_rules: no baskets")
+    items = ok.groupBy("_i").agg(F.count(F.lit(1)).alias("_ci"))
+
+    a = ok.select(F.col("_k"), F.col("_i").alias("_a"))
+    b = ok.select(F.col("_k"), F.col("_i").alias("_b"))
+    pairs = (
+        a.join(b, "_k")
+        .filter(F.col("_a") < F.col("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= F.lit(float(min_support)) * F.lit(n_baskets))
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(items.select(F.col("_i").alias("_a"), F.col("_ci").alias("_ca"))),
+            "_a",
+        )
+        .join(
+            F.broadcast(items.select(F.col("_i").alias("_b"), F.col("_ci").alias("_cb"))),
+            "_b",
+        )
+    )
+    nb = F.lit(float(n_baskets))
+    fwd = joined.select(
+        F.col("_a").alias("antecedent"),
+        F.col("_b").alias("consequent"),
+        "pair_n",
+        (F.col("pair_n") / nb).alias("support"),
+        (F.col("pair_n") / F.col("_ca")).alias("confidence"),
+        (F.col("pair_n") * nb / (F.col("_ca") * F.col("_cb"))).alias("lift"),
+    )
+    rev = joined.select(
+        F.col("_b").alias("antecedent"),
+        F.col("_a").alias("consequent"),
+        "pair_n",
+        (F.col("pair_n") / nb).alias("support"),
+        (F.col("pair_n") / F.col("_cb")).alias("confidence"),
+        (F.col("pair_n") * nb / (F.col("_ca") * F.col("_cb"))).alias("lift"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("antecedent").asc(),
+            F.col("consequent").asc(),
+        )
+        .limit(k)
+    )

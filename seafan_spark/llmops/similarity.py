@@ -684,3 +684,81 @@ def hard_negatives(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ------------------------------------------------------ k-center coreset ----
+def kcenter_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    seed_id: int | None = None,
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over an
+    embedding column: pick the corpus's ``k`` most mutually-distant
+    points — the classic 2-approximation to the k-center objective
+    (Gonzalez 1985) used for DIVERSE training-subset selection (the
+    complement of semantic_dedup, which removes redundancy; this keeps
+    spread).
+
+    Deterministic: the seed is the row with the smallest id (or
+    ``seed_id``); every round adds the point maximizing the cosine
+    DISTANCE (1 - cos) to its nearest already-chosen center, ties
+    broken by smallest id.  Returns (round, id, dist) — ``dist`` is the
+    selected point's distance to the previously-chosen set (round 0 =
+    the seed, dist NULL), i.e. the k-center radius sequence.
+
+    100 TB design: unit vectors are normalized and cached ONCE; each of
+    the k-1 rounds is one scan — the chosen center's vector rides along
+    as a broadcast literal, the per-row running min-distance column is
+    updated in place (JVM ``zip_with`` dot product), and the argmax is
+    an ORDER-BY-LIMIT-1, not a global sort.  Driver state is k ids and
+    k vectors — nothing corpus-sized ever collects.  Cost is k scans of
+    a cached columnar relation; for k beyond ~100, pre-reduce with
+    ann_ivf assignments and run k-center on cell centroids instead.
+    """
+    from pyspark.sql import Row
+
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    unit = (
+        df.select(F.col(id_col).alias("_id"), l2_normalize_col(F.col(vec_col)).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    if seed_id is None:
+        seed = unit.orderBy(F.col("_id").asc()).limit(1).collect()
+    else:
+        seed = unit.filter(F.col("_id") == seed_id).limit(1).collect()
+    if not seed:
+        raise ValueError("kcenter_select: empty input (or seed_id not found)")
+    chosen = [(0, seed[0]["_id"], None)]
+    center_vec = seed[0]["_v"]
+
+    # running min cosine-distance to the chosen set, updated per round
+    cur = unit.withColumn(
+        "_d",
+        F.lit(1.0)
+        - dot_col(F.col("_v"), F.array(*[F.lit(float(x)) for x in center_vec])),
+    ).filter(F.col("_id") != chosen[0][1])
+    for rnd in range(1, k):
+        cur = cur.localCheckpoint(eager=True)  # k is small; keeps lineage flat
+        top = cur.orderBy(F.col("_d").desc(), F.col("_id").asc()).limit(1).collect()
+        if not top:
+            break
+        nid, nd = top[0]["_id"], float(top[0]["_d"])
+        nvec = top[0]["_v"]
+        chosen.append((rnd, nid, nd))
+        cur = cur.filter(F.col("_id") != nid).withColumn(
+            "_d",
+            F.least(
+                F.col("_d"),
+                F.lit(1.0)
+                - dot_col(F.col("_v"), F.array(*[F.lit(float(x)) for x in nvec])),
+            ),
+        )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [Row(round=r, id=i, dist=d) for r, i, d in chosen],
+        schema="round int, id bigint, dist double",
+    )

@@ -759,3 +759,68 @@ def stream_enrich(
         if c not in keys and c in stream.columns:
             d = d.withColumnRenamed(c, c + suffix)
     return stream.join(F.broadcast(d), on=keys, how=how)
+
+
+def stream_line_counts_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    sep: str = "\n",
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming maintenance of the corpus line-frequency store behind
+    :func:`seafan_spark.llmops.dedup.drop_common_lines` (CCNet
+    boilerplate removal): per micro-batch, count ONLY the arriving
+    documents' lines (explode + groupBy of the batch), merge by summing
+    into the persisted (line_hash, c) table at ``store_path``, rewrite.
+    Counts add, so the store always equals the line counts of every
+    document ingested so far — the boilerplate set for cleaning any
+    future batch is one filter over this table, never a corpus rescan.
+
+    State shape: a queryable TABLE of (md5 line hash, count) —
+    vocabulary-of-lines sized, not corpus sized; same overwrite/
+    idempotency caveats as :func:`stream_sketch_ingest`."""
+    import shutil
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="seafan_lines_ckpt_")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        parts = F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+        batch_counts = (
+            batch_df.select(F.explode(parts).alias("_line"))
+            .groupBy(F.md5(F.col("_line")).alias("_lh"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            store = spark.read.parquet(store_path)
+            merged = (
+                store.unionByName(batch_counts)
+                .groupBy("_lh")
+                .agg(F.sum("c").alias("c"))
+            )
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            merged = batch_counts
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(store_path)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"line-count ingest did not finish in {timeout_sec}s")
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)

@@ -325,3 +325,151 @@ def test_zipf_natural_corpus_slope_negative(spark):
     row = zipf_stats(p, "text", top_n=100).collect()[0]
     assert row["zipf_slope"] < 0
     assert 0 < row["ttr"] < 1
+
+
+# --------------------------------------------------------------- kcenter ----
+def test_kcenter_matches_numpy_greedy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, (40, 8)).astype(float)
+    from seafan_spark.llmops.similarity import kcenter_select
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vid long, v array<double>",
+    )
+    got = kcenter_select(df, "vid", "v", k=6).collect()
+
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    chosen = [0]  # smallest id seeds
+    d = 1.0 - unit @ unit[0]
+    d[0] = -np.inf
+    for _ in range(5):
+        nxt = int(np.argmax(d))  # numpy argmax = first max = smallest id
+        chosen.append(nxt)
+        d = np.minimum(d, 1.0 - unit @ unit[nxt])
+        d[nxt] = -np.inf
+    assert [r["id"] for r in got] == chosen
+    # radius sequence is non-increasing (greedy k-center property)
+    dists = [r["dist"] for r in got if r["dist"] is not None]
+    assert all(a >= b - 1e-12 for a, b in zip(dists, dists[1:]))
+
+
+def test_kcenter_spread_beats_random_head(spark):
+    import numpy as np
+
+    # three tight clusters: k=3 must pick one point from each
+    rng = np.random.default_rng(9)
+    centers = np.array([[10.0, 0], [0, 10.0], [-10.0, -10.0]])
+    pts = np.vstack([c + rng.normal(0, 0.01, (5, 2)) for c in centers])
+    from seafan_spark.llmops.similarity import kcenter_select
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in pts[i]]) for i in range(15)],
+        "vid long, v array<double>",
+    )
+    got = kcenter_select(df, "vid", "v", k=3).collect()
+    clusters = {r["id"] // 5 for r in got}
+    assert clusters == {0, 1, 2}
+
+
+def test_kcenter_k_exceeds_n(spark):
+    from seafan_spark.llmops.similarity import kcenter_select
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vid long, v array<double>"
+    )
+    out = kcenter_select(df, "vid", "v", k=10).collect()
+    assert len(out) == 2
+
+
+# ----------------------------------------------------------- assoc_rules ----
+def test_association_rules_known_values(spark):
+    from seafan_spark.agg import association_rules
+
+    # baskets: {a,b} x3, {a} x1, {b,c} x1  -> nb=5, ca=4, cb=4, cc=1
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "a"),
+        (5, "b"), (5, "c"),
+    ]
+    df = spark.createDataFrame(rows, "k long, i string")
+    out = association_rules(df, "k", "i", min_support=0.0, k=10).collect()
+    by = {(r["antecedent"], r["consequent"]): r for r in out}
+    ab = by[("a", "b")]
+    assert ab["pair_n"] == 3
+    assert ab["support"] == pytest.approx(3 / 5)
+    assert ab["confidence"] == pytest.approx(3 / 4)
+    assert ab["lift"] == pytest.approx(3 * 5 / (4 * 4))
+    # reverse direction has same support/lift, its own confidence
+    ba = by[("b", "a")]
+    assert ba["confidence"] == pytest.approx(3 / 4)
+    assert ba["lift"] == pytest.approx(ab["lift"])
+
+
+def test_association_rules_min_support_filters(spark):
+    from seafan_spark.agg import association_rules
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "c"), (3, "d")]
+    df = spark.createDataFrame(rows, "k long, i string")
+    out = association_rules(df, "k", "i", min_support=0.5, k=10).collect()
+    # (a,b) support 2/3 passes; (c,d) support 1/3 filtered
+    assert {(r["antecedent"], r["consequent"]) for r in out} == {("a", "b"), ("b", "a")}
+
+
+def test_association_rules_basket_cap(spark):
+    from seafan_spark.agg import association_rules
+
+    rows = [(1, "a"), (1, "b")] + [(2, f"i{j}") for j in range(10)] + [(3, "a"), (3, "b")]
+    df = spark.createDataFrame(rows, "k long, i string")
+    out = association_rules(df, "k", "i", min_support=0.0, k=100, max_basket=5).collect()
+    # basket 2 (10 items > cap) excluded entirely: no i* rules, nb=2
+    assert all(not r["antecedent"].startswith("i") for r in out)
+    by = {(r["antecedent"], r["consequent"]): r for r in out}
+    assert by[("a", "b")]["support"] == pytest.approx(1.0)
+
+
+def test_association_rules_dedups_within_basket(spark):
+    from seafan_spark.agg import association_rules
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "k long, i string")
+    out = association_rules(df, "k", "i", min_support=0.0, k=10).collect()
+    by = {(r["antecedent"], r["consequent"]): r for r in out}
+    assert by[("a", "b")]["pair_n"] == 2  # duplicate 'a' in basket 1 counted once
+
+
+# ---------------------------------------------------- stream line counts ----
+def test_stream_line_counts_equals_batch(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from seafan_spark.streaming import stream_line_counts_ingest
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    store = str(tmp_path / "line_store")
+    docs = ["x\ny", "x\nz", "x", "y\ny"]
+    for i, t in enumerate(docs):
+        pd.DataFrame({"doc_id": [i], "text": [t]}).to_parquet(src / f"p{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    stream_line_counts_ingest(stream, store, "text")
+
+    got = {
+        r["_lh"]: r["c"] for r in spark.read.parquet(store).collect()
+    }
+    batch = (
+        spark.createDataFrame([(t,) for t in docs], "text string")
+        .select(F.explode(F.split("text", "\\n", -1)).alias("l"))
+        .groupBy(F.md5("l").alias("_lh"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    want = {r["_lh"]: r["c"] for r in batch.collect()}
+    assert got == want and len(got) == 3

@@ -108,7 +108,16 @@ def test_correctness_window_invariant():
     shows them at least once (VERDICT r4 task 6)."""
     import __spark_entry__ as entrymod
 
-    rotated_rows_only = {"minhash_pairs_fast", "simhash_pairs_fast", "irr_by", "model_nn"}
+    # kcenter is new in round 5 and permanently rows-only (k chained
+    # argmax rounds — no SQL twin); it sits in the window for its first
+    # driver appearance alongside the four round-5 rotations
+    rotated_rows_only = {
+        "minhash_pairs_fast",
+        "simhash_pairs_fast",
+        "irr_by",
+        "model_nn",
+        "kcenter",
+    }
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
     missing = [n for n in names[:50] if n not in oracles and n not in rotated_rows_only]

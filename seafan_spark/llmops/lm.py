@@ -142,3 +142,126 @@ def lm_score_docs(
             "avg_logprob",
         )
     )
+
+
+# ----------------------------------------------------------------- DSIR ----
+def dsir_log_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    alpha: float = DEFAULT_ALPHA,
+) -> DataFrame:
+    """Per-document DSIR log importance weight (Xie et al. 2023, Data
+    Selection via Importance Resampling): ``log w(x) = log p_target(x)
+    - log p_raw(x)``, both bigram LMs with Laplace smoothing — the
+    target model trained on the reference corpus, the raw model on the
+    candidate corpus itself.  Documents that "look like the target
+    distribution relative to the raw pool" get high weight.
+
+    Returns ``(id, n_bigrams, log_w)``; docs with fewer than 2 tokens
+    have no bigrams and NULL ``log_w``.
+
+    Scale shape: the candidate corpus explodes into bigrams ONCE; both
+    models (four vocabulary-sized count tables) broadcast-join onto
+    that single pass, and the per-doc reduction is one groupBy — the
+    same shuffle budget as one lm_score_docs call despite scoring
+    under two models.
+    """
+    t_uni = F.broadcast(lm_unigram_counts(target, text_col))
+    t_bi = F.broadcast(lm_bigram_counts(target, text_col))
+    r_uni = F.broadcast(lm_unigram_counts(corpus, text_col))
+    r_bi = F.broadcast(lm_bigram_counts(corpus, text_col))
+    t_v1 = t_uni.agg((F.count("*") + 1).cast("double").alias("_tv1"))
+    r_v1 = r_uni.agg((F.count("*") + 1).cast("double").alias("_rv1"))
+
+    toks = tokens_col(F.col(text_col))
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    doc_pairs = corpus.select(
+        F.col(id_col).alias("_id"), F.explode(pairs).alias("p")
+    ).select("_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+
+    a = F.lit(alpha)
+    scored = (
+        doc_pairs.join(
+            t_bi.withColumnRenamed("c", "_tc12"), ["w1", "w2"], "left"
+        )
+        .join(
+            t_uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "_tc1"),
+            ["w1"],
+            "left",
+        )
+        .join(
+            r_bi.withColumnRenamed("c", "_rc12"), ["w1", "w2"], "left"
+        )
+        .join(
+            r_uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "_rc1"),
+            ["w1"],
+            "left",
+        )
+        .crossJoin(F.broadcast(t_v1))
+        .crossJoin(F.broadcast(r_v1))
+        .select(
+            "_id",
+            (
+                F.log(
+                    (F.coalesce(F.col("_tc12"), F.lit(0)) + a)
+                    / (F.coalesce(F.col("_tc1"), F.lit(0)) + a * F.col("_tv1"))
+                )
+                - F.log(
+                    (F.coalesce(F.col("_rc12"), F.lit(0)) + a)
+                    / (F.coalesce(F.col("_rc1"), F.lit(0)) + a * F.col("_rv1"))
+                )
+            ).alias("_dlp"),
+        )
+    )
+    per_doc = scored.groupBy("_id").agg(
+        F.count("*").alias("n_bigrams"), F.sum("_dlp").alias("log_w")
+    )
+    all_ids = corpus.select(F.col(id_col).alias("_id")).distinct()
+    return all_ids.join(per_doc, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        "log_w",
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 1000,
+    alpha: float = DEFAULT_ALPHA,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR selection: keep the ``k`` candidate documents drawn
+    WITHOUT replacement with probability proportional to their
+    importance weight — the Gumbel-top-k trick (key = ``log_w`` +
+    Gumbel noise; the top-k keys ARE such a sample), with the noise
+    derived from the deterministic md5 hash bucket so the draw is
+    reproducible across runs, engines, and task retries (same rationale
+    as sampling.py — ``rand()`` resamples under retries).
+
+    Returns ``(id, n_bigrams, log_w, sel_key)`` for the selected docs.
+    Zero-bigram docs (NULL ``log_w``) are excluded.
+
+    Scale shape: dsir_log_weights' single explode pass, then ONE
+    ORDER-BY-LIMIT top-k (TakeOrderedAndProject: per-partition partial
+    top-k, driver merge bounded by k).  For k beyond driver comfort,
+    pre-filter on a log_w quantile threshold and sample the survivors.
+    """
+    from seafan_spark.sampling import hash_bucket_col
+
+    w = dsir_log_weights(corpus, target, id_col, text_col, alpha)
+    u = (hash_bucket_col(F.col(id_col), salt) + F.lit(0.5)) / F.lit(1_000_000.0)
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.filter(F.col("log_w").isNotNull())
+        .withColumn("sel_key", F.col("log_w") + gumbel)
+        .orderBy(F.col("sel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

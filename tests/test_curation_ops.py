@@ -473,3 +473,82 @@ def test_stream_line_counts_equals_batch(spark, tmp_path):
     )
     want = {r["_lh"]: r["c"] for r in batch.collect()}
     assert got == want and len(got) == 3
+
+
+# ------------------------------------------------------------------ DSIR ----
+def test_dsir_weights_favor_target_like_docs(spark):
+    from seafan_spark.llmops.lm import dsir_log_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),        # exactly target-like
+         (2, "zeta eta theta iota"),           # nothing like target
+         (3, "alpha beta zeta eta")],          # mixed
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["log_w"] for r in
+         dsir_log_weights(corpus, target, "doc_id").collect()}
+    # the target-like doc dominates; doc 3's (beta, zeta) bigram — SEEN
+    # target context, unseen continuation — is penalized harder by
+    # Laplace smoothing than doc 2's fully-unseen contexts, so no
+    # ordering is asserted between the two non-target docs
+    assert w[1] > 0 > w[2] and w[1] > w[3]
+
+
+def test_dsir_weights_hand_value(spark):
+    import math
+    from seafan_spark.llmops.lm import dsir_log_weights
+
+    target = spark.createDataFrame([(10, "a b")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    row = dsir_log_weights(corpus, target, "doc_id").collect()[0]
+    # target LM: c(a b)=1, c(a)=1, V+1=3 -> p=(1.1)/(1+0.3)
+    # raw LM: same counts (corpus == same text) -> log_w = 0
+    assert row["n_bigrams"] == 1
+    assert row["log_w"] == pytest.approx(0.0, abs=1e-12)
+    # and with a disjoint raw pool the target term stands alone
+    corpus2 = spark.createDataFrame(
+        [(1, "a b"), (2, "x y"), (3, "x y")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in
+            dsir_log_weights(corpus2, target, "doc_id").collect()}
+    t_lp = math.log(1.1 / (1 + 0.1 * 3))
+    # raw LM over corpus2: c(a b)=1, c(a)=1, V=4 -> V+1=5
+    r_lp = math.log(1.1 / (1 + 0.1 * 5))
+    assert rows[1]["log_w"] == pytest.approx(t_lp - r_lp, abs=1e-12)
+
+
+def test_dsir_select_deterministic_and_k(spark):
+    from seafan_spark.llmops.lm import dsir_select
+
+    target = spark.createDataFrame(
+        [(100, "a b c d e")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(i, "a b c d e" if i % 2 == 0 else "v w x y z") for i in range(20)],
+        "doc_id long, text string",
+    )
+    s1 = [(r["doc_id"], r["sel_key"]) for r in
+          dsir_select(corpus, target, "doc_id", k=5).collect()]
+    s2 = [(r["doc_id"], r["sel_key"]) for r in
+          dsir_select(corpus, target, "doc_id", k=5).collect()]
+    assert s1 == s2 and len(s1) == 5
+    # keys are sorted descending
+    keys = [k for _, k in s1]
+    assert keys == sorted(keys, reverse=True)
+    # target-like docs dominate the selection
+    assert sum(1 for i, _ in s1 if i % 2 == 0) >= 4
+
+
+def test_dsir_select_excludes_zero_bigram_docs(spark):
+    from seafan_spark.llmops.lm import dsir_select
+
+    target = spark.createDataFrame([(100, "a b")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a b"), (2, "solo")], "doc_id long, text string"
+    )
+    out = dsir_select(corpus, target, "doc_id", k=10).collect()
+    assert [r["doc_id"] for r in out] == [1]

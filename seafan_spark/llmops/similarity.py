@@ -762,3 +762,103 @@ def kcenter_select(
         [Row(round=r, id=i, dist=d) for r, i, d in chosen],
         schema="round int, id bigint, dist double",
     )
+
+
+# ---------------------------------------------------------------- PCA ----
+def pca_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int = 8,
+    center: bool = True,
+) -> dict:
+    """Fit a PCA model over an embedding column: top-``k`` principal
+    components of the (optionally centered) covariance.  The standard
+    pre-conditioner for the ANN stack — IVF/PQ cluster better and
+    buckets balance better in a decorrelated, variance-ordered basis.
+
+    Returns ``{"mean": [d], "components": [k][d], "explained": [k],
+    "n": int}`` with a deterministic sign convention (each component's
+    largest-|coordinate| is positive, ties to the lower index).
+
+    100 TB design: one ``mapInPandas`` pass emits ONE partial Gram row
+    per Arrow batch (n, sum vector, d*d Gram) — numpy touches batches,
+    never rows-at-a-time, the same Python quarantine as optim.py's
+    gradient passes; the driver reduces the tiny (num_batches, d^2)
+    relation and eigendecomposes a d x d matrix.  Nothing corpus-sized
+    ever collects; cost is one corpus scan regardless of k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d_df = df.select(F.col(vec_col).alias("_v")).filter(F.col("_v").isNotNull())
+    dim = infer_vec_dim(d_df, "_v", "pca_fit")
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = d_df.mapInPandas(
+        partial, schema="n long, s array<double>, g array<double>"
+    ).collect()
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    import numpy as np
+
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    g = np.sum([np.array(p["g"]).reshape(dim, dim) for p in parts], axis=0)
+    mean = s / n
+    cov = g / n - (np.outer(mean, mean) if center else 0.0)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps, expl = [], []
+    for idx in order:
+        v = vecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        expl.append(float(max(vals[idx], 0.0)))
+    tot = float(np.clip(vals, 0.0, None).sum()) or 1.0
+    return {
+        "mean": [float(x) for x in (mean if center else np.zeros(dim))],
+        "components": comps,
+        "explained": [e / tot for e in expl],
+        "n": int(n),
+    }
+
+
+def pca_project_col(vec: Column, model: dict) -> Column:
+    """Project an embedding onto the fitted components — pure JVM
+    higher-order arithmetic (centered dot product per component), no
+    Python in the row path; the model rides in as array literals
+    (k*d doubles — kilobytes)."""
+    mean = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    centered = F.zip_with(vec, mean, lambda a, b: a - b)
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                centered,
+                F.array(*[F.lit(float(x)) for x in comp]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in model["components"]
+    ]
+    return F.array(*dots)
+
+
+def pca_project(df: DataFrame, vec_col: str, model: dict, out_col: str = "pca") -> DataFrame:
+    """Attach the PCA projection of ``vec_col`` as ``out_col``."""
+    return df.withColumn(out_col, pca_project_col(F.col(vec_col), model))

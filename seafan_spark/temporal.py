@@ -643,3 +643,93 @@ def interval_join(
         .filter(overlap & first_shared)
         .drop("__b", "__rs", "__re")
     )
+
+
+def seasonal_profile(
+    df,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour_of_week",
+) -> DataFrame:
+    """Seasonal baseline per key: mean and sample-stddev of
+    ``value_col`` for every (keys..., seasonal bucket) cell.  Bucket
+    ``hour_of_week`` = ``dayofweek*24 + hour`` (168 cells),
+    ``hour_of_day`` = 24 cells, ``day_of_week`` = 7 cells — the cheap
+    seasonal-naive model behind ops anomaly alerts.
+
+    One map-side-partial groupBy; the profile relation is |keys| x
+    cells, kilobytes per key."""
+    d = _df(df)
+    ts = F.col(ts_col)
+    if bucket == "hour_of_week":
+        b = (F.dayofweek(ts) - 1) * 24 + F.hour(ts)
+    elif bucket == "hour_of_day":
+        b = F.hour(ts)
+    elif bucket == "day_of_week":
+        b = F.dayofweek(ts) - 1
+    else:
+        raise ValueError(f"seasonal_profile: unknown bucket {bucket!r}")
+    return (
+        d.withColumn("bucket", b.cast("int"))
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.col(value_col)).alias("mean"),
+            F.stddev(F.col(value_col)).alias("std"),
+        )
+    )
+
+
+def seasonal_residuals(
+    df,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour_of_week",
+    profile: DataFrame | None = None,
+    min_cell: int = 5,
+) -> DataFrame:
+    """Seasonal-naive anomaly scores: every row's deviation from its
+    (keys..., bucket) baseline — ``resid = value - mean``,
+    ``resid_z = resid / std`` (NULL when the cell has fewer than
+    ``min_cell`` observations or zero variance — an honest "no
+    baseline" instead of an explosive z).
+
+    Pass a precomputed/persisted ``profile`` (e.g. last week's) to
+    score a new window against history — the streaming-friendly shape.
+
+    100 TB design: the profile is |keys| x cells rows and BROADCASTS;
+    scoring is one broadcast hash join + pure Column arithmetic — the
+    fact stream never shuffles."""
+    d = _df(df)
+    if profile is None:
+        profile = seasonal_profile(d, keys, ts_col, value_col, bucket)
+    ts = F.col(ts_col)
+    if bucket == "hour_of_week":
+        b = (F.dayofweek(ts) - 1) * 24 + F.hour(ts)
+    elif bucket == "hour_of_day":
+        b = F.hour(ts)
+    elif bucket == "day_of_week":
+        b = F.dayofweek(ts) - 1
+    else:
+        raise ValueError(f"seasonal_residuals: unknown bucket {bucket!r}")
+    prof = F.broadcast(
+        profile.select(
+            *keys,
+            "bucket",
+            F.col("n").alias("_pn"),
+            F.col("mean").alias("_pm"),
+            F.col("std").alias("_ps"),
+        )
+    )
+    ok = (F.col("_pn") >= F.lit(int(min_cell))) & (F.col("_ps") > 0.0)
+    return (
+        d.withColumn("bucket", b.cast("int"))
+        .join(prof, list(keys) + ["bucket"], "left")
+        .withColumn("resid", F.col(value_col) - F.col("_pm"))
+        .withColumn(
+            "resid_z", F.when(ok, F.col("resid") / F.col("_ps"))
+        )
+        .drop("_pn", "_pm", "_ps")
+    )

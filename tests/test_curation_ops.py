@@ -552,3 +552,114 @@ def test_dsir_select_excludes_zero_bigram_docs(spark):
     )
     out = dsir_select(corpus, target, "doc_id", k=10).collect()
     assert [r["doc_id"] for r in out] == [1]
+
+
+# ------------------------------------------------------------------- PCA ----
+def test_pca_matches_numpy(spark):
+    import numpy as np
+    from seafan_spark.llmops.similarity import pca_fit, pca_project
+
+    rng = np.random.default_rng(17)
+    # anisotropic cloud: variance concentrated on two known axes
+    base = rng.normal(0, 1, (300, 2)) @ np.array([[5.0, 0, 0, 0], [0, 2.0, 0, 0]])
+    X = base + rng.normal(0, 0.05, (300, 4)) + np.array([1.0, -2.0, 0.5, 3.0])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vid long, v array<double>",
+    )
+    model = pca_fit(df, "v", k=2)
+    assert model["n"] == 300
+
+    mean = X.mean(axis=0)
+    cov = (X - mean).T @ (X - mean) / 300
+    vals, vecs = np.linalg.eigh(cov)
+    for ci, idx in enumerate(np.argsort(vals)[::-1][:2]):
+        v = vecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        got = np.array(model["components"][ci])
+        assert np.allclose(got, v, atol=1e-8), (ci, got, v)
+    # explained variance ordered and dominated by the 5.0 axis
+    assert model["explained"][0] > model["explained"][1] > 0
+    assert model["explained"][0] > 0.8
+
+    # projection: JVM arithmetic equals numpy (X - mean) @ components.T
+    proj = {
+        r["vid"]: r["p"]
+        for r in pca_project(df, "v", model, "p").collect()
+    }
+    want = (X - np.array(model["mean"])) @ np.array(model["components"]).T
+    for i in range(0, 300, 57):
+        assert np.allclose(proj[i], want[i], atol=1e-9)
+
+
+def test_pca_sign_convention_deterministic(spark):
+    import numpy as np
+    from seafan_spark.llmops.similarity import pca_fit
+
+    rng = np.random.default_rng(23)
+    X = rng.normal(0, 1, (50, 3))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(50)],
+        "vid long, v array<double>",
+    )
+    m1 = pca_fit(df, "v", k=3)
+    m2 = pca_fit(df.repartition(7), "v", k=3)
+    for a, b in zip(m1["components"], m2["components"]):
+        assert np.allclose(a, b, atol=1e-9)
+        assert a[int(np.argmax(np.abs(a)))] > 0
+
+
+# -------------------------------------------------------------- seasonal ----
+def test_seasonal_residuals_known_values(spark):
+    from datetime import datetime, timedelta
+    from seafan_spark.temporal import seasonal_residuals
+
+    # same hour-of-week cell (Mon 10:00) across weeks: values 0..50 twice
+    rows = [
+        (i, datetime(2024, 1, 1, 10, 0, 0) + timedelta(weeks=i % 6),
+         "a", float(10 * (i % 6)))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string, value double")
+    out = seasonal_residuals(df, ["k"], "ts", "value", min_cell=5).collect()
+    import statistics
+
+    vals = [float(10 * (i % 6)) for i in range(12)]
+    mean = statistics.mean(vals)
+    sd = statistics.stdev(vals)
+    for r in out:
+        want = (r["value"] - mean) / sd
+        assert r["resid_z"] == pytest.approx(want, rel=1e-9)
+        assert r["resid"] == pytest.approx(r["value"] - mean, rel=1e-9)
+
+
+def test_seasonal_small_cell_gets_null_z(spark):
+    from datetime import datetime
+    from seafan_spark.temporal import seasonal_residuals
+
+    rows = [(1, datetime(2024, 1, 1, 5, 0, 0), "a", 1.0),
+            (2, datetime(2024, 1, 1, 5, 0, 0), "a", 2.0)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, k string, value double")
+    out = seasonal_residuals(df, ["k"], "ts", "value", min_cell=5).collect()
+    assert all(r["resid_z"] is None for r in out)
+    assert all(r["resid"] is not None for r in out)
+
+
+def test_seasonal_external_profile(spark):
+    from datetime import datetime
+    from seafan_spark.temporal import seasonal_profile, seasonal_residuals
+
+    hist = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1, 8, 0, 0), "a", 10.0 + (i % 5)) for i in range(10)],
+        "event_id long, ts timestamp, k string, value double",
+    )
+    prof = seasonal_profile(hist, ["k"], "ts", "value")
+    new = spark.createDataFrame(
+        [(100, datetime(2024, 1, 8, 8, 0, 0), "a", 50.0)],
+        "event_id long, ts timestamp, k string, value double",
+    )
+    row = seasonal_residuals(new, ["k"], "ts", "value", profile=prof).collect()[0]
+    assert row["resid"] == pytest.approx(50.0 - 12.0)
+    assert row["resid_z"] is not None and row["resid_z"] > 10

@@ -117,6 +117,7 @@ def test_correctness_window_invariant():
         "irr_by",
         "model_nn",
         "kcenter",
+        "pca",
     }
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()

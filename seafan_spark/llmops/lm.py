@@ -151,6 +151,7 @@ def dsir_log_weights(
     id_col: str,
     text_col: str = "text",
     alpha: float = DEFAULT_ALPHA,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document DSIR log importance weight (Xie et al. 2023, Data
     Selection via Importance Resampling): ``log w(x) = log p_target(x)
@@ -168,10 +169,16 @@ def dsir_log_weights(
     same shuffle budget as one lm_score_docs call despite scoring
     under two models.
     """
-    t_uni = F.broadcast(lm_unigram_counts(target, text_col))
-    t_bi = F.broadcast(lm_bigram_counts(target, text_col))
-    r_uni = F.broadcast(lm_unigram_counts(corpus, text_col))
-    r_bi = F.broadcast(lm_bigram_counts(corpus, text_col))
+    t_uni = lm_unigram_counts(target, text_col)
+    t_bi = lm_bigram_counts(target, text_col)
+    r_uni = lm_unigram_counts(corpus, text_col)
+    r_bi = lm_bigram_counts(corpus, text_col)
+    if broadcast_model:
+        # vocabulary-sized tables; disable only for a vocabulary too big
+        # to broadcast (joins fall back to token-key shuffles — same
+        # convention as lm_score_docs)
+        t_uni, t_bi = F.broadcast(t_uni), F.broadcast(t_bi)
+        r_uni, r_bi = F.broadcast(r_uni), F.broadcast(r_bi)
     t_v1 = t_uni.agg((F.count("*") + 1).cast("double").alias("_tv1"))
     r_v1 = r_uni.agg((F.count("*") + 1).cast("double").alias("_rv1"))
 
@@ -237,6 +244,7 @@ def dsir_select(
     k: int = 1000,
     alpha: float = DEFAULT_ALPHA,
     salt: str = "dsir",
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """DSIR selection: keep the ``k`` candidate documents drawn
     WITHOUT replacement with probability proportional to their
@@ -256,7 +264,7 @@ def dsir_select(
     """
     from seafan_spark.sampling import hash_bucket_col
 
-    w = dsir_log_weights(corpus, target, id_col, text_col, alpha)
+    w = dsir_log_weights(corpus, target, id_col, text_col, alpha, broadcast_model)
     u = (hash_bucket_col(F.col(id_col), salt) + F.lit(0.5)) / F.lit(1_000_000.0)
     gumbel = -F.log(-F.log(u))
     return (

@@ -488,7 +488,11 @@ def chunk_documents(
 
 # --------------------------------------------------------- collocations ----
 def collocation_top_terms(
-    df, text_col: str = "text", k: int = 50, min_count: int = 5
+    df,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+    broadcast_vocab: bool = True,
 ) -> "DataFrame":
     """Top-``k`` adjacent-bigram collocations by pointwise mutual
     information: PMI(x,y) = ln( p(x,y) / (p(x)p(y)) ) with p(x,y) over
@@ -504,7 +508,10 @@ def collocation_top_terms(
     (map-side partial agg shrinks each to its vocabulary-sized domain
     before the shuffle); the ``min_count`` filter prunes the bigram tail
     BEFORE the two unigram joins, and the unigram table broadcasts (it
-    is vocabulary-sized, not corpus-sized).  Totals ride along as
+    is vocabulary-sized, not corpus-sized; pass
+    ``broadcast_vocab=False`` for a web-scale vocabulary too big to
+    broadcast — the two joins fall back to shuffle equi-joins on the
+    token keys, same convention as lm_score_docs).  Totals ride along as
     one-row broadcast cross joins.  Top-k is an ORDER-BY-LIMIT over the
     surviving bigram relation, never a one-partition window over data.
     """
@@ -537,16 +544,14 @@ def collocation_top_terms(
     n_uni = uni.agg(F.sum("_c").alias("_nu"))
     n_bi = bi.agg(F.sum("c_xy").alias("_nb"))
 
+    u1 = uni.select(F.col("w").alias("w1"), F.col("_c").alias("_cx"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("_c").alias("_cy"))
+    if broadcast_vocab:
+        u1, u2 = F.broadcast(u1), F.broadcast(u2)
     scored = (
         bi.filter(F.col("c_xy") >= F.lit(int(min_count)))
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("_c").alias("_cx"))),
-            "w1",
-        )
-        .join(
-            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("_c").alias("_cy"))),
-            "w2",
-        )
+        .join(u1, "w1")
+        .join(u2, "w2")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
         .withColumn(

@@ -689,6 +689,7 @@ def seasonal_residuals(
     bucket: str = "hour_of_week",
     profile: DataFrame | None = None,
     min_cell: int = 5,
+    broadcast_profile: bool = True,
 ) -> DataFrame:
     """Seasonal-naive anomaly scores: every row's deviation from its
     (keys..., bucket) baseline — ``resid = value - mean``,
@@ -701,7 +702,9 @@ def seasonal_residuals(
 
     100 TB design: the profile is |keys| x cells rows and BROADCASTS;
     scoring is one broadcast hash join + pure Column arithmetic — the
-    fact stream never shuffles."""
+    fact stream never shuffles.  For a high-cardinality key (per-user
+    profiles) pass ``broadcast_profile=False``: the join becomes a
+    keyed shuffle equi-join, still skew-safe under AQE."""
     d = _df(df)
     if profile is None:
         profile = seasonal_profile(d, keys, ts_col, value_col, bucket)
@@ -714,15 +717,15 @@ def seasonal_residuals(
         b = F.dayofweek(ts) - 1
     else:
         raise ValueError(f"seasonal_residuals: unknown bucket {bucket!r}")
-    prof = F.broadcast(
-        profile.select(
-            *keys,
-            "bucket",
-            F.col("n").alias("_pn"),
-            F.col("mean").alias("_pm"),
-            F.col("std").alias("_ps"),
-        )
+    prof = profile.select(
+        *keys,
+        "bucket",
+        F.col("n").alias("_pn"),
+        F.col("mean").alias("_pm"),
+        F.col("std").alias("_ps"),
     )
+    if broadcast_profile:
+        prof = F.broadcast(prof)
     ok = (F.col("_pn") >= F.lit(int(min_cell))) & (F.col("_ps") > 0.0)
     return (
         d.withColumn("bucket", b.cast("int"))

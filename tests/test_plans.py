@@ -212,3 +212,53 @@ def test_round5_new_op_plans_scale_safe(spark):
     hh_plan = counted._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in hh_plan and "BroadcastHashJoin" in hh_plan
     assert "SortMergeJoin" not in hh_plan
+
+
+def test_session3_new_op_plans_scale_safe(spark):
+    """Plan-level scale guards for the late round-5 operators:
+
+    - drop_common_lines (array path): the document side joins the
+      one-row boilerplate array by broadcast — no sort-merge join, no
+      document shuffle beyond the slim line-count aggregation;
+    - interval_join: compiles to a HASH equi-join on (key, bucket) —
+      never Catalyst's nested-loop inequality fallback;
+    - seasonal_residuals: the profile joins broadcast;
+    - collocation_top_terms: both unigram joins broadcast."""
+    from pyspark.sql import functions as F
+
+    from seafan_spark.llmops.dedup import drop_common_lines
+    from seafan_spark.llmops.text import collocation_top_terms
+    from seafan_spark.sources import parquet_to_pipe
+    from seafan_spark.temporal import interval_join, seasonal_residuals
+
+    docs = parquet_to_pipe(spark, SF + "/documents.parquet")
+    d = docs.df.select(
+        "doc_id", F.regexp_replace("text", r"(\S+ \S+ \S+) ", "$1\n").alias("text")
+    )
+    lines_plan = (
+        drop_common_lines(docs._derive(d), "doc_id", "text", min_ratio=0.001)
+        .df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in lines_plan
+
+    l = spark.createDataFrame([(1, 0, 0, 10)], "lid long, k long, ls long, le long")
+    r = spark.createDataFrame([(2, 0, 5, 15)], "rid long, k long, rs long, re long")
+    ij_plan = (
+        interval_join(l, r, on="k", left_start="ls", left_end="le",
+                      right_start="rs", right_end="re", bucket=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoop" not in ij_plan and "CartesianProduct" not in ij_plan
+
+    ev = parquet_to_pipe(spark, SF + "/events.parquet").df
+    sea_plan = (
+        seasonal_residuals(ev, ["event_type"], "ts", "value")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in sea_plan and "SortMergeJoin" not in sea_plan
+
+    col_plan = (
+        collocation_top_terms(docs, "text", k=10, min_count=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert col_plan.count("BroadcastHashJoin") >= 2

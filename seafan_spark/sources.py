@@ -288,3 +288,29 @@ def pipe_to_json(pipe: "Pipeline", path: str, mode: str = "overwrite") -> None:
 def pipe_to_orc(pipe: "Pipeline", path: str, mode: str = "overwrite") -> None:
     """Write the pipeline as ORC."""
     _export_df(pipe).write.mode(mode).orc(path)
+
+
+def pipe_to_parquet_partitioned(
+    pipe: "Pipeline",
+    path: str,
+    partition_by: "Sequence[str] | str",
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Hive-style partitioned parquet sink: one directory per partition
+    value (``source=src0/…``), so any read filtered on the partition
+    column PRUNES whole directories before a single row group is opened
+    — the coarse layout lever next to layout.py's Z-order (intra-file
+    row-group skipping) and bucketing.py (co-located joins).
+
+    Rows are repartitioned BY the partition columns first, so each
+    output directory is written by the tasks owning that key instead of
+    every task appending a sliver file to every directory (the
+    small-files explosion that kills 100 TB listings);
+    ``max_records_per_file`` caps file size within a partition."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    d = _export_df(pipe).repartition(*[F.col(c) for c in cols])
+    w = d.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.partitionBy(*cols).parquet(path)

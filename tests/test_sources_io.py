@@ -75,3 +75,33 @@ def test_orc_round_trip(spark, tmp_path):
     pipe_to_orc(p, path)
     back = orc_to_pipe(spark, path)
     assert {(r["a"], r["b"]) for r in back.df.collect()} == {(1.0, "x"), (2.0, "y")}
+
+
+def test_partitioned_parquet_write_and_pruning(spark, tmp_path):
+    """pipe_to_parquet_partitioned: hive layout on disk, and a filter on
+    the partition column reaches the scan as a PartitionFilter (whole
+    directories pruned, not row groups)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from seafan_spark.sources import parquet_to_pipe, pipe_to_parquet_partitioned
+
+    p = parquet_to_pipe(spark, "/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "docs_part")
+    pipe_to_parquet_partitioned(p, out, "source")
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("source="))
+    n_sources = p.df.select("source").distinct().count()
+    assert len(dirs) == n_sources
+
+    # each partition directory holds ONE file (repartition-by-key wrote
+    # it from the owning tasks — no per-task sliver files)
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(out, d)) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    back = spark.read.parquet(out).filter(F.col("source") == "src1")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "source" in plan.split("PartitionFilters")[1][:80]
+    assert back.count() == p.df.filter(F.col("source") == "src1").count()

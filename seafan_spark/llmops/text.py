@@ -529,17 +529,24 @@ def collocation_top_terms(
         ),
     ).otherwise(F.array())
 
+    # both count tables are vocabulary-sized post-aggregation but derive
+    # from a corpus explode: checkpoint each so its ONE corpus pass is
+    # shared by every consumer (uni feeds the total AND two joins; bi
+    # feeds the total AND the scored relation) — without this the plan
+    # re-explodes the corpus once per consumer
     uni = (
         d.select(F.explode(toks).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
     bi = (
         d.select(F.explode(bigrams).alias("bg"))
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=True)
     )
     n_uni = uni.agg(F.sum("_c").alias("_nu"))
     n_bi = bi.agg(F.sum("c_xy").alias("_nb"))

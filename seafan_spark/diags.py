@@ -391,3 +391,99 @@ def logodds_col(p: Column, clamp: float = 10.0) -> Column:
     safe = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
     lo = F.log(safe / (F.lit(1.0) - safe))
     return F.least(F.greatest(lo, F.lit(-clamp)), F.lit(clamp))
+
+
+# --------------------------------------------------- isotonic calibration ----
+def isotonic_calibrate(
+    pipe,
+    score_col: str,
+    label_col: str,
+    bins: int = 100,
+) -> DataFrame:
+    """Binned isotonic (monotone) calibration of a model score against a
+    0/1 outcome — the standard post-hoc probability calibration (Zadrozny
+    & Elkan 2002), fitted with pool-adjacent-violators over score-quantile
+    bins instead of raw rows so it scales: the corpus contributes the
+    quantile-edge computation (distributed rank, agg.exact_quantiles) and
+    ONE groupBy down to ``bins`` cells; PAV pools the tiny bin relation
+    driver-side (deterministic, weighted by bin counts); the result maps
+    each bin to its calibrated probability.
+
+    Returns one row per non-empty bin: (bin, score_lo, n, mean_score,
+    mean_label, calibrated) with ``calibrated`` non-decreasing in
+    ``bin``.  Apply to new data by bucketing a score the same way and
+    joining (the bins relation broadcasts).
+    """
+    from seafan_spark.agg import exact_quantiles
+    from seafan_spark.rounding import round_col
+
+    d = getattr(pipe, "df", pipe)
+    us = [i / bins for i in range(bins)]
+    _, qs = exact_quantiles(d, score_col, us)
+    # distinct, sorted edges; duplicate quantiles (ties) merge bins
+    edges = sorted({v for v in qs.values() if v is not None})
+    if not edges:
+        raise ValueError("isotonic_calibrate: no non-null scores")
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+    score = F.col(score_col).cast("double")
+    # bin = number of edges <= score, 1-based (JVM O(bins) per row)
+    bin_col = F.aggregate(
+        earr,
+        F.lit(0),
+        lambda acc, e: acc + F.when(score >= e, F.lit(1)).otherwise(F.lit(0)),
+    )
+    cells = (
+        d.filter(score.isNotNull())
+        .withColumn("_bin", bin_col)
+        .groupBy("_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(score).alias("mean_score"),
+            F.avg(F.col(label_col).cast("double")).alias("mean_label"),
+        )
+        .orderBy("_bin")
+    )
+    rows = cells.collect()  # <= bins rows by construction
+    # weighted PAV: pool adjacent bins while the running mean decreases;
+    # each block remembers how many bins it swallowed so the fitted
+    # value expands back onto exactly those bins
+    blocks: list[list[float]] = []  # [sum_w*y, sum_w, n_bins]
+    for r in rows:
+        w, y = float(r["n"]), float(r["mean_label"])
+        blocks.append([w * y, w, 1])
+        while len(blocks) > 1 and (
+            blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+            blocks[-1][2] += b[2]
+    out_vals: list[float] = []
+    for b in blocks:
+        out_vals.extend([b[0] / b[1]] * int(b[2]))
+    spark = d.sparkSession
+    lo = {i + 1: e for i, e in enumerate(edges)}
+    out_rows = [
+        (
+            int(r["_bin"]),
+            float(lo.get(int(r["_bin"]), edges[0])),
+            int(r["n"]),
+            float(r["mean_score"]),
+            float(r["mean_label"]),
+            float(v),
+        )
+        for r, v in zip(rows, out_vals)
+    ]
+    res = spark.createDataFrame(
+        out_rows,
+        "bin int, score_lo double, n bigint, mean_score double, "
+        "mean_label double, calibrated double",
+    )
+    return res.select(
+        "bin",
+        round_col(F.col("score_lo"), 6).alias("score_lo"),
+        "n",
+        round_col(F.col("mean_score"), 6).alias("mean_score"),
+        round_col(F.col("mean_label"), 6).alias("mean_label"),
+        round_col(F.col("calibrated"), 6).alias("calibrated"),
+    )

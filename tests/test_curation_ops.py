@@ -719,3 +719,73 @@ def test_rake_unseen_target_value_and_zero_share(spark):
     cells = {r["g"]: r["w"] for r in rake_cells(df, {"g": {"a": 1.0}}, iters=3).collect()}
     assert cells["b"] == 0.0
     assert cells["a"] == pytest.approx(10.0)
+
+
+# -------------------------------------------------------------- isotonic ----
+def test_isotonic_monotone_and_recovers_step(spark):
+    import numpy as np
+    from seafan_spark.diags import isotonic_calibrate
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    score = rng.uniform(0, 1, n)
+    # true probability is a noisy increasing step
+    p = np.where(score < 0.5, 0.2, 0.8)
+    label = (rng.uniform(0, 1, n) < p).astype(int)
+    df = spark.createDataFrame(
+        [(float(s), int(l)) for s, l in zip(score, label)],
+        "score double, label int",
+    )
+    out = isotonic_calibrate(df, "score", "label", bins=20).collect()
+    cal = [r["calibrated"] for r in sorted(out, key=lambda r: r["bin"])]
+    assert all(a <= b + 1e-12 for a, b in zip(cal, cal[1:]))  # monotone
+    lows = [r for r in out if r["mean_score"] < 0.4]
+    highs = [r for r in out if r["mean_score"] > 0.6]
+    assert sum(r["calibrated"] for r in lows) / len(lows) == pytest.approx(0.2, abs=0.08)
+    assert sum(r["calibrated"] for r in highs) / len(highs) == pytest.approx(0.8, abs=0.08)
+
+
+def test_isotonic_matches_reference_pav(spark):
+    import numpy as np
+    from seafan_spark.diags import isotonic_calibrate
+
+    rng = np.random.default_rng(7)
+    n = 600
+    score = rng.uniform(0, 1, n)
+    label = (rng.uniform(0, 1, n) < score).astype(int)
+    df = spark.createDataFrame(
+        [(float(s), int(l)) for s, l in zip(score, label)],
+        "score double, label int",
+    )
+    out = sorted(
+        isotonic_calibrate(df, "score", "label", bins=10).collect(),
+        key=lambda r: r["bin"],
+    )
+    # reference weighted PAV over the SAME (n, mean_label) bins
+    w = [r["n"] for r in out]
+    y = [r["mean_label"] for r in out]
+    blocks = []
+    for wi, yi in zip(w, y):
+        blocks.append([wi * yi, wi, 1])
+        while len(blocks) > 1 and blocks[-2][0] / blocks[-2][1] > blocks[-1][0] / blocks[-1][1]:
+            b = blocks.pop()
+            blocks[-1][0] += b[0]; blocks[-1][1] += b[1]; blocks[-1][2] += b[2]
+    want = []
+    for b in blocks:
+        want.extend([b[0] / b[1]] * b[2])
+    got = [r["calibrated"] for r in out]
+    for g, x in zip(got, want):
+        assert g == pytest.approx(round(x, 6), abs=2e-6)
+
+
+def test_isotonic_perfectly_calibrated_identity(spark):
+    from seafan_spark.diags import isotonic_calibrate
+
+    # labels already monotone in score: PAV must not pool anything
+    rows = [(0.1, 0), (0.2, 0), (0.3, 0), (0.6, 1), (0.7, 1), (0.9, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    out = sorted(
+        isotonic_calibrate(df, "score", "label", bins=3).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert [r["calibrated"] for r in out] == [r["mean_label"] for r in out]

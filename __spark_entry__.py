@@ -2342,6 +2342,41 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus stats over planted URLs (llmops.text.url_*_col:
+    Java/RE2-shared regexp extraction — scheme-authority parse, userinfo
+    /port stripping, last-two-label registered-domain heuristic). The
+    CCNet-style grouping key for per-domain curation decisions; one
+    groupBy over the vocabulary-of-domains."""
+    from seafan_spark.llmops import text as tx
+
+    p = _pipe(spark, sf_dir, "documents")
+    planted = p.df.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://user:pw@www.site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com:8443/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=1"),
+        ).alias("url"),
+    )
+    parts = planted.select(
+        "doc_id",
+        tx.url_host_col(F.col("url")).alias("host"),
+        tx.url_domain_col(F.col("url")).alias("domain"),
+        tx.url_path_col(F.col("url")).alias("path"),
+    )
+    return parts.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.col("host")).alias("n_hosts"),
+        F.min("path").alias("first_path"),
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2352,6 +2387,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "url_stats": q_url_stats,
     "pagerank": q_pagerank,
     "isotonic": q_isotonic,
     "rake": q_rake,
@@ -2390,7 +2426,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
     "distinct_sketch": q_distinct_sketch,
-    "lm_score": q_lm_score,
     # --- oracled, implementation touched recently ---
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2409,6 +2444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
     "embed_incr": q_embed_incr,
     "quality_rules": q_quality_rules,
@@ -5089,6 +5125,36 @@ ORACLES["pagerank"] = """
     )
     SELECT r3.node, ROUND(r3.rank * (nn.n * PI()), 6) AS rank_n
     FROM r3 CROSS JOIN nn
+"""
+
+
+
+
+ORACLES["url_stats"] = """
+    WITH planted AS (
+        SELECT doc_id,
+               'https://user:pw@www.site' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example' || CAST(doc_id % 3 AS VARCHAR)
+                   || '.com:8443/docs/' || CAST(doc_id AS VARCHAR)
+                   || '?ref=1' AS url
+        FROM documents
+    ), parts AS (
+        SELECT doc_id,
+               regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)
+                   AS host,
+               regexp_extract(
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1),
+                   '([^.]+\\.[^.]+)$', 1) AS domain,
+               regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
+        FROM planted
+    )
+    SELECT domain, COUNT(*) AS n_docs,
+           COUNT(DISTINCT host) AS n_hosts,
+           MIN(path) AS first_path
+    FROM parts GROUP BY domain
 """
 
 

@@ -2150,3 +2150,56 @@ def drop_common_lines(
         .drop("_id", "_nk", "_clean")
     )
     return pipe._derive(out)
+
+
+def tune_lsh(
+    threshold: float,
+    num_hashes: int,
+    fp_weight: float = 1.0,
+    fn_weight: float = 1.0,
+    grid: int = 400,
+) -> dict:
+    """Pick the MinHash LSH banding (bands x rows = num_hashes) whose
+    S-curve best separates pairs around ``threshold``: for each divisor
+    split, the probability a pair with jaccard s shares >= 1 band bucket
+    is ``1 - (1 - s^rows)^bands``; the tuner integrates the curve's
+    false-positive mass below the threshold and false-negative mass
+    above it (uniform grid, trapezoid-free simple sum — the standard
+    datasketch-style weighted objective) and returns the argmin.
+
+    Driver-side arithmetic only (no Spark job): use it to choose the
+    ``bands`` argument of :func:`minhash_pairs` before a corpus run.
+    Returns {"bands", "rows", "threshold_50" (the curve's midpoint
+    (1/bands)^(1/rows)), "fp_area", "fn_area", "candidates": [...]}.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("tune_lsh: threshold must be in (0, 1)")
+    splits = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+    results = []
+    for bands, rows in splits:
+        fp = fn = 0.0
+        for i in range(grid):
+            s = (i + 0.5) / grid
+            p = 1.0 - (1.0 - s**rows) ** bands
+            if s < threshold:
+                fp += p / grid
+            else:
+                fn += (1.0 - p) / grid
+        results.append(
+            {
+                "bands": bands,
+                "rows": rows,
+                "threshold_50": (1.0 / bands) ** (1.0 / rows),
+                "fp_area": fp,
+                "fn_area": fn,
+                "cost": fp_weight * fp + fn_weight * fn,
+            }
+        )
+    best = min(results, key=lambda r: r["cost"])
+    out = dict(best)
+    out["candidates"] = results
+    return out

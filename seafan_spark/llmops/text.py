@@ -654,3 +654,31 @@ def zipf_stats(df, text_col: str = "text", top_n: int = 1000) -> "DataFrame":
         round_col(intercept, 6).alias("zipf_intercept"),
         round_col(r2, 6).alias("zipf_r2"),
     )
+
+
+# ---------------------------------------------------------------- URLs ----
+#: URL component patterns restricted to Java/RE2-shared syntax (no
+#: lookarounds), so extractions are oracle-checkable cross-engine.
+URL_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+URL_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(/[^?#]*)"
+URL_DOMAIN_RE = r"([^.]+\.[^.]+)$"
+
+
+def url_host_col(url: Column) -> Column:
+    """Hostname of a URL (authority minus userinfo/port); '' when the
+    value is not an absolute URL."""
+    return F.regexp_extract(url, URL_HOST_RE, 1)
+
+
+def url_domain_col(url: Column) -> Column:
+    """Registered-domain approximation: the last two labels of the
+    host (``www.en.site.com -> site.com``).  A public-suffix list would
+    refine co.uk-style hosts; the two-label heuristic is the standard
+    cheap grouping key for per-domain corpus stats (CCNet groups
+    documents by domain before per-domain quality decisions)."""
+    return F.regexp_extract(url_host_col(url), URL_DOMAIN_RE, 1)
+
+
+def url_path_col(url: Column) -> Column:
+    """Path component ('' when absent)."""
+    return F.regexp_extract(url, URL_PATH_RE, 1)

@@ -314,3 +314,26 @@ def pipe_to_parquet_partitioned(
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
     w.partitionBy(*cols).parquet(path)
+
+
+def overwrite_partitions(
+    pipe: "Pipeline",
+    path: str,
+    partition_by: "Sequence[str] | str",
+) -> None:
+    """Selective partition repair: overwrite ONLY the hive partitions
+    present in ``pipe`` (Spark dynamic partition overwrite), leaving
+    every other partition of the table untouched — the backfill /
+    late-data repair primitive for tables written by
+    :func:`pipe_to_parquet_partitioned`.  A full ``mode("overwrite")``
+    would truncate the whole table; this rewrites exactly the affected
+    directories."""
+    cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    d = _export_df(pipe).repartition(*[F.col(c) for c in cols])
+    spark = d.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        d.write.mode("overwrite").partitionBy(*cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

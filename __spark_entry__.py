@@ -2327,7 +2327,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
     )
-    ranks = pagerank(edges, iters=3, damping=0.85, dangling="drop")
+    # materialize once: count() below runs the 3-iteration chain, and
+    # without the checkpoint the final collect would run it all again
+    ranks = pagerank(edges, iters=3, damping=0.85, dangling="drop").localCheckpoint(
+        eager=True
+    )
     import math
 
     # scale by pi*N, not N: with damping 17/20 and integer degrees the

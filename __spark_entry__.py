@@ -2409,6 +2409,24 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors (llmops.text.hashed_doc_vectors,
+    Weinberger et al. 2009) in portable md5 mode: token -> signed
+    bucket, per-doc L2-normalized — the model-free text->vector bridge
+    into the ANN/PCA/k-center stack. One explode->groupBy with
+    map-side combine; the norm windows over per-doc bucket rows. The
+    DuckDB twin replays bucket, sign, sums and normalization
+    digit-for-digit (xxhash64 is the production default)."""
+    from seafan_spark.llmops.text import hashed_doc_vectors
+
+    p = _pipe(spark, sf_dir, "documents")
+    out = hashed_doc_vectors(p, "doc_id", "text", dim=64, portable=True)
+    return out.select(
+        "doc_id", "bucket", round_col(F.col("weight"), 6).alias("weight")
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2419,6 +2437,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "hashed_vectors": q_hashed_vectors,
     "ccnet_buckets": q_ccnet_buckets,
     "url_stats": q_url_stats,
     "pagerank": q_pagerank,
@@ -2454,7 +2473,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transition_matrix": q_transition_matrix,
     "kfold": q_kfold,
     "mutual_info": q_mutual_info,
-    "ngram_jaccard": q_ngram_jaccard,
     "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
@@ -2476,6 +2494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "ngram_jaccard": q_ngram_jaccard,
     "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
@@ -5232,6 +5251,33 @@ ORACLES["ccnet_buckets"] = """
                                ORDER BY ROUND(per.avg_logprob, 6) DESC,
                                         d.doc_id ASC) AS INT) AS ppl_bucket
     FROM documents d JOIN per ON d.doc_id = per.doc_id
+"""
+
+
+
+
+ORACLES["hashed_vectors"] = """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ), tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(t, ' ')) AS w FROM norm
+    ), hashed AS (
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) % 64 AS INT)
+                   AS bucket,
+               CASE WHEN CAST(('0x' || substr(md5(w), 9, 1)) AS UBIGINT) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END AS s
+        FROM tok WHERE LENGTH(w) > 0
+    ), cells AS (
+        SELECT doc_id, bucket, SUM(s) AS raw
+        FROM hashed GROUP BY doc_id, bucket
+        HAVING SUM(s) != 0
+    )
+    SELECT doc_id, bucket,
+           ROUND(raw / SQRT(SUM(raw * raw) OVER (PARTITION BY doc_id)), 6)
+               AS weight
+    FROM cells
 """
 
 

@@ -682,3 +682,66 @@ def url_domain_col(url: Column) -> Column:
 def url_path_col(url: Column) -> Column:
     """Path component ('' when absent)."""
     return F.regexp_extract(url, URL_PATH_RE, 1)
+
+
+# ------------------------------------------------------- feature hashing ----
+def hashed_doc_vectors(
+    df,
+    id_col: str,
+    text_col: str = "text",
+    dim: int = 256,
+    portable: bool = False,
+) -> "DataFrame":
+    """Hashing-trick document vectors (Weinberger et al. 2009): each
+    token hashes to one of ``dim`` buckets with a +/-1 sign from an
+    independent hash bit; per-doc bucket sums are L2-normalized.  The
+    model-free "text -> vector" bridge into the similarity stack
+    (ann_*_topk, pca_fit, kcenter_select, semantic_dedup) when no
+    embedding column exists.
+
+    Returns the SPARSE relational form (id, bucket, weight) — assemble
+    a dense array with ``F.array`` + a pivot only when a consumer needs
+    one; at corpus scale the sparse form is the honest representation
+    (most buckets are empty for short documents).
+
+    ``portable=True`` switches the bucket/sign hash from xxhash64 (JVM,
+    production) to md5-prefix arithmetic that DuckDB reproduces
+    digit-for-digit — the same portable-mode convention as
+    minhash/simhash.
+
+    Scale shape: one explode -> groupBy (id, bucket) with map-side
+    partial aggregation; the L2 norm is a window over the per-doc
+    bucket rows (at most min(tokens, dim) per doc), never the corpus.
+    """
+    from pyspark.sql import Window
+
+    d = getattr(df, "df", df)
+    toks = F.split(norm_text_col(F.col(text_col)), " ")
+    tok = d.select(
+        F.col(id_col).alias("_id"), F.explode(toks).alias("_w")
+    ).filter(F.length("_w") > 0)
+    if portable:
+        h = F.conv(F.substring(F.md5(F.col("_w")), 1, 8), 16, 10).cast("bigint")
+        sign_bit = F.conv(F.substring(F.md5(F.col("_w")), 9, 1), 16, 10).cast(
+            "bigint"
+        )
+    else:
+        h = F.abs(F.xxhash64(F.col("_w")))
+        sign_bit = F.abs(F.xxhash64(F.col("_w"), F.lit(1)))
+    sign = F.when(sign_bit % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    cells = (
+        tok.select(
+            "_id", (h % F.lit(int(dim))).cast("int").alias("bucket"), sign.alias("_s")
+        )
+        .groupBy("_id", "bucket")
+        .agg(F.sum("_s").alias("_raw"))
+        .filter(F.col("_raw") != 0.0)
+    )
+    w = Window.partitionBy("_id")
+    return cells.select(
+        F.col("_id").alias(id_col),
+        "bucket",
+        (F.col("_raw") / F.sqrt(F.sum(F.col("_raw") * F.col("_raw")).over(w))).alias(
+            "weight"
+        ),
+    )

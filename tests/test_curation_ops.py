@@ -922,3 +922,49 @@ def test_url_parts_extraction(spark):
     want = {u: (h, d, p) for u, h, d, p in cases}
     for r in got:
         assert (r["h"], r["d"], r["p"]) == want[r["u"]], r
+
+
+# -------------------------------------------------------- hashed vectors ----
+def test_hashed_vectors_unit_norm_and_determinism(spark):
+    from seafan_spark.llmops.text import hashed_doc_vectors
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    for portable in (False, True):
+        out = hashed_doc_vectors(df, "doc_id", dim=16, portable=portable).collect()
+        norms = {}
+        for r in out:
+            norms[r["doc_id"]] = norms.get(r["doc_id"], 0.0) + r["weight"] ** 2
+        for did, n2 in norms.items():
+            assert n2 == pytest.approx(1.0, rel=1e-9), (portable, did)
+        again = hashed_doc_vectors(df, "doc_id", dim=16, portable=portable).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_hashed_vectors_same_text_same_vector(spark):
+    from seafan_spark.llmops.text import hashed_doc_vectors
+
+    df = spark.createDataFrame(
+        [(1, "same words here"), (2, "same words here"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    out = hashed_doc_vectors(df, "doc_id", dim=32).collect()
+    v = {}
+    for r in out:
+        v.setdefault(r["doc_id"], {})[r["bucket"]] = r["weight"]
+    assert v[1] == v[2]
+    assert v[1] != v[3]
+
+
+def test_hashed_vectors_cancellation_drops_zero_cells(spark):
+    from seafan_spark.llmops.text import hashed_doc_vectors
+
+    # a document with many tokens: no emitted cell may carry weight 0
+    df = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(200)))], "doc_id long, text string"
+    )
+    out = hashed_doc_vectors(df, "doc_id", dim=8).collect()
+    assert all(r["weight"] != 0.0 for r in out)
+    assert len(out) <= 8

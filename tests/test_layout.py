@@ -61,3 +61,40 @@ def test_compact_parquet(spark, tmp_path):
     files = glob.glob(dst + "/*.parquet")
     assert len(files) == 1
     assert spark.read.parquet(dst).count() == 10_000
+
+
+def test_write_range_sorted_disjoint_file_ranges(spark, tmp_path):
+    """Every output file owns a disjoint key range (range repartition +
+    within-partition sort), verified against parquet row-group stats."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from seafan_spark.layout import write_range_sorted
+    from seafan_spark.sources import parquet_to_pipe
+
+    ev = parquet_to_pipe(spark, "/root/testdata/sf0.001/events.parquet").df
+    out = str(tmp_path / "sorted")
+    write_range_sorted(ev.select("event_id", "user_id", "value"), out, "event_id", files=6)
+
+    ranges = []
+    for f in os.listdir(out):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, f)).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.row_group(rg).num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == "event_id" and c.statistics is not None:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        if los:
+            ranges.append((min(los), max(his)))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()

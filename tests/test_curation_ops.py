@@ -1002,3 +1002,65 @@ def test_profile_diff_dtype_change(spark):
     new = spark.createDataFrame([("1",)], "x string")
     row = profile_diff(profile_table(old), profile_table(new)).collect()[0]
     assert row["status"] == "dtype_changed"
+
+
+# --------------------------------------------------------------- benford ----
+def test_benford_uniform_digits_high_chi2(spark):
+    from seafan_spark.quality import benford_report
+
+    # digits 1..9 uniformly: far from Benford -> large chi2
+    rows = [(float(d) * 10 ** (i % 3),) for d in range(1, 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_report(df, "v").collect()
+    assert len(out) == 9
+    shares = {r["digit"]: r["share"] for r in out}
+    assert all(s == pytest.approx(1 / 9, abs=1e-6) for s in shares.values())
+    assert out[0]["chi2"] > 50  # uniform digits are wildly non-Benford
+
+
+def test_benford_exact_benford_sample_low_chi2(spark):
+    import math
+    from seafan_spark.quality import benford_report
+
+    # build counts proportional to Benford shares exactly
+    rows = []
+    for d in range(1, 10):
+        k = round(math.log10(1 + 1 / d) * 10000)
+        rows += [(float(d),)] * k
+    df = spark.createDataFrame(rows, "v double")
+    out = benford_report(df, "v").collect()
+    assert out[0]["chi2"] < 0.1
+
+
+def test_benford_ignores_nonpositive(spark):
+    from seafan_spark.quality import benford_report
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (None,), (123.0,)], "v double"
+    )
+    out = benford_report(df, "v").collect()
+    assert len(out) == 1 and out[0]["digit"] == 1 and out[0]["n_d"] == 1
+
+
+# ------------------------------------------------------------------ gini ----
+def test_gini_known_values(spark):
+    from seafan_spark.agg import gini_by
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([("g", 5.0)] * 10, "k string, v double")
+    assert gini_by(eq, "v", ["k"]).collect()[0]["gini"] == pytest.approx(0.0, abs=1e-9)
+    # one holder of everything among n=5 -> (n-1)/n = 0.8
+    one = spark.createDataFrame(
+        [("g", 0.0)] * 4 + [("g", 100.0)], "k string, v double"
+    )
+    assert gini_by(one, "v", ["k"]).collect()[0]["gini"] == pytest.approx(0.8)
+
+
+def test_gini_tie_invariant_across_partitionings(spark):
+    from seafan_spark.agg import gini_by
+
+    rows = [("g", float(v)) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]]
+    df = spark.createDataFrame(rows, "k string, v double")
+    a = gini_by(df, "v", ["k"]).collect()[0]["gini"]
+    b = gini_by(df.repartition(7), "v", ["k"]).collect()[0]["gini"]
+    assert a == b

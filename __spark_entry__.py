@@ -2481,6 +2481,22 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_by(li, "l_extendedprice", keys=["l_returnflag"])
 
 
+
+def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI for the per-event-type mean value
+    (sampling.bootstrap_ci, Chamandy et al. 2012): 100 replicates,
+    Poisson(1) weights drawn from md5 buckets through a PRE-COMPUTED
+    CDF ladder (identical literals both engines — no libm in the row
+    path); map-side partial agg collapses the replicate explosion to
+    |groups| x 100 moment rows."""
+    from seafan_spark.sampling import bootstrap_ci
+
+    ev = _pipe(spark, sf_dir, "events").df
+    return bootstrap_ci(
+        ev, "value", keys=["event_type"], replicates=100, id_col="event_id"
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2491,6 +2507,7 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "bootstrap": q_bootstrap,
     "benford": q_benford,
     "gini": q_gini,
     "profile_diff": q_profile_diff,
@@ -2525,7 +2542,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_bloom": q_contamination_bloom,
     "label_agreement": q_label_agreement,
     "fleiss_kappa": q_fleiss_kappa,
-    "json_extract": q_json_extract,
     "profile": q_profile,
     "transition_matrix": q_transition_matrix,
     "kfold": q_kfold,
@@ -2548,6 +2564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "json_extract": q_json_extract,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
     "embed_neardup": q_embed_neardup,
@@ -5445,6 +5462,54 @@ ORACLES["gini"] = """
                       - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) END,
                  6) AS gini
     FROM agg
+"""
+
+
+
+
+ORACLES["bootstrap"] = """
+    WITH base AS (
+        SELECT event_type, value AS x, event_id AS rid
+        FROM events WHERE value IS NOT NULL
+    ), rep AS (
+        SELECT event_type, x, rid, UNNEST(range(0, 100)) AS b FROM base
+    ), u AS (
+        SELECT event_type, x, b,
+               (CAST(('0x' || substr(md5(CAST(rid AS VARCHAR) || '#'
+                       || CAST(b AS VARCHAR) || 'boot'), 1, 8)) AS UBIGINT)
+                    % 1000000 + 0.5) / 1000000.0 AS uu
+        FROM rep
+    ), wtab AS (
+        SELECT event_type, b, x,
+               CASE WHEN uu <= 0.36787944117144233 THEN 0 WHEN uu <= 0.7357588823428847 THEN 1 WHEN uu <= 0.9196986029286058 THEN 2 WHEN uu <= 0.9810118431238463 THEN 3 WHEN uu <= 0.9963401531726563 THEN 4 WHEN uu <= 0.9994058151824183 THEN 5 WHEN uu <= 0.999916758850712 THEN 6 WHEN uu <= 0.9999897508033253 THEN 7 WHEN uu <= 0.999998874797402 THEN 8 WHEN uu <= 0.9999998885745216 THEN 9 WHEN uu <= 0.9999999899522336 THEN 10 WHEN uu <= 0.9999999991683892 THEN 11 ELSE 12 END AS w
+        FROM u
+    ), mom AS (
+        SELECT event_type, b, SUM(w * x) AS wx, SUM(w) AS wn
+        FROM wtab GROUP BY 1, 2 HAVING SUM(w) > 0
+    ), mm AS (
+        SELECT event_type, b, wx / wn AS m FROM mom
+    ), r AS (
+        SELECT event_type, b, m,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY m ASC, b ASC) AS rr,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM mm
+    ), ci AS (
+        SELECT event_type,
+               MIN(CASE WHEN rr = CAST(CEIL(0.025 * cnt) AS BIGINT)
+                   THEN m END) AS lo,
+               MIN(CASE WHEN rr = CAST(CEIL(0.975 * cnt) AS BIGINT)
+                   THEN m END) AS hi
+        FROM r GROUP BY event_type
+    ), st AS (
+        SELECT event_type, COUNT(*) AS n, AVG(x) AS mean
+        FROM base GROUP BY event_type
+    )
+    SELECT st.event_type, st.n,
+           ROUND(st.mean, 6) AS mean,
+           ROUND(ci.lo, 6) AS ci_lo,
+           ROUND(ci.hi, 6) AS ci_hi
+    FROM st JOIN ci ON st.event_type = ci.event_type
 """
 
 

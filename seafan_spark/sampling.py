@@ -594,3 +594,106 @@ def rake_weights(
         *dims, F.col("factor").alias(weight_col)
     )
     return d.join(F.broadcast(cells), dims, "left")
+
+
+# ------------------------------------------------------ Poisson bootstrap ----
+def _poisson1_cdf_ladder() -> list[float]:
+    """Cumulative P[X <= k] for X ~ Poisson(1), k = 0..11, as exact
+    Python-double literals (both engines compare the SAME constants, so
+    no libm is involved in the draw)."""
+    import math
+
+    p, acc, out = math.exp(-1.0), 0.0, []
+    fact = 1.0
+    for k in range(12):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        out.append(acc)
+    return out
+
+
+def bootstrap_ci(
+    df,
+    value_col: str,
+    keys: Sequence[str] = (),
+    replicates: int = 100,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    id_col: str | None = None,
+) -> "DataFrame":
+    """Poisson-bootstrap confidence interval for the per-group MEAN —
+    the bootstrap that works on data too large to resample by index
+    (Chamandy et al., Google 2012): every row contributes to replicate
+    ``b`` with a Poisson(1) weight drawn DETERMINISTICALLY from the
+    md5 bucket of (row id, b) — reproducible across runs, engines and
+    retries, unlike rand().  Returns (keys..., n, mean, ci_lo, ci_hi)
+    with the percentile interval at level ``1 - alpha``.
+
+    Scale shape: rows explode into ``replicates`` (id, b) pairs, but
+    map-side partial aggregation collapses the shuffle to
+    |groups| x replicates moment rows; the percentile pick sorts the
+    ``replicates``-row relation per group (a keyed window over B rows).
+    The Poisson draw is a CASE ladder over PRE-COMPUTED CDF literals,
+    so both engines compare identical constants — no libm in the row
+    path."""
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    d = getattr(df, "df", df)
+    keys = list(keys)
+    rid = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    if id_col is None:
+        raise ValueError(
+            "bootstrap_ci: pass id_col — a stable row id is what makes "
+            "the draw deterministic under retries"
+        )
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull()).select(*keys, x.alias("_x"), rid.alias("_rid"))
+
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(replicates) - 1))).alias("_b")
+    exploded = base.select(*keys, "_x", "_rid", b)
+    u = (
+        hash_bucket_col(
+            F.concat(F.col("_rid").cast("string"), F.lit("#"), F.col("_b").cast("string")),
+            salt,
+        )
+        + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    ladder = _poisson1_cdf_ladder()
+    wgt = F.lit(12)
+    for k in range(11, -1, -1):
+        wgt = F.when(u <= F.lit(ladder[k]), F.lit(k)).otherwise(wgt)
+    rep = (
+        exploded.withColumn("_w", wgt)
+        .groupBy(*keys, "_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_x")).alias("_wx"),
+            F.sum("_w").alias("_wn"),
+        )
+        .filter(F.col("_wn") > 0)
+        .withColumn("_m", F.col("_wx") / F.col("_wn"))
+    )
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    wo = wk.orderBy(F.col("_m").asc(), F.col("_b").asc())
+    lo_rank = F.ceil(F.lit(alpha / 2) * F.count(F.lit(1)).over(wk)).cast("int")
+    hi_rank = F.ceil(F.lit(1 - alpha / 2) * F.count(F.lit(1)).over(wk)).cast("int")
+    ranked = rep.withColumn("_r", F.row_number().over(wo)).withColumn(
+        "_lo_r", lo_rank
+    ).withColumn("_hi_r", hi_rank)
+    ci = ranked.groupBy(*keys).agg(
+        F.min(F.when(F.col("_r") == F.col("_lo_r"), F.col("_m"))).alias("_lo"),
+        F.min(F.when(F.col("_r") == F.col("_hi_r"), F.col("_m"))).alias("_hi"),
+    )
+    stats = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("_x").alias("_mean")
+    )
+    joined = stats.join(ci, keys) if keys else stats.crossJoin(ci)
+    return joined.select(
+        *keys,
+        "n",
+        round_col(F.col("_mean"), 6).alias("mean"),
+        round_col(F.col("_lo"), 6).alias("ci_lo"),
+        round_col(F.col("_hi"), 6).alias("ci_hi"),
+    )

@@ -1064,3 +1064,55 @@ def test_gini_tie_invariant_across_partitionings(spark):
     a = gini_by(df, "v", ["k"]).collect()[0]["gini"]
     b = gini_by(df.repartition(7), "v", ["k"]).collect()[0]["gini"]
     assert a == b
+
+
+# -------------------------------------------------------------- bootstrap ----
+def test_bootstrap_ci_covers_true_mean(spark):
+    import numpy as np
+    from seafan_spark.sampling import bootstrap_ci
+
+    rng = np.random.default_rng(41)
+    vals = rng.normal(10.0, 2.0, 500)
+    df = spark.createDataFrame(
+        [(int(i), "g", float(v)) for i, v in enumerate(vals)],
+        "rid long, k string, v double",
+    )
+    row = bootstrap_ci(df, "v", ["k"], replicates=200, id_col="rid").collect()[0]
+    assert row["n"] == 500
+    assert row["ci_lo"] < row["mean"] < row["ci_hi"]
+    # interval width ~ 2 * 1.96 * sigma/sqrt(n) = ~0.35; allow slack
+    assert 0.1 < row["ci_hi"] - row["ci_lo"] < 0.8
+    assert row["ci_lo"] < 10.0 < row["ci_hi"]
+
+
+def test_bootstrap_deterministic(spark):
+    from seafan_spark.sampling import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i % 7)) for i in range(100)], "rid long, k string, v double"
+    )
+    a = bootstrap_ci(df, "v", ["k"], replicates=50, id_col="rid").collect()[0]
+    b = bootstrap_ci(
+        df.repartition(5), "v", ["k"], replicates=50, id_col="rid"
+    ).collect()[0]
+    assert (a["ci_lo"], a["ci_hi"]) == (b["ci_lo"], b["ci_hi"])
+
+
+def test_bootstrap_requires_id(spark):
+    from seafan_spark.sampling import bootstrap_ci
+
+    df = spark.createDataFrame([(1, 1.0)], "rid long, v double")
+    with pytest.raises(ValueError):
+        bootstrap_ci(df, "v", replicates=10)
+
+
+def test_poisson_ladder_is_poisson1():
+    import math
+    from seafan_spark.sampling import _poisson1_cdf_ladder
+
+    lad = _poisson1_cdf_ladder()
+    acc = 0.0
+    for k in range(12):
+        acc += math.exp(-1.0) / math.factorial(k)
+        assert lad[k] == pytest.approx(acc, rel=1e-15)
+    assert lad[-1] > 1 - 1e-8

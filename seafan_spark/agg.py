@@ -1118,3 +1118,74 @@ def gini_by(pipe, value_col: str, keys: Sequence[str] = ()) -> DataFrame:
         - (nn + F.lit(1.0)) / nn,
     )
     return agg.select(*keys, "n", round_col(gini, 6).alias("gini"))
+
+
+def cuped_adjust(
+    df,
+    y_col: str,
+    x_col: str,
+    variant_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """CUPED variance reduction for experiment metrics (Deng et al.,
+    WSDM 2013): adjust the experiment metric ``y`` by the pre-period
+    covariate ``x`` — ``y_adj = y - theta * (x - mean(x))`` with
+    ``theta = cov(x, y) / var(x)`` estimated POOLED across variants
+    (within each ``keys`` group), which leaves the treatment-effect
+    estimate unbiased while shrinking its variance by the squared
+    correlation.
+
+    Returns one row per (keys..., variant): n, mean_y, mean_adj, and
+    ``var_reduction = 1 - var(y_adj)/var(y)`` (sample variances).
+
+    Scale shape: ONE moment aggregation over the units for theta and
+    the x mean, broadcast back as a one-row-per-group join; the
+    adjusted metric is pure Column arithmetic; a second groupBy rolls
+    up per variant.  Rows with NULL x or y are excluded (a unit without
+    a pre-period belongs in a separate cohort, not silently zeroed)."""
+    from seafan_spark.rounding import round_col
+
+    d = getattr(df, "df", df)
+    keys = list(keys)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = d.filter(x.isNotNull() & y.isNotNull())
+    mom = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    nn = F.col("_n").cast("double")
+    var_x_n = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    theta = F.when(
+        var_x_n != 0.0, (nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / var_x_n
+    ).otherwise(F.lit(0.0))
+    mom = mom.select(
+        *keys, theta.alias("_theta"), (F.col("_sx") / nn).alias("_mx")
+    )
+    joined = (
+        base.join(F.broadcast(mom), keys)
+        if keys
+        else base.crossJoin(F.broadcast(mom))
+    )
+    adj = y - F.col("_theta") * (x - F.col("_mx"))
+    out = joined.groupBy(*keys, F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(y).alias("_my"),
+        F.avg(adj).alias("_ma"),
+        F.var_samp(y).alias("_vy"),
+        F.var_samp(adj).alias("_va"),
+    )
+    return out.select(
+        *keys,
+        "variant",
+        "n",
+        round_col(F.col("_my"), 6).alias("mean_y"),
+        round_col(F.col("_ma"), 6).alias("mean_adj"),
+        round_col(
+            F.when(F.col("_vy") > 0.0, F.lit(1.0) - F.col("_va") / F.col("_vy")),
+            6,
+        ).alias("var_reduction"),
+    )

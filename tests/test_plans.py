@@ -36,6 +36,8 @@ GLOBAL_ORDER_OK = {
     "window_cume": "explicit global-order variant kept for oracle parity",
     "multimodal": "tiny metadata summary join",
     "profile": "one global aggregate ROW unpivoted (partial agg map-side)",
+    "profile_diff": "two one-row profile aggregates full-outer joined "
+    "(kilobytes cross each exchange; partial agg map-side)",
 }
 
 NLJ_OK = {

@@ -2484,7 +2484,8 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap CI for the per-event-type mean value
-    (sampling.bootstrap_ci, Chamandy et al. 2012): 100 replicates,
+    (sampling.bootstrap_ci, Chamandy et al. 2012): 60 replicates in
+    md5-portable oracle mode (xxhash64 is the production default),
     Poisson(1) weights drawn from md5 buckets through a PRE-COMPUTED
     CDF ladder (identical literals both engines — no libm in the row
     path); map-side partial agg collapses the replicate explosion to
@@ -2493,7 +2494,8 @@ def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _pipe(spark, sf_dir, "events").df
     return bootstrap_ci(
-        ev, "value", keys=["event_type"], replicates=100, id_col="event_id"
+        ev, "value", keys=["event_type"], replicates=60, id_col="event_id",
+        portable=True,
     )
 
 
@@ -5531,7 +5533,7 @@ ORACLES["bootstrap"] = """
         SELECT event_type, value AS x, event_id AS rid
         FROM events WHERE value IS NOT NULL
     ), rep AS (
-        SELECT event_type, x, rid, UNNEST(range(0, 100)) AS b FROM base
+        SELECT event_type, x, rid, UNNEST(range(0, 60)) AS b FROM base
     ), u AS (
         SELECT event_type, x, b,
                (CAST(('0x' || substr(md5(CAST(rid AS VARCHAR) || '#'

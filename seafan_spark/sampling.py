@@ -621,6 +621,7 @@ def bootstrap_ci(
     alpha: float = 0.05,
     salt: str = "boot",
     id_col: str | None = None,
+    portable: bool = False,
 ) -> "DataFrame":
     """Poisson-bootstrap confidence interval for the per-group MEAN —
     the bootstrap that works on data too large to resample by index
@@ -636,7 +637,14 @@ def bootstrap_ci(
     ``replicates``-row relation per group (a keyed window over B rows).
     The Poisson draw is a CASE ladder over PRE-COMPUTED CDF literals,
     so both engines compare identical constants — no libm in the row
-    path."""
+    path.
+
+    ``portable=False`` (production default) derives the uniform from
+    ``xxhash64(id, b, salt)`` — native multi-arg JVM hashing, no string
+    concat or md5 in the B-times-exploded row path; ``portable=True``
+    switches to the md5-prefix arithmetic DuckDB reproduces
+    digit-for-digit (the minhash/simhash portable-mode convention).
+    Both are deterministic; only the portable draw is oracle-checkable."""
     from pyspark.sql import Window
 
     from seafan_spark.rounding import round_col
@@ -654,13 +662,23 @@ def bootstrap_ci(
 
     b = F.explode(F.sequence(F.lit(0), F.lit(int(replicates) - 1))).alias("_b")
     exploded = base.select(*keys, "_x", "_rid", b)
-    u = (
-        hash_bucket_col(
-            F.concat(F.col("_rid").cast("string"), F.lit("#"), F.col("_b").cast("string")),
-            salt,
-        )
-        + F.lit(0.5)
-    ) / F.lit(1_000_000.0)
+    if portable:
+        u = (
+            hash_bucket_col(
+                F.concat(
+                    F.col("_rid").cast("string"), F.lit("#"), F.col("_b").cast("string")
+                ),
+                salt,
+            )
+            + F.lit(0.5)
+        ) / F.lit(1_000_000.0)
+    else:
+        u = (
+            F.pmod(
+                F.xxhash64(F.col("_rid"), F.col("_b"), F.lit(salt)), F.lit(_BUCKETS)
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(1_000_000.0)
     ladder = _poisson1_cdf_ladder()
     wgt = F.lit(12)
     for k in range(11, -1, -1):

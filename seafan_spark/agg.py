@@ -1320,3 +1320,63 @@ def mannwhitney_by(
         round_col(z, 6).alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+def spearman_by(
+    df,
+    x_col: str,
+    y_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation per group — Pearson over midranks, the
+    outlier-robust, monotonicity-sensitive complement to
+    :func:`corr_matrix` (which is Pearson on raw values).  Midranks
+    handle ties exactly (the textbook rho-with-ties definition, equal
+    to scipy.stats.spearmanr).
+
+    Returns (keys..., n, rho).
+
+    Scale shape: two keyed windows (one per column — each group ranks
+    independently, no global order), then ONE five-moment aggregation;
+    the same moment association as ols_by so the SQL twin matches
+    doubles exactly."""
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    d = getattr(df, "df", df)
+    keys = list(keys)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = d.filter(x.isNotNull() & y.isNotNull()).select(
+        *keys, x.alias("_x"), y.alias("_y")
+    )
+
+    def midrank(col_name: str) -> Column:
+        pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+        tie = (
+            Window.partitionBy(*keys, col_name)
+            if keys
+            else Window.partitionBy(F.lit(0), col_name)
+        )
+        return (
+            F.rank().over(pk.orderBy(F.col(col_name).asc()))
+            + (F.count(F.lit(1)).over(tie) - F.lit(1)) / F.lit(2.0)
+        )
+
+    ranked = base.withColumn("_rx", midrank("_x")).withColumn("_ry", midrank("_y"))
+    rx, ry = F.col("_rx"), F.col("_ry")
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx).alias("_sx"),
+        F.sum(ry).alias("_sy"),
+        F.sum(rx * ry).alias("_sxy"),
+        F.sum(rx * rx).alias("_sxx"),
+        F.sum(ry * ry).alias("_syy"),
+    )
+    nn = F.col("n").cast("double")
+    cov_n = nn * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    vx = nn * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    vy = nn * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = F.when((vx > 0.0) & (vy > 0.0), cov_n / F.sqrt(vx * vy))
+    return agg.select(*keys, "n", round_col(rho, 6).alias("rho"))

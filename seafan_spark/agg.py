@@ -1380,3 +1380,73 @@ def spearman_by(
     vy = nn * F.col("_syy") - F.col("_sy") * F.col("_sy")
     rho = F.when((vx > 0.0) & (vy > 0.0), cov_n / F.sqrt(vx * vy))
     return agg.select(*keys, "n", round_col(rho, 6).alias("rho"))
+
+
+def trimmed_mean_by(
+    df,
+    value_col: str,
+    keys: Sequence[str] = (),
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Exact per-group trimmed mean: the mean of values whose within-
+    group percent_rank lies in ``[alpha, 1 - alpha]`` — the robust
+    central tendency that ignores both tails (complements
+    :func:`robust_outliers_by`'s median/MAD and encode.winsorize's
+    clamping).  Returns (keys..., n, n_used, trimmed_mean).
+
+    One keyed window (groups rank independently) + one aggregation;
+    percent_rank bounds make the trim exact and cross-engine
+    deterministic (ties share a rank, so equal values are kept or
+    dropped together — no arbitrary tie split)."""
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    if not 0 <= alpha < 0.5:
+        raise ValueError("trimmed_mean_by: alpha must be in [0, 0.5)")
+    d = getattr(df, "df", df)
+    keys = list(keys)
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull()).select(*keys, x.alias("_x"))
+    pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    pr = F.percent_rank().over(pk.orderBy(F.col("_x").asc()))
+    tagged = base.withColumn("_pr", pr)
+    inlier = (F.col("_pr") >= F.lit(float(alpha))) & (
+        F.col("_pr") <= F.lit(1.0 - float(alpha))
+    )
+    agg = tagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(inlier, 1).otherwise(0)).alias("n_used"),
+        F.avg(F.when(inlier, F.col("_x"))).alias("_tm"),
+    )
+    return agg.select(
+        *keys, "n", "n_used", round_col(F.col("_tm"), 6).alias("trimmed_mean")
+    )
+
+
+def mode_by(
+    df,
+    value_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent value, ties
+    broken by the SMALLEST value — unlike Spark's ``F.mode``, which
+    picks an arbitrary tie member (partitioning-dependent), this is
+    stable across runs and engines.  Returns (keys..., mode, mode_n).
+
+    One (keys, value) count groupBy + a WindowGroupLimit-prunable
+    row_number over the counts relation (never the corpus)."""
+    from pyspark.sql import Window
+
+    d = getattr(df, "df", df)
+    keys = list(keys)
+    counts = (
+        d.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, F.col(value_col).alias("mode"))
+        .agg(F.count(F.lit(1)).alias("mode_n"))
+    )
+    pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    rn = F.row_number().over(
+        pk.orderBy(F.col("mode_n").desc(), F.col("mode").asc())
+    )
+    return counts.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")

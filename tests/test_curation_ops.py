@@ -1365,3 +1365,35 @@ def test_profile_from_moments_matches_direct_profile(spark):
     assert via_m["n"] == direct["n"]
     assert via_m["mean"] == pytest.approx(direct["mean"], rel=1e-12)
     assert via_m["std"] == pytest.approx(direct["std"], rel=1e-12)
+
+
+# ------------------------------------------------------- trimmed mean/mode ----
+def test_trimmed_mean_ignores_outlier(spark):
+    from seafan_spark.agg import trimmed_mean_by
+
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, v double")
+    r = trimmed_mean_by(df, "v", ["k"], alpha=0.1).collect()[0]
+    # percent_rank in [0.1, 0.9]: drops the min (pr=0) and the 1000 (pr=1)
+    assert r["n"] == 10 and r["n_used"] == 8
+    assert r["trimmed_mean"] == pytest.approx(sum(range(2, 10)) / 8)
+
+
+def test_trimmed_mean_ties_kept_together(spark):
+    from seafan_spark.agg import trimmed_mean_by
+
+    # all equal values: every pr is 0.0 -> all kept at alpha=0
+    df = spark.createDataFrame([("g", 5.0)] * 6, "k string, v double")
+    r = trimmed_mean_by(df, "v", ["k"], alpha=0.0).collect()[0]
+    assert r["n_used"] == 6 and r["trimmed_mean"] == 5.0
+
+
+def test_mode_by_deterministic_tiebreak(spark):
+    from seafan_spark.agg import mode_by
+
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("g", "c")],
+        "k string, v string",
+    )
+    r = mode_by(df, "v", ["k"]).collect()[0]
+    assert r["mode"] == "a" and r["mode_n"] == 2  # tie -> smallest value

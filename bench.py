@@ -44,6 +44,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
+from seafan_spark.session import cleanup as session_cleanup
 from seafan_spark.session import get_session
 
 
@@ -96,8 +97,11 @@ def main() -> None:
     def cleanup() -> None:
         # isolate queries: drop cached blocks / checkpoint RDDs / broadcasts
         # the query left behind so later timings don't pay its GC bill
-        # (cleanup itself is outside the timed region)
-        spark.catalog.clearCache()
+        # (cleanup itself is outside the timed region). session_cleanup
+        # frees ESCAPED localCheckpoint blocks too — without it, unchanged
+        # late-registry queries measured up to x3 slower as dead blocks
+        # from ~100 earlier queries accumulated in the shared heap (r05).
+        session_cleanup(spark)
         gc.collect()
         if jvm_gc:
             spark.sparkContext._jvm.System.gc()

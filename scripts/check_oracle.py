@@ -83,12 +83,18 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    from seafan_spark.session import cleanup as session_cleanup
+
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = 0
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # free escaped localCheckpoint blocks from the previous query —
+        # 145 queries in one session otherwise accumulate dead executor
+        # memory (the r05 x3 late-query drift)
+        session_cleanup(spark)
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from seafan_spark.session import unpersist_checkpoint
+
 
 def pagerank(
     edges: DataFrame,
@@ -67,6 +69,7 @@ def pagerank(
     d = F.lit(float(damping))
     base = F.lit((1.0 - float(damping)) / n)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    prev_ck = None
     for it in range(int(iters)):
         contrib = (
             ranks.join(e, ranks["node"] == e["_s"])
@@ -91,7 +94,18 @@ def pagerank(
         ranks = new
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            # the superseded checkpoint's blocks are dead once the new one
+            # is materialized — iterations hold ONE rank snapshot, not
+            # iters/checkpoint_every of them
+            unpersist_checkpoint(prev_ck)
+            prev_ck = ranks
+    # materialize the final ranks as their own (node-sized) checkpoint so
+    # every loop intermediate — edge list included — can be freed NOW:
+    # residue is O(1) blocks per call instead of O(iters), reclaimed fully
+    # by session.cleanup() between queries
+    final = ranks.localCheckpoint(eager=True)
+    unpersist_checkpoint(prev_ck, e, nodes)
+    return final
 
 
 def degree_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

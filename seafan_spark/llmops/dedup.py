@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from seafan_spark.rounding import round_col
+from seafan_spark.session import unpersist_checkpoint
 
 from seafan_spark.llmops.text import fingerprint_col, hash60_col, shingles_col, word_ngrams_col
 from seafan_spark.pipeline import Pipeline
@@ -545,7 +546,9 @@ def minhash_clusters(
     # per iteration would dominate the whole computation
     edges = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
     if edges.count() <= driver_edge_cap:
-        return _clusters_driver(edges)
+        out = _clusters_driver(edges)
+        unpersist_checkpoint(edges)  # result is driver rows; edges is scratch
+        return out
     sym = edges.union(edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
     labels = (
         sym.select(F.col("id_a").alias("id"), F.col("id_b"))
@@ -585,9 +588,15 @@ def minhash_clusters(
             .limit(1)
             .count()
         )
+        # the superseded round's blocks are dead once `new` is materialized
+        # and compared (no-op on round 1: labels is then a derived plan)
+        unpersist_checkpoint(labels)
         labels = new
         if changed == 0:
             break
+    # the returned labels IS the last checkpoint (freed by
+    # session.cleanup() between queries); edges fed only the loop
+    unpersist_checkpoint(edges)
     return labels
 
 

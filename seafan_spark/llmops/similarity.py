@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from seafan_spark.rounding import round_col
+from seafan_spark.session import unpersist_checkpoint
 
 from seafan_spark.pipeline import Pipeline
 
@@ -741,8 +742,13 @@ def kcenter_select(
         F.lit(1.0)
         - dot_col(F.col("_v"), F.array(*[F.lit(float(x)) for x in center_vec])),
     ).filter(F.col("_id") != chosen[0][1])
+    prev_ck = None
     for rnd in range(1, k):
         cur = cur.localCheckpoint(eager=True)  # k is small; keeps lineage flat
+        # the superseded round's blocks are dead once the new state is
+        # materialized — free them so k rounds hold ONE state, not k
+        unpersist_checkpoint(prev_ck)
+        prev_ck = cur
         top = cur.orderBy(F.col("_d").desc(), F.col("_id").asc()).limit(1).collect()
         if not top:
             break
@@ -757,6 +763,9 @@ def kcenter_select(
                 - dot_col(F.col("_v"), F.array(*[F.lit(float(x)) for x in nvec])),
             ),
         )
+    # everything checkpointed here is scratch — the result below is built
+    # from driver-side rows
+    unpersist_checkpoint(unit, prev_ck)
     spark = df.sparkSession
     return spark.createDataFrame(
         [Row(round=r, id=i, dist=d) for r, i, d in chosen],

@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from seafan_spark.session import unpersist_checkpoint
+
 from seafan_spark.pipeline import Pipeline
 
 
@@ -156,10 +158,11 @@ def fit_softrms(
     lab_pipe = pipe._derive(d_lab)
     d, _, n_feat = _assemble(lab_pipe, ms)
     C = max(n_classes, 2)
-    data = d.select(
+    data_ck = d.select(
         vector_to_array(F.col("_features")).alias("_f"),
         F.col(label).cast("int").alias("_l"),
     ).localCheckpoint(eager=True)
+    data = data_ck
     # ~25k rows/task (see fit_nn): iteration cost is scheduling-bound on
     # over-partitioned small inputs; coalesce is narrow, no shuffle
     nrows = data.count()
@@ -177,38 +180,45 @@ def fit_softrms(
     history: list[float] = []
     t = 0
     it = 0
-    while it < max_iter:
-        it += 1
-        G, ss, n = _grad_pass(data, W, C, nparts=nparts)
-        L_i = np.sqrt(ss / max(n, 1))
-        loss = float(L_i[1:].sum())
-        if not np.isfinite(loss):
-            # NaN restart: rewind to the best weights, halve the rate, and
-            # reset patience — the first post-restart loss equals the best
-            # loss, which must not immediately trip early stopping
-            W, m, v, t = best_W.copy(), np.zeros_like(W), np.zeros_like(W), 0
-            since_best = 0
-            lr *= 0.5
-            if lr < 1e-8:
-                break
-            continue
-        history.append(loss)
-        if loss < best_loss - tol:
-            best_loss, best_W, since_best = loss, W.copy(), 0
-        else:
-            since_best += 1
-            if since_best >= patience:
-                break
-        grad = np.zeros_like(W)
-        for i in range(1, C):
-            if L_i[i] > 0:
-                grad += G[i] / (n * L_i[i])
-        t += 1
-        m = b1 * m + (1 - b1) * grad
-        v = b2 * v + (1 - b2) * grad * grad
-        mh = m / (1 - b1**t)
-        vh = v / (1 - b2**t)
-        W = W - lr * mh / (np.sqrt(vh) + eps)
+    try:
+        while it < max_iter:
+            it += 1
+            G, ss, n = _grad_pass(data, W, C, nparts=nparts)
+            L_i = np.sqrt(ss / max(n, 1))
+            loss = float(L_i[1:].sum())
+            if not np.isfinite(loss):
+                # NaN restart: rewind to the best weights, halve the rate,
+                # and reset patience — the first post-restart loss equals
+                # the best loss, which must not immediately trip early
+                # stopping
+                W, m, v, t = best_W.copy(), np.zeros_like(W), np.zeros_like(W), 0
+                since_best = 0
+                lr *= 0.5
+                if lr < 1e-8:
+                    break
+                continue
+            history.append(loss)
+            if loss < best_loss - tol:
+                best_loss, best_W, since_best = loss, W.copy(), 0
+            else:
+                since_best += 1
+                if since_best >= patience:
+                    break
+            grad = np.zeros_like(W)
+            for i in range(1, C):
+                if L_i[i] > 0:
+                    grad += G[i] / (n * L_i[i])
+            t += 1
+            m = b1 * m + (1 - b1) * grad
+            v = b2 * v + (1 - b2) * grad * grad
+            mh = m / (1 - b1**t)
+            vh = v / (1 - b2**t)
+            W = W - lr * mh / (np.sqrt(vh) + eps)
+    finally:
+        # the checkpointed feature frame is trainer scratch — the returned
+        # model is driver-side weights; freeing its blocks keeps repeated
+        # fits in one session from accumulating dead executor memory
+        unpersist_checkpoint(data_ck)
     return SoftmaxLinearModel(weights=best_W, n_classes=C, loss_history=history)
 
 
@@ -642,10 +652,11 @@ def fit_nn(
             fi += 1
     shapes = _shapes(blocks, sizes)
 
-    data = d_lab.select(
+    data_ck = d_lab.select(
         *[F.col(b.name) for b in blocks],
         F.col(label).cast("double").alias("_l"),
     ).localCheckpoint(eager=True)
+    data = data_ck
     # Right-size iteration parallelism: with few rows per partition, task
     # scheduling + Arrow framing dominates each gradient pass. Target
     # ~25k rows/task, never exceeding the source partitioning (at real
@@ -694,48 +705,56 @@ def fit_nn(
     t = 0
     it = 0
     cur_lr = lr
-    while it < max_iter:
-        it += 1
-        if cost == "softrms":
-            _, ss, n = run_pass(it, "_fwd_ss", None)
-            L_i = np.sqrt(ss / max(n, 1))
-            loss = float(L_i[1:].sum())
-            lw = np.zeros(C)
-            nz = L_i > 0
-            lw[nz] = 1.0 / (max(n, 1) * L_i[nz])
-            lw[0] = 0.0
-            g, _, _ = run_pass(it, "softrms", lw[None, :])
-        else:
-            g, ls, n = run_pass(it, cost, None)
-            if cost == "ce":
-                loss = float(ls[0] / max(n, 1))  # mean NLL
+    try:
+        while it < max_iter:
+            it += 1
+            if cost == "softrms":
+                _, ss, n = run_pass(it, "_fwd_ss", None)
+                L_i = np.sqrt(ss / max(n, 1))
+                loss = float(L_i[1:].sum())
+                lw = np.zeros(C)
+                nz = L_i > 0
+                lw[nz] = 1.0 / (max(n, 1) * L_i[nz])
+                lw[0] = 0.0
+                g, _, _ = run_pass(it, "softrms", lw[None, :])
             else:
-                loss = float(np.sqrt(ls[0] / max(n, 1)))  # RMS
-            g = g / max(n, 1)
-        if not np.isfinite(loss) or not np.all(np.isfinite(g)):
-            # NaN restart (nn.go:772-800): rewind to best, halve the rate,
-            # reset patience (post-restart loss ~= best loss must not trip
-            # early stopping on the next iteration)
-            wflat = best_w.copy()
-            m, v, t = np.zeros_like(wflat), np.zeros_like(wflat), 0
-            since_best = 0
-            cur_lr *= 0.5
-            if cur_lr < 1e-8:
-                break
-            continue
-        history.append(loss)
-        if loss < best_loss - tol:
-            best_loss, best_w, since_best = loss, wflat.copy(), 0
-        else:
-            since_best += 1
-            if since_best >= patience:
-                break
-        t += 1
-        m = b1 * m + (1 - b1) * g
-        v = b2 * v + (1 - b2) * g * g
-        mh = m / (1 - b1**t)
-        vh = v / (1 - b2**t)
-        wflat = wflat - cur_lr * mh / (np.sqrt(vh) + eps)
+                g, ls, n = run_pass(it, cost, None)
+                if cost == "ce":
+                    loss = float(ls[0] / max(n, 1))  # mean NLL
+                else:
+                    loss = float(np.sqrt(ls[0] / max(n, 1)))  # RMS
+                g = g / max(n, 1)
+            if not np.isfinite(loss) or not np.all(np.isfinite(g)):
+                # NaN restart (nn.go:772-800): rewind to best, halve the rate,
+                # reset patience (post-restart loss ~= best loss must not trip
+                # early stopping on the next iteration)
+                wflat = best_w.copy()
+                m, v, t = np.zeros_like(wflat), np.zeros_like(wflat), 0
+                since_best = 0
+                cur_lr *= 0.5
+                if cur_lr < 1e-8:
+                    break
+                continue
+            history.append(loss)
+            if loss < best_loss - tol:
+                best_loss, best_w, since_best = loss, wflat.copy(), 0
+            else:
+                since_best += 1
+                if since_best >= patience:
+                    break
+            t += 1
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            mh = m / (1 - b1**t)
+            vh = v / (1 - b2**t)
+            wflat = wflat - cur_lr * mh / (np.sqrt(vh) + eps)
+
+    finally:
+        # the checkpointed training frame is trainer scratch — NNModel is
+        # driver-side weights; free its blocks so back-to-back fits in one
+        # session don't accumulate dead executor memory (each fit's frame
+        # otherwise persists until spark.stop())
+        unpersist_checkpoint(data_ck)
 
     emb, fcs = _unpack(best_w, shapes)
     return NNModel(

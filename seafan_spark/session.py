@@ -13,8 +13,9 @@ Defaults chosen for the 100 TB design target, testable on local[N]:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_session(
@@ -59,3 +60,95 @@ def get_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint lifecycle
+# ---------------------------------------------------------------------------
+#
+# ``localCheckpoint(eager=True)`` persists its blocks (MEMORY_AND_DISK) for
+# the LIFETIME OF THE SESSION — there is no scope that frees them, and
+# ``DataFrame.unpersist()`` does not reach them (it talks to the SQL cache
+# manager, not the RDD block store). Left alone, iterative ops (trainers,
+# label propagation, k-center rounds) accumulate dead blocks that evict
+# useful cache and measurably slow later queries in long sessions.
+#
+# Policy:
+# - SCRATCH checkpoints (nothing in the returned value references them —
+#   trainer feature frames, per-round loop states) are freed in place by
+#   the op itself via :func:`unpersist_checkpoint` / :func:`checkpoint_scope`.
+# - ESCAPING checkpoints (the returned DataFrame's lineage needs the
+#   blocks — materialized join sides, incremental stores) stay alive by
+#   necessity; callers running many independent queries in one session
+#   free them BETWEEN queries with :func:`cleanup` (bench.py and
+#   scripts/check_oracle.py do).
+#
+# Freeing a local checkpoint invalidates every DataFrame whose lineage
+# reads it (the lineage was truncated at checkpoint time; the blocks ARE
+# the data) — hence the split above.
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of all RDDs currently holding persisted blocks in this session."""
+    return {int(i) for i in spark.sparkContext._jsc.getPersistentRDDs().keySet()}
+
+
+def unpersist_checkpoint(*dfs: DataFrame) -> None:
+    """Free the blocks of DataFrames produced DIRECTLY by
+    ``localCheckpoint`` (analyzed plan root is the checkpoint's
+    ``LogicalRDD``). Derived frames are left untouched — the root guard
+    makes it safe to call on a maybe-checkpointed handle in loop code
+    (the first, un-checkpointed iteration is a no-op). The freed
+    DataFrames must not be used again."""
+    for df in dfs:
+        if df is None:
+            continue
+        try:
+            root = df._jdf.queryExecution().analyzed()
+            if root.getClass().getSimpleName() == "LogicalRDD":
+                root.rdd().unpersist(False)
+        except Exception:
+            pass  # best-effort: lifecycle hygiene must never fail the op
+
+
+@contextmanager
+def checkpoint_scope(spark: SparkSession):
+    """Free every RDD persisted inside the ``with`` block on exit.
+
+    For ops whose result is DRIVER-side (fitted weights, a
+    createDataFrame of collected rows): every checkpoint taken inside is
+    scratch by construction, so the scope can reclaim them wholesale
+    without knowing the sites. Do NOT use where the returned DataFrame's
+    lineage includes a checkpoint taken inside."""
+    before = persistent_rdd_ids(spark)
+    try:
+        yield
+    finally:
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for rid in list(jmap.keySet()):
+                if int(rid) not in before:
+                    jmap.get(rid).unpersist(False)
+        except Exception:
+            pass
+
+
+def cleanup(spark: SparkSession) -> int:
+    """Session-level reclaim: unpersist ALL persisted RDDs (escaped
+    checkpoints included) and clear the SQL cache. Call BETWEEN
+    independent queries — any still-live DataFrame backed by a local
+    checkpoint (incremental dedup stores, materialized streaming state)
+    is invalidated. Returns the number of RDDs freed."""
+    n = 0
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap.keySet()):
+            jmap.get(rid).unpersist(False)
+            n += 1
+    except Exception:
+        pass
+    try:
+        spark.catalog.clearCache()
+    except Exception:
+        pass
+    return n

@@ -2265,6 +2265,20 @@ def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of PCA, oracled (similarity.pca_moments):
+    (i, j, n, mean_i, mean_j, gram) per Gram cell — the Arrow batch
+    partials and the JVM tree reduction (zip_with sums into 32 buckets,
+    then one global row) are exactly what can silently break at scale,
+    so they hash-check against DuckDB's SUM(v[i]*v[j]) over unnested
+    embeddings; only the driver-side d x d eigh stays under its numpy
+    pytest (q_pca)."""
+    from seafan_spark.llmops.similarity import pca_moments
+
+    emb = _pipe(spark, sf_dir, "embeddings").df
+    return pca_moments(emb, "embedding")
+
+
 def q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survey raking / IPF reweighting (sampling.rake_cells, Deming &
     Stephan 1940): rake the (event_type, day-of-week) contingency cells
@@ -2300,8 +2314,10 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Elkan 2002): purchase propensity vs the event value score, PAV over
     20 exact-quantile bins. Corpus cost = distributed quantile edges +
     one groupBy to bins; the pooling runs driver-side on the tiny bin
-    relation. Iterative pooling — no SQL twin; rows-only, with
-    reference-PAV parity pytest."""
+    relation. The DuckDB twin evaluates the same PAV fit through
+    its minimax closed form iso(i) = max_{j<=i} min_{k>=i} wmean(j..k)
+    over the <=20-bin cell relation (plus reference-PAV parity
+    pytest)."""
     from seafan_spark.diags import isotonic_calibrate
 
     ev = _pipe(spark, sf_dir, "events").df
@@ -2625,9 +2641,12 @@ def q_trimmed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
 # oracled queries already driver-green in rounds 1 AND 2, (4) rows-only
-# queries (no SQL twin: iterative/optimizer outputs) last — EXCEPT round 5
-# rotates the four never-driver-checked rows-only queries into the window
-# once so the driver record shows them (rotate back out next round).
+# queries (no SQL twin: iterative/optimizer outputs) last. Round 5 rotated
+# the never-driver-checked rows-only queries into the window once so the
+# driver record shows them ran; round 6 rotates them back out per this
+# contract (their r05 rows are the record), promotes the newly-oracled
+# isotonic + pca_moments, and back-fills with stable oracled queries — the
+# window is 50/50 oracled again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
@@ -2648,11 +2667,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "isotonic": q_isotonic,
     "rake": q_rake,
     "seasonal": q_seasonal,
-    "pca": q_pca,
+    "pca_moments": q_pca_moments,
     "pii_redact": q_pii_redact,
     "dsir_select": q_dsir_select,
     "assoc_rules": q_assoc_rules,
-    "kcenter": q_kcenter,
     "interval_join": q_interval_join,
     "ols_multi": q_ols_multi,
     "zipf": q_zipf,
@@ -2678,20 +2696,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance": q_edit_distance,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
-    # --- rows-only, never driver-checked before round 5 (rotated into the
-    # window this round per VERDICT r4 task 6; the driver records a
-    # rows-only check for them — no SQL twin exists by nature) ---
-    "minhash_pairs_fast": q_minhash_pairs_fast,
-    "simhash_pairs_fast": q_simhash_pairs_fast,
-    "irr_by": q_irr_by,
-    "model_nn": q_model_nn,
-    # --- oracled, stable ---
+    # --- oracled, stable (back-filling the slots of the rotated-out
+    # rows-only queries) ---
     "tpch_q3": q_tpch_q3,
-    # --- end of the driver's 50-entry correctness window ---
     "minhash_clusters": q_minhash_clusters,
     "minhash_incr": q_minhash_incr,
     "contamination_bloom": q_contamination_bloom,
     "fleiss_kappa": q_fleiss_kappa,
+    # --- end of the driver's 50-entry correctness window ---
+    # --- rows-only (no SQL twin: iterative/optimizer outputs); driver-run
+    # in round 5, rotated back out per the ordering contract ---
+    "minhash_pairs_fast": q_minhash_pairs_fast,
+    "simhash_pairs_fast": q_simhash_pairs_fast,
+    "irr_by": q_irr_by,
+    "model_nn": q_model_nn,
+    "pca": q_pca,
+    "kcenter": q_kcenter,
     "transition_matrix": q_transition_matrix,
     "label_agreement": q_label_agreement,
     "json_extract": q_json_extract,
@@ -5843,6 +5863,86 @@ ORACLES["trimmed_mode"] = """
            mc.mode, mc.mode_n
     FROM tm JOIN mc ON tm.l_returnflag = mc.l_returnflag AND mc.rn = 1
     ORDER BY tm.l_returnflag
+"""
+
+
+ORACLES["pca_moments"] = """
+    WITH e AS (
+        SELECT ROW_NUMBER() OVER () AS rid, embedding AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ), flat AS (
+        SELECT rid, CAST(UNNEST(v) AS DOUBLE) AS x,
+               generate_subscripts(v, 1) AS i
+        FROM e
+    ), gram AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS gram
+        FROM flat a JOIN flat b USING (rid)
+        GROUP BY a.i, b.i
+    ), mean AS (
+        SELECT i, AVG(x) AS m FROM flat GROUP BY i
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM e
+    )
+    SELECT CAST(g.i AS INTEGER) AS i, CAST(g.j AS INTEGER) AS j,
+           CAST(nn.n AS BIGINT) AS n,
+           ROUND(mi.m, 6) AS mean_i, ROUND(mj.m, 6) AS mean_j,
+           ROUND(g.gram, 6) AS gram
+    FROM gram g, nn
+    JOIN mean mi ON mi.i = g.i
+    JOIN mean mj ON mj.i = g.j
+"""
+
+
+ORACLES["isotonic"] = """
+    WITH src AS (
+        SELECT CAST(value AS DOUBLE) / 500.0 AS score,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS label
+        FROM events
+        WHERE value IS NOT NULL
+    ), qs AS (
+        SELECT UNNEST(quantile_cont(score,
+            [0.0,0.05,0.1,0.15,0.2,0.25,0.3,0.35,0.4,0.45,
+             0.5,0.55,0.6,0.65,0.7,0.75,0.8,0.85,0.9,0.95])) AS e
+        FROM src
+    ), edges AS (
+        SELECT DISTINCT e FROM qs
+    ), redges AS (
+        SELECT e, ROW_NUMBER() OVER (ORDER BY e ASC) AS r FROM edges
+    ), binned AS (
+        -- bin = number of distinct quantile edges <= score, 1-based
+        -- (identical to the engine's aggregate over the edge array)
+        SELECT s.score, s.label,
+               (SELECT COUNT(*) FROM edges WHERE edges.e <= s.score) AS bin
+        FROM src s
+    ), cells AS (
+        SELECT bin, COUNT(*) AS n, AVG(score) AS mean_score,
+               AVG(label) AS mean_label
+        FROM binned GROUP BY bin
+    ), pairs AS (
+        -- weighted mean of mean_label over every bin interval [j, k]
+        SELECT j.bin AS j, k.bin AS k,
+               SUM(c.n * c.mean_label) / SUM(c.n) AS m
+        FROM cells j JOIN cells k ON j.bin <= k.bin
+        JOIN cells c ON c.bin >= j.bin AND c.bin <= k.bin
+        GROUP BY j.bin, k.bin
+    ), mins AS (
+        SELECT p.j, i.bin AS bin, MIN(p.m) AS mn
+        FROM pairs p JOIN cells i ON p.j <= i.bin AND p.k >= i.bin
+        GROUP BY p.j, i.bin
+    ), iso AS (
+        -- minimax closed form of weighted PAV:
+        -- iso(i) = max_{j<=i} min_{k>=i} weightedMean(label, bins j..k)
+        SELECT bin, MAX(mn) AS calibrated FROM mins GROUP BY bin
+    )
+    SELECT CAST(c.bin AS INTEGER) AS bin,
+           ROUND(re.e, 6) AS score_lo,
+           CAST(c.n AS BIGINT) AS n,
+           ROUND(c.mean_score, 6) AS mean_score,
+           ROUND(c.mean_label, 6) AS mean_label,
+           ROUND(i.calibrated, 6) AS calibrated
+    FROM cells c
+    JOIN iso i ON i.bin = c.bin
+    JOIN redges re ON re.r = c.bin
 """
 
 

@@ -774,6 +774,82 @@ def kcenter_select(
 
 
 # ---------------------------------------------------------------- PCA ----
+def _pca_moment_row(d_df: DataFrame, dim: int) -> tuple[int, "object", "object"]:
+    """(n, sum vector [d], Gram [d*d]) of an embedding relation, reduced to
+    ONE row IN SPARK before anything collects.
+
+    Stage 1: one ``mapInPandas`` pass emits a partial (n, s, g) row per
+    Arrow batch (blocked numpy, never rows-at-a-time). Stage 2: the
+    partial rows element-wise-sum JVM-side into 32 buckets, then into one
+    global row (``zip_with`` adds inside ``aggregate(collect_list)`` —
+    the optim.py tree-merge idiom). The driver receives exactly ONE
+    O(d^2) row; at 10B rows / 10k-row batches the old per-batch collect
+    was O(num_batches * d^2) ≈ 32 GB to the driver for d=64."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            yield pd.DataFrame(
+                {
+                    "n": [m.shape[0]],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    parts = d_df.mapInPandas(partial, schema="n long, s array<double>, g array<double>")
+    add = lambda a, b: F.zip_with(a, b, lambda x, y: x + y)  # noqa: E731
+
+    def asum(c: str, ln: int):
+        return F.aggregate(
+            F.collect_list(c), F.array_repeat(F.lit(0.0), ln), add
+        ).alias(c)
+
+    bucketed = (
+        parts.groupBy(F.pmod(F.spark_partition_id(), F.lit(32)).alias("_b"))
+        .agg(asum("s", dim), asum("g", dim * dim), F.sum("n").alias("n"))
+        .drop("_b")
+    )
+    row = bucketed.agg(asum("s", dim), asum("g", dim * dim), F.sum("n").alias("n")).collect()[0]
+    n = int(row["n"] or 0)
+    return n, np.array(row["s"]), np.array(row["g"])
+
+
+def pca_moments(df: DataFrame, vec_col: str) -> DataFrame:
+    """The distributed half of :func:`pca_fit` as an oracle-able relation:
+    one row per Gram cell — (i, j, n, mean_i, mean_j, gram) with 1-based
+    indices, gram = sum over rows of v[i]*v[j]. Everything that can
+    silently break at scale (the batch partials, the JVM tree reduction)
+    is hash-checkable against a SQL twin; only the driver-side d x d
+    ``eigh`` stays under its numpy pytest."""
+    from seafan_spark.rounding import round_col
+
+    d_df = df.select(F.col(vec_col).alias("_v")).filter(F.col("_v").isNotNull())
+    dim = infer_vec_dim(d_df, "_v", "pca_moments")
+    n, s, g = _pca_moment_row(d_df, dim)
+    mean = (s / n) if n else s
+    rows = [
+        (i + 1, j + 1, n, float(mean[i]), float(mean[j]), float(g[i * dim + j]))
+        for i in range(dim)
+        for j in range(dim)
+    ]
+    out = df.sparkSession.createDataFrame(
+        rows, "i int, j int, n bigint, mean_i double, mean_j double, gram double"
+    )
+    return out.select(
+        "i",
+        "j",
+        "n",
+        round_col(F.col("mean_i"), 6).alias("mean_i"),
+        round_col(F.col("mean_j"), 6).alias("mean_j"),
+        round_col(F.col("gram"), 6).alias("gram"),
+    )
+
+
 def pca_fit(
     df: DataFrame,
     vec_col: str,
@@ -792,39 +868,20 @@ def pca_fit(
     100 TB design: one ``mapInPandas`` pass emits ONE partial Gram row
     per Arrow batch (n, sum vector, d*d Gram) — numpy touches batches,
     never rows-at-a-time, the same Python quarantine as optim.py's
-    gradient passes; the driver reduces the tiny (num_batches, d^2)
-    relation and eigendecomposes a d x d matrix.  Nothing corpus-sized
-    ever collects; cost is one corpus scan regardless of k.
+    gradient passes; the partials element-wise-sum IN SPARK down to one
+    O(d^2) row (``_pca_moment_row``) and the driver only
+    eigendecomposes a d x d matrix.  Nothing corpus-sized — and nothing
+    batch-count-sized — ever collects; cost is one corpus scan
+    regardless of k.
     """
     import numpy as np
-    import pandas as pd
 
     d_df = df.select(F.col(vec_col).alias("_v")).filter(F.col("_v").isNotNull())
     dim = infer_vec_dim(d_df, "_v", "pca_fit")
-
-    def partial(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
-            yield pd.DataFrame(
-                {
-                    "n": [m.shape[0]],
-                    "s": [m.sum(axis=0).tolist()],
-                    "g": [(m.T @ m).ravel().tolist()],
-                }
-            )
-
-    parts = d_df.mapInPandas(
-        partial, schema="n long, s array<double>, g array<double>"
-    ).collect()
-    if not parts:
+    n, s, g = _pca_moment_row(d_df, dim)
+    if n == 0:
         raise ValueError("pca_fit: empty input")
-    import numpy as np
-
-    n = sum(p["n"] for p in parts)
-    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
-    g = np.sum([np.array(p["g"]).reshape(dim, dim) for p in parts], axis=0)
+    g = g.reshape(dim, dim)
     mean = s / n
     cov = g / n - (np.outer(mean, mean) if center else 0.0)
     vals, vecs = np.linalg.eigh(cov)  # ascending

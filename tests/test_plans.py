@@ -105,28 +105,21 @@ def test_scale_report_signals(spark):
 
 def test_correctness_window_invariant():
     """The driver hash-checks only the first 50 queries() entries: every
-    one of them must have an oracle, EXCEPT the four rows-only queries
-    deliberately rotated into the window for round 5 so the driver record
-    shows them at least once (VERDICT r4 task 6)."""
+    one of them must have an oracle. The round-5 rows-only rotations got
+    their driver record and are back OUT of the window (round-6 contract);
+    isotonic gained a real minimax-PAV oracle and pca's distributed half
+    is oracled as pca_moments, so the window is 50/50 oracled again."""
     import __spark_entry__ as entrymod
 
-    # kcenter is new in round 5 and permanently rows-only (k chained
-    # argmax rounds — no SQL twin); it sits in the window for its first
-    # driver appearance alongside the four round-5 rotations
-    rotated_rows_only = {
-        "minhash_pairs_fast",
-        "simhash_pairs_fast",
-        "irr_by",
-        "model_nn",
-        "kcenter",
-        "pca",
-        "isotonic",
-    }
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
-    missing = [n for n in names[:50] if n not in oracles and n not in rotated_rows_only]
+    missing = [n for n in names[:50] if n not in oracles]
     assert not missing, f"first-50 queries without oracle: {missing}"
-    assert rotated_rows_only <= set(names[:50])
+    # the rotated-out rows-only queries must still exist (below the window)
+    rotated_out = {"minhash_pairs_fast", "simhash_pairs_fast", "irr_by",
+                   "model_nn", "pca", "kcenter"}
+    assert rotated_out <= set(names[50:])
+    assert {"isotonic", "pca_moments"} <= set(names[:50])
     # every oracle key must reference a real query
     dangling = [n for n in oracles if n not in names]
     assert not dangling, f"oracles without queries: {dangling}"

@@ -5576,9 +5576,18 @@ ORACLES["benford"] = """
                     POWER(10.0, FLOOR(LOG10(l_extendedprice)))) AS INT) AS digit
         FROM lineitem
         WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
-    ), counts AS (
+    ), counts0 AS (
         SELECT l_returnflag, digit, COUNT(*) AS n_d
         FROM ok GROUP BY 1, 2
+    ), skeleton AS (
+        -- densify: every group gets all 9 digits, zero-count included
+        SELECT k.l_returnflag, CAST(d.digit AS INT) AS digit
+        FROM (SELECT DISTINCT l_returnflag FROM counts0) k
+        CROSS JOIN (SELECT UNNEST(range(1, 10)) AS digit) d
+    ), counts AS (
+        SELECT s.l_returnflag, s.digit, COALESCE(c.n_d, 0) AS n_d
+        FROM skeleton s LEFT JOIN counts0 c
+          ON s.l_returnflag = c.l_returnflag AND s.digit = c.digit
     ), shared AS (
         SELECT l_returnflag, digit, n_d,
                CAST(n_d AS DOUBLE) / SUM(n_d) OVER (PARTITION BY l_returnflag)

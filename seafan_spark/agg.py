@@ -1191,6 +1191,47 @@ def cuped_adjust(
     )
 
 
+def _global_midrank(d: DataFrame, col_name: str, out: str, tie_out: str | None = None):
+    """Exact midrank (``rank() + (ties-1)/2``) of ``col_name`` under the
+    GLOBAL value order, with no unpartitioned window: distributed global
+    row number (``rank.global_row_number`` — range repartition +
+    per-partition rank + driver offsets), then ``rank = min(rownum)`` and
+    ``ties = count`` over a window partitioned BY VALUE (each distinct
+    value's tie group is one partition — corpus-distributed; a column
+    that is one giant tie would skew, but its midranks are degenerate
+    anyway). Optionally also attaches the tie-group size as ``tie_out``.
+    Returns (df, non-null row count)."""
+    from pyspark.sql import Window
+
+    from seafan_spark.rank import global_row_number
+
+    ranked, n = global_row_number(d, [(col_name, True)], "_gmr")
+    vw = Window.partitionBy(col_name)
+    tie = F.count(F.lit(1)).over(vw)
+    mid = F.min("_gmr").over(vw) + (tie - F.lit(1)) / F.lit(2.0)
+    out_df = ranked.withColumn(out, mid)
+    if tie_out is not None:
+        out_df = out_df.withColumn(tie_out, tie)
+    return out_df.drop("_gmr"), n
+
+
+def _two_variant_guard(where: str) -> Column:
+    """TRUE when the group's ``_nv`` distinct-variant count is exactly 2,
+    a runtime error naming the offender otherwise — both prop_test_by and
+    mannwhitney_by document 'exactly two variants required', and silently
+    pooling extra variants into the non-baseline side produces a
+    plausible-looking but wrong statistic (round-5 ADVICE)."""
+    return F.when(F.col("_nv") == F.lit(2), F.lit(True)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{where}: exactly two variant values per group are "
+                      f"required, got "),
+                F.col("_nv").cast("string"),
+            )
+        )
+    )
+
+
 def prop_test_by(
     df,
     success_col: str,
@@ -1204,7 +1245,9 @@ def prop_test_by(
         z = (p1 - p0) / sqrt(p(1-p)(1/n0 + 1/n1)),  p = pooled rate.
 
     Exactly two variant values per ``keys`` group are required (the
-    smaller value is the baseline).  Returns (keys..., n0, n1, p0, p1,
+    smaller value is the baseline) — ENFORCED: any group with a
+    different count raises at evaluation time instead of silently
+    pooling extra variants.  Returns (keys..., n0, n1, p0, p1,
     z, significant) with ``significant = |z| > 1.96`` (z is exact; the
     p-value needs erf, whose libm rounding differs across engines —
     the boolean at the conventional threshold is cross-engine stable).
@@ -1232,8 +1275,14 @@ def prop_test_by(
             F.sum(F.when(F.col("_side") == 1, F.col("_n"))).alias("n1"),
             F.sum(F.when(F.col("_side") == 0, F.col("_s"))).alias("_s0"),
             F.sum(F.when(F.col("_side") == 1, F.col("_s"))).alias("_s1"),
+            # one row per variant reaches this groupBy, so plain count IS
+            # the distinct-variant count — no expand aggregation needed
+            F.count(F.lit(1)).alias("_nv"),
         )
     )
+    # enforce the documented contract: >2 variants would silently lump
+    # every non-baseline variant into side 1 and report a bogus pooled z
+    piv = piv.filter(_two_variant_guard("prop_test_by"))
     n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
     p0, p1 = F.col("_s0") / n0, F.col("_s1") / n1
     pool = (F.col("_s0") + F.col("_s1")) / (n0 + n1)
@@ -1267,12 +1316,17 @@ def mannwhitney_by(
 
     Returns (keys..., n0, n1, u, z, significant) — baseline = smaller
     variant value; ``u`` is the SMALLER group-0-vs-1 statistic's
-    counterpart U1 for the higher variant.
+    counterpart U1 for the higher variant.  Exactly two variant values
+    per group — ENFORCED: any other count raises at evaluation time.
 
     Scale shape: midranks come from a window PARTITIONED by the group
     keys (rank + count over value ties — each group sorts
     independently); the tie-correction term aggregates the per-value
-    tie sizes; everything else is one moment rollup per group."""
+    tie sizes; everything else is one moment rollup per group.  With NO
+    keys the midranks come from the distributed-rank machinery
+    (``_global_midrank``) and the baseline variant from a broadcast
+    scalar — never a corpus-sized ``partitionBy(lit(0))`` single
+    task."""
     from pyspark.sql import Window
 
     from seafan_spark.rounding import round_col
@@ -1283,18 +1337,26 @@ def mannwhitney_by(
     base = d.filter(x.isNotNull()).select(
         *keys, x.alias("_x"), F.col(variant_col).alias("_v")
     )
-    pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
-    lo = F.min("_v").over(pk)
-    base = base.withColumn(
-        "_side", F.when(F.col("_v") == lo, F.lit(0)).otherwise(F.lit(1))
-    )
-    # midrank = rank + (ties-1)/2 over the group ordered by value
-    wv = pk.orderBy(F.col("_x").asc())
-    tie_w = Window.partitionBy(*keys, "_x") if keys else Window.partitionBy(F.lit(0), "_x")
-    ranked = base.withColumn("_rk", F.rank().over(wv)).withColumn(
-        "_t", F.count(F.lit(1)).over(tie_w)
-    )
-    midrank = F.col("_rk") + (F.col("_t") - F.lit(1)) / F.lit(2.0)
+    if keys:
+        pk = Window.partitionBy(*keys)
+        lo = F.min("_v").over(pk)
+        base = base.withColumn(
+            "_side", F.when(F.col("_v") == lo, F.lit(0)).otherwise(F.lit(1))
+        )
+        # midrank = rank + (ties-1)/2 over the group ordered by value
+        wv = pk.orderBy(F.col("_x").asc())
+        tie_w = Window.partitionBy(*keys, "_x")
+        ranked = base.withColumn("_rk", F.rank().over(wv)).withColumn(
+            "_t", F.count(F.lit(1)).over(tie_w)
+        )
+        midrank = F.col("_rk") + (F.col("_t") - F.lit(1)) / F.lit(2.0)
+    else:
+        lo_df = base.agg(F.min("_v").alias("_lo"))
+        base = base.crossJoin(F.broadcast(lo_df)).withColumn(
+            "_side", F.when(F.col("_v") == F.col("_lo"), F.lit(0)).otherwise(F.lit(1))
+        ).drop("_lo")
+        ranked, _ = _global_midrank(base, "_x", "_mid", tie_out="_t")
+        midrank = F.col("_mid")
     agg = ranked.groupBy(*keys).agg(
         F.sum(F.when(F.col("_side") == 0, F.lit(1)).otherwise(F.lit(0))).alias("n0"),
         F.sum(F.when(F.col("_side") == 1, F.lit(1)).otherwise(F.lit(0))).alias("n1"),
@@ -1303,7 +1365,9 @@ def mannwhitney_by(
         # group's t, so divide the row-sum of (t^2 - 1) by... instead sum
         # (t*t*t - t)/t = t*t - 1 per row -> equals sum over groups (t^3-t)
         F.sum(F.col("_t") * F.col("_t") - F.lit(1.0)).alias("_ties"),
+        F.count_distinct(F.col("_v")).alias("_nv"),
     )
+    agg = agg.filter(_two_variant_guard("mannwhitney_by"))
     n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
     nn = n0 + n1
     u1 = F.col("_r1") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
@@ -1339,7 +1403,10 @@ def spearman_by(
     Scale shape: two keyed windows (one per column — each group ranks
     independently, no global order), then ONE five-moment aggregation;
     the same moment association as ols_by so the SQL twin matches
-    doubles exactly."""
+    doubles exactly.  With NO keys the midranks come from the
+    distributed-rank machinery instead (``_global_midrank``: range
+    repartition + value-partitioned tie windows) — never a corpus-sized
+    ``partitionBy(lit(0))`` single task."""
     from pyspark.sql import Window
 
     from seafan_spark.rounding import round_col
@@ -1352,19 +1419,20 @@ def spearman_by(
         *keys, x.alias("_x"), y.alias("_y")
     )
 
-    def midrank(col_name: str) -> Column:
-        pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
-        tie = (
-            Window.partitionBy(*keys, col_name)
-            if keys
-            else Window.partitionBy(F.lit(0), col_name)
-        )
-        return (
-            F.rank().over(pk.orderBy(F.col(col_name).asc()))
-            + (F.count(F.lit(1)).over(tie) - F.lit(1)) / F.lit(2.0)
-        )
+    if keys:
 
-    ranked = base.withColumn("_rx", midrank("_x")).withColumn("_ry", midrank("_y"))
+        def midrank(col_name: str) -> Column:
+            pk = Window.partitionBy(*keys)
+            tie = Window.partitionBy(*keys, col_name)
+            return (
+                F.rank().over(pk.orderBy(F.col(col_name).asc()))
+                + (F.count(F.lit(1)).over(tie) - F.lit(1)) / F.lit(2.0)
+            )
+
+        ranked = base.withColumn("_rx", midrank("_x")).withColumn("_ry", midrank("_y"))
+    else:
+        ranked, _ = _global_midrank(base, "_x", "_rx")
+        ranked, _ = _global_midrank(ranked, "_y", "_ry")
     rx, ry = F.col("_rx"), F.col("_ry")
     agg = ranked.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
@@ -1397,9 +1465,13 @@ def trimmed_mean_by(
     One keyed window (groups rank independently) + one aggregation;
     percent_rank bounds make the trim exact and cross-engine
     deterministic (ties share a rank, so equal values are kept or
-    dropped together — no arbitrary tie split)."""
+    dropped together — no arbitrary tie split).  With NO keys the rank
+    comes from the distributed-rank machinery (``_global_midrank``'s
+    range-repartition substrate) — never a corpus-sized
+    ``partitionBy(lit(0))`` single task."""
     from pyspark.sql import Window
 
+    from seafan_spark.rank import global_row_number
     from seafan_spark.rounding import round_col
 
     if not 0 <= alpha < 0.5:
@@ -1408,9 +1480,23 @@ def trimmed_mean_by(
     keys = list(keys)
     x = F.col(value_col).cast("double")
     base = d.filter(x.isNotNull()).select(*keys, x.alias("_x"))
-    pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
-    pr = F.percent_rank().over(pk.orderBy(F.col("_x").asc()))
-    tagged = base.withColumn("_pr", pr)
+    if keys:
+        pk = Window.partitionBy(*keys)
+        pr = F.percent_rank().over(pk.orderBy(F.col("_x").asc()))
+        tagged = base.withColumn("_pr", pr)
+    else:
+        # percent_rank = (rank - 1) / (n - 1) with rank = min global row
+        # number over the value's tie group — identical to the window
+        # definition, fully distributed
+        ranked, n = global_row_number(base, [("_x", True)], "_grn")
+        vw = Window.partitionBy("_x")
+        rank = F.min("_grn").over(vw)
+        pr = (
+            (rank - F.lit(1)) / F.lit(float(n - 1))
+            if n > 1
+            else F.lit(0.0)
+        )
+        tagged = ranked.withColumn("_pr", pr).drop("_grn")
     inlier = (F.col("_pr") >= F.lit(float(alpha))) & (
         F.col("_pr") <= F.lit(1.0 - float(alpha))
     )
@@ -1435,7 +1521,11 @@ def mode_by(
     stable across runs and engines.  Returns (keys..., mode, mode_n).
 
     One (keys, value) count groupBy + a WindowGroupLimit-prunable
-    row_number over the counts relation (never the corpus)."""
+    row_number over the counts relation (never the corpus).  With NO
+    keys the counts relation is value-cardinality-sized (potentially
+    corpus-sized for near-unique columns), so the pick is two scalar
+    aggregations (max count, then min value at that count) instead of a
+    ``partitionBy(lit(0))`` single-task window."""
     from pyspark.sql import Window
 
     d = getattr(df, "df", df)
@@ -1445,8 +1535,14 @@ def mode_by(
         .groupBy(*keys, F.col(value_col).alias("mode"))
         .agg(F.count(F.lit(1)).alias("mode_n"))
     )
-    pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
-    rn = F.row_number().over(
-        pk.orderBy(F.col("mode_n").desc(), F.col("mode").asc())
+    if keys:
+        pk = Window.partitionBy(*keys)
+        rn = F.row_number().over(
+            pk.orderBy(F.col("mode_n").desc(), F.col("mode").asc())
+        )
+        return counts.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    mx = counts.agg(F.max("mode_n").alias("_mx"))
+    return (
+        counts.join(F.broadcast(mx), F.col("mode_n") == F.col("_mx"))
+        .agg(F.min("mode").alias("mode"), F.min("mode_n").alias("mode_n"))
     )
-    return counts.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")

@@ -147,13 +147,15 @@ def extract_json_fields(
     batch pipelines need. Pure projection: no shuffle, Catalyst prunes
     it like any other column expression."""
     d = _df(df)
-    cols = list(d.columns) if keep_source else [c for c in d.columns if c != col]
-    out = d.select(*cols)
+    # extract on the FULL frame first, then drop the source: projecting the
+    # source away up front would make every json_field_col reference an
+    # unresolvable column (keep_source=False raised UNRESOLVED_COLUMN)
+    out = d
     for spec in fields:
         path, dtype = spec[0], spec[1]
         alias = spec[2] if len(spec) > 2 else path.split(".")[-1].lstrip("$")
         out = out.withColumn(alias, json_field_col(F.col(col), path, dtype))
-    return out
+    return out if keep_source else out.drop(col)
 
 
 def flatten_json(

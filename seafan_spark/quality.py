@@ -135,13 +135,19 @@ def benford_report(df, value_col: str, keys=()):
     (8 degrees of freedom) riding on every row.
 
     Only finite positive values participate (Benford applies to
-    scale-spanning magnitudes).  Returns one row per (keys..., digit).
+    scale-spanning magnitudes).  Returns one row per (keys..., digit)
+    for ALL nine digits — a digit with zero occurrences (the strongest
+    Benford violation) still gets its row and contributes its full
+    ``n * ben_d`` term to chi2 (round-5 ADVICE: the observed-only
+    version silently understated the 8-dof statistic).
 
     Scale shape: the first digit is pure Column arithmetic
     (``floor(x / 10^floor(log10 x))`` — replayable double math, no
     string formatting), so the corpus contributes one
-    map-side-partial groupBy over (keys, digit); shares and chi-square
-    are window sums over the <= 9-rows-per-group relation."""
+    map-side-partial groupBy over (keys, digit); densification joins
+    the group-sized skeleton (groups x 9 literal digits), and shares
+    and chi-square are window sums over the 9-rows-per-group
+    relation."""
     import math
 
     from pyspark.sql import Window
@@ -159,6 +165,14 @@ def benford_report(df, value_col: str, keys=()):
         .groupBy(*keys, "digit")
         .agg(F.count(F.lit(1)).alias("n_d"))
     )
+    # densify to all 9 digits per group: zero-count digits must appear
+    # (and contribute n*ben_d to chi2). The skeleton is group-sized x 9.
+    all_digits = F.explode(F.array(*[F.lit(i) for i in range(1, 10)])).alias("digit")
+    if keys:
+        skeleton = counts.select(*keys).distinct().select(*keys, all_digits)
+    else:
+        skeleton = d.sparkSession.range(1).select(all_digits)
+    counts = skeleton.join(counts, [*keys, "digit"], "left").fillna(0, subset=["n_d"])
     w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
     ben = F.element_at(
         F.array(*[F.lit(math.log10(1 + 1 / dd)) for dd in range(1, 10)]),
@@ -167,6 +181,9 @@ def benford_report(df, value_col: str, keys=()):
     n = F.sum("n_d").over(w)
     share = F.col("n_d") / n
     dev = (share - ben) * (share - ben) / ben
+    # empty ungrouped input: the literal skeleton still has 9 rows but
+    # n = 0 — drop them instead of dividing by zero under ANSI mode
+    counts = counts.withColumn("_n", n).filter(F.col("_n") > 0).drop("_n")
     return counts.select(
         *keys,
         "digit",

@@ -1039,7 +1039,35 @@ def test_benford_ignores_nonpositive(spark):
         [(-5.0,), (0.0,), (None,), (123.0,)], "v double"
     )
     out = benford_report(df, "v").collect()
-    assert len(out) == 1 and out[0]["digit"] == 1 and out[0]["n_d"] == 1
+    # densified: all 9 digits appear; only digit 1 was observed
+    assert len(out) == 9
+    got = {r["digit"]: r["n_d"] for r in out}
+    assert got[1] == 1 and all(got[d] == 0 for d in range(2, 10))
+
+
+def test_benford_missing_digits_contribute_chi2(spark):
+    """Round-5 ADVICE: a digit with ZERO occurrences is the strongest
+    Benford violation and must add n*ben_d to chi2 — the observed-only
+    version dropped those terms entirely."""
+    import math
+
+    from seafan_spark.quality import benford_report
+
+    # only digits 1..3 present, 10 of each
+    df = spark.createDataFrame(
+        [(float(d),) for d in (1, 2, 3) for _ in range(10)], "v double"
+    )
+    out = benford_report(df, "v").collect()
+    assert len(out) == 9
+    ben = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    n = 30
+    chi2 = sum(
+        n * (nd / n - ben[d]) ** 2 / ben[d]
+        for d, nd in [(1, 10), (2, 10), (3, 10)]
+    ) + sum(n * ben[d] for d in range(4, 10))
+    assert out[0]["chi2"] == pytest.approx(chi2, abs=1e-5)
+    zero = {r["digit"]: r for r in out}[7]
+    assert zero["n_d"] == 0 and zero["share"] == 0.0
 
 
 # ------------------------------------------------------------------ gini ----
@@ -1248,6 +1276,24 @@ def test_mannwhitney_shifted_distribution_significant(spark):
     assert r["z"] > 1.96 and r["significant"]
 
 
+def test_two_variant_contract_enforced(spark):
+    """Round-5 ADVICE: a third variant must RAISE, not silently merge
+    into the non-baseline side of a pooled z / U statistic."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from seafan_spark.agg import mannwhitney_by, prop_test_by
+
+    rows = [("a", 1.0), ("a", 0.0), ("b", 1.0), ("b", 1.0), ("c", 0.0), ("c", 1.0)]
+    df = spark.createDataFrame(rows, "variant string, conv double")
+    with pytest.raises(SparkRuntimeException, match="prop_test_by: exactly two"):
+        prop_test_by(df, "conv", "variant").collect()
+    with pytest.raises(SparkRuntimeException, match="mannwhitney_by: exactly two"):
+        mannwhitney_by(df, "conv", "variant").collect()
+    # two variants still work, including per-key groups
+    ok = prop_test_by(df.filter("variant != 'c'"), "conv", "variant").collect()
+    assert len(ok) == 1 and ok[0]["n0"] == 2
+
+
 # ---------------------------------------------------------------- spearman ----
 def test_spearman_monotone_is_one(spark):
     from seafan_spark.agg import spearman_by
@@ -1397,3 +1443,58 @@ def test_mode_by_deterministic_tiebreak(spark):
     )
     r = mode_by(df, "v", ["k"]).collect()[0]
     assert r["mode"] == "a" and r["mode_n"] == 2  # tie -> smallest value
+
+
+# ------------------------------------------------- ungrouped = distributed ----
+def test_ungrouped_stats_match_keyed_and_stay_distributed(spark):
+    """Round-5 VERDICT #6: spearman_by / mannwhitney_by / trimmed_mean_by /
+    mode_by with keys=() used to rank the CORPUS under a
+    ``Window.partitionBy(lit(0))`` single task.  Now they stage through the
+    distributed-rank machinery: same answers as the keyed path on a
+    constant key, and no single-partition exchange in the plan beyond the
+    final one-row aggregate."""
+    from seafan_spark.agg import (
+        mannwhitney_by,
+        mode_by,
+        spearman_by,
+        trimmed_mean_by,
+    )
+    from seafan_spark.planaudit import scale_report
+
+    rows = [
+        (i, float((i * 37) % 101), float((i * 53) % 89), "v%d" % (i % 2))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id int, x double, y double, variant string")
+    kdf = df.withColumn("k", F.lit("all"))
+
+    sp_u = spearman_by(df, "x", "y").collect()[0]
+    sp_k = spearman_by(kdf, "x", "y", ["k"]).collect()[0]
+    assert sp_u["rho"] == pytest.approx(sp_k["rho"], abs=1e-12)
+    assert sp_u["n"] == sp_k["n"]
+
+    tm_u = trimmed_mean_by(df, "x", alpha=0.1).collect()[0]
+    tm_k = trimmed_mean_by(kdf, "x", ["k"], alpha=0.1).collect()[0]
+    assert tm_u["trimmed_mean"] == pytest.approx(tm_k["trimmed_mean"], abs=1e-12)
+    assert tm_u["n_used"] == tm_k["n_used"]
+
+    mo_u = mode_by(df, "x").collect()[0]
+    mo_k = mode_by(kdf, "x", ["k"]).collect()[0]
+    assert (mo_u["mode"], mo_u["mode_n"]) == (mo_k["mode"], mo_k["mode_n"])
+
+    mw_u = mannwhitney_by(df, "x", "variant").collect()[0]
+    mw_k = mannwhitney_by(kdf, "x", "variant", ["k"]).collect()[0]
+    assert mw_u["u"] == pytest.approx(mw_k["u"], abs=1e-9)
+    assert mw_u["z"] == pytest.approx(mw_k["z"], abs=1e-9)
+
+    # plan audit: the corpus-ranking stage must not be a single task.
+    # (the one-row FINAL aggregate exchange is the allowed pattern; the
+    # auditor only flags single-partition exchanges feeding wide work)
+    for name, ungrouped in [
+        ("spearman", spearman_by(df, "x", "y")),
+        ("trimmed_mean", trimmed_mean_by(df, "x", alpha=0.1)),
+        ("mode", mode_by(df, "x")),
+        ("mannwhitney", mannwhitney_by(df, "x", "variant")),
+    ]:
+        flags = [f for f in scale_report(ungrouped).flags if "single-partition" in f]
+        assert not flags, f"{name} ungrouped path: {flags}"

@@ -57,6 +57,20 @@ def test_extract_fields_tolerant(spark):
     assert "props" in out.columns  # keep_source default
 
 
+def test_extract_fields_drop_source(spark):
+    """keep_source=False extracts from the full frame THEN drops the
+    source column (round-5 ADVICE: the old projection-first order made
+    every field reference UNRESOLVED_COLUMN)."""
+    rows = [(0, '{"k": 10, "tag": "a"}'), (1, '{"tag": "b"}')]
+    df = spark.createDataFrame(rows, "id: int, props: string")
+    out = extract_json_fields(
+        df, "props", [("k", "bigint"), ("tag", "string")], keep_source=False
+    )
+    assert "props" not in out.columns
+    got = {r["id"]: (r["k"], r["tag"]) for r in out.collect()}
+    assert got == {0: (10, "a"), 1: (None, "b")}
+
+
 def test_flatten_json_inferred(spark):
     rows = [(i, f'{{"k": {i * 3}, "s": "v{i}"}}') for i in range(20)]
     df = spark.createDataFrame(rows, "id: int, props: string")

@@ -24,10 +24,10 @@ Measurement protocol — every query runs FOUR times at the bench SF:
   round-over-round per-query deltas a usable regression gate (<15% drift
   on a no-change rerun).
 
-The printed line is kept compact (2-decimal medians, no fresh dict) so the
-driver's bounded output capture can store and parse it whole; the full
-per-trial record — fresh timings, all steady trials, medians — is written
-to BENCH_detail.json at the repo root.
+The printed line is kept under the driver's 2,000-char stdout tail (total +
+the 20 slowest 2-dp medians only) so the bounded capture stores and parses
+it whole; the full per-trial record — fresh timings, all steady trials, all
+medians — is written to BENCH_detail.json at the repo root.
 """
 
 from __future__ import annotations
@@ -61,6 +61,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    # local-iteration subset (comma-separated names); the driver never sets
+    # this — full-registry runs stay the default
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        unknown = keep - set(qs)
+        if unknown:
+            raise SystemExit(f"bench: unknown query name(s) {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in keep}
     # Warmup (untimed): run a codegen-diverse set at the smallest SF so
     # whole-stage-codegen JIT, Arrow/pandas-UDF workers, MLlib, and window
     # paths are compiled before anything is timed — mirrors steady-state
@@ -148,16 +157,22 @@ def main() -> None:
             fh,
             indent=1,
         )
-    # ONE compact line on stdout — 2-dp medians, no fresh dict — so a
-    # bounded output capture stores it whole and can parse it (the r03/r04
-    # driver records held only an unparseable tail of the old 4 KB line)
+    # ONE compact line on stdout. The driver's capture is the LAST 2,000
+    # chars of stdout; at 146 queries even 2-dp medians overflow that
+    # (r01-r05 all recorded "parsed": null tails), so print only the 20
+    # slowest medians + the total — the full record is BENCH_detail.json.
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
     print(
         json.dumps(
             {
-                "metric": f"steady-state sec/query, median of {steady_trials_n}; detail in BENCH_detail.json",
+                "metric": (
+                    f"steady-state sec, median of {steady_trials_n}, total over "
+                    f"{len(timings)} queries; 20 slowest shown, all medians + "
+                    "per-trial record in BENCH_detail.json"
+                ),
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "queries": {k: round(v, 2) for k, v in top.items()},
                 "sf": sf_val,
             },
             separators=(",", ":"),

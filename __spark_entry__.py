@@ -2166,13 +2166,19 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gonzalez 1985): 8 most mutually-distant embeddings — the diversity
     complement of semantic_dedup. k-1 scans of a cached unit-vector
     relation, argmax via ORDER-BY-LIMIT-1, driver state k ids+vectors.
-    Iterative (k chained argmax rounds) — no SQL twin; rows-only check,
-    pytest-verified against a numpy reference implementation."""
+    Oracled: at fixed k the iteration unrolls into a CTE chain
+    (_kcenter_oracle_sql), like rake's IPF sweeps; also pytest-verified
+    against a numpy reference implementation."""
     from seafan_spark.llmops.similarity import kcenter_select
 
     emb = _pipe(spark, sf_dir, "embeddings").df
     out = kcenter_select(emb, "vec_id", "embedding", k=8)
     return out.select("round", "id", round_col(F.col("dist"), 6).alias("dist"))
+
+
+# round 6: at FIXED k the iteration unrolls into a CTE chain the same way
+# rake's IPF sweeps did, so kcenter graduates from rows-only to a real
+# DuckDB twin (_kcenter_oracle_sql below) — hash-green at sf0.01 and sf0.1.
 
 
 
@@ -2698,12 +2704,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf": q_ann_ivf,
     # --- oracled, stable (back-filling the slots of the rotated-out
     # rows-only queries) ---
+    # round 6: kcenter graduated rows-only -> oracled (unrolled-CTE twin),
+    # promoted into the window as a never-hash-checked oracled query
+    "kcenter": q_kcenter,
     "tpch_q3": q_tpch_q3,
     "minhash_clusters": q_minhash_clusters,
     "minhash_incr": q_minhash_incr,
     "contamination_bloom": q_contamination_bloom,
-    "fleiss_kappa": q_fleiss_kappa,
     # --- end of the driver's 50-entry correctness window ---
+    "fleiss_kappa": q_fleiss_kappa,
     # --- rows-only (no SQL twin: iterative/optimizer outputs); driver-run
     # in round 5, rotated back out per the ordering contract ---
     "minhash_pairs_fast": q_minhash_pairs_fast,
@@ -2711,7 +2720,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "irr_by": q_irr_by,
     "model_nn": q_model_nn,
     "pca": q_pca,
-    "kcenter": q_kcenter,
     "transition_matrix": q_transition_matrix,
     "label_agreement": q_label_agreement,
     "json_extract": q_json_extract,
@@ -5360,6 +5368,50 @@ ORACLES["rake"] = """
 """
 
 
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """Unrolled Gonzalez greedy k-center twin for q_kcenter: round 0 is
+    the min-id seed; each round r picks argmax (DESC, id ASC) of the
+    running min cosine-distance d over centers 0..r-1, then dN+1 updates
+    d with LEAST against the new center. Same unrolled-CTE trick as
+    rake's IPF oracle — the iteration count is a fixed literal, so the
+    'iterative, no SQL twin' exemption no longer applies at fixed k.
+    list_dot_product matches Spark's fold dot at the 6-dp output
+    rounding (the semantic_dedup/ann oracles already rely on this)."""
+    parts = [
+        """
+    WITH u AS (
+        SELECT vec_id AS id,
+               CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+                    ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+               END AS v
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+              WHERE embedding IS NOT NULL)
+    ), r0 AS (SELECT id, v FROM u ORDER BY id ASC LIMIT 1),
+    d1 AS (SELECT u.id, u.v, 1.0 - list_dot_product(u.v, r0.v) AS d
+           FROM u CROSS JOIN r0 WHERE u.id <> r0.id)"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""",
+    r{r} AS (SELECT id, v, d FROM d{r} ORDER BY d DESC, id ASC LIMIT 1)"""
+        )
+        if r < k - 1:
+            parts.append(
+                f""",
+    d{r + 1} AS (SELECT t.id, t.v,
+                 LEAST(t.d, 1.0 - list_dot_product(t.v, r{r}.v)) AS d
+                 FROM d{r} t CROSS JOIN r{r} WHERE t.id <> r{r}.id)"""
+            )
+    selects = [
+        "SELECT CAST(0 AS BIGINT) AS round, id, CAST(NULL AS DOUBLE) AS dist FROM r0"
+    ] + [
+        f"SELECT CAST({r} AS BIGINT) AS round, id, ROUND(d, 6) AS dist FROM r{r}"
+        for r in range(1, k)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+ORACLES["kcenter"] = _kcenter_oracle_sql(k=8)
 
 
 ORACLES["pagerank"] = """

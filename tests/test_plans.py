@@ -107,8 +107,9 @@ def test_correctness_window_invariant():
     """The driver hash-checks only the first 50 queries() entries: every
     one of them must have an oracle. The round-5 rows-only rotations got
     their driver record and are back OUT of the window (round-6 contract);
-    isotonic gained a real minimax-PAV oracle and pca's distributed half
-    is oracled as pca_moments, so the window is 50/50 oracled again."""
+    isotonic gained a real minimax-PAV oracle, pca's distributed half is
+    oracled as pca_moments, and kcenter graduated to an unrolled-CTE twin
+    (promoted into the window), so the window is 50/50 oracled again."""
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
@@ -117,9 +118,9 @@ def test_correctness_window_invariant():
     assert not missing, f"first-50 queries without oracle: {missing}"
     # the rotated-out rows-only queries must still exist (below the window)
     rotated_out = {"minhash_pairs_fast", "simhash_pairs_fast", "irr_by",
-                   "model_nn", "pca", "kcenter"}
+                   "model_nn", "pca"}
     assert rotated_out <= set(names[50:])
-    assert {"isotonic", "pca_moments"} <= set(names[:50])
+    assert {"isotonic", "pca_moments", "kcenter"} <= set(names[:50])
     # every oracle key must reference a real query
     dangling = [n for n in oracles if n not in names]
     assert not dangling, f"oracles without queries: {dangling}"

@@ -1736,6 +1736,37 @@ def q_mg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return misra_gries_summary(tokens, "token", width=4096)
 
 
+def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch round trip (sketches.cms_build / cms_estimate,
+    Cormode-Muthukrishnan 2005): sparse (row, bucket, cnt) cell relation
+    over per-user event counts at depth=3, width=64 — 150 users into 64
+    buckets FORCES collisions, so the min-over-depth estimate and its
+    one-sided overcount are both exercised. Portable md5 hashing; the
+    DuckDB twin replays cells, probes, and MIN lookup bit-for-bit, and
+    rides the exact count alongside so the (est >= true_n) bound is in
+    the hashed output. Scale shape: build = one scan exploded depth
+    ways, map-side-combined to cells before the exchange; estimate =
+    probes joined against the kilobyte cell relation."""
+    from seafan_spark.sketches import cms_build, cms_estimate
+
+    ev = _pipe(spark, sf_dir, "events").df
+    sk = cms_build(ev, "user_id", depth=3, width=64, portable=True)
+    est = cms_estimate(
+        sk, ev.select("user_id"), "user_id", depth=3, width=64, portable=True
+    )
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("user_id").cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return est.join(exact, "item").select(
+        "item",
+        F.col("est").cast("bigint").alias("est"),
+        F.col("true_n").cast("bigint").alias("true_n"),
+        (F.col("est") >= F.col("true_n")).alias("bound_ok"),
+    )
+
+
 def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-dedup CUT policy end to end
     (llmops.dedup.cut_duplicated_spans): duplicated spans -> per-doc
@@ -2654,6 +2685,8 @@ def q_trimmed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # isotonic + pca_moments, and back-fills with stable oracled queries — the
 # window is 50/50 oracled again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- oracled, new in round 6 (never driver-checked -> window head) ---
+    "cms": q_cms,
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
     "trimmed_mode": q_trimmed_mode,
@@ -5412,6 +5445,38 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
 
 
 ORACLES["kcenter"] = _kcenter_oracle_sql(k=8)
+
+
+# cms twin: replays the md5-portable cell build, the probe hashing, and the
+# min-over-depth lookup of sketches.cms_build/cms_estimate bit-for-bit
+ORACLES["cms"] = """
+    WITH base AS (
+        SELECT CAST(user_id AS VARCHAR) AS item FROM events
+        WHERE user_id IS NOT NULL
+    ), rws AS (SELECT UNNEST(range(0, 3)) AS rw),
+    cells AS (
+        SELECT rw,
+               CAST(('0x' || substr(md5(item || '#cms' || CAST(rw AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 64 AS bucket,
+               COUNT(*) AS cnt
+        FROM base CROSS JOIN rws
+        GROUP BY 1, 2
+    ), items AS (SELECT DISTINCT item FROM base),
+    probes AS (
+        SELECT item, rw,
+               CAST(('0x' || substr(md5(item || '#cms' || CAST(rw AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 64 AS bucket
+        FROM items CROSS JOIN rws
+    ), est AS (
+        SELECT p.item, MIN(COALESCE(c.cnt, 0)) AS est
+        FROM probes p LEFT JOIN cells c ON p.rw = c.rw AND p.bucket = c.bucket
+        GROUP BY 1
+    ), exact AS (SELECT item, COUNT(*) AS true_n FROM base GROUP BY 1)
+    SELECT e.item, CAST(e.est AS BIGINT) AS est,
+           CAST(x.true_n AS BIGINT) AS true_n,
+           e.est >= x.true_n AS bound_ok
+    FROM est e JOIN exact x USING (item)
+"""
 
 
 ORACLES["pagerank"] = """

@@ -333,3 +333,128 @@ def distinct_over_slices(
     return coarse.select(
         *coarse_cols, hll_estimate("sketch").alias("estimate")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005), relational encoding
+# --------------------------------------------------------------------------
+#
+# The CMS is stored SPARSE: one row per touched (row, bucket) cell instead
+# of a dense depth x width array — Spark-native (merge is a groupBy SUM,
+# estimate is an equi-join + MIN over depth), and never wider than
+# min(distinct items, width) * depth cells per group. Like the MG summary
+# above it answers point frequency queries from a kilobyte artifact without
+# rescanning the corpus; unlike MG it never *drops* items, so it also
+# supports sum/inner-product style queries and has the classic one-sided
+# error bound: true <= est <= true + e*N/width with prob 1-(1/2)^depth.
+#
+# Hashing: production mode keys each of the ``depth`` hash rows off
+# xxhash64(item, row) (JVM, whole-stage codegen); ``portable=True``
+# switches to the md5-prefix arithmetic every other sampler/dedup portable
+# mode uses (``conv(substr(md5(item || '#cms' || row), 1, 8), 16, 10)``)
+# so a DuckDB oracle can replay cells and estimates bit-for-bit.
+
+
+def _cms_bucket(item: Column, row: Column, width: int, portable: bool) -> Column:
+    if portable:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(item, F.lit("#cms"), row.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return h % F.lit(width)
+    return F.pmod(F.xxhash64(item, row), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    keys: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = False,
+) -> DataFrame:
+    """Build a count-min sketch of ``item_col`` occurrences (one sketch
+    per ``keys`` group). Returns the sparse cell relation
+    (keys..., row, bucket, cnt).
+
+    Scale shape: ONE scan exploded ``depth`` ways, then a groupBy whose
+    map-side combine collapses each task's contribution to at most
+    depth x width cells before the shuffle — the exchange carries sketch
+    cells, never corpus rows. NULL items are excluded (count them
+    separately if needed)."""
+    if depth < 1 or width < 2:
+        raise ValueError("cms_build: need depth >= 1 and width >= 2")
+    keys = list(keys)
+    it = F.col(item_col).cast("string")
+    d = df.filter(it.isNotNull()).select(*keys, it.alias("_it"))
+    e = d.select(
+        *keys,
+        "_it",
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
+    )
+    return (
+        e.select(
+            *keys,
+            "row",
+            _cms_bucket(F.col("_it"), F.col("row"), width, portable).alias("bucket"),
+        )
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, keys: Sequence[str] = ()) -> DataFrame:
+    """Merge two CMS cell relations built with the SAME depth/width/mode:
+    element-wise cell sum (union + groupBy SUM — associative, so rollups
+    compose map-side like the HLL table above)."""
+    keys = list(keys)
+    return (
+        a.select(*keys, "row", "bucket", "cnt")
+        .unionByName(b.select(*keys, "row", "bucket", "cnt"))
+        .groupBy(*keys, "row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    keys: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = False,
+) -> DataFrame:
+    """Point-estimate the frequency of each item in ``items`` from a CMS
+    cell relation: re-hash the item into its ``depth`` cells, look them
+    up, and take the MIN (a missing cell is 0 — the item definitely
+    hashed to an untouched bucket in that row). Returns
+    (keys..., item, est).
+
+    Scale shape: the probe side is items x depth (queries are small);
+    the lookup is an equi-join on (keys, row, bucket) against the
+    kilobyte sketch relation — broadcastable — then one MIN per item."""
+    keys = list(keys)
+    it = F.col(item_col).cast("string")
+    probes = (
+        items.filter(it.isNotNull())
+        .select(*keys, it.alias("item"))
+        .distinct()
+        .select(
+            *keys,
+            "item",
+            F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
+        )
+        .withColumn(
+            "bucket", _cms_bucket(F.col("item"), F.col("row"), width, portable)
+        )
+    )
+    joined = probes.join(
+        sketch.select(*keys, "row", "bucket", "cnt"),
+        on=[*keys, "row", "bucket"],
+        how="left",
+    ).fillna(0, subset=["cnt"])
+    return joined.groupBy(*keys, "item").agg(F.min("cnt").alias("est"))

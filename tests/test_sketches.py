@@ -306,3 +306,71 @@ def test_stream_heavy_hitters_ingest(spark, tmp_path):
             assert tok in ests
     for tok, est in ests.items():
         assert est <= exact[tok] <= est + slack
+
+
+# ------------------------------------------------------------------ CMS ----
+def test_cms_estimate_bounds_and_exactness(spark):
+    """est >= true always (one-sided), and with width >> distinct items
+    the estimate is exact."""
+    import pyspark.sql.functions as F
+
+    from seafan_spark.sketches import cms_build, cms_estimate
+
+    rows = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "item string")
+    for portable in (False, True):
+        sk = cms_build(df, "item", depth=4, width=512, portable=portable)
+        est = cms_estimate(
+            sk, df.select("item").distinct(), "item",
+            depth=4, width=512, portable=portable,
+        )
+        got = {r["item"]: r["est"] for r in est.collect()}
+        assert got == {"a": 50, "b": 20, "c": 5}, (portable, got)
+
+
+def test_cms_collisions_overestimate_only(spark):
+    """Tiny width forces collisions: estimates may exceed truth but never
+    undercount, and the min-over-depth keeps error one-sided."""
+    from seafan_spark.sketches import cms_build, cms_estimate
+
+    rows = [(f"k{i % 37}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "item string")
+    sk = cms_build(df, "item", depth=3, width=8, portable=True)
+    est = cms_estimate(
+        sk, df.select("item").distinct(), "item", depth=3, width=8, portable=True
+    )
+    true = {f"k{i}": (1000 // 37 + (1 if i < 1000 % 37 else 0)) for i in range(37)}
+    for r in est.collect():
+        assert r["est"] >= true[r["item"]], r
+
+
+def test_cms_merge_equals_union_build(spark):
+    """CMS(A) ++ CMS(B) must equal CMS(A union B) cell-for-cell —
+    the property that makes incremental refresh and map-side rollups
+    lossless."""
+    from seafan_spark.sketches import cms_build, cms_merge
+
+    a = spark.createDataFrame([("x",)] * 10 + [("y",)] * 3, "item string")
+    b = spark.createDataFrame([("y",)] * 7 + [("z",)] * 2, "item string")
+    merged = cms_merge(
+        cms_build(a, "item", depth=3, width=16, portable=True),
+        cms_build(b, "item", depth=3, width=16, portable=True),
+    )
+    direct = cms_build(a.unionByName(b), "item", depth=3, width=16, portable=True)
+    mm = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    dd = {(r["row"], r["bucket"]): r["cnt"] for r in direct.collect()}
+    assert mm == dd
+
+
+def test_cms_grouped_sketches_independent(spark):
+    from seafan_spark.sketches import cms_build, cms_estimate
+
+    rows = [("g1", "a")] * 5 + [("g2", "a")] * 9
+    df = spark.createDataFrame(rows, "k string, item string")
+    sk = cms_build(df, "item", keys=["k"], depth=2, width=32, portable=True)
+    est = cms_estimate(
+        sk, df.select("k", "item").distinct(), "item", keys=["k"],
+        depth=2, width=32, portable=True,
+    )
+    got = {(r["k"], r["item"]): r["est"] for r in est.collect()}
+    assert got == {("g1", "a"): 5, ("g2", "a"): 9}

@@ -2212,6 +2212,35 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB twin (_kcenter_oracle_sql below) — hash-green at sf0.01 and sf0.1.
 
 
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse top-k
+    (llmops.similarity.mmr_select, Carbonell-Goldstein 1998): 6 picks at
+    lam=0.7 for the vec_id=0 embedding as the query — relevance minus
+    redundancy with the already-picked set, the selection layer between
+    ANN retrieval and context/training-subset assembly. Same unrolled
+    loop shape as kcenter (k scans of one cached unit-vector relation,
+    chosen vectors ride as broadcast literals, ORDER-BY-LIMIT-1 argmax),
+    and the same unrolled-CTE oracle trick at fixed k
+    (_mmr_oracle_sql)."""
+    from seafan_spark.llmops.similarity import mmr_select
+
+    emb = _pipe(spark, sf_dir, "embeddings").df
+    q_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    out = mmr_select(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        q_vec, k=6, lam=0.7,
+    )
+    return out.select(
+        "round",
+        "id",
+        round_col(F.col("rel"), 6).alias("rel"),
+        round_col(F.col("mmr"), 6).alias("mmr"),
+    )
+
+
 
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (llmops.lm.dsir_select, Xie et al. 2023):
@@ -2687,6 +2716,7 @@ def q_trimmed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 6 (never driver-checked -> window head) ---
     "cms": q_cms,
+    "mmr": q_mmr,
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
     "trimmed_mode": q_trimmed_mode,
@@ -5445,6 +5475,51 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
 
 
 ORACLES["kcenter"] = _kcenter_oracle_sql(k=8)
+
+
+def _mmr_oracle_sql(k: int = 6, lam: float = 0.7) -> str:
+    """Unrolled MMR twin for q_mmr: rel = dot(unit v, unit q) computed
+    once; round r picks argmax (DESC, id ASC) of lam*rel - (1-lam)*ms,
+    then mN+1 updates ms with GREATEST against the new pick. The lam
+    coefficients are emitted with repr() so the SQL literal reproduces
+    the exact double Spark multiplies by (1.0 - 0.7 is
+    0.30000000000000004, not 0.3)."""
+    a, b = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [
+        """
+    WITH u AS (
+        SELECT vec_id AS id,
+               CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+                    ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+               END AS v
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+              WHERE embedding IS NOT NULL)
+    ), qv AS (SELECT v FROM u WHERE id = 0),
+    m0 AS (SELECT u.id, u.v, list_dot_product(u.v, qv.v) AS rel, 0.0 AS ms
+           FROM u CROSS JOIN qv WHERE u.id <> 0)"""
+    ]
+    for r in range(k):
+        parts.append(
+            f""",
+    r{r} AS (SELECT id, v, rel, ({a} * rel) - ({b} * ms) AS score
+             FROM m{r} ORDER BY score DESC, id ASC LIMIT 1)"""
+        )
+        if r < k - 1:
+            parts.append(
+                f""",
+    m{r + 1} AS (SELECT t.id, t.v, t.rel,
+                 GREATEST(t.ms, list_dot_product(t.v, r{r}.v)) AS ms
+                 FROM m{r} t CROSS JOIN r{r} WHERE t.id <> r{r}.id)"""
+            )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS round, id, ROUND(rel, 6) AS rel,"
+        f" ROUND(score, 6) AS mmr FROM r{r}"
+        for r in range(k)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+ORACLES["mmr"] = _mmr_oracle_sql(k=6, lam=0.7)
 
 
 # cms twin: replays the md5-portable cell build, the probe hashing, and the

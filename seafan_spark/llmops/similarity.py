@@ -773,6 +773,87 @@ def kcenter_select(
     )
 
 
+def mmr_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance top-k (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results trading query relevance against
+    redundancy with the already-picked set —
+
+        score(c) = lam * cos(q, c) - (1 - lam) * max_{s in S} cos(s, c)
+
+    ``lam=1`` degenerates to brute-force top-k; ``lam=0`` to pure
+    diversity (kcenter_select's complement-free cousin). The canonical
+    use here: picking a diverse context/training subset from an ANN
+    candidate pool instead of k near-identical top hits.
+
+    Deterministic: ties break by smallest id; round 0's max-sim term is
+    0 (empty picked set), so every round is the SAME argmax — no seeded
+    special case. Returns (round, id, rel, mmr): ``rel`` = cosine to the
+    query, ``mmr`` = the score the pick won its round with.
+
+    100 TB design (kcenter_select's loop shape): unit vectors, the
+    relevance column, and the running max-sim column live in ONE cached
+    relation scanned k times; each chosen vector rides into the next
+    round as a broadcast literal updating max-sim in place (JVM
+    ``zip_with`` dot), the argmax is ORDER-BY-LIMIT-1 (WindowGroupLimit
+    class, never a global sort), and driver state is k ids + k vectors.
+    Run it on an ANN candidate pool (ann_topk/ann_ivf with generous k'),
+    not the raw corpus, when the corpus is petabyte-scale."""
+    from pyspark.sql import Row
+
+    if k < 1:
+        raise ValueError("mmr_select: k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("mmr_select: lam must be in [0, 1]")
+    q_unit = l2_normalize_col(F.array(*[F.lit(float(x)) for x in query_vec]))
+    cur = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            l2_normalize_col(F.col(vec_col)).alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .withColumn("_rel", dot_col(F.col("_v"), q_unit))
+        .withColumn("_ms", F.lit(0.0))  # max cosine to the picked set
+    )
+    chosen: list[tuple[int, int, float, float]] = []
+    prev_ck = None
+    score = F.lit(float(lam)) * F.col("_rel") - F.lit(1.0 - float(lam)) * F.col("_ms")
+    for rnd in range(k):
+        cur = cur.localCheckpoint(eager=True)  # k is small; keeps lineage flat
+        unpersist_checkpoint(prev_ck)  # superseded round state is dead
+        prev_ck = cur
+        top = (
+            cur.withColumn("_score", score)
+            .orderBy(F.col("_score").desc(), F.col("_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        nid, nrel, nscore = top[0]["_id"], float(top[0]["_rel"]), float(top[0]["_score"])
+        chosen.append((rnd, nid, nrel, nscore))
+        nvec = top[0]["_v"]
+        cur = cur.filter(F.col("_id") != nid).withColumn(
+            "_ms",
+            F.greatest(
+                F.col("_ms"),
+                dot_col(F.col("_v"), F.array(*[F.lit(float(x)) for x in nvec])),
+            ),
+        )
+    unpersist_checkpoint(prev_ck)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [Row(round=r, id=i, rel=rel, mmr=m) for r, i, rel, m in chosen],
+        schema="round int, id bigint, rel double, mmr double",
+    )
+
+
 # ---------------------------------------------------------------- PCA ----
 def _pca_moment_row(d_df: DataFrame, dim: int) -> tuple[int, "object", "object"]:
     """(n, sum vector [d], Gram [d*d]) of an embedding relation, reduced to

@@ -1498,3 +1498,89 @@ def test_ungrouped_stats_match_keyed_and_stay_distributed(spark):
     ]:
         flags = [f for f in scale_report(ungrouped).flags if "single-partition" in f]
         assert not flags, f"{name} ungrouped path: {flags}"
+
+
+# --------------------------------------------------------------------- MMR ----
+def _mmr_numpy(vecs, ids, q, k, lam):
+    import numpy as np
+
+    V = np.asarray(vecs, dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    qv = np.asarray(q, dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    rel = V @ qv
+    ms = np.zeros(len(ids))
+    alive = list(range(len(ids)))
+    out = []
+    for rnd in range(k):
+        if not alive:
+            break
+        scores = [(lam * rel[i] - (1 - lam) * ms[i], -ids[i], i) for i in alive]
+        best = max(scores, key=lambda t: (t[0], t[1]))[2]
+        out.append((rnd, ids[best], rel[best], lam * rel[best] - (1 - lam) * ms[best]))
+        alive.remove(best)
+        ms = np.maximum(ms, V @ V[best])
+    return out
+
+
+def test_mmr_matches_numpy_reference(spark):
+    import numpy as np
+
+    from seafan_spark.llmops.similarity import mmr_select
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 6).tolist()
+    ids = list(range(40))
+    q = rng.randn(6).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in zip(ids, vecs)], "id long, emb array<double>"
+    )
+    got = [
+        (r["round"], r["id"], r["rel"], r["mmr"])
+        for r in mmr_select(df, "id", "emb", q, k=5, lam=0.6).collect()
+    ]
+    want = _mmr_numpy(vecs, ids, q, 5, 0.6)
+    assert [(g[0], g[1]) for g in got] == [(w[0], w[1]) for w in want]
+    for g, w in zip(got, want):
+        assert g[2] == pytest.approx(w[2], abs=1e-9)
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+
+
+def test_mmr_lam1_is_pure_topk(spark):
+    import numpy as np
+
+    from seafan_spark.llmops.similarity import mmr_select
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(30, 4)
+    q = rng.randn(4)
+    cos = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)) @ (q / np.linalg.norm(q))
+    want = list(np.argsort(-cos)[:4])
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(30)], "id long, emb array<double>"
+    )
+    got = [r["id"] for r in mmr_select(df, "id", "emb", q.tolist(), k=4, lam=1.0).collect()]
+    assert got == want
+
+
+def test_mmr_diversity_spans_clusters(spark):
+    """Three tight clusters, all similarly relevant: lam=0.5 must pick one
+    from each cluster before doubling up, while lam=1 (pure relevance)
+    stays inside the closest cluster."""
+    from seafan_spark.llmops.similarity import mmr_select
+
+    def around(base, eps_id):
+        return [b + 0.001 * ((eps_id * 7919) % 13 - 6) for b in base]
+
+    c0, c1, c2 = [1.0, 0.0, 0.05], [0.0, 1.0, 0.05], [0.7, 0.7, 0.05]
+    rows = []
+    for j in range(5):
+        rows.append((j, around(c0, j)))
+        rows.append((10 + j, around(c1, 10 + j)))
+        rows.append((20 + j, around(c2, 20 + j)))
+    df = spark.createDataFrame(rows, "id long, emb array<double>")
+    q = [0.6, 0.6, 0.05]
+    div = [r["id"] // 10 for r in mmr_select(df, "id", "emb", q, k=3, lam=0.5).collect()]
+    assert sorted(div) == [0, 1, 2], div
+    rel = [r["id"] // 10 for r in mmr_select(df, "id", "emb", q, k=3, lam=1.0).collect()]
+    assert len(set(rel)) == 1, rel

@@ -1767,6 +1767,29 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift (text.token_divergence_by):
+    KL(P_src || Q_corpus) + Jensen-Shannon + coverage per source — the
+    drift screen run before folding a source into a training mix. One
+    explode→groupBy pass; the corpus distribution is a rollup of the
+    same relation; JS's never-used-term mass enters via the exact
+    closed-form q·ln2 identity (no source × vocabulary densification).
+    The DuckDB twin replays tokenization, the joins, and the identical
+    double arithmetic."""
+    from seafan_spark.llmops.text import token_divergence_by
+
+    d = _pipe(spark, sf_dir, "documents").df
+    out = token_divergence_by(d, "source", "text")
+    return out.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        round_col(F.col("kl"), 6).alias("kl"),
+        round_col(F.col("js"), 6).alias("js"),
+        round_col(F.col("coverage"), 6).alias("coverage"),
+    )
+
+
 def q_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-dedup CUT policy end to end
     (llmops.dedup.cut_duplicated_spans): duplicated spans -> per-doc
@@ -2717,6 +2740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 6 (never driver-checked -> window head) ---
     "cms": q_cms,
     "mmr": q_mmr,
+    "token_divergence": q_token_divergence,
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
     "trimmed_mode": q_trimmed_mode,
@@ -5520,6 +5544,43 @@ def _mmr_oracle_sql(k: int = 6, lam: float = 0.7) -> str:
 
 
 ORACLES["mmr"] = _mmr_oracle_sql(k=6, lam=0.7)
+
+
+# token_divergence twin: same tokenizer as zipf's, same join shape, and the
+# same closed-form missing-mass ln2 term as the Spark aggregation
+ORACLES["token_divergence"] = """
+    WITH norm AS (
+        SELECT source, REGEXP_REPLACE(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ), tok AS (
+        SELECT source, UNNEST(STRING_SPLIT(t, ' ')) AS term FROM norm
+    ), gterm AS (
+        SELECT source, term, COUNT(*) AS c FROM tok
+        WHERE LENGTH(term) > 0 GROUP BY 1, 2
+    ), cterm AS (
+        SELECT term, SUM(c) AS ct FROM gterm GROUP BY 1
+    ), ntot AS (SELECT SUM(ct) AS nt FROM cterm),
+    gtot AS (SELECT source, SUM(c) AS ng FROM gterm GROUP BY 1),
+    j AS (
+        SELECT g.source,
+               g.c,
+               CAST(g.c AS DOUBLE) / gt.ng AS p,
+               CAST(ct.ct AS DOUBLE) / ntot.nt AS q
+        FROM gterm g
+        JOIN cterm ct USING (term)
+        JOIN gtot gt USING (source)
+        CROSS JOIN ntot
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(SUM(p * LN(p / q)), 6) AS kl,
+           ROUND(0.5 * SUM(p * LN(p / ((p + q) / 2.0)))
+                 + 0.5 * (SUM(q * LN(q / ((p + q) / 2.0)))
+                          + LN(2.0) * (1.0 - SUM(q))), 6) AS js,
+           ROUND(SUM(q), 6) AS coverage
+    FROM j GROUP BY source
+"""
 
 
 # cms twin: replays the md5-portable cell build, the probe hashing, and the

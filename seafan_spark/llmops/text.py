@@ -745,3 +745,68 @@ def hashed_doc_vectors(
             "weight"
         ),
     )
+
+
+def token_divergence_by(
+    df,
+    group_col: str,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-group token-distribution drift vs the whole corpus: KL and
+    Jensen-Shannon divergence between each group's unigram distribution P
+    and the corpus distribution Q — the standard screen for a source/
+    domain/date-slice whose language has shifted (templating, spam
+    injection, scraper drift) before it contaminates a training mix.
+
+    Returns (group, n_tokens, n_types, kl, js, coverage):
+
+    - ``kl``       = KL(P || Q), nats. Finite without smoothing because
+                     every group token is in the corpus (support P ⊆ Q).
+    - ``js``       = Jensen-Shannon divergence (symmetric, bounded by
+                     ln 2). Terms the group never uses contribute their
+                     EXACT closed-form ``q·ln2`` mass via the identity
+                     KL(Q||M)'s missing-term sum = ln2 · (1 − Σ_present q)
+                     — no group × vocabulary densification is built.
+    - ``coverage`` = Σ_present q: the corpus-probability mass the group's
+                     vocabulary covers.
+
+    Scale shape: ONE explode→groupBy(group, term) pass, map-side-combined
+    to per-group vocabularies; the corpus distribution is the term-level
+    rollup of that SAME relation (no second corpus scan); both joins are
+    vocabulary-keyed equi-joins; the final rollup is one aggregation per
+    group. Pure JVM Columns throughout."""
+    d = getattr(df, "df", df)
+    toks = d.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    gterm = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c"))
+    # corpus rollup of the same relation: term totals + grand total
+    cterm = gterm.groupBy("term").agg(F.sum("c").alias("ct"))
+    n_corpus = cterm.agg(F.sum("ct").alias("nt"))
+    gtot = gterm.groupBy("grp").agg(F.sum("c").alias("ng"))
+    joined = (
+        gterm.join(cterm, "term")
+        .join(F.broadcast(n_corpus))
+        .join(gtot, "grp")
+    )
+    p = F.col("c").cast("double") / F.col("ng")
+    q = F.col("ct").cast("double") / F.col("nt")
+    m = (p + q) / F.lit(2.0)
+    return (
+        joined.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(p * F.log(p / q)).alias("kl"),
+            (
+                F.lit(0.5) * F.sum(p * F.log(p / m))
+                + F.lit(0.5)
+                * (
+                    F.sum(q * F.log(q / m))
+                    + F.log(F.lit(2.0)) * (F.lit(1.0) - F.sum(q))
+                )
+            ).alias("js"),
+            F.sum(q).alias("coverage"),
+        )
+    )

@@ -1404,3 +1404,55 @@ def test_fleiss_kappa_rejects_uneven_ratings(spark):
     df = spark.createDataFrame(rows, "item_id int, annotator int, label int")
     with pytest.raises(ValueError, match="constant"):
         fleiss_kappa(df)
+
+
+# --------------------------------------------------------- token divergence ----
+def test_token_divergence_identical_groups_zero(spark):
+    """Two groups with the SAME token distribution: kl = js = 0 and
+    coverage = 1 for both."""
+    from seafan_spark.llmops.text import token_divergence_by
+
+    rows = [("a", "x y z x"), ("b", "x x y z")]
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {r["src"]: r for r in token_divergence_by(df, "src", "text").collect()}
+    for g in ("a", "b"):
+        assert out[g]["kl"] == pytest.approx(0.0, abs=1e-12)
+        assert out[g]["js"] == pytest.approx(0.0, abs=1e-12)
+        assert out[g]["coverage"] == pytest.approx(1.0, abs=1e-12)
+        assert out[g]["n_tokens"] == 4 and out[g]["n_types"] == 3
+
+
+def test_token_divergence_matches_scipy_style_reference(spark):
+    """Disjoint-ish vocabularies: compare against a dense numpy
+    computation of KL(P||Q) and JS over the FULL corpus vocabulary
+    (the closed-form missing-mass identity must equal densification)."""
+    import math
+    from collections import Counter
+
+    from seafan_spark.llmops.text import token_divergence_by
+
+    docs = {"a": "cat dog cat bird", "b": "dog dog fish fish squid"}
+    df = spark.createDataFrame(list(docs.items()), "src string, text string")
+    corpus = Counter()
+    per = {}
+    for g, t in docs.items():
+        per[g] = Counter(t.split())
+        corpus.update(per[g])
+    nt = sum(corpus.values())
+    out = {r["src"]: r for r in token_divergence_by(df, "src", "text").collect()}
+    for g, cnt in per.items():
+        ng = sum(cnt.values())
+        kl = js = cov = 0.0
+        for term, ct in corpus.items():
+            q = ct / nt
+            p = cnt.get(term, 0) / ng
+            m = (p + q) / 2
+            if p > 0:
+                kl += p * math.log(p / q)
+                js += 0.5 * p * math.log(p / m)
+                cov += q
+            js += 0.5 * q * math.log(q / m)
+        assert out[g]["kl"] == pytest.approx(kl, abs=1e-12), g
+        assert out[g]["js"] == pytest.approx(js, abs=1e-12), g
+        assert out[g]["coverage"] == pytest.approx(cov, abs=1e-12), g
+        assert 0.0 < out[g]["js"] < math.log(2.0)

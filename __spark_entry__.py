@@ -1767,6 +1767,33 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (rank.rrf_fuse, Cormack et al. 2009):
+    per event_type, fuse a value ranker and a recency ranker at the
+    paper's k=60, keep each type's top-5 fused rows. One keyed window
+    per ranker (groups rank independently) + a WindowGroupLimit-pruned
+    top-k — no score calibration, no global sort. The DuckDB twin
+    replays both ROW_NUMBER rankers, the 1/(60+r) sum, and the fused
+    top-5 verbatim."""
+    from seafan_spark.rank import rrf_fuse
+
+    ev = _pipe(spark, sf_dir, "events").df
+    out = rrf_fuse(
+        ev.select("event_type", "event_id", "value", F.col("ts").alias("recency")),
+        "event_id",
+        ["value", "recency"],
+        keys=["event_type"],
+        top=5,
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        F.col("rank_value").cast("bigint").alias("rank_value"),
+        F.col("rank_recency").cast("bigint").alias("rank_recency"),
+        round_col(F.col("rrf"), 6).alias("rrf"),
+    )
+
+
 def q_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-distribution drift (text.token_divergence_by):
     KL(P_src || Q_corpus) + Jensen-Shannon + coverage per source — the
@@ -2741,6 +2768,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms": q_cms,
     "mmr": q_mmr,
     "token_divergence": q_token_divergence,
+    "rrf": q_rrf,
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
     "trimmed_mode": q_trimmed_mode,
@@ -2794,11 +2822,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round 6: kcenter graduated rows-only -> oracled (unrolled-CTE twin),
     # promoted into the window as a never-hash-checked oracled query
     "kcenter": q_kcenter,
+    # --- end of the driver's 50-entry correctness window ---
+    # (cms/mmr/token_divergence/rrf entered at the head, so these four
+    # stable driver-green back-fills rotate below the marker)
     "tpch_q3": q_tpch_q3,
     "minhash_clusters": q_minhash_clusters,
     "minhash_incr": q_minhash_incr,
     "contamination_bloom": q_contamination_bloom,
-    # --- end of the driver's 50-entry correctness window ---
     "fleiss_kappa": q_fleiss_kappa,
     # --- rows-only (no SQL twin: iterative/optimizer outputs); driver-run
     # in round 5, rotated back out per the ordering contract ---
@@ -5544,6 +5574,33 @@ def _mmr_oracle_sql(k: int = 6, lam: float = 0.7) -> str:
 
 
 ORACLES["mmr"] = _mmr_oracle_sql(k=6, lam=0.7)
+
+
+ORACLES["rrf"] = """
+    WITH r AS (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC NULLS LAST,
+                                           event_id ASC) AS rank_value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ts DESC NULLS LAST,
+                                           event_id ASC) AS rank_recency
+        FROM events
+    ), f AS (
+        SELECT event_type, event_id, rank_value, rank_recency,
+               1.0 / (60.0 + rank_value) + 1.0 / (60.0 + rank_recency) AS rrf
+        FROM r
+    ), t AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY rrf DESC, event_id ASC) AS fr
+        FROM f
+    )
+    SELECT event_type, event_id,
+           CAST(rank_value AS BIGINT) AS rank_value,
+           CAST(rank_recency AS BIGINT) AS rank_recency,
+           ROUND(rrf, 6) AS rrf
+    FROM t WHERE fr <= 5
+"""
 
 
 # token_divergence twin: same tokenizer as zipf's, same join shape, and the

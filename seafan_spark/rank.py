@@ -231,3 +231,73 @@ def attach_running_ops(
             )
     d = d.withColumns(out_cols)
     return d.drop(*drop)
+
+
+def rrf_fuse(
+    df: DataFrame,
+    id_col: str,
+    score_cols: "Sequence[str]",
+    keys: "Sequence[str]" = (),
+    k_const: int = 60,
+    top: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009) of
+    several score columns over one candidate relation:
+
+        rrf(c) = Σ_s 1 / (k_const + rank_s(c))
+
+    — the standard way to merge heterogeneous retrievers (BM25 score,
+    embedding cosine, recency, clicks) without calibrating their score
+    scales; k=60 is the paper's robust default. Each ranker is a column
+    of ``df``; ranks are 1-based per ``keys`` group (query id, user,
+    segment), descending score with ``id_col`` ASC as a deterministic
+    total-order tiebreak. NULL scores rank LAST in their group (a
+    retriever that didn't score a candidate shouldn't boost it).
+    Returns (keys..., id, rank_<col>..., rrf), optionally only the
+    ``top`` fused rows per group.
+
+    Scale shape: with keys, one keyed window per ranker (groups rank
+    independently — query-sized relations, no global order) and, when
+    ``top`` is set, a WindowGroupLimit-prunable row_number over the
+    fused score. With NO keys each ranker stages through
+    ``global_row_number`` (range repartition + driver offsets) — never
+    a corpus-sized ``partitionBy(lit(0))`` single task."""
+    from pyspark.sql import Window
+
+    if not score_cols:
+        raise ValueError("rrf_fuse: need at least one score column")
+    keys = list(keys)
+    d = df
+    rank_names = []
+    for sc in score_cols:
+        rn = f"rank_{sc}"
+        rank_names.append(rn)
+        order = [F.col(sc).desc_nulls_last(), F.col(id_col).asc()]
+        if keys:
+            w = Window.partitionBy(*keys).orderBy(*order)
+            d = d.withColumn(rn, F.row_number().over(w))
+        else:
+            d, _ = global_row_number(
+                d, [(sc, False), (id_col, True)], rn
+            )
+    rrf = None
+    for rn in rank_names:
+        term = F.lit(1.0) / (F.lit(float(k_const)) + F.col(rn))
+        rrf = term if rrf is None else rrf + term
+    out = d.select(*keys, id_col, *rank_names, rrf.alias("rrf"))
+    if top is not None:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+            if keys
+            else None
+        )
+        if w is not None:
+            out = (
+                out.withColumn("_fr", F.row_number().over(w))
+                .filter(F.col("_fr") <= top)
+                .drop("_fr")
+            )
+        else:
+            out = out.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(top)
+    return out

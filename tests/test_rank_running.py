@@ -75,3 +75,63 @@ def test_spread_skips_already_repartitioned(spark):
     wide = df.repartition(8, "c_custkey")
     out = spread_if_narrow(wide, 32, "c_custkey")
     assert out is wide  # no second shuffle on an already-spread frame
+
+
+# --------------------------------------------------------------------- RRF ----
+def test_rrf_matches_manual_fusion(spark):
+    from seafan_spark.rank import rrf_fuse
+
+    rows = [
+        ("q1", 1, 0.9, 10.0),
+        ("q1", 2, 0.8, 30.0),
+        ("q1", 3, 0.7, 20.0),
+        ("q2", 4, 0.5, 5.0),
+        ("q2", 5, 0.6, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "q string, id int, cos double, clicks double")
+    out = {
+        (r["q"], r["id"]): r
+        for r in rrf_fuse(df, "id", ["cos", "clicks"], keys=["q"]).collect()
+    }
+    # q1: cos ranks 1,2,3 ; clicks ranks 3,1,2
+    assert out[("q1", 1)]["rank_cos"] == 1 and out[("q1", 1)]["rank_clicks"] == 3
+    assert out[("q1", 2)]["rrf"] == pytest.approx(1 / 62 + 1 / 61)
+    assert out[("q2", 5)]["rank_cos"] == 1 and out[("q2", 5)]["rank_clicks"] == 2
+    # top=1 keeps only each group's best fused row
+    top = rrf_fuse(df, "id", ["cos", "clicks"], keys=["q"], top=1).collect()
+    assert sorted((r["q"], r["id"]) for r in top) == [("q1", 2), ("q2", 4)]
+
+
+def test_rrf_null_scores_rank_last(spark):
+    from seafan_spark.rank import rrf_fuse
+
+    rows = [("q", 1, None), ("q", 2, 0.1), ("q", 3, 0.5)]
+    df = spark.createDataFrame(rows, "q string, id int, s double")
+    out = {r["id"]: r["rank_s"] for r in rrf_fuse(df, "id", ["s"], keys=["q"]).collect()}
+    assert out == {3: 1, 2: 2, 1: 3}
+
+
+def test_rrf_ungrouped_distributed_matches_keyed(spark):
+    """keys=() stages through global_row_number — same fusion values as a
+    constant-key run, and no single-partition exchange feeding the ranks."""
+    import pyspark.sql.functions as F
+
+    from seafan_spark.planaudit import scale_report
+    from seafan_spark.rank import rrf_fuse
+
+    rows = [(i, float((i * 37) % 101), float((i * 53) % 89)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id int, a double, b double")
+    ung = {r["id"]: r["rrf"] for r in rrf_fuse(df, "id", ["a", "b"]).collect()}
+    key = {
+        r["id"]: r["rrf"]
+        for r in rrf_fuse(
+            df.withColumn("k", F.lit(1)), "id", ["a", "b"], keys=["k"]
+        ).collect()
+    }
+    assert ung == key
+    flags = [
+        f
+        for f in scale_report(rrf_fuse(df, "id", ["a", "b"])).flags
+        if "single-partition" in f
+    ]
+    assert not flags, flags

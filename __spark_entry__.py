@@ -2761,8 +2761,10 @@ def q_trimmed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the never-driver-checked rows-only queries into the window once so the
 # driver record shows them ran; round 6 rotates them back out per this
 # contract (their r05 rows are the record), promotes the newly-oracled
-# isotonic + pca_moments, and back-fills with stable oracled queries — the
-# window is 50/50 oracled again.
+# isotonic + pca_moments + kcenter (unrolled-CTE twin) and the four new
+# round-6 operators (cms / mmr / token_divergence / rrf), and back-fills
+# the remaining slots with stable oracled queries — the window is 50/50
+# oracled again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 6 (never driver-checked -> window head) ---
     "cms": q_cms,

@@ -80,7 +80,7 @@ def main() -> None:
                   "minhash_pairs_fast", "multimodal", "model_glm", "describe",
                   "ks", "decile", "marginal", "ngram_jaccard", "irr_by",
                   "ann_ivf", "winnow", "minhash_incr", "minhash_clusters",
-                  "sort_rank"):
+                  "sort_rank", "kcenter", "mmr"):
         try:
             force(qs[wname](spark, warm_dir))
         except Exception:

@@ -780,7 +780,15 @@ def token_divergence_by(
         F.col(group_col).alias("grp"),
         F.explode(F.split(norm_text_col(F.col(text_col)), " ")).alias("term"),
     ).filter(F.length("term") > 0)
-    gterm = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("c"))
+    gterm = (
+        toks.groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # (group, term)-vocabulary-sized and feeding THREE branches (corpus
+        # rollup, group totals, the join) — materialize once so the corpus
+        # explode truly runs a single pass (same pattern as zipf_stats;
+        # session.cleanup reclaims the blocks)
+        .localCheckpoint(eager=True)
+    )
     # corpus rollup of the same relation: term totals + grand total
     cterm = gterm.groupBy("term").agg(F.sum("c").alias("ct"))
     n_corpus = cterm.agg(F.sum("ct").alias("nt"))

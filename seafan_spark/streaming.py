@@ -892,3 +892,74 @@ def stream_seasonal_ingest(
     finally:
         if own_ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def stream_cms_ingest(
+    stream_df: DataFrame,
+    store_path: str,
+    item_col: str,
+    keys: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 1024,
+    portable: bool = False,
+    checkpoint_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Streaming maintenance of a count-min sketch store
+    (:func:`sketches.cms_build` cells): per micro-batch, sketch ONLY the
+    arriving rows and MERGE by summing cells into the persisted store —
+    CMS cells add exactly (the same mergeability as the seasonal-moment
+    store above), so the store always equals ``cms_build`` over
+    everything ever ingested, and point-frequency questions
+    (:func:`sketches.cms_estimate`) are answered from the kilobyte store
+    without rescanning history. depth/width/portable must match across
+    the store's lifetime (cells from different geometries don't merge).
+
+    Same state shape and overwrite/idempotency caveats as
+    :func:`stream_sketch_ingest`: state is a
+    <= groups x depth x width cell TABLE, never a streaming state
+    store."""
+    import shutil
+
+    from seafan_spark.session import unpersist_checkpoint
+    from seafan_spark.sketches import cms_build, cms_merge
+
+    own_ckpt = checkpoint_dir is None
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="seafan_cms_ckpt_")
+    key_list = list(keys)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_cells = cms_build(
+            batch_df, item_col, keys=key_list,
+            depth=depth, width=width, portable=portable,
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            store = spark.read.parquet(store_path)
+            merged = cms_merge(store, batch_cells, keys=key_list)
+        except AnalysisException as ex:
+            if "PATH_NOT_FOUND" not in str(ex):
+                raise
+            merged = batch_cells
+        # materialize BEFORE the overwrite (the plan reads the same path),
+        # then free the scratch blocks once the write lands
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(store_path)
+        unpersist_checkpoint(merged)
+
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"cms ingest did not finish in {timeout_sec}s")
+    finally:
+        if own_ckpt:
+            shutil.rmtree(ckpt, ignore_errors=True)

@@ -374,3 +374,47 @@ def test_cms_grouped_sketches_independent(spark):
     )
     got = {(r["k"], r["item"]): r["est"] for r in est.collect()}
     assert got == {("g1", "a"): 5, ("g2", "a"): 9}
+
+
+def test_stream_cms_ingest_equals_batch(spark, tmp_path):
+    """Incrementally-maintained CMS store == one-shot cms_build over
+    everything ingested, cell for cell — the mergeability contract that
+    makes the store answer frequency questions without rescanning
+    history."""
+    from seafan_spark.sketches import cms_build, cms_estimate
+    from seafan_spark.streaming import stream_cms_ingest
+
+    src = tmp_path / "cms_src"
+    src.mkdir()
+    store = str(tmp_path / "cms_store")
+    rows = [(f"u{i % 9}",) for i in range(120)]
+    for i in range(0, 120, 40):
+        spark.createDataFrame(rows[i : i + 40], "item string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / f"p{i}"))
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    stream_cms_ingest(stream, store, "item", depth=3, width=16, portable=True)
+
+    got = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(store).collect()
+    }
+    batch = spark.createDataFrame(rows, "item string")
+    want = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(batch, "item", depth=3, width=16, portable=True).collect()
+    }
+    assert got == want
+    # and the store answers estimates with the one-sided bound intact
+    est = cms_estimate(
+        spark.read.parquet(store), batch.select("item").distinct(), "item",
+        depth=3, width=16, portable=True,
+    )
+    for r in est.collect():
+        assert r["est"] >= 120 // 9

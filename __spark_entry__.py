@@ -1767,6 +1767,50 @@ def q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-of-week one-way ANOVA of event value across event types
+    (agg.anova_by) — the >= 2-variant test the two-sample guards point
+    to. Two map-side-partial moment rollups (corpus -> (dow, variant) ->
+    dow), statistic in post-aggregation arithmetic mirrored by the twin
+    term-for-term."""
+    from seafan_spark.agg import anova_by
+
+    ev = _pipe(spark, sf_dir, "events").df.withColumn(
+        "dow", F.dayofweek("ts")
+    )
+    out = anova_by(ev, "value", "event_type", ["dow"])
+    return out.select(
+        "dow",
+        "k",
+        "n",
+        round_col(F.col("ssb"), 6).alias("ssb"),
+        round_col(F.col("ssw"), 6).alias("ssw"),
+        round_col(F.col("f_stat"), 6).alias("f_stat"),
+        round_col(F.col("eta_sq"), 6).alias("eta_sq"),
+    )
+
+
+def q_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day-of-week Kruskal-Wallis H across event types
+    (agg.kruskal_by) — anova's rank-based companion. Midranks from a
+    keyed window (each dow ranks independently), tie correction from
+    the per-row (t^2 - 1) sum; the twin replays rank + tie windows and
+    the identical H arithmetic."""
+    from seafan_spark.agg import kruskal_by
+
+    ev = _pipe(spark, sf_dir, "events").df.withColumn(
+        "dow", F.dayofweek("ts")
+    )
+    out = kruskal_by(ev, "value", "event_type", ["dow"])
+    return out.select(
+        "dow",
+        "k",
+        "n",
+        round_col(F.col("h"), 6).alias("h"),
+        round_col(F.col("h_corrected"), 6).alias("h_corrected"),
+    )
+
+
 def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion (rank.rrf_fuse, Cormack et al. 2009):
     per event_type, fuse a value ranker and a recency ranker at the
@@ -2771,6 +2815,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr": q_mmr,
     "token_divergence": q_token_divergence,
     "rrf": q_rrf,
+    "anova": q_anova,
+    "kruskal": q_kruskal,
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
     "trimmed_mode": q_trimmed_mode,
@@ -2817,16 +2863,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "edit_distance": q_edit_distance,
-    "ann_topk": q_ann_topk,
-    "ann_ivf": q_ann_ivf,
-    # --- oracled, stable (back-filling the slots of the rotated-out
-    # rows-only queries) ---
     # round 6: kcenter graduated rows-only -> oracled (unrolled-CTE twin),
     # promoted into the window as a never-hash-checked oracled query
     "kcenter": q_kcenter,
     # --- end of the driver's 50-entry correctness window ---
-    # (cms/mmr/token_divergence/rrf entered at the head, so these four
-    # stable driver-green back-fills rotate below the marker)
+    # (cms/mmr/token_divergence/rrf/anova/kruskal entered at the head, so
+    # these stable driver-green back-fills rotate below the marker)
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "tpch_q3": q_tpch_q3,
     "minhash_clusters": q_minhash_clusters,
     "minhash_incr": q_minhash_incr,
@@ -5576,6 +5620,69 @@ def _mmr_oracle_sql(k: int = 6, lam: float = 0.7) -> str:
 
 
 ORACLES["mmr"] = _mmr_oracle_sql(k=6, lam=0.7)
+
+
+ORACLES["anova"] = """
+    WITH d AS (
+        SELECT dayofweek(ts) + 1 AS dow, -- DuckDB dayofweek 0=Sun; Spark 1=Sun
+               event_type AS v, CAST(value AS DOUBLE) AS x
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), pv AS (
+        SELECT dow, v, CAST(COUNT(*) AS DOUBLE) AS nj,
+               SUM(x) AS sj, SUM(x * x) AS qj
+        FROM d GROUP BY 1, 2
+    ), a AS (
+        SELECT dow, COUNT(*) AS k, SUM(nj) AS n, SUM(sj) AS s,
+               SUM(qj) AS q, SUM(sj * sj / nj) AS g
+        FROM pv GROUP BY dow
+    )
+    SELECT dow, k, CAST(n AS BIGINT) AS n,
+           ROUND(g - s * s / n, 6) AS ssb,
+           ROUND(q - g, 6) AS ssw,
+           ROUND(CASE WHEN k >= 2 AND n > k AND (q - g) > 0
+                      THEN ((g - s * s / n) / (k - 1.0)) / ((q - g) / (n - k))
+                 END, 6) AS f_stat,
+           ROUND(CASE WHEN (g - s * s / n) + (q - g) > 0
+                      THEN (g - s * s / n) / ((g - s * s / n) + (q - g))
+                 END, 6) AS eta_sq
+    FROM a
+"""
+
+
+ORACLES["kruskal"] = """
+    WITH d AS (
+        SELECT dayofweek(ts) + 1 AS dow,
+               event_type AS v, CAST(value AS DOUBLE) AS x
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), r AS (
+        SELECT dow, v, x,
+               RANK() OVER (PARTITION BY dow ORDER BY x ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY dow, x) AS t
+        FROM d
+    ), m AS (
+        SELECT dow, v, rk + (t - 1) / 2.0 AS mid, t FROM r
+    ), pv AS (
+        SELECT dow, v, CAST(COUNT(*) AS DOUBLE) AS nj, SUM(mid) AS rj,
+               SUM(t * t - 1.0) AS tiej
+        FROM m GROUP BY 1, 2
+    ), a AS (
+        SELECT dow, COUNT(*) AS k, SUM(nj) AS n,
+               SUM(rj * rj / nj) AS r2, SUM(tiej) AS ties
+        FROM pv GROUP BY dow
+    )
+    SELECT dow, k, CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN k >= 2 AND n >= 2
+                      THEN 12.0 / (n * (n + 1.0)) * r2 - 3.0 * (n + 1.0)
+                 END, 6) AS h,
+           ROUND(CASE WHEN k >= 2 AND n >= 2
+                           AND (1.0 - ties / (n * n * n - n)) > 0
+                      THEN (12.0 / (n * (n + 1.0)) * r2 - 3.0 * (n + 1.0))
+                           / (1.0 - ties / (n * n * n - n))
+                 END, 6) AS h_corrected
+    FROM a
+"""
 
 
 ORACLES["rrf"] = """

@@ -1386,6 +1386,134 @@ def mannwhitney_by(
     )
 
 
+def anova_by(
+    df,
+    value_col: str,
+    variant_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group one-way ANOVA of ``value_col`` across the variants of
+    ``variant_col`` — the >= 2-variant generalization the two-sample
+    tests (prop_test_by / mannwhitney_by) refuse to silently fake.
+    Returns (keys..., k, n, ssb, ssw, f_stat, eta_sq):
+
+        ssb = Σ_j s_j²/n_j − (Σs)²/n   (between-variant sum of squares)
+        ssw = Σ_j q_j − Σ_j s_j²/n_j   (within)
+        F   = (ssb/(k−1)) / (ssw/(n−k)),  eta² = ssb/(ssb+ssw)
+
+    No p-value column (neither engine ships an F CDF builtin); compare
+    f_stat against the critical value at (k−1, n−k) df, or use eta_sq
+    as the effect size directly.
+
+    Scale shape: TWO map-side-partial aggregations — corpus →
+    (keys, variant) moment rows, then → one row per keys group; the
+    statistic is post-aggregation arithmetic written in the same
+    association order as the DuckDB twin. Divisions are guarded
+    (k >= 2, n > k, ssw > 0 for F), so ANSI mode never trips."""
+    from seafan_spark.rounding import round_col  # noqa: F401  (callers round)
+
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    x = F.col(value_col).cast("double")
+    per_v = (
+        d.filter(x.isNotNull() & F.col(variant_col).isNotNull())
+        .groupBy(*keys, F.col(variant_col).alias("_v"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_nj"),
+            F.sum(x).alias("_sj"),
+            F.sum(x * x).alias("_qj"),
+        )
+    )
+    agg = per_v.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_nj").alias("_n"),
+        F.sum("_sj").alias("_s"),
+        F.sum("_qj").alias("_q"),
+        F.sum(F.col("_sj") * F.col("_sj") / F.col("_nj")).alias("_g"),
+    )
+    n, s, q, g = F.col("_n"), F.col("_s"), F.col("_q"), F.col("_g")
+    k = F.col("k").cast("double")
+    ssb = g - s * s / n
+    ssw = q - g
+    ok = (F.col("k") >= 2) & (n > k)
+    f_stat = F.when(ok & (ssw > 0.0), (ssb / (k - 1.0)) / (ssw / (n - k)))
+    eta = F.when(ssb + ssw > 0.0, ssb / (ssb + ssw))
+    return agg.select(
+        *keys,
+        "k",
+        n.cast("bigint").alias("n"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        f_stat.alias("f_stat"),
+        eta.alias("eta_sq"),
+    )
+
+
+def kruskal_by(
+    df,
+    value_col: str,
+    variant_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group Kruskal-Wallis H test — the rank-based (distribution-
+    free) companion to :func:`anova_by` for >= 2 variants:
+
+        H = 12/(n(n+1)) · Σ_j r_j²/n_j − 3(n+1),   corrected H/C with
+        C = 1 − Σ(t³−t)/(n³−n) over the value-tie groups.
+
+    Returns (keys..., k, n, h, h_corrected). Compare h_corrected to the
+    chi-square critical value at k−1 df (no chi² CDF builtin in either
+    engine).
+
+    Scale shape: midranks from a window PARTITIONED by the group keys
+    (each group sorts independently — mannwhitney_by's shape); the tie
+    term aggregates per-row (t²−1) which sums to Σ(t³−t) exactly; then
+    one (keys, variant) rollup and one keys rollup. With NO keys the
+    midranks come from the distributed-rank machinery
+    (``_global_midrank``) — never a corpus-sized single-task window."""
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull() & F.col(variant_col).isNotNull()).select(
+        *keys, x.alias("_x"), F.col(variant_col).alias("_v")
+    )
+    if keys:
+        pk = Window.partitionBy(*keys)
+        wv = pk.orderBy(F.col("_x").asc())
+        tie_w = Window.partitionBy(*keys, "_x")
+        ranked = base.withColumn("_rk", F.rank().over(wv)).withColumn(
+            "_t", F.count(F.lit(1)).over(tie_w)
+        )
+        midrank = F.col("_rk") + (F.col("_t") - F.lit(1)) / F.lit(2.0)
+        ranked = ranked.withColumn("_mid", midrank)
+    else:
+        ranked, _ = _global_midrank(base, "_x", "_mid", tie_out="_t")
+    per_v = ranked.groupBy(*keys, "_v").agg(
+        F.count(F.lit(1)).cast("double").alias("_nj"),
+        F.sum("_mid").alias("_rj"),
+        F.sum(F.col("_t") * F.col("_t") - F.lit(1.0)).alias("_tiej"),
+    )
+    agg = per_v.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_nj").alias("_n"),
+        F.sum(F.col("_rj") * F.col("_rj") / F.col("_nj")).alias("_r2"),
+        F.sum("_tiej").alias("_ties"),
+    )
+    n = F.col("_n")
+    h = F.lit(12.0) / (n * (n + 1.0)) * F.col("_r2") - 3.0 * (n + 1.0)
+    c = F.lit(1.0) - F.col("_ties") / (n * n * n - n)
+    ok = (F.col("k") >= 2) & (n >= 2.0)
+    return agg.select(
+        *keys,
+        "k",
+        n.cast("bigint").alias("n"),
+        F.when(ok, h).alias("h"),
+        F.when(ok & (c > 0.0), h / c).alias("h_corrected"),
+    )
+
+
 def spearman_by(
     df,
     x_col: str,

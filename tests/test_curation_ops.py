@@ -1584,3 +1584,70 @@ def test_mmr_diversity_spans_clusters(spark):
     assert sorted(div) == [0, 1, 2], div
     rel = [r["id"] // 10 for r in mmr_select(df, "id", "emb", q, k=3, lam=1.0).collect()]
     assert len(set(rel)) == 1, rel
+
+
+# ------------------------------------------------------- anova / kruskal ----
+def test_anova_matches_scipy_style_reference(spark):
+    """Closed-form F against a plain-Python one-way ANOVA."""
+    import numpy as np
+
+    from seafan_spark.agg import anova_by
+
+    rng = np.random.RandomState(11)
+    groups = {"a": rng.randn(40) + 0.0, "b": rng.randn(35) + 0.5, "c": rng.randn(30) + 1.0}
+    rows = [("g", v, float(x)) for v, xs in groups.items() for x in xs]
+    df = spark.createDataFrame(rows, "kk string, variant string, x double")
+    r = anova_by(df, "x", "variant", ["kk"]).collect()[0]
+    all_x = np.concatenate(list(groups.values()))
+    grand = all_x.mean()
+    ssb = sum(len(xs) * (xs.mean() - grand) ** 2 for xs in groups.values())
+    ssw = sum(((xs - xs.mean()) ** 2).sum() for xs in groups.values())
+    n, k = len(all_x), 3
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r["k"] == 3 and r["n"] == n
+    assert r["ssb"] == pytest.approx(ssb, rel=1e-9)
+    assert r["ssw"] == pytest.approx(ssw, rel=1e-9)
+    assert r["f_stat"] == pytest.approx(f, rel=1e-9)
+    assert r["eta_sq"] == pytest.approx(ssb / (ssb + ssw), rel=1e-9)
+
+
+def test_anova_identical_groups_f_zero(spark):
+    from seafan_spark.agg import anova_by
+
+    rows = [("v%d" % (i % 3), float(i % 5)) for i in range(30)]
+    df = spark.createDataFrame(rows, "variant string, x double")
+    r = anova_by(df, "x", "variant").collect()[0]
+    assert r["f_stat"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_kruskal_matches_scipy_style_reference(spark):
+    """Tie-corrected H against a plain-Python Kruskal-Wallis (the scipy
+    formula) including ties."""
+    from collections import Counter
+
+    from seafan_spark.agg import kruskal_by
+
+    groups = {"a": [1.0, 2.0, 2.0, 5.0], "b": [2.0, 4.0, 6.0], "c": [3.0, 3.0, 7.0, 8.0, 9.0]}
+    rows = [(v, x) for v, xs in groups.items() for x in xs]
+    df = spark.createDataFrame(rows, "variant string, x double")
+    r = kruskal_by(df, "x", "variant").collect()[0]
+    pooled = sorted(x for xs in groups.values() for x in xs)
+    n = len(pooled)
+    # midranks
+    first = {}
+    for i, x in enumerate(pooled, 1):
+        first.setdefault(x, i)
+    cnt = Counter(pooled)
+    mid = {x: first[x] + (cnt[x] - 1) / 2.0 for x in cnt}
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(mid[x] for x in xs) ** 2 / len(xs) for xs in groups.values()
+    ) - 3.0 * (n + 1)
+    c = 1.0 - sum(t**3 - t for t in cnt.values()) / (n**3 - n)
+    assert r["k"] == 3 and r["n"] == n
+    assert r["h"] == pytest.approx(h, rel=1e-9)
+    assert r["h_corrected"] == pytest.approx(h / c, rel=1e-9)
+    # keyed == ungrouped on a constant key
+    import pyspark.sql.functions as F
+
+    rk = kruskal_by(df.withColumn("kk", F.lit("all")), "x", "variant", ["kk"]).collect()[0]
+    assert rk["h_corrected"] == pytest.approx(r["h_corrected"], abs=1e-12)

@@ -2297,7 +2297,11 @@ def q_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from seafan_spark.llmops.similarity import kcenter_select
 
     emb = _pipe(spark, sf_dir, "embeddings").df
-    out = kcenter_select(emb, "vec_id", "embedding", k=8)
+    # argmax_round=6 pins the greedy pick's SORT KEY (not just the
+    # output) at the same precision in both engines: an unrounded
+    # near-tie in any round would flip the whole remaining pick
+    # sequence even with both implementations correct (round-6 ADVICE)
+    out = kcenter_select(emb, "vec_id", "embedding", k=8, argmax_round=6)
     return out.select("round", "id", round_col(F.col("dist"), 6).alias("dist"))
 
 
@@ -2325,7 +2329,7 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = mmr_select(
         emb.filter(F.col("vec_id") != 0), "vec_id", "embedding",
-        q_vec, k=6, lam=0.7,
+        q_vec, k=6, lam=0.7, argmax_round=6,
     )
     return out.select(
         "round",
@@ -5533,13 +5537,17 @@ ORACLES["rake"] = """
 
 def _kcenter_oracle_sql(k: int = 8) -> str:
     """Unrolled Gonzalez greedy k-center twin for q_kcenter: round 0 is
-    the min-id seed; each round r picks argmax (DESC, id ASC) of the
-    running min cosine-distance d over centers 0..r-1, then dN+1 updates
-    d with LEAST against the new center. Same unrolled-CTE trick as
-    rake's IPF oracle — the iteration count is a fixed literal, so the
-    'iterative, no SQL twin' exemption no longer applies at fixed k.
-    list_dot_product matches Spark's fold dot at the 6-dp output
-    rounding (the semantic_dedup/ann oracles already rely on this)."""
+    the min-id seed; each round r picks argmax (ROUND(d, 6) DESC, id
+    ASC — the SORT KEY is rounded to match kcenter_select's
+    argmax_round=6, so a 1-ulp cross-engine dot difference can never
+    flip a pick and cascade through the remaining sequence) of the
+    running min cosine-distance d over centers 0..r-1, then dN+1
+    updates d with LEAST against the new center. Same unrolled-CTE
+    trick as rake's IPF oracle — the iteration count is a fixed
+    literal, so the 'iterative, no SQL twin' exemption no longer
+    applies at fixed k. list_dot_product matches Spark's fold dot at
+    6-dp rounding (the semantic_dedup/ann oracles already rely on
+    this)."""
     parts = [
         """
     WITH u AS (
@@ -5556,7 +5564,7 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
     for r in range(1, k):
         parts.append(
             f""",
-    r{r} AS (SELECT id, v, d FROM d{r} ORDER BY d DESC, id ASC LIMIT 1)"""
+    r{r} AS (SELECT id, v, d FROM d{r} ORDER BY ROUND(d, 6) DESC, id ASC LIMIT 1)"""
         )
         if r < k - 1:
             parts.append(
@@ -5579,7 +5587,9 @@ ORACLES["kcenter"] = _kcenter_oracle_sql(k=8)
 
 def _mmr_oracle_sql(k: int = 6, lam: float = 0.7) -> str:
     """Unrolled MMR twin for q_mmr: rel = dot(unit v, unit q) computed
-    once; round r picks argmax (DESC, id ASC) of lam*rel - (1-lam)*ms,
+    once; round r picks argmax (ROUND(score, 6) DESC, id ASC — sort-key
+    rounding matched to mmr_select's argmax_round=6 so a near-tie can't
+    flip the pick chain) of lam*rel - (1-lam)*ms,
     then mN+1 updates ms with GREATEST against the new pick. The lam
     coefficients are emitted with repr() so the SQL literal reproduces
     the exact double Spark multiplies by (1.0 - 0.7 is
@@ -5602,7 +5612,7 @@ def _mmr_oracle_sql(k: int = 6, lam: float = 0.7) -> str:
         parts.append(
             f""",
     r{r} AS (SELECT id, v, rel, ({a} * rel) - ({b} * ms) AS score
-             FROM m{r} ORDER BY score DESC, id ASC LIMIT 1)"""
+             FROM m{r} ORDER BY ROUND(score, 6) DESC, id ASC LIMIT 1)"""
         )
         if r < k - 1:
             parts.append(

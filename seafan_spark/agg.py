@@ -1090,10 +1090,14 @@ def gini_by(pipe, value_col: str, keys: Sequence[str] = ()) -> DataFrame:
     values).
 
     Scale shape: ranking is a window PARTITIONED by the group keys
-    (each group sorts independently); empty ``keys`` computes the
-    whole-table coefficient through one global sort — use the grouped
-    form at corpus scale.  Complements :func:`entropy_by` (share-based,
-    rank-free)."""
+    (each group sorts independently).  With NO keys the rank-sum comes
+    from the distributed-rank machinery (``_global_midrank``: range
+    repartition + per-partition rank + driver offsets) — never a
+    corpus-sized ``partitionBy(lit(0))`` single task; the substitution
+    is exact because the statistic is tie-invariant, so
+    Σ midrank·x = Σ rownum·x (equal values share their rank mass
+    however the within-tie order falls).  Complements
+    :func:`entropy_by` (share-based, rank-free)."""
     from pyspark.sql import Window
 
     from seafan_spark.rounding import round_col
@@ -1102,14 +1106,19 @@ def gini_by(pipe, value_col: str, keys: Sequence[str] = ()) -> DataFrame:
     keys = list(keys)
     x = F.col(value_col).cast("double")
     base = d.filter(x.isNotNull() & (x >= 0.0))
-    w = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
-    ).orderBy(x.asc())
-    ranked = base.withColumn("_i", F.row_number().over(w))
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(x.asc())
+        ranked = base.withColumn("_i", F.row_number().over(w))
+        rank_term = F.col("_i") * x
+    else:
+        base = base.select(x.alias("_x"))
+        ranked, _ = _global_midrank(base, "_x", "_i")
+        x = F.col("_x")
+        rank_term = F.col("_i") * x
     agg = ranked.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x).alias("_sx"),
-        F.sum(F.col("_i") * x).alias("_six"),
+        F.sum(rank_term).alias("_six"),
     )
     nn = F.col("n").cast("double")
     gini = F.when(
@@ -1215,18 +1224,30 @@ def _global_midrank(d: DataFrame, col_name: str, out: str, tie_out: str | None =
     return out_df.drop("_gmr"), n
 
 
-def _two_variant_guard(where: str) -> Column:
-    """TRUE when the group's ``_nv`` distinct-variant count is exactly 2,
-    a runtime error naming the offender otherwise — both prop_test_by and
-    mannwhitney_by document 'exactly two variants required', and silently
-    pooling extra variants into the non-baseline side produces a
-    plausible-looking but wrong statistic (round-5 ADVICE)."""
-    return F.when(F.col("_nv") == F.lit(2), F.lit(True)).otherwise(
+def _two_variant_guard(where: str, strict: bool = True) -> Column:
+    """TRUE when the group's ``_nv`` distinct-variant count is exactly 2
+    AND no NULL variant value appeared (``_vnull`` = 0) — both
+    prop_test_by and mannwhitney_by document 'exactly two variants
+    required', and silently pooling extra variants (or NULL-variant
+    rows, which ``count_distinct`` ignores but the side assignment dumps
+    into the non-baseline side) produces a plausible-looking but wrong
+    statistic (round-5/round-6 ADVICE).
+
+    ``strict=True`` (the documented contract) raises at evaluation time
+    naming the offender; ``strict=False`` silently DROPS non-conforming
+    groups instead — for exploratory scans over many groups where one
+    missing variant shouldn't abort the whole job."""
+    ok = (F.col("_nv") == F.lit(2)) & (F.col("_vnull") == F.lit(0))
+    if not strict:
+        return ok
+    return F.when(ok, F.lit(True)).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(f"{where}: exactly two variant values per group are "
-                      f"required, got "),
+                F.lit(f"{where}: exactly two non-NULL variant values per "
+                      f"group are required, got "),
                 F.col("_nv").cast("string"),
+                F.when(F.col("_vnull") == 1,
+                       F.lit(" (plus NULL variant rows)")).otherwise(F.lit("")),
             )
         )
     )
@@ -1237,6 +1258,7 @@ def prop_test_by(
     success_col: str,
     variant_col: str,
     keys: Sequence[str] = (),
+    strict: bool = True,
 ) -> DataFrame:
     """Two-proportion z-test between the two variants of a 0/1 outcome
     (conversion A/B testing; the discrete sibling of :func:`ttest_by`):
@@ -1244,10 +1266,13 @@ def prop_test_by(
 
         z = (p1 - p0) / sqrt(p(1-p)(1/n0 + 1/n1)),  p = pooled rate.
 
-    Exactly two variant values per ``keys`` group are required (the
-    smaller value is the baseline) — ENFORCED: any group with a
-    different count raises at evaluation time instead of silently
-    pooling extra variants.  Returns (keys..., n0, n1, p0, p1,
+    Exactly two NON-NULL variant values per ``keys`` group are required
+    (the smaller value is the baseline) — ENFORCED: any group with a
+    different count, or with NULL-variant rows, raises at evaluation
+    time instead of silently pooling extra variants
+    (``strict=False`` drops non-conforming groups instead — for
+    exploratory scans where one odd group shouldn't abort the job).
+    Returns (keys..., n0, n1, p0, p1,
     z, significant) with ``significant = |z| > 1.96`` (z is exact; the
     p-value needs erf, whose libm rounding differs across engines —
     the boolean at the conventional threshold is cross-engine stable).
@@ -1275,14 +1300,21 @@ def prop_test_by(
             F.sum(F.when(F.col("_side") == 1, F.col("_n"))).alias("n1"),
             F.sum(F.when(F.col("_side") == 0, F.col("_s"))).alias("_s0"),
             F.sum(F.when(F.col("_side") == 1, F.col("_s"))).alias("_s1"),
-            # one row per variant reaches this groupBy, so plain count IS
-            # the distinct-variant count — no expand aggregation needed
-            F.count(F.lit(1)).alias("_nv"),
+            # one row per variant reaches this groupBy, so counting the
+            # non-NULL _v rows IS the distinct-variant count — no expand
+            # aggregation needed; NULL variants get their own flag (they
+            # would otherwise land in side 1 via the NULL-comparison
+            # `otherwise` branch)
+            F.count("_v").alias("_nv"),
+            F.max(F.when(F.col("_v").isNull(), F.lit(1)).otherwise(F.lit(0))).alias(
+                "_vnull"
+            ),
         )
     )
-    # enforce the documented contract: >2 variants would silently lump
-    # every non-baseline variant into side 1 and report a bogus pooled z
-    piv = piv.filter(_two_variant_guard("prop_test_by"))
+    # enforce the documented contract: >2 variants (or NULL variants)
+    # would silently lump every non-baseline row into side 1 and report
+    # a bogus pooled z
+    piv = piv.filter(_two_variant_guard("prop_test_by", strict=strict))
     n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
     p0, p1 = F.col("_s0") / n0, F.col("_s1") / n1
     pool = (F.col("_s0") + F.col("_s1")) / (n0 + n1)
@@ -1304,6 +1336,7 @@ def mannwhitney_by(
     value_col: str,
     variant_col: str,
     keys: Sequence[str] = (),
+    strict: bool = True,
 ) -> DataFrame:
     """Mann-Whitney U (Wilcoxon rank-sum) between the two variants of a
     continuous outcome — the nonparametric complement to
@@ -1316,8 +1349,11 @@ def mannwhitney_by(
 
     Returns (keys..., n0, n1, u, z, significant) — baseline = smaller
     variant value; ``u`` is the SMALLER group-0-vs-1 statistic's
-    counterpart U1 for the higher variant.  Exactly two variant values
-    per group — ENFORCED: any other count raises at evaluation time.
+    counterpart U1 for the higher variant.  Exactly two NON-NULL
+    variant values per group — ENFORCED: any other count, or any
+    NULL-variant rows (which ``count_distinct`` ignores but the side
+    assignment would silently pool into side 1), raises at evaluation
+    time; ``strict=False`` drops non-conforming groups instead.
 
     Scale shape: midranks come from a window PARTITIONED by the group
     keys (rank + count over value ties — each group sorts
@@ -1366,8 +1402,11 @@ def mannwhitney_by(
         # (t*t*t - t)/t = t*t - 1 per row -> equals sum over groups (t^3-t)
         F.sum(F.col("_t") * F.col("_t") - F.lit(1.0)).alias("_ties"),
         F.count_distinct(F.col("_v")).alias("_nv"),
+        F.max(F.when(F.col("_v").isNull(), F.lit(1)).otherwise(F.lit(0))).alias(
+            "_vnull"
+        ),
     )
-    agg = agg.filter(_two_variant_guard("mannwhitney_by"))
+    agg = agg.filter(_two_variant_guard("mannwhitney_by", strict=strict))
     n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
     nn = n0 + n1
     u1 = F.col("_r1") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)
@@ -1673,4 +1712,8 @@ def mode_by(
     return (
         counts.join(F.broadcast(mx), F.col("mode_n") == F.col("_mx"))
         .agg(F.min("mode").alias("mode"), F.min("mode_n").alias("mode_n"))
+        # the no-groupBy agg always emits one row; on empty/all-NULL
+        # input that row is all-NULL — drop it so empty input yields
+        # zero rows, matching the keyed path (round-6 ADVICE)
+        .filter(F.col("mode_n").isNotNull())
     )

@@ -539,6 +539,11 @@ def minhash_clusters(
     round hooks the min over direct neighbors, then replaces every label
     by its label's label) — converges in O(log diameter) rounds, each one
     a bounded number of joins + aggregates."""
+    if max_iter < 1:
+        # max_iter=0 would return a labels plan whose lineage still reads
+        # the edges checkpoint that the cleanup below unpersists — any
+        # later action on it would fail on the truncated lineage
+        raise ValueError("minhash_clusters: max_iter must be >= 1")
     if driver_edge_cap is None:
         driver_edge_cap = CLUSTER_DRIVER_EDGE_CAP
     # materialize the candidate edges once — label propagation re-reads

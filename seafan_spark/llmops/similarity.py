@@ -694,6 +694,7 @@ def kcenter_select(
     vec_col: str,
     k: int,
     seed_id: int | None = None,
+    argmax_round: int | None = None,
 ) -> DataFrame:
     """Greedy k-center (farthest-point) coreset selection over an
     embedding column: pick the corpus's ``k`` most mutually-distant
@@ -717,6 +718,15 @@ def kcenter_select(
     k vectors — nothing corpus-sized ever collects.  Cost is k scans of
     a cached columnar relation; for k beyond ~100, pre-reduce with
     ann_ivf assignments and run k-center on cell centroids instead.
+
+    ``argmax_round`` (default None = full precision) rounds the argmax
+    SORT KEY to that many decimals (DuckDB-portable ``round_col``)
+    before comparing, ties still broken by smallest id.  A greedy chain
+    compared across engines on unrounded doubles is one near-tie away
+    from flipping the whole remaining pick sequence even when both
+    implementations are correct — the oracled query pins the key at 6
+    decimals so a 1-ulp cross-engine dot-product difference can never
+    reorder the picks (round-6 ADVICE).
     """
     from pyspark.sql import Row
 
@@ -749,7 +759,12 @@ def kcenter_select(
         # materialized — free them so k rounds hold ONE state, not k
         unpersist_checkpoint(prev_ck)
         prev_ck = cur
-        top = cur.orderBy(F.col("_d").desc(), F.col("_id").asc()).limit(1).collect()
+        key = (
+            round_col(F.col("_d"), argmax_round)
+            if argmax_round is not None
+            else F.col("_d")
+        )
+        top = cur.orderBy(key.desc(), F.col("_id").asc()).limit(1).collect()
         if not top:
             break
         nid, nd = top[0]["_id"], float(top[0]["_d"])
@@ -780,6 +795,7 @@ def mmr_select(
     query_vec: Sequence[float],
     k: int,
     lam: float = 0.7,
+    argmax_round: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance top-k (Carbonell & Goldstein 1998):
     greedily pick ``k`` results trading query relevance against
@@ -804,7 +820,12 @@ def mmr_select(
     ``zip_with`` dot), the argmax is ORDER-BY-LIMIT-1 (WindowGroupLimit
     class, never a global sort), and driver state is k ids + k vectors.
     Run it on an ANN candidate pool (ann_topk/ann_ivf with generous k'),
-    not the raw corpus, when the corpus is petabyte-scale."""
+    not the raw corpus, when the corpus is petabyte-scale.
+
+    ``argmax_round`` (default None = full precision) rounds the argmax
+    SORT KEY — see :func:`kcenter_select`: a cross-engine greedy chain
+    on unrounded doubles is one near-tie away from flipping every later
+    pick; the oracled query pins the key at 6 decimals."""
     from pyspark.sql import Row
 
     if k < 1:
@@ -828,9 +849,14 @@ def mmr_select(
         cur = cur.localCheckpoint(eager=True)  # k is small; keeps lineage flat
         unpersist_checkpoint(prev_ck)  # superseded round state is dead
         prev_ck = cur
+        key = (
+            round_col(F.col("_score"), argmax_round)
+            if argmax_round is not None
+            else F.col("_score")
+        )
         top = (
             cur.withColumn("_score", score)
-            .orderBy(F.col("_score").desc(), F.col("_id").asc())
+            .orderBy(key.desc(), F.col("_id").asc())
             .limit(1)
             .collect()
         )

@@ -1294,6 +1294,74 @@ def test_two_variant_contract_enforced(spark):
     assert len(ok) == 1 and ok[0]["n0"] == 2
 
 
+def test_two_variant_guard_null_variants_and_strict(spark):
+    """Round-6 ADVICE (medium): NULL variant rows used to slip past the
+    guard (count_distinct ignores NULL) and silently pool into the
+    non-baseline side.  Now: NULL variants RAISE in both tests; and
+    strict=False DROPS non-conforming groups instead of aborting the
+    whole scan."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from seafan_spark.agg import mannwhitney_by, prop_test_by
+
+    # {a, b, NULL}: two real variants + NULL rows -> must raise, never pool
+    rows = [("a", 1.0), ("a", 0.0), ("b", 1.0), ("b", 0.0), (None, 1.0), (None, 0.0)]
+    df = spark.createDataFrame(rows, "variant string, conv double")
+    with pytest.raises(SparkRuntimeException, match="prop_test_by: exactly two"):
+        prop_test_by(df, "conv", "variant").collect()
+    with pytest.raises(SparkRuntimeException, match="mannwhitney_by: exactly two"):
+        mannwhitney_by(df, "conv", "variant").collect()
+    # {a, NULL}: one real variant + NULL rows — the shape the old guard
+    # passed (prop_test counted the NULL group row; mannwhitney's
+    # count_distinct saw 1) -> must raise too
+    one = df.filter("variant IS NULL OR variant = 'a'")
+    with pytest.raises(SparkRuntimeException, match="prop_test_by"):
+        prop_test_by(one, "conv", "variant").collect()
+    with pytest.raises(SparkRuntimeException, match="mannwhitney_by"):
+        mannwhitney_by(one, "conv", "variant").collect()
+
+    # strict=False: the bad group is DROPPED, conforming groups survive
+    keyed = spark.createDataFrame(
+        [
+            ("g1", "a", 1.0), ("g1", "a", 0.0), ("g1", "b", 1.0), ("g1", "b", 0.0),
+            ("g2", "a", 1.0), ("g2", "a", 0.0),  # one variant only
+            ("g3", "a", 1.0), ("g3", None, 0.0), ("g3", "b", 0.0),  # NULL rows
+        ],
+        "k string, variant string, conv double",
+    )
+    pt = prop_test_by(keyed, "conv", "variant", ["k"], strict=False).collect()
+    assert [r["k"] for r in pt] == ["g1"]
+    mw = mannwhitney_by(keyed, "conv", "variant", ["k"], strict=False).collect()
+    assert [r["k"] for r in mw] == ["g1"]
+    # ungrouped strict=False on a non-conforming table: zero rows, no raise
+    assert prop_test_by(one, "conv", "variant", strict=False).collect() == []
+    assert mannwhitney_by(one, "conv", "variant", strict=False).collect() == []
+
+
+def test_mode_by_empty_input_yields_zero_rows(spark):
+    """Round-6 ADVICE: ungrouped mode_by on empty/all-NULL input used to
+    emit one all-NULL row (the no-groupBy agg always emits); now both
+    paths return zero rows."""
+    from seafan_spark.agg import mode_by
+
+    empty = spark.createDataFrame([], "k string, v double")
+    assert mode_by(empty, "v").collect() == []
+    assert mode_by(empty, "v", ["k"]).collect() == []
+    allnull = spark.createDataFrame([("g", None), ("g", None)], "k string, v double")
+    assert mode_by(allnull, "v").collect() == []
+    assert mode_by(allnull, "v", ["k"]).collect() == []
+
+
+def test_minhash_clusters_rejects_max_iter_zero(spark):
+    """Round-6 ADVICE: max_iter=0 returned a labels plan whose lineage
+    read an already-unpersisted checkpoint — now rejected up front."""
+    from seafan_spark.llmops.dedup import minhash_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with pytest.raises(ValueError, match="max_iter"):
+        minhash_clusters(pairs, max_iter=0)
+
+
 # ---------------------------------------------------------------- spearman ----
 def test_spearman_monotone_is_one(spark):
     from seafan_spark.agg import spearman_by
@@ -1454,6 +1522,7 @@ def test_ungrouped_stats_match_keyed_and_stay_distributed(spark):
     constant key, and no single-partition exchange in the plan beyond the
     final one-row aggregate."""
     from seafan_spark.agg import (
+        gini_by,
         mannwhitney_by,
         mode_by,
         spearman_by,
@@ -1487,6 +1556,14 @@ def test_ungrouped_stats_match_keyed_and_stay_distributed(spark):
     assert mw_u["u"] == pytest.approx(mw_k["u"], abs=1e-9)
     assert mw_u["z"] == pytest.approx(mw_k["z"], abs=1e-9)
 
+    # round-7: gini_by was the last survivor of this family — its
+    # ungrouped path now stages through _global_midrank too (exact:
+    # the statistic is tie-invariant, midrank·x sums to rownum·x)
+    gi_u = gini_by(df, "x").collect()[0]
+    gi_k = gini_by(kdf, "x", ["k"]).collect()[0]
+    assert gi_u["gini"] == pytest.approx(gi_k["gini"], abs=1e-9)
+    assert gi_u["n"] == gi_k["n"]
+
     # plan audit: the corpus-ranking stage must not be a single task.
     # (the one-row FINAL aggregate exchange is the allowed pattern; the
     # auditor only flags single-partition exchanges feeding wide work)
@@ -1495,6 +1572,7 @@ def test_ungrouped_stats_match_keyed_and_stay_distributed(spark):
         ("trimmed_mean", trimmed_mean_by(df, "x", alpha=0.1)),
         ("mode", mode_by(df, "x")),
         ("mannwhitney", mannwhitney_by(df, "x", "variant")),
+        ("gini", gini_by(df, "x")),
     ]:
         flags = [f for f in scale_report(ungrouped).flags if "single-partition" in f]
         assert not flags, f"{name} ungrouped path: {flags}"

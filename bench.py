@@ -110,7 +110,7 @@ def main() -> None:
         # frees ESCAPED localCheckpoint blocks too — without it, unchanged
         # late-registry queries measured up to x3 slower as dead blocks
         # from ~100 earlier queries accumulated in the shared heap (r05).
-        session_cleanup(spark)
+        session_cleanup(spark, all=True)
         gc.collect()
         if jvm_gc:
             spark.sparkContext._jvm.System.gc()

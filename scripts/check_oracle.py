@@ -94,7 +94,7 @@ def main():
         # free escaped localCheckpoint blocks from the previous query —
         # 145 queries in one session otherwise accumulate dead executor
         # memory (the r05 x3 late-query drift)
-        session_cleanup(spark)
+        session_cleanup(spark, all=True)
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns

@@ -319,5 +319,28 @@ def test_checkpoint_lifecycle_no_leak(spark):
     after_pr = persistent_rdd_ids(spark) - base
     assert len(after_pr) <= 1, f"pagerank residue must be O(1), got {sorted(after_pr)}"
     assert pr.count() == 20
-    cleanup(spark)
-    assert persistent_rdd_ids(spark) == set(), "cleanup() must reclaim everything"
+    cleanup(spark, all=True)
+    assert persistent_rdd_ids(spark) == set(), "cleanup(all=True) must reclaim everything"
+
+
+def test_cleanup_default_spares_user_cache(spark):
+    """Round-6 VERDICT #7: ``cleanup()`` used to unpersist EVERY RDD —
+    including a DataFrame the user deliberately ``cache()``d. The default
+    is now scoped to the engine's own blocks (local checkpoints);
+    ``all=True`` keeps the scorched-earth behavior for bench harnesses."""
+    from seafan_spark.session import cleanup, persistent_rdd_ids
+
+    cleanup(spark, all=True)
+    user = spark.range(100).selectExpr("id", "id * 2 AS v").cache()
+    assert user.count() == 100  # materialize the cache
+    ck = spark.range(50).toDF("id").localCheckpoint(eager=True)  # engine-style block
+    assert len(persistent_rdd_ids(spark)) >= 2
+    freed = cleanup(spark)
+    assert freed >= 1
+    # the user's cache must survive a scoped cleanup...
+    assert user.storageLevel.useMemory, "user cache was clobbered by cleanup()"
+    assert user.count() == 100
+    # ...and the checkpoint block must be gone
+    del ck
+    cleanup(spark, all=True)
+    assert persistent_rdd_ids(spark) == set()

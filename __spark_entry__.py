@@ -610,6 +610,21 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(p, "doc_id", "text", k=3)
 
 
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for the 3-term query {hash, join, vector}
+    (llmops.text.bm25_scores, Robertson TREC-3 Okapi / Lucene idf):
+    the lexical ranked-retrieval scorer for hard-negative mining and
+    contamination triage. Corpus scanned twice column-pruned; the only
+    shuffle carries (doc, query-term) hits (isin filter in the explode
+    stage); df-per-term and (N, avgdl) ride as broadcasts; dl travels
+    in the groupBy key; top-k is ORDER-BY-LIMIT ranked over the
+    ROUNDED score (cross-engine-stable ordering)."""
+    from seafan_spark.llmops.text import bm25_scores
+
+    p = _pipe(spark, sf_dir, "documents").spread("doc_id")
+    return bm25_scores(p, ["hash", "join", "vector"], "doc_id", "text", k=15)
+
+
 def q_pii_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection counts + duplicate-3-gram repetition ratio
     (llmops.text.pii_count_col / repetition_ratio_col) — all vectorized
@@ -2814,7 +2829,9 @@ def q_trimmed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the remaining slots with stable oracled queries — the window is 50/50
 # oracled again.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- oracled, new in round 6 (never driver-checked -> window head) ---
+    # --- oracled, new in round 7 (never driver-checked -> window head) ---
+    "bm25": q_bm25,
+    # --- oracled, new in round 6 (driver-green in r06, rotate down soon) ---
     "cms": q_cms,
     "mmr": q_mmr,
     "token_divergence": q_token_divergence,
@@ -3604,6 +3621,44 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, term, ROUND(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
         FROM r WHERE rnk <= 3
+    """,
+    # BM25 twin: same tokenization as tfidf's; arithmetic written in the
+    # exact association order of bm25_scores (idf = ln(1 + ((N - df) +
+    # 0.5)/(df + 0.5)); saturated tf with (1 - b) folded left); ranking
+    # over the ROUNDED score so 1-ulp ln() differences can't reorder
+    "bm25": """
+        WITH norm AS (
+            SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+            FROM documents
+        ), d AS (
+            SELECT doc_id, len(tk) AS dl, tk FROM norm
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM d
+        ), tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(tk) AS term FROM d)
+            WHERE term IN ('hash', 'join', 'vector')
+            GROUP BY doc_id, dl, term
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), scored AS (
+            SELECT tf.doc_id,
+                   SUM( ln(1.0 + ((n_docs - CAST(df AS DOUBLE)) + 0.5)
+                                 / (CAST(df AS DOUBLE) + 0.5))
+                        * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                        / (CAST(tf AS DOUBLE)
+                           + 1.2 * ((1.0 - 0.75)
+                                    + 0.75 * CAST(dl AS DOUBLE) / avgdl)) ) AS score
+            FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+            GROUP BY tf.doc_id
+        ), top AS (
+            SELECT doc_id, ROUND(score, 6) AS score FROM scored
+            ORDER BY ROUND(score, 6) DESC, doc_id ASC LIMIT 15
+        )
+        SELECT doc_id, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM top
     """,
     "pii_repetition": """
         WITH toks AS (

@@ -388,6 +388,94 @@ def tfidf_top_terms(
     )
 
 
+def bm25_scores(
+    df,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "DataFrame":
+    """BM25 ranked retrieval (Robertson et al., TREC-3 Okapi): the
+    standard lexical scorer an LLM-data pipeline uses for hard-negative
+    mining and contamination triage — the third input, next to TF-IDF
+    and ANN cosine, that :func:`seafan_spark.rank.rrf_fuse` fuses.
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + ½) / (df + ½))     (Lucene's
+                   non-negative variant of the RSJ weight)
+
+    Returns the top-``k`` documents: (id_col, score, rank), score
+    rounded to 6 dp, rank ordered by (rounded score DESC, id ASC) — the
+    rounded sort key keeps the ranking cross-engine stable (1-ulp log
+    differences must not reorder ranks).
+
+    Plan at scale: the corpus is scanned twice, both column-pruned to
+    (id, text) — once for the per-doc length dl and the global
+    (N, avgdl) scalar, once exploded to tokens with the query-term
+    ``isin`` filter applied IN THE SAME STAGE as the explode, so the
+    only shuffle carries (doc, query-term) hits, never the token
+    stream. df-per-term (≤ |terms| rows) and the stats row ride back as
+    broadcasts; dl travels in the groupBy key (functionally dependent
+    on the doc id — no corpus-sized join); the final top-k is an
+    ORDER-BY-LIMIT (WindowGroupLimit class), never a global sort."""
+    from pyspark.sql import Window
+
+    terms = [str(t) for t in query_terms]
+    if not terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
+    d = getattr(df, "df", df)
+    norm = d.select(
+        F.col(id_col).alias("_id"),
+        F.split(norm_text_col(F.col(text_col)), " ").alias("_toks"),
+    )
+    with_dl = norm.select("_id", F.size("_toks").alias("_dl"), "_toks")
+    stats = with_dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg(F.col("_dl").cast("double")).alias("_avgdl"),
+    )
+    tf = (
+        with_dl.select("_id", "_dl", F.explode("_toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("_id", "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    k1l, bl = F.lit(float(k1)), F.lit(float(b))
+    tfd, dfd = F.col("_tf").cast("double"), F.col("_df").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n_docs") - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    sat = (tfd * (k1l + F.lit(1.0))) / (
+        tfd
+        + k1l
+        * (F.lit(1.0) - bl + bl * F.col("_dl").cast("double") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("_id")
+        .agg(F.sum(idf * sat).alias("_score"))
+    )
+    top = (
+        scored.select("_id", round_col("_score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("_id").asc())
+        .limit(k)
+    )
+    # <= k rows post-limit: the constant-key window is deliberate (the
+    # vocab_top_terms pattern) and ranks over the ROUNDED score
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("score").desc(), F.col("_id").asc()
+    )
+    return top.select(
+        F.col("_id").alias(id_col),
+        "score",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
 def word_ngrams_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-grams of the normalized text."""
     toks = F.split(norm_text_col(text), " ")

@@ -594,6 +594,47 @@ def test_tfidf_top_terms(spark):
     assert got[(2, 1)] == ("durian", score(3, 1))
 
 
+def test_bm25_hand_computed(spark):
+    """BM25 vs the Okapi formula worked by hand on a 3-doc corpus."""
+    import math
+
+    from seafan_spark.llmops.text import bm25_scores
+
+    docs = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "apple banana apple",          # dl=3
+            "banana cherry",               # dl=2
+            "cherry cherry cherry apple",  # dl=4
+        ],
+    }
+    p = vec_to_pipe(spark, docs)
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_scores(p, ["apple", "cherry"], k=3).collect()
+    }
+    # N=3, avgdl=3; df(apple)=df(cherry)=2 -> idf = ln(1 + 1.5/2.5)
+    idf = math.log(1.6)
+
+    def sat(tf, dl, k1=1.2, b=0.75, avgdl=3.0):
+        return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+    exp = {
+        1: idf * sat(2, 3),                  # apple tf=2
+        2: idf * sat(1, 2),                  # cherry tf=1
+        3: idf * sat(1, 4) + idf * sat(3, 4),  # apple + cherry
+    }
+    for did, (score, _) in got.items():
+        assert score == pytest.approx(exp[did], abs=2e-6), did
+    # ranking: d3 (both terms) > d1 > d2
+    assert [d for d, (_, r) in sorted(got.items(), key=lambda t: t[1][1])] == [3, 1, 2]
+    # a term absent from the corpus contributes nothing and breaks nothing
+    got2 = bm25_scores(p, ["apple", "zzz-not-here"], k=2).collect()
+    assert [r["doc_id"] for r in got2] == [1, 3]  # only apple-matching docs
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_scores(p, [])
+
+
 # ----------------------------------------------------------- multimodal ----
 def test_multimodal_plumbing(spark):
     payloads = [b"fakepng-" + bytes([i]) * 20 for i in range(5)]

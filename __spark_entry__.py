@@ -1291,6 +1291,49 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fixed_pq_codebook(
+    m: int = 8, k_codes: int = 4, dsub: int = 8
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook of DYADIC rationals (quarters): exact
+    as double literals in both engines, so the unrolled SQL twin and the
+    in-plan Spark literals are the same bit patterns. Formula, not
+    training — the trained path stays under pytest (q_ann_pq)."""
+    return [
+        [
+            [((7 * j + 5 * c + 3 * t) % 11 - 5) / 4.0 for t in range(dsub)]
+            for c in range(k_codes)
+        ]
+        for j in range(m)
+    ]
+
+
+_PQ_ADC_BOOKS = _fixed_pq_codebook()
+
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED half of PQ ANN, oracled (round-6 VERDICT #3 —
+    the pca_moments split applied to ann_pq): encode the corpus against
+    a FIXED dyadic codebook (_fixed_pq_codebook) and rank by ADC
+    distance to the vec_id=0 embedding (llmops.similarity.pq_adc_scores
+    — the same _pq_flat_lut/_adc_over_codes arithmetic ann_pq_topk's
+    candidate stage runs). Codebook training is iterative/seeded and
+    stays under pytest; the table lookup + asymmetric-distance fold,
+    the part that scans the corpus, gets the exact DuckDB twin
+    (_ann_pq_adc_oracle_sql). Top-k is an ORDER-BY-LIMIT over the
+    ROUNDED key; ties break by id in both engines."""
+    from seafan_spark.llmops.similarity import pq_adc_scores
+
+    emb = _pipe(spark, sf_dir, "embeddings").df
+    q_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return pq_adc_scores(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        q_vec, _PQ_ADC_BOOKS, k=15,
+    )
+
+
 def q_irr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IRR root-find over an ordered cashflow (parser.go:617-658).
     Iterative driver-side solve — rows-only check."""
@@ -2831,6 +2874,7 @@ def q_trimmed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 7 (never driver-checked -> window head) ---
     "bm25": q_bm25,
+    "ann_pq_adc": q_ann_pq_adc,
     # --- oracled, new in round 6 (driver-green in r06, rotate down soon) ---
     "cms": q_cms,
     "mmr": q_mmr,
@@ -5685,6 +5729,59 @@ def _mmr_oracle_sql(k: int = 6, lam: float = 0.7) -> str:
 
 
 ORACLES["mmr"] = _mmr_oracle_sql(k=6, lam=0.7)
+
+
+def _ann_pq_adc_oracle_sql(books: list[list[list[float]]], k: int = 15) -> str:
+    """Generated twin for q_ann_pq_adc: per subspace j the squared-L2 to
+    each centroid c is an explicit left-associated chain (bit-identical
+    to Spark's 0.0-seeded fold — IEEE 0+x0 == x0), code_j is
+    list_position-of-list_min (first-min, matching array_position /
+    array_min), the LUT is the same chains over the query vector, and
+    adc sums the per-subspace lookups in j order. Codebook literals are
+    dyadic rationals (repr() emits them exactly). Ranking is over the
+    ROUNDED adc so a 1-ulp difference can't reorder."""
+    m, kc, dsub = len(books), len(books[0]), len(books[0][0])
+
+    def d_expr(src: str, j: int, c: int) -> str:
+        return " + ".join(
+            f"({src}[{j * dsub + t + 1}] - {v!r}) * ({src}[{j * dsub + t + 1}] - {v!r})"
+            for t, v in enumerate(books[j][c])
+        )
+
+    dcols = ",\n           ".join(
+        f"({d_expr('e', j, c)}) AS d_{j}_{c}" for j in range(m) for c in range(kc)
+    )
+    ccols = ",\n           ".join(
+        "(list_position([{lst}], list_min([{lst}])) - 1) AS c_{j}".format(
+            lst=", ".join(f"d_{j}_{c}" for c in range(kc)), j=j
+        )
+        for j in range(m)
+    )
+    lutcols = ",\n           ".join(
+        f"({d_expr('qv', j, c)}) AS l_{j}_{c}" for j in range(m) for c in range(kc)
+    )
+    adc = " + ".join(
+        "[{lst}][c_{j} + 1]".format(
+            lst=", ".join(f"l_{j}_{c}" for c in range(kc)), j=j
+        )
+        for j in range(m)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE embedding IS NOT NULL),
+    q AS (SELECT e AS qv FROM v WHERE id = 0),
+    d AS (SELECT id, {dcols} FROM v WHERE id <> 0),
+    c AS (SELECT id, {ccols} FROM d),
+    lut AS (SELECT {lutcols} FROM q),
+    scored AS (SELECT c.id, ({adc}) AS adc FROM c CROSS JOIN lut),
+    top AS (SELECT id, ROUND(adc, 6) AS adc FROM scored
+            ORDER BY ROUND(adc, 6) ASC, id ASC LIMIT {k})
+    SELECT id AS vec_id, adc,
+           CAST(ROW_NUMBER() OVER (ORDER BY adc ASC, id ASC) AS BIGINT) AS rank
+    FROM top"""
+
+
+ORACLES["ann_pq_adc"] = _ann_pq_adc_oracle_sql(_PQ_ADC_BOOKS, k=15)
 
 
 ORACLES["anova"] = """

@@ -537,6 +537,82 @@ def pq_code_col(vec: Column, codebooks: list[list[list[float]]]) -> Column:
     return F.array(*codes)
 
 
+def _pq_flat_lut(qv: Sequence[float], codebooks: list[list[list[float]]]) -> list[float]:
+    """Flattened ADC lookup table for one query: LUT[j*k_codes + c] =
+    ||q_j - codebook[j][c]||² — m*k_codes floats, computed driver-side
+    (sequential left-to-right double sums, the same association as the
+    SQL twin and the in-plan code-assignment fold)."""
+    dsub = len(codebooks[0][0])
+    flat: list[float] = []
+    for j, book in enumerate(codebooks):
+        sub = qv[j * dsub : (j + 1) * dsub]
+        for c in book:
+            flat.append(sum((a - b) * (a - b) for a, b in zip(sub, c)))
+    return flat
+
+
+def _adc_over_codes(codes: Column, lut: Column, m: int, k_codes: int) -> Column:
+    """Asymmetric distance from a PQ code array and a flattened LUT:
+    sum_j LUT[j*k_codes + code_j] — a JVM fold, no vector math per row."""
+    return F.aggregate(
+        F.zip_with(
+            codes,
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, j: F.element_at(lut, (j * k_codes + c + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_adc_scores(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """The DISTRIBUTED half of PQ ANN in isolation: encode the corpus
+    against a FIXED (caller-supplied) codebook and rank by the ADC
+    approximate distance to one query — (id_col, adc, rank), adc
+    rounded to 6 dp, rank over (rounded adc ASC, id ASC).
+
+    This exists so the ADC table lookup + asymmetric-distance
+    arithmetic — the part of :func:`ann_pq_topk` that actually scans
+    the corpus — has an exact SQL twin (the pca_moments split applied
+    again: training is iterative/seeded and stays under pytest; the
+    deterministic scoring half is oracled).  Same plan shape as
+    ann_pq_topk's candidate stage: the corpus is scanned as m-int code
+    arrays (JVM ``zip_with`` assignment against in-plan codebook
+    literals), the LUT is m·k_codes floats riding as one literal array,
+    and the top-k is an ORDER-BY-LIMIT over the rounded key — no
+    shuffle before the final k rows."""
+    from pyspark.sql import Window
+
+    m, k_codes = len(codebooks), len(codebooks[0])
+    lut = _pq_flat_lut([float(x) for x in query_vec], codebooks)
+    corpus = df.select(
+        F.col(id_col).alias("_id"),
+        pq_code_col(F.col(vec_col), codebooks).alias("_codes"),
+    )
+    adc = _adc_over_codes(
+        F.col("_codes"), F.array(*[F.lit(x) for x in lut]), m, k_codes
+    )
+    top = (
+        corpus.withColumn("_adc", adc)
+        .select("_id", round_col("_adc", 6).alias("adc"))
+        .orderBy(F.col("adc").asc(), F.col("_id").asc())
+        .limit(k)
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("adc").asc(), F.col("_id").asc())
+    return top.select(
+        F.col("_id").alias(id_col),
+        "adc",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
 def ann_pq_topk(
     pipe: Pipeline,
     id_col: str,
@@ -586,28 +662,15 @@ def ann_pq_topk(
     qrows = q.collect()  # query side small by contract (like brute/IVF)
     if not qrows:
         raise ValueError("ann_pq_topk: empty query set")
-    dsub = dim // m
-    lut_rows = []
-    for r in qrows:
-        qv = [float(x) for x in r[query_vec]]
-        flat = []
-        for j, book in enumerate(books):
-            sub = qv[j * dsub : (j + 1) * dsub]
-            for c in book:
-                flat.append(sum((a - b) * (a - b) for a, b in zip(sub, c)))
-        lut_rows.append((r[query_id], qv, flat))
+    lut_rows = [
+        (r[query_id], qv, _pq_flat_lut(qv, books))
+        for r in qrows
+        for qv in ([float(x) for x in r[query_vec]],)
+    ]
     spark = df.sparkSession
     qdf = spark.createDataFrame(lut_rows, schema=[query_id, query_vec, "_lut"])
     # ADC over codes: sum_j LUT[j*k_codes + code_j]  (1-based element_at)
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("_codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, j: F.element_at(F.col("_lut"), (j * k_codes + c + 1).cast("int")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc = _adc_over_codes(F.col("_codes"), F.col("_lut"), m, k_codes)
     cand = (
         corpus.crossJoin(F.broadcast(qdf))
         .filter(F.col("_nid") != F.col(query_id))

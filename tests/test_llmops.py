@@ -1113,6 +1113,40 @@ def test_pq_codes_and_recall(spark):
             assert abs(r["cosine"] - exact_map[key]) < 1e-9
 
 
+def test_pq_adc_scores_matches_numpy(spark):
+    """pq_adc_scores (the oracled ADC half) vs a numpy reference:
+    same code assignment, same ADC distances, same ranking."""
+    import numpy as np
+
+    from seafan_spark.llmops.similarity import pq_adc_scores
+
+    rng = np.random.default_rng(3)
+    dim, m, kc = 8, 4, 3
+    dsub = dim // m
+    books = [
+        [[float(rng.integers(-4, 5)) / 4.0 for _ in range(dsub)] for _ in range(kc)]
+        for _ in range(m)
+    ]
+    X = rng.normal(0, 1, size=(40, dim))
+    qv = [float(x) for x in rng.normal(0, 1, size=dim)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    got = pq_adc_scores(df, "vec_id", "embedding", qv, books, k=10).collect()
+
+    B = np.asarray(books)  # (m, kc, dsub)
+    S = X.reshape(len(X), m, 1, dsub)
+    codes = ((S - B[None]) ** 2).sum(-1).argmin(-1)  # (n, m)
+    lut = ((np.asarray(qv).reshape(m, 1, dsub) - B) ** 2).sum(-1)  # (m, kc)
+    adc = np.array([sum(lut[j, codes[i, j]] for j in range(m)) for i in range(len(X))])
+    order = sorted(range(len(X)), key=lambda i: (round(adc[i], 6), i))[:10]
+    assert [r["vec_id"] for r in got] == order
+    for r in got:
+        assert r["adc"] == pytest.approx(adc[r["vec_id"]], abs=1e-6)
+    assert [r["rank"] for r in got] == list(range(1, 11))
+
+
 def test_pq_fit_rejects_bad_split(spark):
     from seafan_spark.llmops.similarity import pq_fit
 

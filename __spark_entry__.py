@@ -1363,6 +1363,39 @@ def q_irr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", round_col("rate", 6).alias("rate"))
 
 
+def q_glm_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED half of the GLM fit, oracled (round-6 VERDICT #4
+    — the pca_moments split applied to model_glm): the upper-triangle
+    Gram relation of the assembled design [X, 1, y]
+    (model.glm_moments) — X'X, X'y, y'y in ONE map-side-partial
+    aggregation, read back out of the same ``_features`` vector fit()
+    hands MLlib so the assembly is checked too. The O(p³) solve stays
+    under the GLM-recovery pytest. Inputs are INTEGRAL-VALUED by
+    construction (cent-scaled discount/tax, floored price), so every
+    product is an integer and the sums (< 2^53) are EXACT doubles in
+    both engines — no summation-order sensitivity at any SF."""
+    from seafan_spark.model import glm_moments, parse_modspec
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    p = p.with_column(
+        "disc_c", F.floor(F.col("l_discount") * 100.0 + 0.5).cast("double")
+    )
+    p = p.with_column(
+        "tax_c", F.floor(F.col("l_tax") * 100.0 + 0.5).cast("double")
+    )
+    p = p.with_column("price_d", F.floor(F.col("l_extendedprice")).cast("double"))
+    ms = parse_modspec(
+        ["Input(l_quantity+disc_c+tax_c)", "FC(size:1, activation:linear)",
+         "Target(price_d)"]
+    )
+    # NO rounding on either side: the moments are exact integers (every
+    # product integral, totals < 2^53), and DuckDB ROUND(x, 6) is LOSSY
+    # above ~2^52/1e6 (it computes round(x*1e6)/1e6, whose x*1e6 step
+    # exceeds 1 ulp) while round_col passes such values through —
+    # rounding would CREATE a mismatch on exactly-equal values
+    return glm_moments(p, ms)
+
+
 def q_model_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ModSpec DSL -> MLlib fit (modspec.go / nn.go): linear head recovers
     a price model; returns coefficients. Optimizer output — rows-only."""
@@ -2875,6 +2908,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 7 (never driver-checked -> window head) ---
     "bm25": q_bm25,
     "ann_pq_adc": q_ann_pq_adc,
+    "glm_moments": q_glm_moments,
     # --- oracled, new in round 6 (driver-green in r06, rotate down soon) ---
     "cms": q_cms,
     "mmr": q_mmr,
@@ -5782,6 +5816,39 @@ def _ann_pq_adc_oracle_sql(books: list[list[list[float]]], k: int = 15) -> str:
 
 
 ORACLES["ann_pq_adc"] = _ann_pq_adc_oracle_sql(_PQ_ADC_BOOKS, k=15)
+
+
+def _glm_moments_oracle_sql() -> str:
+    """Generated twin for q_glm_moments: the 15 upper-triangle moments
+    of [l_quantity, disc_c, tax_c, 1, price_d] as a UNION ALL chain.
+    Every column is integral by construction, so SUM(x_i*x_j) is exact
+    in both engines regardless of summation order."""
+    names = ["l_quantity", "disc_c", "tax_c", "_intercept", "_y"]
+    parts = [
+        """
+    WITH b AS (
+        SELECT CAST(l_quantity AS DOUBLE) AS x0,
+               FLOOR(CAST(l_discount AS DOUBLE) * 100.0 + 0.5) AS x1,
+               FLOOR(CAST(l_tax AS DOUBLE) * 100.0 + 0.5) AS x2,
+               1.0 AS x3,
+               FLOOR(CAST(l_extendedprice AS DOUBLE)) AS x4
+        FROM lineitem
+    )
+    SELECT i, j, term_i, term_j, moment FROM ("""
+    ]
+    sel = []
+    for i in range(5):
+        for j in range(i, 5):
+            sel.append(
+                f"SELECT {i} AS i, {j} AS j, '{names[i]}' AS term_i, "
+                f"'{names[j]}' AS term_j, SUM(x{i} * x{j}) AS moment FROM b"
+            )
+    parts.append("\n    UNION ALL ".join(sel))
+    parts.append(") ORDER BY i, j")
+    return "\n    ".join(parts)
+
+
+ORACLES["glm_moments"] = _glm_moments_oracle_sql()
 
 
 ORACLES["anova"] = """

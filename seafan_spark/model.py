@@ -354,6 +354,65 @@ def fit(
     )
 
 
+def glm_moments(pipe: Pipeline, ms: ModSpec) -> DataFrame:
+    """The DISTRIBUTED half of the linear/GLM fit as an auditable
+    relation: the upper triangle of the Gram matrix of the augmented
+    design [X, 1, y] over the SAME assembled feature matrix
+    :func:`fit` hands MLlib — one row per pair i <= j with
+    ``moment = Σ col_i · col_j``, i.e. X'X, X'y (the rows pairing a
+    feature with the label), the intercept cross-terms (column sums /
+    n), and y'y, everything the normal equations / one IRLS step
+    consume.  Solving the (p+1)×(p+1) system is O(p³) DRIVER work —
+    that half stays under the GLM-recovery pytest; this relation is the
+    part that actually scans the corpus (round-6 VERDICT #4, the
+    pca_moments split applied to model_glm).
+
+    Returns (i, j, term_i, term_j, moment) ordered by (i, j); features
+    are read back out of the assembled ``_features`` vector
+    (``vector_to_array``), not the raw columns, so the oracle also
+    checks the assembly.
+
+    Scale shape: ONE moment aggregation — (p+2)(p+3)/2 map-side-partial
+    sums in a single pass, a one-row result exploded to the pair
+    relation driver-free. No shuffle wider than the p² aggregate row.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    d_lab, label, _, _ = _label_col(pipe, ms)
+    lab_pipe = pipe._derive(d_lab)
+    d, in_names, n_feat = _assemble(lab_pipe, ms)
+    arr = vector_to_array(F.col("_features"))
+    cols = [F.element_at(arr, i + 1) for i in range(n_feat)]
+    names = list(in_names)
+    if len(names) != n_feat:  # one-hot/embed inputs expand
+        names = [f"x{i}" for i in range(n_feat)]
+    cols += [F.lit(1.0), F.col(label).cast("double")]
+    names += ["_intercept", "_y"]
+    aggs, meta = [], []
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            aggs.append(F.sum(cols[i] * cols[j]).alias(f"_m_{i}_{j}"))
+            meta.append((i, j, names[i], names[j]))
+    row = d.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.lit(ni).alias("term_i"),
+                F.lit(nj).alias("term_j"),
+                F.col(f"_m_{i}_{j}").alias("moment"),
+            )
+            for (i, j, ni, nj) in meta
+        ]
+    )
+    return (
+        row.select(F.explode(pairs).alias("p"))
+        .select("p.*")
+        .orderBy("i", "j")
+    )
+
+
 def predict(fr: FitResult, pipe: Pipeline, name: str = "fitted") -> Pipeline:
     """Score a pipeline (PredictNN, nn.go:844-896): appends
 

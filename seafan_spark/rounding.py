@@ -51,7 +51,13 @@ def round_col(c: Column | str, d: int, expensive: bool = False) -> Column:
         # saturates at Long.MAX — round_col(1e30, 2) would silently return
         # ~9.22e16. Once |x|*10^d >= 2^52 the double's ulp is >= 1, so the
         # scaled value has no fractional part and rounding is a no-op on
-        # the binary value (DuckDB ROUND agrees): pass x through unchanged.
+        # the binary value: pass x through unchanged. NOTE: DuckDB ROUND
+        # does NOT agree up here — it still computes round(x*10^d)/10^d,
+        # whose x*10^d step is LOSSY once it exceeds 2^53 (measured:
+        # ROUND(810485591333.0, 6) = 810485591332.9999). Oracle SQL must
+        # therefore not apply ROUND to columns that can reach |x| >=
+        # 2^52/10^d — emit such values unrounded on both sides (they are
+        # only hash-comparable when exact anyway, e.g. integral moments).
         return F.when(
             x.isNotNull() & finite & (scaled < F.lit(float(2**52))),
             F.signum(x) * F.floor(scaled + F.lit(0.5)) / s,

@@ -220,3 +220,43 @@ def test_predict_preserves_pipeline_internals(spark):
     # ordering by the shuffled spec must still resolve
     vals = [r["fitted"] for r in scored.ordered_df().select("fitted").limit(5).collect()]
     assert len(vals) == 5
+
+
+def test_glm_moments_matches_numpy(spark):
+    """glm_moments (the oracled distributed half) = the exact Gram of
+    [X, 1, y] over the assembled features, and the normal-equation
+    solve from it recovers the same coefficients MLlib fits."""
+    import numpy as np
+
+    from seafan_spark.model import fit, glm_moments, parse_modspec
+    from seafan_spark.sources import vec_to_pipe
+
+    rng = np.random.default_rng(5)
+    n = 200
+    x1 = rng.normal(0, 2, n)
+    x2 = rng.normal(1, 3, n)
+    y = 3.0 * x1 - 1.5 * x2 + 0.7 + rng.normal(0, 0.01, n)
+    p = vec_to_pipe(
+        spark,
+        {"x1": [float(v) for v in x1], "x2": [float(v) for v in x2],
+         "y": [float(v) for v in y]},
+    )
+    ms = parse_modspec(["Input(x1+x2)", "FC(size:1)", "Target(y)"])
+    rows = glm_moments(p, ms).collect()
+    assert [(r["i"], r["j"]) for r in rows] == [
+        (i, j) for i in range(4) for j in range(i, 4)
+    ]
+    A = np.column_stack([x1, x2, np.ones(n), y])
+    G = A.T @ A
+    for r in rows:
+        assert r["moment"] == pytest.approx(G[r["i"], r["j"]], rel=1e-12), (
+            r["term_i"], r["term_j"])
+    # the solve half: normal equations from the moment relation recover
+    # the MLlib coefficients
+    M = {(r["i"], r["j"]): r["moment"] for r in rows}
+    full = np.array([[M[min(i, j), max(i, j)] for j in range(3)] for i in range(3)])
+    rhs = np.array([M[i, 3] for i in range(3)])
+    beta = np.linalg.solve(full, rhs)
+    fr = fit(p, ms, max_iter=100)
+    got = [float(c) for c in fr.model.coefficients] + [float(fr.model.intercept)]
+    assert got == pytest.approx(list(beta), abs=1e-4)

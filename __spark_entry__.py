@@ -2895,27 +2895,23 @@ def q_trimmed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Ordering contract: the correctness driver windows the FIRST 50 entries, so
 # (1) oracled queries that have never had a driver row come first, (2) then
 # oracled queries whose implementation changed recently, (3) then stable
-# oracled queries already driver-green in rounds 1 AND 2, (4) rows-only
-# queries (no SQL twin: iterative/optimizer outputs) last. Round 5 rotated
-# the never-driver-checked rows-only queries into the window once so the
-# driver record shows them ran; round 6 rotates them back out per this
-# contract (their r05 rows are the record), promotes the newly-oracled
-# isotonic + pca_moments + kcenter (unrolled-CTE twin) and the four new
-# round-6 operators (cms / mmr / token_divergence / rrf), and back-fills
-# the remaining slots with stable oracled queries — the window is 50/50
-# oracled again.
+# oracled queries already driver-green, (4) rows-only queries (no SQL twin:
+# iterative/optimizer outputs) last. Round 7: the three new oracled queries
+# (bm25 / ann_pq_adc / glm_moments) enter at the head; the round-7 code
+# changes pull their oracled queries into the window (gini's ungrouped-path
+# rewrite, prop_test/mannwhitney NULL-variant guards, trimmed_mode's mode_by
+# empty fix, kcenter/mmr argmax_round, minhash_clusters max_iter guard);
+# cms / token_divergence / rrf / anova, driver-green in r06 and untouched
+# this round, rotate below the marker to make room.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 7 (never driver-checked -> window head) ---
     "bm25": q_bm25,
     "ann_pq_adc": q_ann_pq_adc,
     "glm_moments": q_glm_moments,
-    # --- oracled, new in round 6 (driver-green in r06, rotate down soon) ---
-    "cms": q_cms,
+    # --- oracled, implementation touched in round 7 ---
     "mmr": q_mmr,
-    "token_divergence": q_token_divergence,
-    "rrf": q_rrf,
-    "anova": q_anova,
     "kruskal": q_kruskal,
+    "minhash_clusters": q_minhash_clusters,
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
     "trimmed_mode": q_trimmed_mode,
@@ -2966,12 +2962,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # promoted into the window as a never-hash-checked oracled query
     "kcenter": q_kcenter,
     # --- end of the driver's 50-entry correctness window ---
-    # (cms/mmr/token_divergence/rrf/anova/kruskal entered at the head, so
-    # these stable driver-green back-fills rotate below the marker)
+    # (bm25/ann_pq_adc/glm_moments entered at the head and the round-7
+    # code-change promotions pulled mmr/kruskal/minhash_clusters up, so
+    # these r06-recorded driver-green queries rotate below the marker)
+    "cms": q_cms,
+    "token_divergence": q_token_divergence,
+    "rrf": q_rrf,
+    "anova": q_anova,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "tpch_q3": q_tpch_q3,
-    "minhash_clusters": q_minhash_clusters,
     "minhash_incr": q_minhash_incr,
     "contamination_bloom": q_contamination_bloom,
     "fleiss_kappa": q_fleiss_kappa,

@@ -105,11 +105,11 @@ def test_scale_report_signals(spark):
 
 def test_correctness_window_invariant():
     """The driver hash-checks only the first 50 queries() entries: every
-    one of them must have an oracle. The round-5 rows-only rotations got
-    their driver record and are back OUT of the window (round-6 contract);
-    isotonic gained a real minimax-PAV oracle, pca's distributed half is
-    oracled as pca_moments, and kcenter graduated to an unrolled-CTE twin
-    (promoted into the window), so the window is 50/50 oracled again."""
+    one of them must have an oracle. Round-7 contract: the three new
+    oracled queries (bm25/ann_pq_adc/glm_moments) head the window, the
+    queries whose implementations changed this round are promoted into
+    it, and r06-recorded unchanged greens (cms/token_divergence/rrf/
+    anova) rotate below the marker — the window stays 50/50 oracled."""
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
@@ -120,7 +120,12 @@ def test_correctness_window_invariant():
     rotated_out = {"minhash_pairs_fast", "simhash_pairs_fast", "irr_by",
                    "model_nn", "pca"}
     assert rotated_out <= set(names[50:])
-    assert {"isotonic", "pca_moments", "kcenter"} <= set(names[:50])
+    # round-7 head + code-change promotions
+    assert names[:3] == ["bm25", "ann_pq_adc", "glm_moments"]
+    assert {"mmr", "kruskal", "minhash_clusters", "gini", "prop_test",
+            "mannwhitney", "trimmed_mode", "kcenter"} <= set(names[:50])
+    # r06-recorded greens rotated out (their driver rows are the record)
+    assert {"cms", "token_divergence", "rrf", "anova"} <= set(names[50:])
     # every oracle key must reference a real query
     dangling = [n for n in oracles if n not in names]
     assert not dangling, f"oracles without queries: {dangling}"

@@ -625,6 +625,30 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(p, ["hash", "join", "vector"], "doc_id", "text", k=15)
 
 
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation (rank.ranking_metrics, Järvelin &
+    Kekäläinen 2002): graded nDCG@10, MRR@10, precision@10 per query —
+    the evaluation companion to the bm25/ann/rrf retrieval stack.
+    Rankings: events of user_id < 200 ranked per event_type by rounded
+    value DESC (event_id tiebreak — deterministic in both engines);
+    graded relevance = user_id % 4. One keyed window for ideal ranks +
+    one (query) aggregation; all-Column math (pow/log2 in-JVM)."""
+    from pyspark.sql import Window
+
+    from seafan_spark.rank import ranking_metrics
+
+    ev = _pipe(spark, sf_dir, "events").df.filter(F.col("user_id") < 200)
+    w = Window.partitionBy("event_type").orderBy(
+        round_col(F.col("value"), 6).desc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        F.row_number().over(w).alias("rank"),
+        (F.col("user_id") % 4).cast("int").alias("rel"),
+    )
+    return ranking_metrics(ranked, "event_type", "rank", "rel", k=10)
+
+
 def q_pii_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection counts + duplicate-3-gram repetition ratio
     (llmops.text.pii_count_col / repetition_ratio_col) — all vectorized
@@ -2908,9 +2932,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25": q_bm25,
     "ann_pq_adc": q_ann_pq_adc,
     "glm_moments": q_glm_moments,
+    "ranking_metrics": q_ranking_metrics,
     # --- oracled, implementation touched in round 7 ---
     "mmr": q_mmr,
-    "kruskal": q_kruskal,
     "minhash_clusters": q_minhash_clusters,
     # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
@@ -2969,6 +2993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_divergence": q_token_divergence,
     "rrf": q_rrf,
     "anova": q_anova,
+    "kruskal": q_kruskal,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "tpch_q3": q_tpch_q3,
@@ -5849,6 +5874,38 @@ def _glm_moments_oracle_sql() -> str:
 
 
 ORACLES["glm_moments"] = _glm_moments_oracle_sql()
+
+
+ORACLES["ranking_metrics"] = """
+    WITH ranked AS (
+        SELECT event_type AS query,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ROUND(value, 6) DESC, event_id ASC) AS rnk,
+               CAST(user_id % 4 AS INTEGER) AS rel
+        FROM events WHERE user_id < 200
+    ), ideal AS (
+        SELECT query, rnk, rel,
+               ROW_NUMBER() OVER (PARTITION BY query
+                                  ORDER BY CAST(rel AS DOUBLE) DESC, rnk ASC) AS irank
+        FROM ranked
+    ), agg AS (
+        SELECT query, COUNT(*) AS n,
+               SUM(CASE WHEN rnk <= 10 THEN
+                   (POWER(2.0, CAST(rel AS DOUBLE)) - 1.0) / log2(rnk + 1) END) AS dcg,
+               SUM(CASE WHEN irank <= 10 THEN
+                   (POWER(2.0, CAST(rel AS DOUBLE)) - 1.0) / log2(irank + 1) END) AS idcg,
+               MIN(CASE WHEN rnk <= 10 AND CAST(rel AS DOUBLE) > 0.0 THEN rnk END) AS fr,
+               SUM(CASE WHEN rnk <= 10 AND CAST(rel AS DOUBLE) > 0.0 THEN 1 ELSE 0 END) AS hits
+        FROM ideal GROUP BY query
+    )
+    SELECT query, n,
+           ROUND(COALESCE(dcg, 0.0), 6) AS dcg,
+           ROUND(COALESCE(idcg, 0.0), 6) AS idcg,
+           ROUND(CASE WHEN idcg > 0.0 THEN dcg / idcg END, 6) AS ndcg,
+           ROUND(CASE WHEN fr IS NOT NULL THEN 1.0 / fr ELSE 0.0 END, 6) AS mrr,
+           ROUND(hits / 10.0, 6) AS "precision"
+    FROM agg
+"""
 
 
 ORACLES["anova"] = """

@@ -301,3 +301,68 @@ def rrf_fuse(
         else:
             out = out.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(top)
     return out
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality metrics per query — the evaluation companion to
+    the retrieval stack (bm25_scores / ann_*_topk / rrf_fuse): graded
+    nDCG@k (Järvelin & Kekäläinen 2002), MRR@k, and precision@k over a
+    (query, rank, relevance) relation, where ``rank_col`` is the
+     1-based system ranking and ``rel_col`` a graded relevance (> 0 =
+    relevant for MRR/precision):
+
+        DCG@k  = Σ_{rank<=k} (2^rel − 1) / log2(rank + 1)
+        nDCG@k = DCG@k / IDCG@k   (IDCG from the ideal rel-desc order)
+        MRR@k  = 1 / min{rank <= k : rel > 0}        (0 if none)
+        P@k    = |{rank <= k, rel > 0}| / k
+
+    Returns (query, n, dcg, idcg, ndcg, mrr, precision) — ndcg NULL
+    when the query has no relevant results (IDCG 0), rounded to 6 dp.
+
+    Scale shape: ONE keyed window for the ideal ranks (each query's
+    candidate list ranks independently — query-sized, never corpus-
+    wide) and one (query) aggregation with map-side partial combine;
+    every formula is pure Column math (log2/pow in-JVM), so the whole
+    evaluation is a single shuffle over queries."""
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    rel = F.col(rel_col).cast("double")
+    rank = F.col(rank_col).cast("bigint")
+    gain = F.pow(F.lit(2.0), rel) - F.lit(1.0)
+    iw = Window.partitionBy(query_col).orderBy(
+        rel.desc(), rank.asc()
+    )
+    d = df.withColumn("_irank", F.row_number().over(iw))
+    in_k = rank <= k
+    dcg = F.sum(F.when(in_k, gain / F.log2(rank + F.lit(1)))).alias("_dcg")
+    idcg = F.sum(
+        F.when(F.col("_irank") <= k, gain / F.log2(F.col("_irank") + F.lit(1)))
+    ).alias("_idcg")
+    first_rel = F.min(F.when(in_k & (rel > 0.0), rank)).alias("_fr")
+    hits = F.sum(F.when(in_k & (rel > 0.0), F.lit(1)).otherwise(F.lit(0))).alias(
+        "_hits"
+    )
+    agg = d.groupBy(F.col(query_col).alias("query")).agg(
+        F.count(F.lit(1)).alias("n"), dcg, idcg, first_rel, hits
+    )
+    ndcg = F.when(F.col("_idcg") > 0.0, F.col("_dcg") / F.col("_idcg"))
+    mrr = F.when(
+        F.col("_fr").isNotNull(), F.lit(1.0) / F.col("_fr")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "query",
+        "n",
+        round_col(F.coalesce(F.col("_dcg"), F.lit(0.0)), 6).alias("dcg"),
+        round_col(F.coalesce(F.col("_idcg"), F.lit(0.0)), 6).alias("idcg"),
+        round_col(ndcg, 6).alias("ndcg"),
+        round_col(mrr, 6).alias("mrr"),
+        round_col(F.col("_hits") / F.lit(float(k)), 6).alias("precision"),
+    )

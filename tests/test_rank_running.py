@@ -135,3 +135,31 @@ def test_rrf_ungrouped_distributed_matches_keyed(spark):
         if "single-partition" in f
     ]
     assert not flags, flags
+
+
+def test_ranking_metrics_hand_computed(spark):
+    """nDCG/MRR/precision vs the textbook formulas on one query."""
+    import math
+
+    from seafan_spark.rank import ranking_metrics
+
+    # system ranking: ranks 1..5 with graded rels [0, 2, 1, 0, 3]
+    rows = [("q1", r + 1, rel) for r, rel in enumerate([0, 2, 1, 0, 3])]
+    df = spark.createDataFrame(rows, "q string, rank int, rel int")
+    got = ranking_metrics(df, "q", "rank", "rel", k=3).collect()[0]
+    gains = [0, 3, 1, 0, 7]  # 2^rel - 1
+    dcg = sum(g / math.log2(r + 2) for r, g in enumerate(gains[:3]))
+    ideal = sorted(gains, reverse=True)
+    idcg = sum(g / math.log2(r + 2) for r, g in enumerate(ideal[:3]))
+    assert got["n"] == 5
+    assert got["dcg"] == pytest.approx(dcg, abs=1e-6)
+    assert got["idcg"] == pytest.approx(idcg, abs=1e-6)
+    assert got["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+    assert got["mrr"] == pytest.approx(0.5)       # first relevant at rank 2
+    assert got["precision"] == pytest.approx(2 / 3)
+    # a query with NO relevant results: ndcg NULL, mrr 0, precision 0
+    df2 = spark.createDataFrame(
+        [("q2", 1, 0), ("q2", 2, 0)], "q string, rank int, rel int"
+    )
+    r2 = ranking_metrics(df2, "q", "rank", "rel", k=3).collect()[0]
+    assert r2["ndcg"] is None and r2["mrr"] == 0.0 and r2["precision"] == 0.0

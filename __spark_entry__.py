@@ -1420,6 +1420,62 @@ def q_glm_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return glm_moments(p, ms)
 
 
+def _fixed_nn_weights() -> tuple["object", "object"]:
+    """Deterministic dyadic NN weights (eighths — exact double literals
+    in both engines): W1 (2 inputs + bias -> 3 hidden), W2 (3 hidden +
+    bias -> 1 output). Formula, not training — training stays under
+    pytest (gradient checks, convergence, model_nn rows-only)."""
+    import numpy as np
+
+    w1 = np.array(
+        [[((3 * i + 2 * j) % 7 - 3) / 8.0 for j in range(3)] for i in range(2)]
+        + [[(j - 1) / 8.0 for j in range(3)]]
+    )
+    w2 = np.array([[((2 * j + 1) % 5 - 2) / 8.0] for j in range(3)] + [[1 / 8.0]])
+    return w1, w2
+
+
+def q_nn_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED half of NN scoring, oracled (the pca_moments /
+    glm_moments / ann_pq_adc split applied to the exact-architecture
+    trainer): NNModel.transform — the REAL Arrow pandas-UDF scorer
+    (batched numpy matmuls) — run with FIXED dyadic weights
+    (_fixed_nn_weights) over a leakyrelu hidden layer and linear head,
+    so the whole forward pass is mul/add/CASE with no libm and the
+    DuckDB twin replays it in the same association order at 6 dp.
+    Training (Adam, dropout, NaN-restart) is iterative and stays under
+    pytest; model_nn remains the rows-only end-to-end check."""
+    from seafan_spark.optim import NNModel, _Block
+
+    w1, w2 = _fixed_nn_weights()
+    model = NNModel(
+        blocks=[_Block("qty_s", "cts"), _Block("disc", "cts")],
+        emb={},
+        fcs=[w1, w2],
+        acts=[("leakyrelu", 0.1)],
+        head="linear",
+        n_classes=0,
+    )
+    li = _pipe(spark, sf_dir, "lineitem").df.filter(F.col("l_orderkey") % 17 == 0)
+    d = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") / F.lit(50.0)).alias("qty_s"),
+        F.col("l_discount").cast("double").alias("disc"),
+    )
+    out = model.transform(d)
+    # dyadic weights x 2-dp-decimal inputs put many predictions EXACTLY
+    # on 6-dp half boundaries (0.0746875), where a 1-ulp numpy-BLAS-FMA
+    # vs DuckDB arithmetic difference flips the rounded digit (18/2696
+    # rows measured) — scale by pi (same literal both engines) to move
+    # the whole grid off every decimal boundary (the pagerank trick)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        round_col(F.col("prediction") * F.lit(3.141592653589793), 6).alias("pred"),
+    )
+
+
 def q_model_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ModSpec DSL -> MLlib fit (modspec.go / nn.go): linear head recovers
     a price model; returns coefficients. Optimizer output — rows-only."""
@@ -2933,6 +2989,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_adc": q_ann_pq_adc,
     "glm_moments": q_glm_moments,
     "ranking_metrics": q_ranking_metrics,
+    "nn_forward": q_nn_forward,
     # --- oracled, implementation touched in round 7 ---
     "mmr": q_mmr,
     "minhash_clusters": q_minhash_clusters,
@@ -2973,7 +3030,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_spans": q_duplicated_spans,
     "mg_summary": q_mg_summary,
     "cut_spans": q_cut_spans,
-    "ts_pattern": q_ts_pattern,
     # --- oracled, never driver-checked before round 3 ---
     "profile": q_profile,
     "kfold": q_kfold,
@@ -2994,6 +3050,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rrf": q_rrf,
     "anova": q_anova,
     "kruskal": q_kruskal,
+    "ts_pattern": q_ts_pattern,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "tpch_q3": q_tpch_q3,
@@ -5874,6 +5931,38 @@ def _glm_moments_oracle_sql() -> str:
 
 
 ORACLES["glm_moments"] = _glm_moments_oracle_sql()
+
+
+def _nn_forward_oracle_sql() -> str:
+    """Generated twin for q_nn_forward: the 2->3(leakyrelu)->1(linear)
+    forward pass as explicit mul/add/CASE chains with the same dyadic
+    weight literals the Spark-side NNModel carries. Association order
+    mirrors numpy's X@W + b (row dot, then bias add); the 6-dp rounding
+    absorbs any BLAS FMA/unroll ulp differences."""
+    w1, w2 = _fixed_nn_weights()
+    a_exprs = [
+        f"((qty_s * {w1[0][j]!r} + disc * {w1[1][j]!r}) + {w1[2][j]!r})"
+        for j in range(3)
+    ]
+    h_exprs = [
+        f"(CASE WHEN {a} > 0 THEN {a} ELSE 0.1 * {a} END)" for a in a_exprs
+    ]
+    pred = (
+        f"((({h_exprs[0]} * {w2[0][0]!r} + {h_exprs[1]} * {w2[1][0]!r}) "
+        f"+ {h_exprs[2]} * {w2[2][0]!r}) + {w2[3][0]!r})"
+    )
+    return f"""
+    WITH d AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) / 50.0 AS qty_s,
+               CAST(l_discount AS DOUBLE) AS disc
+        FROM lineitem WHERE l_orderkey % 17 = 0
+    )
+    SELECT l_orderkey, l_linenumber,
+           ROUND({pred} * 3.141592653589793, 6) AS pred FROM d"""
+
+
+ORACLES["nn_forward"] = _nn_forward_oracle_sql()
 
 
 ORACLES["ranking_metrics"] = """

@@ -308,3 +308,28 @@ def test_grad_pass_tree_path_matches_direct(spark):
     G2, ss2, n2 = _grad_pass(d2, W, 2, nparts=10_000)  # force tree path
     assert n1 == n2
     assert np.allclose(G1, G2) and np.allclose(ss1, ss2)
+
+
+def test_nn_transform_fixed_weights_matches_numpy(spark):
+    """NNModel.transform (the oracled Arrow scoring path) with fixed
+    weights = the hand-rolled forward pass."""
+    import numpy as np
+
+    from seafan_spark.optim import NNModel, _Block
+
+    w1 = np.array([[0.25, -0.125, 0.5], [0.375, 0.125, -0.25]] + [[0.0, 0.125, -0.125]])
+    w2 = np.array([[0.5], [-0.375], [0.25], [0.125]])
+    model = NNModel(
+        blocks=[_Block("x1", "cts"), _Block("x2", "cts")],
+        emb={}, fcs=[w1, w2], acts=[("leakyrelu", 0.1)],
+        head="linear", n_classes=0,
+    )
+    rows = [(i, 0.1 * i - 0.5, 0.03 * i) for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, x1 double, x2 double")
+    got = {r["id"]: r["prediction"] for r in model.transform(df).collect()}
+    X = np.array([[r[1], r[2]] for r in rows])
+    a = X @ w1[:-1] + w1[-1]
+    h = np.where(a > 0, a, 0.1 * a)
+    pred = (h @ w2[:-1] + w2[-1]).ravel()
+    for i in range(20):
+        assert got[i] == pytest.approx(pred[i], abs=1e-12), i

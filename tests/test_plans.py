@@ -121,11 +121,13 @@ def test_correctness_window_invariant():
                    "model_nn", "pca"}
     assert rotated_out <= set(names[50:])
     # round-7 head + code-change promotions
-    assert names[:4] == ["bm25", "ann_pq_adc", "glm_moments", "ranking_metrics"]
+    assert names[:5] == ["bm25", "ann_pq_adc", "glm_moments",
+                         "ranking_metrics", "nn_forward"]
     assert {"mmr", "minhash_clusters", "gini", "prop_test",
             "mannwhitney", "trimmed_mode", "kcenter"} <= set(names[:50])
     # r06-recorded greens rotated out (their driver rows are the record)
-    assert {"cms", "token_divergence", "rrf", "anova", "kruskal"} <= set(names[50:])
+    assert {"cms", "token_divergence", "rrf", "anova", "kruskal",
+            "ts_pattern"} <= set(names[50:])
     # every oracle key must reference a real query
     dangling = [n for n in oracles if n not in names]
     assert not dangling, f"oracles without queries: {dangling}"

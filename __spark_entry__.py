@@ -1352,8 +1352,13 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
+    # NULL-embedding parity with the twin's `embedding IS NOT NULL`: a
+    # NULL vector yields NULL adc, which Spark's ASC orderBy sorts first
+    # while DuckDB drops the row (round-7 ADVICE). Testdata has none,
+    # but the filter makes both sides identical by construction.
     return pq_adc_scores(
-        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding",
+        emb.filter((F.col("vec_id") != 0) & F.col("embedding").isNotNull()),
+        "vec_id", "embedding",
         q_vec, _PQ_ADC_BOOKS, k=15,
     )
 
@@ -1396,8 +1401,12 @@ def q_glm_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     hands MLlib so the assembly is checked too. The O(p³) solve stays
     under the GLM-recovery pytest. Inputs are INTEGRAL-VALUED by
     construction (cent-scaled discount/tax, floored price), so every
-    product is an integer and the sums (< 2^53) are EXACT doubles in
-    both engines — no summation-order sensitivity at any SF."""
+    product is an integer and the sums are EXACT doubles in both
+    engines — no summation-order sensitivity — AS LONG AS the totals
+    stay below 2^53. y'y is ~2.2e15 at sf0.1 (a quarter of 2^53), so
+    the claim holds for the gated SFs (sf0.01/sf0.1) with ~4x headroom;
+    around sf0.4+ point the gate at a downscaled target (e.g.
+    floor(price/100)) before trusting the unrounded hash."""
     from seafan_spark.model import glm_moments, parse_modspec
 
     p = _pipe(spark, sf_dir, "lineitem")
@@ -5940,6 +5949,9 @@ def _nn_forward_oracle_sql() -> str:
     mirrors numpy's X@W + b (row dot, then bias add); the 6-dp rounding
     absorbs any BLAS FMA/unroll ulp differences."""
     w1, w2 = _fixed_nn_weights()
+    # plain Python floats: np.float64!r under NumPy >= 2.0 renders as
+    # 'np.float64(0.25)', which DuckDB cannot parse (round-7 ADVICE)
+    w1, w2 = w1.tolist(), w2.tolist()
     a_exprs = [
         f"((qty_s * {w1[0][j]!r} + disc * {w1[1][j]!r}) + {w1[2][j]!r})"
         for j in range(3)

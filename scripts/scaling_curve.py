@@ -108,7 +108,9 @@ def main() -> None:
                 force(fn(spark, sf_dir))  # fresh: untimed (JIT/AQE reshape)
             except Exception as exc:  # noqa: BLE001
                 print(f"ERR {n} @ {label}: {exc}", file=sys.stderr)
-                results[n][label] = float("nan")
+                # None, not float('nan'): json.dump emits a bare NaN
+                # token for nan — invalid strict JSON (round-7 ADVICE)
+                results[n][label] = None
                 continue
             cleanup()
             trials = []
@@ -146,12 +148,15 @@ def main() -> None:
             },
             fh,
             indent=1,
+            allow_nan=False,
         )
     print(f"\n{'query':22s} {'sf0.01':>8s} {'sf0.1':>8s} {'10x':>8s} "
           f"{'e_small':>8s} {'e_big':>7s}")
     for n, a, b, c, d, e in rows:
         flag = "  <-- SUPER-LINEAR" if (e or 0) > 1.3 else ""
-        print(f"{n:22s} {a:8.2f} {b:8.2f} {c:8.2f} "
+        fa, fb, fc = (f"{v:8.2f}" if v is not None else f"{'ERR':>8s}"
+                      for v in (a, b, c))
+        print(f"{n:22s} {fa} {fb} {fc} "
               f"{d if d is not None else '':>8} {e if e is not None else '':>7}{flag}")
 
 

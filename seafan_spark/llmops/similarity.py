@@ -757,7 +757,7 @@ def kcenter_select(
     vec_col: str,
     k: int,
     seed_id: int | None = None,
-    argmax_round: int | None = None,
+    argmax_round: int | None = 6,
 ) -> DataFrame:
     """Greedy k-center (farthest-point) coreset selection over an
     embedding column: pick the corpus's ``k`` most mutually-distant
@@ -782,14 +782,15 @@ def kcenter_select(
     a cached columnar relation; for k beyond ~100, pre-reduce with
     ann_ivf assignments and run k-center on cell centroids instead.
 
-    ``argmax_round`` (default None = full precision) rounds the argmax
-    SORT KEY to that many decimals (DuckDB-portable ``round_col``)
-    before comparing, ties still broken by smallest id.  A greedy chain
-    compared across engines on unrounded doubles is one near-tie away
-    from flipping the whole remaining pick sequence even when both
-    implementations are correct — the oracled query pins the key at 6
-    decimals so a 1-ulp cross-engine dot-product difference can never
-    reorder the picks (round-6 ADVICE).
+    ``argmax_round`` (default 6) rounds the argmax SORT KEY to that
+    many decimals (DuckDB-portable ``round_col``) before comparing,
+    ties still broken by smallest id.  A greedy chain compared across
+    runs or engines on unrounded doubles is one near-tie away from
+    flipping the whole remaining pick sequence even when both
+    implementations are correct — rounding at 6 decimals makes the pick
+    sequence stable under repartitioning / sum-order 1-ulp noise
+    (round-6 ADVICE; default flipped per round-7 VERDICT #8).  Pass
+    ``argmax_round=None`` for full-precision keys.
     """
     from pyspark.sql import Row
 
@@ -858,7 +859,7 @@ def mmr_select(
     query_vec: Sequence[float],
     k: int,
     lam: float = 0.7,
-    argmax_round: int | None = None,
+    argmax_round: int | None = 6,
 ) -> DataFrame:
     """Maximal Marginal Relevance top-k (Carbonell & Goldstein 1998):
     greedily pick ``k`` results trading query relevance against
@@ -885,10 +886,11 @@ def mmr_select(
     Run it on an ANN candidate pool (ann_topk/ann_ivf with generous k'),
     not the raw corpus, when the corpus is petabyte-scale.
 
-    ``argmax_round`` (default None = full precision) rounds the argmax
-    SORT KEY — see :func:`kcenter_select`: a cross-engine greedy chain
-    on unrounded doubles is one near-tie away from flipping every later
-    pick; the oracled query pins the key at 6 decimals."""
+    ``argmax_round`` (default 6) rounds the argmax SORT KEY — see
+    :func:`kcenter_select`: a greedy chain on unrounded doubles is one
+    near-tie away from flipping every later pick; 6-dp keys make the
+    sequence stable under repartitioning and cross-engine 1-ulp noise
+    (``argmax_round=None`` restores full precision)."""
     from pyspark.sql import Row
 
     if k < 1:

@@ -433,9 +433,26 @@ class Pipeline:
     def to_pandas(self):
         return self.ordered_df().drop(*[c for c in self.df.columns if c.startswith("_")]).toPandas()
 
-    def collect_field(self, name: str) -> list[Any]:
-        """Collect one column in pipeline order (test/diagnostic helper)."""
-        return [r[0] for r in self.ordered_df().select(name).collect()]
+    def collect_field(self, name: str, allow_large: bool = False) -> list[Any]:
+        """Collect one column in pipeline order (test/diagnostic helper).
+
+        This is a deliberate driver materialization (the reference's
+        GData column getters, gdata.go:470-493, are in-memory slices);
+        above the small-data ceiling it raises instead of OOMing the
+        driver — pass ``allow_large=True`` (or raise
+        ``SEAFAN_SMALL_DATA_LIMIT``) to opt out, or use ``iter_rows`` /
+        the parquet sink for bulk export.
+        """
+        sel = self.ordered_df().select(name)
+        if not allow_large:
+            from seafan_spark.guards import assert_small
+
+            assert_small(
+                self.df, "collect_field",
+                scale_hint="Use iter_rows() or a sink for bulk export, "
+                "or collect_field(..., allow_large=True).",
+            )
+        return [r[0] for r in sel.collect()]
 
     def iter_rows(self, prefetch: bool = True):
         """Row-wise reader in pipeline order (GData's GetRow role,

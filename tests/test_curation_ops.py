@@ -1664,6 +1664,41 @@ def test_mmr_diversity_spans_clusters(spark):
     assert len(set(rel)) == 1, rel
 
 
+def test_kcenter_mmr_default_rounded_key_stable_under_repartition(spark):
+    """Round-7 VERDICT #8: argmax_round defaults to 6, so the greedy pick
+    sequence is identical regardless of physical partitioning (sum-order
+    1-ulp noise in the dot products can no longer flip a near-tie)."""
+    import inspect
+
+    import numpy as np
+
+    from seafan_spark.llmops.similarity import kcenter_select, mmr_select
+
+    assert inspect.signature(kcenter_select).parameters["argmax_round"].default == 6
+    assert inspect.signature(mmr_select).parameters["argmax_round"].default == 6
+
+    rng = np.random.default_rng(23)
+    vecs = rng.normal(0, 1, (60, 16)).astype(float)
+    # plant exact near-ties: pairs of vectors equal up to a 1e-9 nudge in
+    # one coordinate — unrounded keys differ in the last ulps, 6-dp keys
+    # tie and break by id, deterministically
+    for i in range(0, 20, 2):
+        vecs[i + 1] = vecs[i]
+        vecs[i + 1][0] += 1e-9
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    q = [float(x) for x in rng.normal(0, 1, 16)]
+
+    for parts in (1, 7):
+        d = df.repartition(parts)
+        kc = [r["id"] for r in kcenter_select(d, "vid", "v", k=8).collect()]
+        mm = [r["id"] for r in mmr_select(d, "vid", "v", q, k=8).collect()]
+        if parts == 1:
+            kc1, mm1 = kc, mm
+    assert kc == kc1, (kc, kc1)
+    assert mm == mm1, (mm, mm1)
+
+
 # ------------------------------------------------------- anova / kruskal ----
 def test_anova_matches_scipy_style_reference(spark):
     """Closed-form F against a plain-Python one-way ANOVA."""

@@ -34,3 +34,14 @@ def test_exact_pairs_guard(spark, monkeypatch):
     # explicit limit beats the env default, so simulate misuse directly
     with pytest.raises(SmallDataLimitError):
         assert_small(p.df, "embedding_neardup_pairs(exact=True)", limit=1)
+
+
+def test_collect_field_guard(spark, monkeypatch):
+    p = vec_to_pipe(spark, {"x": list(range(10))})
+    monkeypatch.setenv("SEAFAN_SMALL_DATA_LIMIT", "5")
+    with pytest.raises(SmallDataLimitError, match="collect_field"):
+        p.collect_field("x")
+    # explicit opt-out collects regardless of the ceiling
+    assert sorted(p.collect_field("x", allow_large=True)) == list(range(10))
+    monkeypatch.setenv("SEAFAN_SMALL_DATA_LIMIT", "100")
+    assert sorted(p.collect_field("x")) == list(range(10))

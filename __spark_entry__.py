@@ -1392,6 +1392,27 @@ def q_irr_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", round_col("rate", 6).alias("rate"))
 
 
+def q_irr_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IRR via DISTRIBUTED fixed-step bisection, oracled (round-7 VERDICT
+    #4 — the kcenter/mmr/rake unroll applied to the root-finder): 40
+    halvings of the dyadic bracket [0, 4], each step ONE rounded
+    NPV-sign aggregate over user 0's indexed flow relation
+    (agg.irr_bisect — the flows never collect to the driver). The DuckDB
+    twin unrolls the same 40 steps as a CTE chain with one correlated
+    NPV subquery per step; matching sign decisions make the final
+    bracket — hence the rate — BIT-EQUAL dyadic doubles. The adaptive
+    production solvers (irr()/irr_by Nelder-style bisection with early
+    exit) stay rows-only."""
+    from seafan_spark.agg import irr_bisect
+    from seafan_spark.sources import read_parquet
+
+    flows = read_parquet(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") == 0
+    )
+    rate = irr_bisect(flows, "value", ["ts", "event_id"], steps=40)
+    return spark.createDataFrame([(round(rate, 6),)], "rate double")
+
+
 def q_glm_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTRIBUTED half of the GLM fit, oracled (round-6 VERDICT #4
     — the pca_moments split applied to model_glm): the upper-triangle
@@ -1570,6 +1591,71 @@ def q_marginal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fit_seg",
         round_col("x_value", 4).alias("x_value"),
         round_col("mean_fit", 2).alias("mean_fit"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+def _marginal_fixed_weights() -> tuple["object", "object"]:
+    """The nn_forward dyadic weights with a π-SCALED head: predictions =
+    π × the dyadic forward pass (the head is linear, so folding π into
+    W2 rescales every output monotonically). That keeps every fitted
+    value off 6-dp half boundaries — the same trick q_nn_forward applies
+    at output time — so the ROUNDED segmentation key (seg_round=6) is
+    identical cross-engine and a 1-ulp numpy-vs-DuckDB difference can
+    never flip a row's fitted segment."""
+    w1, w2 = _fixed_nn_weights()
+    return w1, w2 * 3.141592653589793
+
+
+def q_marginal_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-effect table with PINNED weights, oracled (round-7
+    VERDICT #2 — the nn_forward fixed-weights trick applied to the whole
+    diags.marginal pipeline): the REAL diags.marginal runs end-to-end —
+    NNModel.transform Arrow scoring, distributed ntile segmentation
+    (6 fitted-quantile segments), bounded per-segment sampling,
+    counterfactual sweep of qty_s over the min/max grid, re-scoring, and
+    the (segment, sweep) aggregation — with _marginal_fixed_weights
+    instead of a trained model, deterministic tiebreak (tie =
+    8·l_orderkey + l_linenumber) and a 6-dp-rounded segmentation key, so
+    every stage is exactly replayable in SQL. Training stays iterative;
+    plain `marginal` remains the rows-only end-to-end check."""
+    from seafan_spark.diags import marginal
+    from seafan_spark.model import FitResult, parse_modspec
+    from seafan_spark.optim import NNModel, _Block
+
+    w1, w2 = _marginal_fixed_weights()
+    model = NNModel(
+        blocks=[_Block("qty_s", "cts"), _Block("disc", "cts")],
+        emb={},
+        fcs=[w1, w2],
+        acts=[("leakyrelu", 0.1)],
+        head="linear",
+        n_classes=0,
+    )
+    p = _pipe(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 17 == 0)
+    p = p.with_column("qty_s", F.col("l_quantity").cast("double") / F.lit(50.0))
+    p = p.with_column("disc", F.col("l_discount").cast("double"))
+    p = p.with_column(
+        "tie",
+        (F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")).cast("bigint"),
+    )
+    ms = parse_modspec(
+        ["Input(qty_s+disc)", "FC(size:3, activation:leakyrelu(0.1))",
+         "FC(size:1, activation:linear)", "Target(l_extendedprice)"]
+    )
+    fr = FitResult(
+        model=model, modspec=ms, kind="nn_linear",
+        feature_cols=["qty_s", "disc"], n_classes=0, fts=p.fts.copy(),
+    )
+    t = marginal(
+        fr, p, "qty_s", n_seg=6, n_sweep=4, take=500,
+        tiebreak="tie", seg_round=6,
+    )
+    return t.select(
+        F.col("fit_seg").cast("bigint").alias("fit_seg"),
+        round_col("x_value", 6).alias("x_value"),
+        round_col("mean_fit", 6).alias("mean_fit"),
+        round_col("sd_fit", 6).alias("sd_fit"),
         F.col("n").cast("bigint").alias("n"),
     )
 
@@ -2993,6 +3079,9 @@ def q_trimmed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cms / token_divergence / rrf / anova, driver-green in r06 and untouched
 # this round, rotate below the marker to make room.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- oracled, new in round 8 (never driver-checked -> window head) ---
+    "marginal_fixed": q_marginal_fixed,
+    "irr_bisect": q_irr_bisect,
     # --- oracled, new in round 7 (never driver-checked -> window head) ---
     "bm25": q_bm25,
     "ann_pq_adc": q_ann_pq_adc,
@@ -5975,6 +6064,108 @@ def _nn_forward_oracle_sql() -> str:
 
 
 ORACLES["nn_forward"] = _nn_forward_oracle_sql()
+
+
+def _marginal_fixed_oracle_sql(n_seg: int = 6, n_sweep: int = 4,
+                               take: int = 500) -> str:
+    """Generated twin for q_marginal_fixed: replay the WHOLE marginal
+    pipeline in SQL — π-scaled dyadic forward pass (mul/add/CASE, same
+    left association as numpy's row dot), NTILE over the 6-dp-rounded
+    fitted value with the deterministic tie column (identical to
+    rank.ntile_bucket_col's closed form), per-segment smallest-tie
+    sample of `take`, the q0 + (Δ/5)·g sweep grid from the SAME min/max
+    (single IEEE ops in the same order → bit-equal grid points), and the
+    (segment, sweep) mean/sd/n aggregation at 6 dp."""
+    w1, w2 = _marginal_fixed_weights()
+    w1, w2 = w1.tolist(), w2.tolist()
+
+    def fwd(qty: str, disc: str) -> str:
+        a = [
+            f"(({qty} * {w1[0][j]!r} + {disc} * {w1[1][j]!r}) + {w1[2][j]!r})"
+            for j in range(3)
+        ]
+        h = [f"(CASE WHEN {x} > 0 THEN {x} ELSE 0.1 * {x} END)" for x in a]
+        return (
+            f"((({h[0]} * {w2[0][0]!r} + {h[1]} * {w2[1][0]!r}) "
+            f"+ {h[2]} * {w2[2][0]!r}) + {w2[3][0]!r})"
+        )
+
+    grid_vals = ", ".join(f"({float(g)!r})" for g in range(1, n_sweep + 1))
+    return f"""
+    WITH base AS (
+        SELECT l_orderkey * 8 + l_linenumber AS tie,
+               CAST(l_quantity AS DOUBLE) / 50.0 AS qty_s,
+               CAST(l_discount AS DOUBLE) AS disc
+        FROM lineitem WHERE l_orderkey % 17 = 0
+    ),
+    sc AS (SELECT tie, qty_s, disc, {fwd('qty_s', 'disc')} AS mfit0 FROM base),
+    seg AS (SELECT tie, disc,
+                   NTILE({n_seg}) OVER (ORDER BY ROUND(mfit0, 6) DESC, tie ASC)
+                       AS fit_seg
+            FROM sc),
+    samp AS (SELECT fit_seg, disc FROM (
+                 SELECT fit_seg, disc,
+                        ROW_NUMBER() OVER (PARTITION BY fit_seg ORDER BY tie ASC)
+                            AS rn
+                 FROM seg) WHERE rn <= {take}),
+    mm AS (SELECT MIN(qty_s) AS q0, MAX(qty_s) AS q100 FROM base),
+    grid AS (SELECT q0 + ((q100 - q0) / 5.0) * g AS x_value
+             FROM mm CROSS JOIN (VALUES {grid_vals}) t(g)),
+    sw AS (SELECT s.fit_seg, g.x_value, {fwd('g.x_value', 's.disc')} AS mfit1
+           FROM samp s CROSS JOIN grid g)
+    SELECT CAST(fit_seg AS BIGINT) AS fit_seg,
+           ROUND(x_value, 6) AS x_value,
+           ROUND(AVG(mfit1), 6) AS mean_fit,
+           ROUND(STDDEV_SAMP(mfit1), 6) AS sd_fit,
+           COUNT(*) AS n
+    FROM sw GROUP BY fit_seg, x_value ORDER BY fit_seg, x_value"""
+
+
+ORACLES["marginal_fixed"] = _marginal_fixed_oracle_sql()
+
+
+def _irr_bisect_oracle_sql(steps: int = 40, npv_round: int = 4) -> str:
+    """Generated twin for q_irr_bisect: the 40-step bisection unrolled as
+    a CTE chain (the kcenter/rake unroll applied to a root-finder). Each
+    step is one correlated scalar subquery computing the ROUNDED
+    f(mid) = npv(mid) − cost over the indexed flow relation, then a CASE
+    bracket update identical to agg.irr_bisect's: flo·fm ≤ 0 keeps
+    (lo, flo) and moves hi, else (lo, flo) ← (mid, fm). The dyadic
+    bracket [0, 4] makes every midpoint an exact double, so matching
+    sign decisions yield a bit-equal rate."""
+
+    def fm(lo: str, hi: str) -> str:
+        return (
+            f"(SELECT ROUND(SUM(v / POWER(1.0 + ({lo} + {hi}) / 2.0, i)) "
+            f"- (SELECT c FROM cst), {npv_round}) FROM flows)"
+        )
+
+    parts = [f"""
+    WITH flows AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS DOUBLE)
+                   AS i,
+               CAST(value AS DOUBLE) AS v
+        FROM events WHERE user_id = 0
+    ),
+    cst AS (SELECT SUM(v) / 2.0 AS c FROM flows),
+    s0 AS (SELECT 0.0 AS lo, 4.0 AS hi,
+                  (SELECT ROUND(SUM(v / POWER(1.0, i))
+                                - (SELECT c FROM cst), {npv_round})
+                   FROM flows) AS flo)"""]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+    s{k} AS (SELECT CASE WHEN flo * fm <= 0 THEN lo ELSE mid END AS lo,
+                    CASE WHEN flo * fm <= 0 THEN mid ELSE hi END AS hi,
+                    CASE WHEN flo * fm <= 0 THEN flo ELSE fm END AS flo
+             FROM (SELECT lo, hi, flo, (lo + hi) / 2.0 AS mid,
+                          {fm('lo', 'hi')} AS fm
+                   FROM s{k - 1}))""")
+    parts.append(f"""
+    SELECT ROUND((lo + hi) / 2.0, 6) AS rate FROM s{steps}""")
+    return "".join(parts)
+
+
+ORACLES["irr_bisect"] = _irr_bisect_oracle_sql()
 
 
 ORACLES["ranking_metrics"] = """

@@ -272,6 +272,77 @@ def irr_by(
     return d.groupBy(*keys).applyInPandas(solve, schema=out_schema)
 
 
+def irr_bisect(
+    df: DataFrame,
+    flow_col: str,
+    order: Sequence[str],
+    cost: float | None = None,
+    lo: float = 0.0,
+    hi: float = 4.0,
+    steps: int = 40,
+    npv_round: int = 4,
+) -> float:
+    """DISTRIBUTED fixed-step bisection IRR: the rate r in [lo, hi] with
+    ``npv(r, flows) = cost`` after exactly ``steps`` halvings.
+
+    This is the deterministic, exactly-replayable half of the IRR family
+    (the kcenter/mmr/rake unroll applied to a root-finder): every step is
+    ONE tiny NPV aggregate over the indexed flow relation — the flow
+    vector NEVER collects to the driver (driver state is the 3-float
+    bracket), unlike the reference-compat expression ``irr()`` which
+    gathers the flows (parser.go:617-658). Each step decides the bracket
+    on the ROUNDED f(mid) (``npv_round`` decimals, the argmax_round
+    story applied to a sign test) so cross-engine/cross-run sum-order
+    noise in the NPV can never flip a step; with a dyadic bracket every
+    midpoint is an exact dyadic rational, so matching decisions give a
+    BIT-EQUAL rate. ``cost`` defaults to half the undiscounted flow
+    total (brackets a root whenever the first flow is below half the
+    total: f(0) = total − cost > 0, f(r→∞) → flow₀ − cost < 0).
+
+    Adaptive-tolerance root polishing stays in ``irr()``/``irr_by`` —
+    fixed-step bisection trades their early exit for replayability.
+    """
+    from seafan_spark.rank import global_row_number
+    from seafan_spark.rounding import round_col
+
+    if steps < 1:
+        raise ValueError("irr_bisect: steps must be >= 1")
+    lo, hi = float(lo), float(hi)
+    d, _total = global_row_number(
+        df.select(F.col(flow_col).cast("double").alias("_v"), *order),
+        [(c, True) for c in order],
+        "_rn",
+    )
+    d = d.select("_v", (F.col("_rn") - 1).cast("double").alias("_i")).cache()
+    try:
+        if cost is None:
+            cost = float(d.agg((F.sum("_v") / 2.0).alias("c")).collect()[0]["c"])
+
+        def f(r: float) -> float:
+            npv = F.sum(F.col("_v") / F.pow(F.lit(1.0 + r), F.col("_i")))
+            return float(
+                d.agg(round_col(npv - F.lit(cost), npv_round).alias("f"))
+                .collect()[0]["f"]
+            )
+
+        flo, fhi = f(lo), f(hi)
+        if flo * fhi > 0:
+            raise ValueError(
+                f"irr_bisect: no sign change in [{lo}, {hi}] "
+                f"(f(lo)={flo}, f(hi)={fhi})"
+            )
+        for _ in range(steps):
+            mid = (lo + hi) / 2.0
+            fm = f(mid)
+            if flo * fm <= 0:
+                hi = mid
+            else:
+                lo, flo = mid, fm
+        return (lo + hi) / 2.0
+    finally:
+        d.unpersist()
+
+
 def rollup_table(
     pipe: Pipeline,
     keys: Sequence[str],

@@ -270,6 +270,8 @@ def marginal(
     take: int = 1000,
     max_cats: int = 10,
     seed: int = 42,
+    tiebreak: str | None = None,
+    seg_round: int | None = None,
 ):
     """Marginal-effect table (Marginal, diags.go:592-731): segment rows by
     quantile of the fitted value (high to low), counterfactually set
@@ -284,27 +286,53 @@ def marginal(
 
     Returns a DataFrame: (fit_seg, x_value, mean_fit, sd_fit, n) where
     fit_seg 1 = highest fitted segment.
+
+    Determinism knobs (the argmax_round story applied to segmentation):
+    by default the ntile tiebreak and the per-segment sample order use a
+    seeded row hash — deterministic within Spark but not replayable
+    elsewhere. ``tiebreak`` names an existing (unique) column to use
+    instead, making the whole table replayable in plain SQL;
+    ``seg_round`` rounds the fitted value to that many decimals before
+    segmenting, so a 1-ulp scoring difference (numpy FMA vs another
+    engine) near a segment boundary can't flip a row's segment —
+    rounded ties fall to the tiebreak. The oracled ``marginal_fixed``
+    query pins both.
     """
     from seafan_spark.model import predict
     from seafan_spark.rank import ntile_exact
+    from seafan_spark.rounding import round_col
 
     scored = predict(fr, pipe, "mfit0")
-    # deterministic per-row hash: ntile tiebreak + sampling order
-    hcol = F.xxhash64(
-        *[F.col(c) for c in pipe.df.columns if not c.startswith("_")], F.lit(seed)
+    if tiebreak is None:
+        # deterministic per-row hash: ntile tiebreak + sampling order
+        hcol = F.xxhash64(
+            *[F.col(c) for c in pipe.df.columns if not c.startswith("_")], F.lit(seed)
+        )
+    else:
+        hcol = F.col(tiebreak)
+    segkey = (
+        round_col(F.col("mfit0"), seg_round)
+        if seg_round is not None
+        else F.col("mfit0")
     )
     # materialize the scored rows once: the distributed ntile below runs a
     # sampling pass + a counts pass + the final pass, and re-running the
     # model transform (VectorAssembler + predict) for each would triple the
     # scoring cost
-    d0 = scored.df.withColumn("_h", hcol).localCheckpoint(eager=True)
+    d0 = (
+        scored.df.withColumn("_h", hcol)
+        .withColumn("_segkey", segkey)
+        .localCheckpoint(eager=True)
+    )
     # distributed NTILE (rank.py) — no unpartitioned window
-    d, total = ntile_exact(d0, [("mfit0", False), ("_h", True)], n_seg, "fit_seg")
+    d, total = ntile_exact(d0, [("_segkey", False), ("_h", True)], n_seg, "fit_seg")
+    d = d.drop("_segkey")
     # bounded per-segment sample = the `take` smallest hashes per segment.
     # Pre-filter to ~4x the needed rows by a uniform-hash threshold so the
     # per-segment rank window sorts O(take) rows, not the whole segment.
+    # (hash mode only: a user tiebreak column has no uniformity contract)
     seg_size = -(-total // n_seg) if total else 0
-    if seg_size > 4 * take:
+    if tiebreak is None and seg_size > 4 * take:
         frac = 4.0 * take / seg_size
         d = d.filter(F.col("_h") <= F.lit(int(-(2**63) + frac * 2**64)))
     ws = Window.partitionBy("fit_seg").orderBy(F.col("_h"))

@@ -55,3 +55,29 @@ def test_irr_by_arg_validation(spark):
         irr_by(p, ["g"], "flow")
     with pytest.raises(ValueError, match="exactly one"):
         irr_by(p, ["g"], "flow", cost=1.0, cost_col="flow")
+
+
+def test_irr_bisect_planted_and_distributed(spark):
+    """Fixed-step distributed bisection (agg.irr_bisect): known root,
+    bracket validation, and agreement with irr_by's adaptive solver."""
+    from seafan_spark.agg import irr_bisect
+
+    # 110/(1+r) = 100 -> r = 0.10 ; flows need an order column
+    p = vec_to_pipe(spark, {"i": [0, 1], "flow": [0.0, 110.0]})
+    r = irr_bisect(p.df, "flow", ["i"], cost=100.0, lo=0.0, hi=4.0, steps=40)
+    assert math.isclose(r, 0.10, abs_tol=1e-4)
+
+    # default cost = sum/2: same planted shape as q_irr's bracketing
+    p2 = vec_to_pipe(
+        spark, {"i": list(range(6)), "flow": [10.0, 40.0, 40.0, 40.0, 40.0, 30.0]}
+    )
+    from pyspark.sql import functions as F
+
+    r2 = irr_bisect(p2.df, "flow", ["i"], steps=40)
+    out = irr_by(p2.with_column("g", F.lit(1)), ["g"], "flow", cost=100.0).collect()
+    assert math.isclose(r2, out[0]["rate"], abs_tol=1e-3)
+
+    # no sign change in the bracket -> loud error, not a silent rate
+    p3 = vec_to_pipe(spark, {"i": [0], "flow": [-10.0]})
+    with pytest.raises(ValueError, match="no sign change"):
+        irr_bisect(p3.df, "flow", ["i"], cost=100.0)

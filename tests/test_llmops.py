@@ -1199,6 +1199,45 @@ def test_semantic_dedup_seeds_planted(spark):
     assert out == {1: (1, 1), 2: (2, 1), 3: (1, 0), 4: (2, 0), 5: (1, 1)}
 
 
+def test_semantic_dedup_adaptive_default_k(spark):
+    """n_clusters defaults to None -> adaptive_n_clusters ~ sqrt(N)
+    (round-7 VERDICT #1b): the O(sum c_i^2) pair stage stays linear in N
+    with defaults instead of inheriting a fixed-k quadratic term."""
+    import inspect
+
+    from seafan_spark.llmops.dedup import (
+        adaptive_n_clusters,
+        semantic_dedup,
+        semantic_dedup_store_prepare,
+    )
+
+    for fn in (semantic_dedup, semantic_dedup_store_prepare):
+        assert inspect.signature(fn).parameters["n_clusters"].default is None
+    assert adaptive_n_clusters(1_000_000) == 1000
+    assert adaptive_n_clusters(100) == 16          # floor
+    assert adaptive_n_clusters(10**12) == 65536    # ceiling
+    assert adaptive_n_clusters(0) == 16
+
+    # defaults run end-to-end (kmeans path, k floored to 16 here) and
+    # keep verdicts agree with pinning the same k explicitly
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    dup = [(100 + i, rows[i][1]) for i in range(6)]  # exact copies -> dropped
+    p = vec_to_pipe(
+        spark,
+        {"vec_id": [r[0] for r in rows + dup],
+         "embedding": [r[1] for r in rows + dup]},
+    )
+    got = {r["id"]: r["keep"]
+           for r in semantic_dedup(p, "vec_id", "embedding", eps=0.999).collect()}
+    pinned = {r["id"]: r["keep"]
+              for r in semantic_dedup(p, "vec_id", "embedding", n_clusters=16,
+                                      eps=0.999).collect()}
+    assert got == pinned
+    assert all(got[100 + i] == 0 for i in range(6))
+    assert all(got[i] == 1 for i in range(40))
+
+
 def test_semantic_dedup_kmeans_matches_reference(spark):
     """The quantizer is free (kmeans vs seeds); GIVEN the returned
     assignment, the pair + keep-first logic must match a direct numpy

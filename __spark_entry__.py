@@ -3079,19 +3079,75 @@ def q_trimmed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cms / token_divergence / rrf / anova, driver-green in r06 and untouched
 # this round, rotate below the marker to make room.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ============ driver 50-entry correctness window (round 8) ============
     # --- oracled, new in round 8 (never driver-checked -> window head) ---
     "marginal_fixed": q_marginal_fixed,
     "irr_bisect": q_irr_bisect,
-    # --- oracled, new in round 7 (never driver-checked -> window head) ---
-    "bm25": q_bm25,
+    # --- oracled, implementation/oracle touched in round 8 (ann_pq_adc
+    # NULL-parity filter, nn_forward oracle float conversion, mmr/kcenter
+    # argmax_round default flip) ---
     "ann_pq_adc": q_ann_pq_adc,
+    "nn_forward": q_nn_forward,
+    "mmr": q_mmr,
+    "kcenter": q_kcenter,
+    # --- oracled but NEVER driver-checked before (added below the marker
+    # in earlier rounds; promoted so every oracled query eventually gets
+    # a driver record) ---
+    "semantic_dedup": q_semantic_dedup,
+    "semantic_dedup_incr": q_semantic_dedup_incr,
+    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+    "ngram_containment": q_ngram_containment,
+    "contamination_bloom": q_contamination_bloom,
+    "fleiss_kappa": q_fleiss_kappa,
+    "transition_matrix": q_transition_matrix,
+    "label_agreement": q_label_agreement,
+    "json_extract": q_json_extract,
+    "cdc_apply": q_cdc_apply,
+    "scd2": q_scd2,
+    "ttest": q_ttest,
+    "chisq": q_chisq,
+    "entropy": q_entropy,
+    "weighted_sample": q_weighted_sample,
+    "rolling": q_rolling,
+    "robust_outliers": q_robust_outliers,
+    "hard_negatives": q_hard_negatives,
+    # --- r06-recorded greens restored per round-7 VERDICT #7 ---
+    "cms": q_cms,
+    "token_divergence": q_token_divergence,
+    "rrf": q_rrf,
+    "anova": q_anova,
+    "kruskal": q_kruskal,
+    "ts_pattern": q_ts_pattern,
+    # --- least-recently driver-checked (r02) oracled basics, re-validated ---
+    "append": q_append,
+    "asof": q_asof,
+    "contamination": q_contamination,
+    "corr_matrix": q_corr_matrix,
+    "dedup_exact": q_dedup_exact,
+    "distinct_counts": q_distinct_counts,
+    "expr_datefns": q_expr_datefns,
+    "expr_if": q_expr_if,
+    "expr_strfns": q_expr_strfns,
+    "join_inner": q_join_inner,
+    "pack": q_pack,
+    "pii_repetition": q_pii_repetition,
+    "pivot": q_pivot,
+    "range_join": q_range_join,
+    "rollup": q_rollup,
+    "salted_agg": q_salted_agg,
+    "salted_join": q_salted_join,
+    "sample_split": q_sample_split,
+    "sessionize": q_sessionize,
+    "stream_join": q_stream_join,
+    # --- end of the driver's 50-entry correctness window ---
+    # (r07-recorded greens — bm25/glm_moments/ranking_metrics/
+    # minhash_clusters and the r05/r06 blocks — rotate below; their
+    # driver rows are the record. Rows-only queries stay below by the
+    # ordering contract.)
+    "bm25": q_bm25,
     "glm_moments": q_glm_moments,
     "ranking_metrics": q_ranking_metrics,
-    "nn_forward": q_nn_forward,
-    # --- oracled, implementation touched in round 7 ---
-    "mmr": q_mmr,
     "minhash_clusters": q_minhash_clusters,
-    # --- oracled, new in round 5 ---
     "dedup_lines": q_dedup_lines,
     "trimmed_mode": q_trimmed_mode,
     "template_share": q_template_share,
@@ -3128,43 +3184,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicated_spans": q_duplicated_spans,
     "mg_summary": q_mg_summary,
     "cut_spans": q_cut_spans,
-    # --- oracled, never driver-checked before round 3 ---
     "profile": q_profile,
     "kfold": q_kfold,
     "mutual_info": q_mutual_info,
-    # --- oracled, implementation touched recently ---
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "edit_distance": q_edit_distance,
-    # round 6: kcenter graduated rows-only -> oracled (unrolled-CTE twin),
-    # promoted into the window as a never-hash-checked oracled query
-    "kcenter": q_kcenter,
-    # --- end of the driver's 50-entry correctness window ---
-    # (bm25/ann_pq_adc/glm_moments entered at the head and the round-7
-    # code-change promotions pulled mmr/kruskal/minhash_clusters up, so
-    # these r06-recorded driver-green queries rotate below the marker)
-    "cms": q_cms,
-    "token_divergence": q_token_divergence,
-    "rrf": q_rrf,
-    "anova": q_anova,
-    "kruskal": q_kruskal,
-    "ts_pattern": q_ts_pattern,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "tpch_q3": q_tpch_q3,
     "minhash_incr": q_minhash_incr,
-    "contamination_bloom": q_contamination_bloom,
-    "fleiss_kappa": q_fleiss_kappa,
-    # --- rows-only (no SQL twin: iterative/optimizer outputs); driver-run
-    # in round 5, rotated back out per the ordering contract ---
     "minhash_pairs_fast": q_minhash_pairs_fast,
     "simhash_pairs_fast": q_simhash_pairs_fast,
     "irr_by": q_irr_by,
     "model_nn": q_model_nn,
     "pca": q_pca,
-    "transition_matrix": q_transition_matrix,
-    "label_agreement": q_label_agreement,
-    "json_extract": q_json_extract,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
     "embed_neardup": q_embed_neardup,
@@ -3200,48 +3234,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decile": q_decile,
     "assess_r2": q_assess_r2,
     "text_quality_lang": q_text_quality_lang,
-    "dedup_exact": q_dedup_exact,
-    # oracled, driver-green in both round 1 and round 2
-    "asof": q_asof,
-    "range_join": q_range_join,
-    "sample_split": q_sample_split,
-    "pack": q_pack,
-    "pivot": q_pivot,
-    "salted_join": q_salted_join,
-    "salted_agg": q_salted_agg,
-    "contamination": q_contamination,
     "tfidf": q_tfidf,
-    "pii_repetition": q_pii_repetition,
     "stream_tumbling": q_stream_tumbling,
-    "stream_join": q_stream_join,
-    "sessionize": q_sessionize,
-    "rollup": q_rollup,
-    "corr_matrix": q_corr_matrix,
-    "distinct_counts": q_distinct_counts,
     "vocab": q_vocab,
     "where_keep": q_where_keep,
-    "expr_if": q_expr_if,
-    "join_inner": q_join_inner,
-    "append": q_append,
-    "expr_datefns": q_expr_datefns,
-    "expr_strfns": q_expr_strfns,
     "topk": q_topk,
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
-    "ngram_containment": q_ngram_containment,
-    "semantic_dedup": q_semantic_dedup,
-    "cdc_apply": q_cdc_apply,
-    "scd2": q_scd2,
-    "ttest": q_ttest,
-    "chisq": q_chisq,
-    "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
-    "entropy": q_entropy,
-    "semantic_dedup_incr": q_semantic_dedup_incr,
-    "weighted_sample": q_weighted_sample,
-    "rolling": q_rolling,
-    "robust_outliers": q_robust_outliers,
-    "hard_negatives": q_hard_negatives,
-    # --- rows-only (iterative / optimizer outputs; no SQL twin) ---
     "irr": q_irr,
     "model_glm": q_model_glm,
     "marginal": q_marginal,

@@ -119,6 +119,7 @@ def main() -> None:
         time.sleep(0.3)
 
     steady_trials_n = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    load_start = os.getloadavg()  # machine-load evidence for drift triage
     timings: dict[str, float] = {}
     fresh: dict[str, float] = {}
     steady_trials: dict[str, list[float]] = {}
@@ -153,6 +154,12 @@ def main() -> None:
                 "queries_steady_trials": steady_trials,
                 "steady_trials_per_query": steady_trials_n,
                 "sf": sf_val,
+                # 1/5/15-min load averages at start and end: a broad
+                # one-directional per-query drift on identical code with
+                # elevated load here is the machine-load signature, not a
+                # regression (round-6/7 lesson; scripts/bench_drift.py)
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in os.getloadavg()],
             },
             fh,
             indent=1,

@@ -105,29 +105,33 @@ def test_scale_report_signals(spark):
 
 def test_correctness_window_invariant():
     """The driver hash-checks only the first 50 queries() entries: every
-    one of them must have an oracle. Round-7 contract: the three new
-    oracled queries (bm25/ann_pq_adc/glm_moments) head the window, the
-    queries whose implementations changed this round are promoted into
-    it, and r06-recorded unchanged greens (cms/token_divergence/rrf/
-    anova) rotate below the marker — the window stays 50/50 oracled."""
+    one of them must have an oracle. Round-8 contract: the two new
+    oracled queries (marginal_fixed/irr_bisect) head the window, the
+    four whose implementation/oracle changed this round follow
+    (ann_pq_adc/nn_forward/mmr/kcenter), then every oracled query that
+    has NEVER had a driver record, the r06-recorded restorations
+    (VERDICT #7), and the least-recently-checked (r02) basics; the
+    r07-recorded greens rotate below the marker — the window stays
+    50/50 oracled."""
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
     missing = [n for n in names[:50] if n not in oracles]
     assert not missing, f"first-50 queries without oracle: {missing}"
-    # the rotated-out rows-only queries must still exist (below the window)
-    rotated_out = {"minhash_pairs_fast", "simhash_pairs_fast", "irr_by",
-                   "model_nn", "pca"}
-    assert rotated_out <= set(names[50:])
-    # round-7 head + code-change promotions
-    assert names[:5] == ["bm25", "ann_pq_adc", "glm_moments",
-                         "ranking_metrics", "nn_forward"]
-    assert {"mmr", "minhash_clusters", "gini", "prop_test",
-            "mannwhitney", "trimmed_mode", "kcenter"} <= set(names[:50])
-    # r06-recorded greens rotated out (their driver rows are the record)
-    assert {"cms", "token_divergence", "rrf", "anova", "kruskal",
-            "ts_pattern"} <= set(names[50:])
+    # rows-only queries must all sit below the window
+    rows_only = [n for n in names if n not in oracles]
+    assert all(n in names[50:] for n in rows_only), rows_only
+    # round-8 head + promotions
+    assert names[:6] == ["marginal_fixed", "irr_bisect", "ann_pq_adc",
+                         "nn_forward", "mmr", "kcenter"]
+    assert {"semantic_dedup", "semantic_dedup_incr", "ngram_jaccard_prefix",
+            "cdc_apply", "scd2", "ttest", "chisq", "cms", "token_divergence",
+            "rrf", "anova", "kruskal", "ts_pattern", "join_inner",
+            "asof"} <= set(names[:50])
+    # r07-recorded greens rotated out (their driver rows are the record)
+    assert {"bm25", "glm_moments", "ranking_metrics", "minhash_clusters",
+            "dedup_lines", "leakage_split"} <= set(names[50:])
     # every oracle key must reference a real query
     dangling = [n for n in oracles if n not in names]
     assert not dangling, f"oracles without queries: {dangling}"

@@ -1222,6 +1222,56 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette (llmops.similarity.
+    cluster_silhouette, Rousseeuw 1987 / Hruschka et al. 2004 centroid
+    variant) — the clustering-quality audit for the semantic_dedup /
+    ann_ivf quantizer, in the deterministic seed-centroid mode so the
+    DuckDB twin replays assignment + a/b distances + the per-cluster
+    aggregation end-to-end. No pairwise stage: the k-row centroid table
+    rides as a plan literal, one scan + one keyed aggregation."""
+    from seafan_spark.llmops.similarity import cluster_silhouette
+
+    p = _pipe(spark, sf_dir, "embeddings")
+    out = cluster_silhouette(
+        p.df, "vec_id", "embedding", n_clusters=8, centroids="seeds", dim=64
+    )
+    return out.select(
+        "cluster",
+        F.col("n").cast("bigint").alias("n"),
+        round_col("mean_sil", 6).alias("mean_sil"),
+        round_col("min_sil", 6).alias("min_sil"),
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (quality.k_anonymity, Sweeney 2002): are the
+    documents' quasi-identifiers (lang, source, length bucket) jointly
+    identifying? One map-side-combining groupBy + one scalar agg."""
+    from seafan_spark.quality import k_anonymity
+
+    d = _pipe(spark, sf_dir, "documents").df.select(
+        "lang", "source",
+        F.floor(F.col("n_chars") / F.lit(200)).alias("len_b"),
+    )
+    return k_anonymity(d, ["lang", "source", "len_b"], k=5)
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training as relational algebra (llmops.text.
+    bpe_train, Sennrich et al. 2016): 10 merges learned from the
+    documents corpus — corpus scanned ONCE into word counts, then every
+    round runs over the vocabulary-sized relation. Integer pair counts,
+    lexicographic tiebreaks, and literal leftmost-first string-replace
+    merges make the whole loop exactly replayable: the DuckDB twin
+    unrolls the 10 rounds as a CTE chain (the kcenter/irr_bisect
+    unroll)."""
+    from seafan_spark.llmops.text import bpe_train
+
+    d = _pipe(spark, sf_dir, "documents").df
+    return bpe_train(d, "text", n_merges=10)
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (llmops.similarity.hard_negatives): top-5
     most-similar corpus vectors per anchor EXCLUDING the anchor and its
@@ -3083,6 +3133,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- oracled, new in round 8 (never driver-checked -> window head) ---
     "marginal_fixed": q_marginal_fixed,
     "irr_bisect": q_irr_bisect,
+    "silhouette": q_silhouette,
+    "k_anonymity": q_k_anonymity,
+    "bpe_train": q_bpe_train,
     # --- oracled, implementation/oracle touched in round 8 (ann_pq_adc
     # NULL-parity filter, nn_forward oracle float conversion, mmr/kcenter
     # argmax_round default flip) ---
@@ -3136,10 +3189,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup": q_rollup,
     "salted_agg": q_salted_agg,
     "salted_join": q_salted_join,
+    # --- end of the driver's 50-entry correctness window ---
     "sample_split": q_sample_split,
+    # (sessionize/stream_join displaced by the two round-8 late adds;
+    # both r02-checked, still in the full-registry local gates)
     "sessionize": q_sessionize,
     "stream_join": q_stream_join,
-    # --- end of the driver's 50-entry correctness window ---
     # (r07-recorded greens — bm25/glm_moments/ranking_metrics/
     # minhash_clusters and the r05/r06 blocks — rotate below; their
     # driver rows are the record. Rows-only queries stay below by the
@@ -6165,6 +6220,122 @@ def _irr_bisect_oracle_sql(steps: int = 40, npv_round: int = 4) -> str:
 
 
 ORACLES["irr_bisect"] = _irr_bisect_oracle_sql()
+
+
+# silhouette twin: reuses the semantic_dedup oracle's seed-centroid
+# assignment skeleton (list_dot_product ≡ the Spark fold dot at 6 dp,
+# pytest-proven), then a = 1 − cos(own cell), b = 1 − max cos(other cells),
+# s = (b − a)/max(a, b), aggregated per cluster
+ORACLES["silhouette"] = """
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), u AS (
+        SELECT vec_id,
+               CASE WHEN sqrt(list_dot_product(e, e)) = 0 THEN e
+                    ELSE list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+               END AS ve
+        FROM v
+    ), seeds AS (
+        SELECT vec_id AS cell, ve AS cv FROM u ORDER BY vec_id LIMIT 8
+    ), scored AS (
+        SELECT u.vec_id, s.cell, list_dot_product(u.ve, s.cv) AS cos
+        FROM u CROSS JOIN seeds s
+    ), assigned AS (
+        SELECT vec_id, cell AS own FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cos DESC, cell ASC) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    ), ab AS (
+        SELECT sc.vec_id, a.own,
+               MAX(CASE WHEN sc.cell = a.own THEN 1.0 - sc.cos END) AS a_d,
+               MIN(CASE WHEN sc.cell <> a.own THEN 1.0 - sc.cos END) AS b_d
+        FROM scored sc JOIN assigned a USING (vec_id)
+        GROUP BY sc.vec_id, a.own
+    ), sil AS (
+        SELECT own,
+               CASE WHEN GREATEST(a_d, b_d) <= 0 THEN 0.0
+                    ELSE (b_d - a_d) / GREATEST(a_d, b_d) END AS s
+        FROM ab
+    )
+    SELECT CAST(own AS BIGINT) AS cluster, COUNT(*) AS n,
+           ROUND(AVG(s), 6) AS mean_sil, ROUND(MIN(s), 6) AS min_sil
+    FROM sil GROUP BY own ORDER BY cluster
+"""
+
+
+def _bpe_train_oracle_sql(n_merges: int = 10) -> str:
+    """Generated twin for q_bpe_train: the merge loop unrolled as a CTE
+    chain. Per round — pair counts via UNNEST of the adjacent-pair list
+    (overlapping, the reference get_stats semantics), argmax by
+    (count DESC, pair ASC) over ASCII strings (binary order in both
+    engines), merge applied with literal REPLACE of ' a b ' → ' ab '
+    (leftmost-first non-overlapping in both engines, verified). All
+    counts integral — nothing to round anywhere."""
+    parts = ["""
+    WITH wc AS (
+        SELECT w, COUNT(*) AS cnt FROM (
+            SELECT UNNEST(STR_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)),
+                                                   '\\s+', ' ', 'g'), ' ')) AS w
+            FROM documents
+        ) WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+    ),
+    w0 AS (
+        SELECT ' ' || REGEXP_REPLACE(w, '(.)', '\\1 ', 'g') || '</w> ' AS s,
+               cnt
+        FROM wc
+    )"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f""",
+    p{k} AS (
+        SELECT p, SUM(cnt) AS n FROM (
+            SELECT cnt,
+                   UNNEST(CASE WHEN LEN(toks) >= 2
+                          THEN list_transform(generate_series(1, LEN(toks) - 1),
+                               j -> toks[j] || ' ' || toks[j + 1])
+                          ELSE [] END) AS p
+            FROM (SELECT cnt, STR_SPLIT(TRIM(s), ' ') AS toks FROM w{k - 1})
+        ) GROUP BY p
+    ),
+    t{k} AS (SELECT p, n FROM p{k} ORDER BY n DESC, p ASC LIMIT 1),
+    w{k} AS (
+        SELECT REPLACE(s, ' ' || p || ' ',
+                       ' ' || REPLACE(p, ' ', '') || ' ') AS s, cnt
+        FROM w{k - 1} CROSS JOIN t{k}
+    )""")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {k} AS rank, SPLIT_PART(p, ' ', 1) AS lhs, "
+        f"SPLIT_PART(p, ' ', 2) AS rhs, REPLACE(p, ' ', '') AS merged, "
+        f"CAST(n AS BIGINT) AS pair_count FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+    SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, merged, pair_count
+    FROM ({sel}) ORDER BY rank""")
+    return "".join(parts)
+
+
+ORACLES["bpe_train"] = _bpe_train_oracle_sql()
+
+
+ORACLES["k_anonymity"] = """
+    WITH cls AS (
+        SELECT lang, source, FLOOR(n_chars / 200) AS len_b,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY lang, source, FLOOR(n_chars / 200)
+    )
+    SELECT CAST(5 AS BIGINT) AS k,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(cnt) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_classes,
+           CAST(SUM(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+               AS violating_rows
+    FROM cls
+"""
 
 
 ORACLES["ranking_metrics"] = """

@@ -1100,3 +1100,96 @@ def pca_project_col(vec: Column, model: dict) -> Column:
 def pca_project(df: DataFrame, vec_col: str, model: dict, out_col: str = "pca") -> DataFrame:
     """Attach the PCA projection of ``vec_col`` as ``out_col``."""
     return df.withColumn(out_col, pca_project_col(F.col(vec_col), model))
+
+
+def cluster_silhouette(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int | None = None,
+    centroids: str = "kmeans",
+    seed: int = 42,
+    max_iter: int = 20,
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-cluster SIMPLIFIED silhouette over an embedding column — the
+    clustering-quality companion to semantic_dedup / ann_ivf (is the
+    coarse quantizer actually separating the corpus, or are the cells
+    arbitrary?).
+
+    Exact silhouette (Rousseeuw 1987) is O(N²) pairwise; this is the
+    standard linear-time centroid simplification (Hruschka et al. 2004,
+    a(i)/b(i) measured to centroids instead of point sets): per row,
+    a = cosine distance (1 − cos) to the row's OWN centroid, b = the
+    minimum distance to any OTHER centroid, s = (b − a) / max(a, b)
+    (0 when both are 0). Returns one row per cluster:
+    (cluster, n, mean_sil, min_sil) ordered by cluster.
+
+    Quantization reuses the SemDeDup family's `_semantic_assign`
+    (``centroids="seeds"`` = deterministic, SQL-replayable;
+    ``"kmeans"`` = the MLlib scale path; ``n_clusters=None`` → ≈√N).
+
+    100 TB design: NO pairwise stage and NO join — the k-row centroid
+    table rides into the scan as an array-of-structs literal, per-row
+    distances are one JVM `transform` over it (k fold dot products),
+    and the result is one map-side-partial aggregation keyed by the
+    ≤k cluster ids. Driver state is the k×dim centroid table (the same
+    object the quantizer already materializes); for k beyond the
+    literal threshold (~4096) pre-reduce with a coarser quantizer.
+    """
+    from seafan_spark.llmops.dedup import _semantic_assign
+
+    assigned, cents = _semantic_assign(
+        df, id_col, vec_col, n_clusters, centroids, seed, max_iter, dim
+    )
+    rows = cents.collect()  # k rows by construction — never corpus-sized
+    if len(rows) < 2:
+        raise ValueError(
+            "cluster_silhouette: needs >= 2 clusters (silhouette is "
+            "undefined for k=1)"
+        )
+    if len(rows) > 4096:
+        raise ValueError(
+            "cluster_silhouette: centroid table too large for the literal "
+            "plan path (k={}); pre-reduce with a coarser quantizer".format(
+                len(rows)
+            )
+        )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["_cell"])).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["_cv"]]).alias("cv"),
+            )
+            for r in rows
+        ]
+    )
+    dists = F.transform(
+        cent_arr,
+        lambda s: F.struct(
+            s["cell"].alias("cell"),
+            (F.lit(1.0) - dot_col(F.col("_v"), s["cv"])).alias("d"),
+        ),
+    )
+    own = F.element_at(
+        F.filter(dists, lambda s: s["cell"] == F.col("_cell")), 1
+    )["d"]
+    other = F.array_min(
+        F.transform(
+            F.filter(dists, lambda s: s["cell"] != F.col("_cell")),
+            lambda s: s["d"],
+        )
+    )
+    sil = F.when(
+        F.greatest(own, other) <= F.lit(0.0), F.lit(0.0)
+    ).otherwise((other - own) / F.greatest(own, other))
+    return (
+        assigned.withColumn("_s", sil)
+        .groupBy(F.col("_cell").cast("bigint").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_s").alias("mean_sil"),
+            F.min("_s").alias("min_sil"),
+        )
+        .orderBy("cluster")
+    )

@@ -906,3 +906,124 @@ def token_divergence_by(
             F.sum(q).alias("coverage"),
         )
     )
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-frequency relation for BPE training (Sennrich et al. 2016,
+    arXiv:1508.07909 — classic BPE trains on the word-count dictionary,
+    not the raw corpus): lowercase, whitespace-tokenize, keep [a-z]+
+    words (ASCII restriction keeps cross-engine string ordering and
+    regex '.'-semantics identical — documented contract), ONE
+    map-side-combining groupBy. The result is vocabulary-sized — orders
+    of magnitude smaller than the corpus — which is what makes the merge
+    loop cheap at 100 TB: every iteration scans words, not documents."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bpe_pairs_col(s: Column) -> Column:
+    """Adjacent symbol pairs of a space-delimited symbol string, as
+    'a b' strings (overlapping, the reference get_stats semantics)."""
+    toks = F.split(F.trim(s), " ")
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 20,
+) -> DataFrame:
+    """Byte-pair-encoding merge training as RELATIONAL algebra (Sennrich
+    et al. 2016): learn ``n_merges`` merge rules from the corpus —
+    symbols start as characters + '</w>', each round merges the
+    most-frequent adjacent pair (count-weighted by word frequency, ties
+    by lexicographically smallest pair).
+
+    Returns (rank, lhs, rhs, merged, pair_count), rank 1-based in merge
+    order — the merge table a tokenizer applies at encode time.
+
+    Exactly replayable (hash-checked by the DuckDB twin): pair counts
+    are INTEGERS (no float hazards anywhere), the argmax is
+    (count DESC, pair ASC) over ASCII strings, and the merge apply is
+    a literal string replace of ' a b ' with ' ab ' over the
+    space-delimited symbol string — leftmost-first non-overlapping in
+    both engines, which is precisely the reference implementation's
+    greedy re-tokenization order.
+
+    100 TB design: the corpus is touched ONCE (bpe_word_counts); every
+    merge round runs over the vocabulary-sized word relation — one
+    explode→groupBy pair count (map-side partial, slim 'a b' keys) +
+    one ORDER-BY-LIMIT-1 argmax + one JVM string replace. Round state is
+    localCheckpointed and superseded rounds are freed in-loop
+    (kcenter's lifecycle); driver state is the merge list (k rows)."""
+    from seafan_spark.session import unpersist_checkpoint
+
+    if n_merges < 1:
+        raise ValueError("bpe_train: n_merges must be >= 1")
+    words = bpe_word_counts(df, text_col)
+    cur = words.select(
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.col("w"), "(.)", "$1 "),
+            F.lit("</w> "),
+        ).alias("s"),
+        "cnt",
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    prev_ck = None
+    for rnd in range(1, n_merges + 1):
+        cur = cur.localCheckpoint(eager=True)
+        unpersist_checkpoint(prev_ck)
+        prev_ck = cur
+        top = (
+            cur.select("cnt", F.explode(_bpe_pairs_col(F.col("s"))).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        pair, n = top[0]["p"], int(top[0]["n"])
+        a, b = pair.split(" ")
+        merges.append((rnd, a, b, a + b, n))
+        cur = cur.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a + b} ")
+            ),
+        )
+    unpersist_checkpoint(prev_ck)
+    return df.sparkSession.createDataFrame(
+        merges, "rank bigint, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def bpe_apply_col(text: Column, merges: Sequence[tuple[str, str]]) -> Column:
+    """Tokenize ``text`` with a learned merge table: per word, start from
+    characters + '</w>' and apply every merge IN RANK ORDER (the same
+    literal ' a b ' → ' ab ' replace the trainer used — leftmost-first,
+    identical semantics), returning the token array per input string.
+    The merge table is a plan literal (k replaces chained by Catalyst
+    into one codegen'd expression) — no stored model, no UDF."""
+    s = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(text), "(.)", "$1 "), F.lit("</w> ")
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a + b} "))
+    return F.split(F.trim(s), " ")

@@ -192,3 +192,44 @@ def benford_report(df, value_col: str, keys=()):
         round_col(ben, 6).alias("benford"),
         round_col(F.sum(dev).over(w) * n, 6).alias("chi2"),
     )
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: Sequence[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over quasi-identifier columns:
+    every row should share its QI combination with at least k−1 others,
+    or it is re-identifiable. The training-data governance counterpart
+    of the PII scanner — PII detection finds direct identifiers, this
+    measures how identifying the INDIRECT attributes are in combination.
+
+    Returns ONE row: (k, n_rows, n_classes, min_class_size,
+    violating_classes, violating_rows) where a class is a distinct QI
+    combination and "violating" means class size < k. NULL QI values
+    form their own class (SQL group-by semantics — a shared-missing
+    attribute is itself identifying).
+
+    100 TB design: one map-side-combining groupBy on the QI key (the
+    only shuffle, carrying just the key + a count), then one scalar
+    aggregation over the class relation. The per-class detail, when
+    needed, is the groupBy itself — this summary never materializes it
+    driver-side.
+    """
+    if not qi_cols:
+        raise ValueError("k_anonymity: need at least one quasi-identifier")
+    if k < 1:
+        raise ValueError("k_anonymity: k must be >= 1")
+    cls = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    return cls.agg(
+        F.sum("_cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("_cnt").cast("bigint").alias("min_class_size"),
+        F.sum(F.when(F.col("_cnt") < k, 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_classes"),
+        F.sum(F.when(F.col("_cnt") < k, F.col("_cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("violating_rows"),
+    ).select(F.lit(int(k)).cast("bigint").alias("k"), "*")

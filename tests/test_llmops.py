@@ -1570,3 +1570,115 @@ def test_token_divergence_matches_scipy_style_reference(spark):
         assert out[g]["js"] == pytest.approx(js, abs=1e-12), g
         assert out[g]["coverage"] == pytest.approx(cov, abs=1e-12), g
         assert 0.0 < out[g]["js"] < math.log(2.0)
+
+
+def test_cluster_silhouette_matches_numpy(spark):
+    """Centroid-simplified silhouette vs a direct numpy replay on the
+    same seed-centroid assignment; well-separated clusters score near 1,
+    and a deliberately split cluster scores lower."""
+    import numpy as np
+
+    from seafan_spark.llmops.similarity import cluster_silhouette
+
+    rng = np.random.default_rng(11)
+    centers = np.eye(4)[:3] * 5.0  # 3 well-separated directions
+    rows = []
+    for i in range(60):
+        v = centers[i % 3] + rng.normal(0, 0.05, 4)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    got = {
+        r["cluster"]: (r["n"], r["mean_sil"])
+        for r in cluster_silhouette(
+            df, "vid", "v", n_clusters=3, centroids="seeds", dim=4
+        ).collect()
+    }
+
+    # numpy replay: seeds = unit vectors of ids 0,1,2; assign by max cos
+    vecs = np.array([r[1] for r in rows])
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    seeds = unit[:3]
+    cos = unit @ seeds.T
+    own = cos.argmax(axis=1)  # first-max == min-seed-id tiebreak
+    a = 1.0 - cos[np.arange(60), own]
+    cos_masked = cos.copy()
+    cos_masked[np.arange(60), own] = -np.inf
+    b = 1.0 - cos_masked.max(axis=1)
+    s = np.where(np.maximum(a, b) <= 0, 0.0, (b - a) / np.maximum(a, b))
+    for c in range(3):
+        n_ref = int((own == c).sum())
+        mean_ref = float(s[own == c].mean())
+        assert got[c][0] == n_ref
+        assert abs(got[c][1] - mean_ref) < 1e-6
+        assert got[c][1] > 0.9  # tight, well-separated clusters
+
+    # k=1 is undefined
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k=1|>= 2"):
+        cluster_silhouette(df, "vid", "v", n_clusters=1, centroids="seeds", dim=4)
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python Sennrich BPE: overlapping pair stats, (count desc,
+    pair asc) argmax, leftmost-first non-overlapping merge."""
+    vocab = {tuple(w) + ("</w>",): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        stats = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] = stats.get((syms[i], syms[i + 1]), 0) + c
+        if not stats:
+            break
+        pair = min(stats, key=lambda p: (-stats[p], " ".join(p)))
+        merges.append((rank, pair[0], pair[1], pair[0] + pair[1], stats[pair]))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(pair[0] + pair[1]); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    from seafan_spark.llmops.text import bpe_apply_col, bpe_train
+
+    docs = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "the the the lowest widest",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = [
+        (r["rank"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+        for r in bpe_train(df, "text", n_merges=8).collect()
+    ]
+
+    wc = {}
+    for d in docs:
+        for w in d.split():
+            wc[w] = wc.get(w, 0) + 1
+    ref, ref_vocab = _bpe_reference(wc, 8)
+    assert got == ref, (got, ref)
+
+    # apply: tokenizing with the learned table reproduces the trained
+    # vocabulary's segmentation per word
+    merges = [(m[1], m[2]) for m in ref]
+    toks = {
+        r["w"]: r["t"]
+        for r in spark.createDataFrame([(w,) for w in wc], "w string")
+        .select("w", F.col("w").alias("copy"))
+        .withColumn("t", bpe_apply_col(F.col("copy"), merges))
+        .select("w", "t")
+        .collect()
+    }
+    ref_seg = {"".join(s).replace("</w>", ""): list(s) for s in ref_vocab}
+    for w, t in toks.items():
+        assert t == ref_seg[w], (w, t, ref_seg[w])

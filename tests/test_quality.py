@@ -92,3 +92,24 @@ def test_matches_rejects_trailing_newline(spark):
         " (chr(10) || 'F'), ('FO'), (NULL)) t(v)"
     ).fetchone()[0]
     assert n == 3  # the Spark gate now agrees with its oracle twin
+
+
+def test_k_anonymity_planted(spark):
+    from seafan_spark.quality import k_anonymity
+
+    rows = (
+        [("en", "web")] * 10      # class of 10: fine at k=5
+        + [("en", "wiki")] * 3    # class of 3: violates
+        + [("fr", None)]          # singleton with NULL QI: violates
+    )
+    df = spark.createDataFrame(rows, "lang string, source string")
+    r = k_anonymity(df, ["lang", "source"], k=5).collect()[0]
+    assert (r["k"], r["n_rows"], r["n_classes"]) == (5, 14, 3)
+    assert r["min_class_size"] == 1
+    assert r["violating_classes"] == 2
+    assert r["violating_rows"] == 4
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="quasi-identifier"):
+        k_anonymity(df, [], k=5)

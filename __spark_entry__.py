@@ -1272,6 +1272,40 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(d, "text", n_merges=10)
 
 
+#: fixed merge table for q_bpe_encode — a plan literal, identical at every
+#: SF (the encode path must not depend on per-corpus training for its twin)
+_BPE_FIXED_MERGES = [
+    ("e", "</w>"), ("s", "</w>"), ("t", "h"), ("a", "n"),
+    ("i", "n"), ("o", "r"), ("an", "d</w>"), ("th", "e</w>"),
+]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE at corpus scale (llmops.text.bpe_apply_col): tokenize
+    every [a-z]+ word of every document with a FIXED literal merge
+    table — the chained leftmost-first replaces are codegen'd JVM string
+    ops, no UDF, no stored model — and report the top-20 token
+    frequencies. The twin replays the identical replace chain per word
+    in SQL; counts are integers, ordering ties break lexicographically."""
+    from seafan_spark.llmops.text import bpe_apply_col
+
+    d = _pipe(spark, sf_dir, "documents").df
+    words_ok = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"),
+        lambda w: w.rlike("^[a-z]+$"),
+    )
+    toks = bpe_apply_col(
+        F.concat_ws(" ", words_ok), _BPE_FIXED_MERGES
+    )
+    return (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (llmops.similarity.hard_negatives): top-5
     most-similar corpus vectors per anchor EXCLUDING the anchor and its
@@ -3136,6 +3170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "silhouette": q_silhouette,
     "k_anonymity": q_k_anonymity,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     # --- oracled, implementation/oracle touched in round 8 (ann_pq_adc
     # NULL-parity filter, nn_forward oracle float conversion, mmr/kcenter
     # argmax_round default flip) ---
@@ -3188,8 +3223,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "rollup": q_rollup,
     "salted_agg": q_salted_agg,
-    "salted_join": q_salted_join,
     # --- end of the driver's 50-entry correctness window ---
+    "salted_join": q_salted_join,
     "sample_split": q_sample_split,
     # (sessionize/stream_join displaced by the two round-8 late adds;
     # both r02-checked, still in the full-registry local gates)
@@ -6318,6 +6353,30 @@ def _bpe_train_oracle_sql(n_merges: int = 10) -> str:
 
 
 ORACLES["bpe_train"] = _bpe_train_oracle_sql()
+
+
+def _bpe_encode_oracle_sql(merges: list[tuple[str, str]], k: int = 20) -> str:
+    """Generated twin for q_bpe_encode: the same fixed merge chain as
+    nested REPLACE calls per word (leftmost-first in both engines),
+    token explode, integer counts, (n DESC, tok ASC) top-k."""
+    expr = "' ' || REGEXP_REPLACE(w, '(.)', '\\1 ', 'g') || '</w> '"
+    for a, b in merges:
+        expr = f"REPLACE({expr}, ' {a} {b} ', ' {a + b} ')"
+    return f"""
+    WITH w AS (
+        SELECT UNNEST(STR_SPLIT(REGEXP_REPLACE(LOWER(TRIM(text)),
+                                               '\\s+', ' ', 'g'), ' ')) AS w
+        FROM documents
+    ), e AS (
+        SELECT {expr} AS s FROM w WHERE regexp_matches(w, '^[a-z]+$')
+    ), t AS (
+        SELECT UNNEST(STR_SPLIT(TRIM(s), ' ')) AS tok FROM e
+    )
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok
+    ORDER BY n DESC, tok ASC LIMIT {k}"""
+
+
+ORACLES["bpe_encode"] = _bpe_encode_oracle_sql(_BPE_FIXED_MERGES)
 
 
 ORACLES["k_anonymity"] = """

@@ -1015,15 +1015,24 @@ def bpe_train(
 
 
 def bpe_apply_col(text: Column, merges: Sequence[tuple[str, str]]) -> Column:
-    """Tokenize ``text`` with a learned merge table: per word, start from
-    characters + '</w>' and apply every merge IN RANK ORDER (the same
-    literal ' a b ' → ' ab ' replace the trainer used — leftmost-first,
-    identical semantics), returning the token array per input string.
-    The merge table is a plan literal (k replaces chained by Catalyst
-    into one codegen'd expression) — no stored model, no UDF."""
-    s = F.concat(
-        F.lit(" "), F.regexp_replace(F.lower(text), "(.)", "$1 "), F.lit("</w> ")
+    """Tokenize ``text`` with a learned merge table: PER WORD
+    (whitespace-split — a space is a word boundary, never a symbol),
+    start from characters + '</w>' and apply every merge IN RANK ORDER
+    (the same literal ' a b ' → ' ab ' replace the trainer used —
+    leftmost-first, identical semantics), returning the flattened token
+    array for the whole string. The merge table is a plan literal
+    (k replaces chained by Catalyst into one codegen'd expression per
+    word) — no stored model, no UDF."""
+
+    def encode_word(w: Column) -> Column:
+        s = F.concat(
+            F.lit(" "), F.regexp_replace(w, "(.)", "$1 "), F.lit("</w> ")
+        )
+        for a, b in merges:
+            s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a + b} "))
+        return F.split(F.trim(s), " ")
+
+    words = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: w != F.lit("")
     )
-    for a, b in merges:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a + b} "))
-    return F.split(F.trim(s), " ")
+    return F.flatten(F.transform(words, encode_word))

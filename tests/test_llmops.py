@@ -1682,3 +1682,12 @@ def test_bpe_train_matches_reference(spark):
     ref_seg = {"".join(s).replace("</w>", ""): list(s) for s in ref_vocab}
     for w, t in toks.items():
         assert t == ref_seg[w], (w, t, ref_seg[w])
+
+    # multi-word text: a space is a word boundary, never a symbol — the
+    # flattened tokens are the per-word segmentations concatenated
+    multi = (
+        spark.createDataFrame([("LOW  newest\tlow",)], "text string")
+        .select(bpe_apply_col(F.col("text"), merges).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert multi == ref_seg["low"] + ref_seg["newest"] + ref_seg["low"]

@@ -313,7 +313,15 @@ def irr_bisect(
         [(c, True) for c in order],
         "_rn",
     )
-    d = d.select("_v", (F.col("_rn") - 1).cast("double").alias("_i")).cache()
+    d = d.select("_v", (F.col("_rn") - 1).cast("double").alias("_i"))
+    # a single cashflow series is small by contract; collapsing it to one
+    # partition turns each of the ~40 per-step aggregate jobs into one
+    # task instead of 32 mostly-empty ones (measured 30s -> ~3s at sf0.1).
+    # Big relations keep their partitioning — the per-step aggregate is
+    # map-side partial either way.
+    if _total <= 100_000:
+        d = d.coalesce(1)
+    d = d.cache()
     try:
         if cost is None:
             cost = float(d.agg((F.sum("_v") / 2.0).alias("c")).collect()[0]["c"])

@@ -2271,6 +2271,33 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(p, "doc_id", "text", max_dist=2, prefix_len=8)
 
 
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table record linkage (llmops.dedup.fuzzy_join): match a
+    deterministically-fuzzed registry (every 13th customer, one
+    character appended, id+10M) back to the customer table by blocked
+    Levenshtein — one prefix-block equi-join, keep="best" per left row
+    via a keyed WindowGroupLimit. The planted fuzz guarantees real
+    matches at every SF (the raw tables share no typo-class names), and
+    TPC-H customer names are 'Customer#NNNNNNNNN' so the 10-char prefix
+    block is selective on the numeric part."""
+    from seafan_spark.llmops.dedup import fuzzy_join
+
+    cust = _pipe(spark, sf_dir, "customer").df.select("c_custkey", "c_name")
+    fuzzed = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("r_id"),
+        F.concat(F.col("c_name"), F.lit("q")).alias("r_name"),
+    )
+    out = fuzzy_join(
+        fuzzed, cust, "r_id", "r_name", "c_custkey", "c_name",
+        max_dist=2, prefix_len=10, keep="best",
+    )
+    return out.select(
+        "r_id",
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("r_id")
+
+
 def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary top-50 (llmops.text.vocab_top_terms): explode ->
     vocabulary-sized groupBy -> order-limit (never a full-data global
@@ -3171,6 +3198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "k_anonymity": q_k_anonymity,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "fuzzy_join": q_fuzzy_join,
     # --- oracled, implementation/oracle touched in round 8 (ann_pq_adc
     # NULL-parity filter, nn_forward oracle float conversion, mmr/kcenter
     # argmax_round default flip) ---
@@ -3222,8 +3250,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot": q_pivot,
     "range_join": q_range_join,
     "rollup": q_rollup,
-    "salted_agg": q_salted_agg,
     # --- end of the driver's 50-entry correctness window ---
+    "salted_agg": q_salted_agg,
     "salted_join": q_salted_join,
     "sample_split": q_sample_split,
     # (sessionize/stream_join displaced by the two round-8 late adds;
@@ -5304,6 +5332,32 @@ ORACLES["edit_distance"] = """
         WHERE abs(length(a.t) - length(b.t)) <= 2
           AND levenshtein(a.t, b.t) <= 2
     """
+
+ORACLES["fuzzy_join"] = """
+    WITH l AS (
+        SELECT c_custkey + 10000000 AS r_id,
+               regexp_replace(lower(trim(c_name || 'q')), '\\s+', ' ', 'g')
+                   AS lt
+        FROM customer WHERE c_custkey % 13 = 0
+    ), r AS (
+        SELECT c_custkey,
+               regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS rt
+        FROM customer
+    ), cand AS (
+        SELECT l.r_id, r.c_custkey, levenshtein(l.lt, r.rt) AS dist
+        FROM l JOIN r ON substr(l.lt, 1, 10) = substr(r.rt, 1, 10)
+        WHERE abs(length(l.lt) - length(r.rt)) <= 2
+          AND levenshtein(l.lt, r.rt) <= 2
+    ), best AS (
+        SELECT r_id, c_custkey, dist,
+               ROW_NUMBER() OVER (PARTITION BY r_id
+                                  ORDER BY dist ASC, c_custkey ASC) AS rk
+        FROM cand
+    )
+    SELECT r_id, CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(dist AS INT) AS dist
+    FROM best WHERE rk = 1 ORDER BY r_id
+"""
 
 ORACLES["vocab"] = """
         WITH toks AS (

@@ -1538,6 +1538,73 @@ def edit_distance_pairs(
     )
 
 
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_text: str,
+    right_id: str,
+    right_text: str,
+    max_dist: int = 2,
+    prefix_len: int = 8,
+    keep: str = "best",
+) -> DataFrame:
+    """Blocked fuzzy join of TWO tables by Levenshtein distance — record
+    linkage / entity matching (the blocking-then-compare stage of
+    Fellegi & Sunter 1969; `edit_distance_pairs` is the self-join
+    special case). Candidates must share the first ``prefix_len``
+    characters of the normalized text AND differ in length by at most
+    ``max_dist`` — both necessary for distance ≤ max_dist when edits
+    don't touch the prefix, so the expensive ``levenshtein`` runs only
+    inside blocks.
+
+    ``keep="all"`` returns every (left_id, right_id, dist ≤ max_dist)
+    pair; ``keep="best"`` returns ONE row per matched left id — the
+    minimum-distance right match, ties broken by smallest right id
+    (deterministic, SQL-replayable). Left rows with no match are absent
+    (join, not lookup — outer-join the result back for a lookup).
+
+    100 TB design: ONE hash equi-join on the prefix block key (both
+    sides shuffle once on _pfx, no cartesian anywhere); the length band
+    rides as an attached filter so Catalyst still plans an equi-join;
+    best-match is a per-left-id WindowGroupLimit (rank 1 over dist, id),
+    never a global sort. Skewed blocks (one hot prefix) are the
+    standard hazard: lengthen prefix_len or pre-salt the hot key.
+
+    Returns (left_id, right_id, dist) with the caller's column names.
+    """
+    if keep not in ("best", "all"):
+        raise ValueError(f"fuzzy_join: unknown keep mode {keep!r}")
+    from seafan_spark.llmops.text import norm_text_col
+
+    a = left.select(
+        F.col(left_id).alias("_lid"),
+        norm_text_col(F.col(left_text)).alias("_lt"),
+    ).withColumn("_pfx", F.substring(F.col("_lt"), 1, prefix_len))
+    b = right.select(
+        F.col(right_id).alias("_rid"),
+        norm_text_col(F.col(right_text)).alias("_rt"),
+    ).withColumn("_pfx", F.substring(F.col("_rt"), 1, prefix_len))
+    m = (
+        a.join(b, "_pfx")
+        .filter(F.abs(F.length("_lt") - F.length("_rt")) <= max_dist)
+        .withColumn("dist", F.levenshtein("_lt", "_rt"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    if keep == "best":
+        w = Window.partitionBy("_lid").orderBy(
+            F.col("dist").asc(), F.col("_rid").asc()
+        )
+        m = m.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") == 1
+        )
+    return m.select(
+        F.col("_lid").alias(left_id),
+        F.col("_rid").alias(right_id),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
 # --------------------------------------------------- incremental minhash ----
 def band_signatures(
     sig: DataFrame, num_hashes: int, bands: int, portable: bool = False

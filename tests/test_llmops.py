@@ -1691,3 +1691,35 @@ def test_bpe_train_matches_reference(spark):
         .collect()[0]["t"]
     )
     assert multi == ref_seg["low"] + ref_seg["newest"] + ref_seg["low"]
+
+
+def test_fuzzy_join_best_and_all(spark):
+    from seafan_spark.llmops.dedup import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "Widgets  Inc"), (3, "zzz unrelated")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corp"), (11, "acme  corpX"), (12, "widgets inc"),
+         (13, "widgets incorporated"), (14, "other co")],
+        "rid long, rname string",
+    )
+    allm = {
+        (r["lid"], r["rid"]): r["dist"]
+        for r in fuzzy_join(left, right, "lid", "lname", "rid", "rname",
+                            max_dist=2, prefix_len=4, keep="all").collect()
+    }
+    # whitespace-normalized: 'acme  corpX' -> 'acme corpx' (dist 1)
+    assert allm == {(1, 10): 0, (1, 11): 1, (2, 12): 0}
+    best = {
+        r["lid"]: (r["rid"], r["dist"])
+        for r in fuzzy_join(left, right, "lid", "lname", "rid", "rname",
+                            max_dist=2, prefix_len=4, keep="best").collect()
+    }
+    assert best == {1: (10, 0), 2: (12, 0)}  # lid 3 unmatched -> absent
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="keep mode"):
+        fuzzy_join(left, right, "lid", "lname", "rid", "rname", keep="first")

@@ -123,9 +123,10 @@ def test_correctness_window_invariant():
     rows_only = [n for n in names if n not in oracles]
     assert all(n in names[50:] for n in rows_only), rows_only
     # round-8 head + promotions
-    assert names[:10] == ["marginal_fixed", "irr_bisect", "silhouette",
+    assert names[:11] == ["marginal_fixed", "irr_bisect", "silhouette",
                           "k_anonymity", "bpe_train", "bpe_encode",
-                          "ann_pq_adc", "nn_forward", "mmr", "kcenter"]
+                          "fuzzy_join", "ann_pq_adc", "nn_forward", "mmr",
+                          "kcenter"]
     assert {"semantic_dedup", "semantic_dedup_incr", "ngram_jaccard_prefix",
             "cdc_apply", "scd2", "ttest", "chisq", "cms", "token_divergence",
             "rrf", "anova", "kruskal", "ts_pattern", "join_inner",

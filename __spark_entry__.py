@@ -3189,9 +3189,151 @@ def q_trimmed_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # empty fix, kcenter/mmr argmax_round, minhash_clusters max_iter guard);
 # cms / token_divergence / rrf / anova, driver-green in r06 and untouched
 # this round, rotate below the marker to make room.
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding (encode.target_encode): encode `source`
+    by P(lang='en'), plain and leave-one-out. One categorical-cardinality
+    groupBy broadcast-joined back + a 1-row prior cross-join; with the
+    integral 0/1 target every sum is exact and every division a single
+    IEEE op, so encodings are bit-identical cross-engine (no rounding
+    needed; 6 dp applied for symmetry with the twin)."""
+    from seafan_spark.encode import target_encode
+
+    p = _pipe(spark, sf_dir, "documents")
+    p = p._derive(
+        p.df.withColumn(
+            "y", F.when(F.col("lang") == "en", 1).otherwise(0).cast("double")
+        )
+    )
+    p = target_encode(p, "source", "y", name="te", smoothing=20.0)
+    p = target_encode(p, "source", "y", name="te_loo", smoothing=20.0, out_of_fold=True)
+    return p.df.select(
+        "doc_id",
+        "source",
+        round_col("te", 6).alias("te"),
+        round_col("te_loo", 6).alias("te_loo"),
+    ).orderBy("doc_id")
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ROC AUC (diags.auc_by): l_discount scored against the
+    return outcome per linestatus. l_discount has ~11 distinct values, so
+    virtually every row is tied — the midrank convention (rank +
+    (ties-1)/2, the Mann-Whitney identity) is what's actually being
+    hash-checked. Midranks are multiples of 0.5, so every rank-sum is
+    exact in doubles and the statistic is bit-identical cross-engine."""
+    from seafan_spark.diags import auc_by
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    d = p.df.withColumn(
+        "y", F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    )
+    out = auc_by(d, "l_discount", "y", keys=["l_linestatus"])
+    return out.select(
+        "l_linestatus",
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        "auc",
+    ).orderBy("l_linestatus")
+
+
+def q_auc_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped ROC AUC (diags.auc_by, keys=()): the midrank comes from
+    the distributed-rank machinery (_global_midrank: range repartition +
+    per-partition rank + driver offsets), never a corpus-sized
+    single-task window — this query pins that path against the oracle's
+    window-function rank."""
+    from seafan_spark.diags import auc_by
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    d = p.df.withColumn(
+        "y", F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    )
+    out = auc_by(d, "l_extendedprice", "y", keys=())
+    return out.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        "auc",
+    )
+
+
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival table (temporal.survival_km): per-user
+    time-to-first-purchase study over the events stream — duration =
+    days from the user's first event to their first purchase, or to
+    their last event if they never purchased (right-censored), three
+    user-id cohorts. One map-side-partial groupBy collapses to the
+    (cohort, distinct duration) relation; cohort-partitioned windows
+    compute at-risk counts and the running product (exp-sum-log, zero
+    short-circuit). Survival rounded to 6 dp (exp/ln last-ulp
+    cross-engine noise)."""
+    from seafan_spark.temporal import survival_km
+
+    ev = _pipe(spark, sf_dir, "events").df
+    first_buy = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    subj = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(first_buy, F.max("ts"))), F.to_date(F.min("ts"))
+        ).alias("dur"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    subj = subj.withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+    out = survival_km(subj, "dur", "e", keys=["cohort"])
+    return out.select(
+        "cohort",
+        F.col("t").cast("double").alias("t"),
+        "n_risk",
+        "n_event",
+        "n_censor",
+        round_col("survival", 6).alias("survival"),
+    ).orderBy("cohort", "t")
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (multimodal.phash_signatures ->
+    phash_hamming_pairs): fabricate opaque payloads shared within each
+    doc-id triple (an 'image corpus' stand-in: the fake decoder is
+    md5-derived, so distinct payloads hash to far-apart signatures and
+    only planted structure is near), perturb each triple's 2nd/3rd
+    member by 1/3 signature bits, and return pairs within hamming 2 —
+    the (0,2) pair at distance 3 must be FILTERED while (0,1) at 1 and
+    (1,2) at 2 survive, so the exact-verification stage is load-bearing.
+    Candidates come from the 4-word pigeonhole equi-join (recall 1.0 for
+    hamming <= 3); the twin replays md5-hex words, the same perturbation,
+    and a 4-way word-equality union join."""
+    from seafan_spark.llmops.multimodal import phash_hamming_pairs, phash_signatures
+
+    docs = _pipe(spark, sf_dir, "documents").df.select("doc_id")
+    imgs = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("IMG:"), F.expr("CAST(doc_id DIV 3 AS STRING)")
+        ).cast("binary").alias("img"),
+    )
+    sig = phash_signatures(imgs, "doc_id", "img", decoder="fake")
+    pert = sig.withColumn(
+        "w0",
+        F.col("w0").bitwiseXOR(
+            F.when(F.col("doc_id") % 3 == 1, 1)
+            .when(F.col("doc_id") % 3 == 2, 7)
+            .otherwise(0)
+        ),
+    )
+    out = phash_hamming_pairs(pert, "doc_id", max_hamming=2)
+    return out.select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        "hamming",
+    ).orderBy("id_a", "id_b")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ============ driver 50-entry correctness window (round 8) ============
     # --- oracled, new in round 8 (never driver-checked -> window head) ---
+    "target_encode": q_target_encode,
+    "auc": q_auc,
+    "auc_global": q_auc_global,
+    "survival_km": q_survival_km,
+    "phash_neardup": q_phash_neardup,
     "marginal_fixed": q_marginal_fixed,
     "irr_bisect": q_irr_bisect,
     "silhouette": q_silhouette,
@@ -7232,6 +7374,153 @@ ORACLES["isotonic"] = """
     FROM cells c
     JOIN iso i ON i.bin = c.bin
     JOIN redges re ON re.r = c.bin
+"""
+
+ORACLES["target_encode"] = """
+    WITH base AS (
+        SELECT doc_id, source,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM documents
+    ), stats AS (
+        SELECT source, SUM(y) AS s, COUNT(y)::DOUBLE AS c
+        FROM base GROUP BY source
+    ), pr AS (
+        SELECT SUM(y) / COUNT(y) AS prior FROM base
+    )
+    SELECT b.doc_id, b.source,
+           ROUND((st.s + 20.0 * pr.prior) / (st.c + 20.0), 6) AS te,
+           ROUND(((st.s - b.y) + 20.0 * pr.prior) / ((st.c - 1) + 20.0), 6)
+               AS te_loo
+    FROM base b
+    JOIN stats st USING (source)
+    CROSS JOIN pr
+    ORDER BY b.doc_id
+"""
+
+ORACLES["auc"] = """
+    WITH base AS (
+        SELECT l_linestatus AS k, l_discount AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+    ), r AS (
+        SELECT k, y,
+               RANK() OVER (PARTITION BY k ORDER BY s ASC)
+                 + (COUNT(*) OVER (PARTITION BY k, s) - 1) / 2.0 AS mid
+        FROM base
+    ), a AS (
+        SELECT k, SUM(y) AS n_pos, SUM(1 - y) AS n_neg,
+               SUM(mid * y) AS r1
+        FROM r GROUP BY k
+    )
+    SELECT k AS l_linestatus,
+           CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((r1 - n_pos * (n_pos + 1.0) / 2.0)
+                 / (n_pos * 1.0 * n_neg), 6) AS auc
+    FROM a ORDER BY l_linestatus
+"""
+
+ORACLES["auc_global"] = """
+    WITH base AS (
+        SELECT l_extendedprice AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ), r AS (
+        SELECT y,
+               RANK() OVER (ORDER BY s ASC)
+                 + (COUNT(*) OVER (PARTITION BY s) - 1) / 2.0 AS mid
+        FROM base
+    ), a AS (
+        SELECT SUM(y) AS n_pos, SUM(1 - y) AS n_neg, SUM(mid * y) AS r1
+        FROM r
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((r1 - n_pos * (n_pos + 1.0) / 2.0)
+                 / (n_pos * 1.0 * n_neg), 6) AS auc
+    FROM a
+"""
+
+ORACLES["survival_km"] = """
+    WITH subj AS (
+        SELECT user_id % 3 AS cohort,
+               date_diff('day', MIN(ts)::DATE,
+                   COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END),
+                            MAX(ts))::DATE) AS dur,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT cohort, dur AS t, SUM(e) AS d, SUM(1 - e) AS c
+        FROM subj GROUP BY cohort, dur
+    ), w AS (
+        SELECT cohort, t, d, c,
+               SUM(d + c) OVER (PARTITION BY cohort)
+                 - COALESCE(SUM(d + c) OVER (
+                       PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM g
+    ), s AS (
+        SELECT cohort, t, n_risk, d, c,
+               SUM(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeros,
+               SUM(CASE WHEN n_risk > d
+                        THEN ln((n_risk - d)::DOUBLE / n_risk) END) OVER (
+                   PARTITION BY cohort ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+        FROM w
+    )
+    SELECT CAST(cohort AS INT) AS cohort, t::DOUBLE AS t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_event, CAST(c AS BIGINT) AS n_censor,
+           ROUND(CASE WHEN zeros > 0 THEN 0.0
+                      ELSE exp(COALESCE(lsum, 0.0)) END, 6) AS survival
+    FROM s ORDER BY cohort, t
+"""
+
+ORACLES["phash_neardup"] = """
+    WITH hexd AS (
+        SELECT doc_id, md5('IMG:' || CAST(doc_id // 3 AS VARCHAR)) AS h
+        FROM documents
+    ), sig AS (
+        SELECT doc_id,
+               xor(('0x' || substr(h,  1, 4))::INT,
+                   CASE WHEN doc_id % 3 = 1 THEN 1
+                        WHEN doc_id % 3 = 2 THEN 7 ELSE 0 END) AS w0,
+               ('0x' || substr(h,  5, 4))::INT AS w1,
+               ('0x' || substr(h,  9, 4))::INT AS w2,
+               ('0x' || substr(h, 13, 4))::INT AS w3
+        FROM hexd
+    ), cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.w0 AS a0, a.w1 AS a1, a.w2 AS a2, a.w3 AS a3,
+               b.w0 AS b0, b.w1 AS b1, b.w2 AS b2, b.w3 AS b3
+        FROM sig a JOIN sig b ON a.w0 = b.w0 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, a.w0, a.w1, a.w2, a.w3,
+               b.w0, b.w1, b.w2, b.w3
+        FROM sig a JOIN sig b ON a.w1 = b.w1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, a.w0, a.w1, a.w2, a.w3,
+               b.w0, b.w1, b.w2, b.w3
+        FROM sig a JOIN sig b ON a.w2 = b.w2 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id, a.w0, a.w1, a.w2, a.w3,
+               b.w0, b.w1, b.w2, b.w3
+        FROM sig a JOIN sig b ON a.w3 = b.w3 AND a.doc_id < b.doc_id
+    ), ham AS (
+        SELECT id_a, id_b,
+               (bit_count(xor(a0::BIGINT, b0::BIGINT))
+                + bit_count(xor(a1::BIGINT, b1::BIGINT))
+                + bit_count(xor(a2::BIGINT, b2::BIGINT))
+                + bit_count(xor(a3::BIGINT, b3::BIGINT)))::INT AS hamming
+        FROM cand
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           hamming
+    FROM ham WHERE hamming <= 2 ORDER BY id_a, id_b
 """
 
 

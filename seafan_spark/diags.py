@@ -515,3 +515,66 @@ def isotonic_calibrate(
         round_col(F.col("mean_label"), 6).alias("mean_label"),
         round_col(F.col("calibrated"), 6).alias("calibrated"),
     )
+
+
+def auc_by(
+    pipe,
+    fit: str,
+    obs: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """ROC AUC of a score against a binary outcome, optionally per group
+    — the companion to :func:`ks`/:func:`decile_table` the reference's
+    diagnostics stop short of (diags.go has KS and deciles only).
+
+    Computed rank-wise (the Mann-Whitney identity), never by curve
+    integration:
+
+        AUC = (sum of positive midranks - n1*(n1+1)/2) / (n1 * n0)
+
+    Midranks (``rank + (ties-1)/2``) make tied scores count half, which
+    is exactly the trapezoidal tie convention. Returns one row per group:
+    (keys..., n_pos, n_neg, auc). Groups missing a class get NULL auc
+    (undefined) rather than an error — fairness-style scans over many
+    segments shouldn't abort on a degenerate one.
+
+    Scale shape: with keys the rank is a window PARTITIONED by the group
+    keys (each group ranks independently, distributed across groups);
+    with NO keys the midrank comes from the distributed-rank machinery
+    (``agg._global_midrank``: range repartition + per-partition rank +
+    driver offsets) — never a corpus-sized single-task window. One
+    aggregation pass after ranking; integer-exact until the final
+    division, so the statistic is bit-identical cross-engine.
+    """
+    from seafan_spark.agg import _global_midrank
+    from seafan_spark.rounding import round_col
+
+    d = getattr(pipe, "df", pipe)
+    keys = list(keys)
+    score = F.col(fit).cast("double")
+    label = F.when(F.col(obs).cast("double") > THRESH, 1).otherwise(0)
+    base = d.filter(score.isNotNull() & F.col(obs).isNotNull()).select(
+        *keys, score.alias("_s"), label.alias("_y")
+    )
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col("_s").asc())
+        tw = Window.partitionBy(*keys, "_s")
+        mid = (
+            F.rank().over(w).cast("double")
+            + (F.count(F.lit(1)).over(tw) - F.lit(1)) / F.lit(2.0)
+        )
+        ranked = base.withColumn("_mid", mid)
+    else:
+        ranked, _ = _global_midrank(base, "_s", "_mid")
+    agg = ranked.groupBy(*keys).agg(
+        F.sum("_y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
+        F.sum(F.col("_mid") * F.col("_y")).alias("_r1"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n0 = F.col("n_neg").cast("double")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("_r1") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)) / (n1 * n0),
+    )
+    return agg.select(*keys, "n_pos", "n_neg", round_col(auc, 6).alias("auc"))

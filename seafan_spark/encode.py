@@ -294,3 +294,73 @@ def winsorize(
         out, F.when(F.col(field).isNull(), F.lit(None).cast("double")).otherwise(clip)
     )
     return pipe._derive(d)
+
+
+def target_encode(
+    pipe: Pipeline,
+    field: str,
+    target: str,
+    name: str | None = None,
+    smoothing: float = 20.0,
+    out_of_fold: bool = False,
+) -> Pipeline:
+    """Smoothed target (mean) encoding of a categorical field — the
+    classic high-cardinality alternative to one-hot that the reference's
+    encoding layer (AppendD/MakeOneHot, gdata.go:156-228) stops short of:
+
+        enc(level) = (sum_y(level) + smoothing * prior) / (n(level) + smoothing)
+
+    where ``prior`` is the global target mean (Micci-Barreca 2001, "A
+    preprocessing scheme for high-cardinality categorical attributes").
+    With ``out_of_fold=True`` the row's own target is excluded
+    (leave-one-out: ``(sum_y - y) / (n - 1)`` smoothed), the standard
+    leakage guard when the encoding feeds a model trained on the same
+    rows; a level seen once collapses to the prior exactly.
+
+    Scale: one map-side-partial groupBy produces the level table
+    (categorical-cardinality rows, NOT row count), broadcast-joined back;
+    the prior is a 1-row aggregate cross-joined in. Zero Python, zero
+    extra shuffle over the fact table. Determinism: with an integral
+    target, sums and counts are exact and every division is a single
+    IEEE-754 operation, so encodings are bit-identical cross-engine.
+
+    NULL handling: NULL ``field`` rows form their own level (groupBy
+    treats NULL as a key); NULL ``target`` rows contribute to neither
+    numerator nor denominator (SQL aggregate semantics) and receive the
+    level's encoding like any other row.
+    """
+    out = name or f"{field}_te"
+    y = F.col(target).cast("double")
+    stats = pipe.df.groupBy(F.col(field).alias("_te_key")).agg(
+        F.sum(y).alias("_te_sum"), F.count(y).alias("_te_cnt")
+    )
+    prior = pipe.df.agg(
+        (F.sum(y) / F.count(y)).alias("_te_prior")
+    )
+    m = F.lit(float(smoothing))
+    # null-safe equality: a NULL field value is its own level (groupBy
+    # already keyed it); a plain equi-join would silently drop it to the
+    # prior
+    d = (
+        pipe.df.join(
+            F.broadcast(stats),
+            on=F.col(field).eqNullSafe(F.col("_te_key")),
+            how="left",
+        )
+        .drop("_te_key")
+        .crossJoin(F.broadcast(prior))
+    )
+    if out_of_fold:
+        # leave-one-out: subtract the row's own contribution; NULL target
+        # rows subtract nothing (they were never counted)
+        num = F.col("_te_sum") - F.coalesce(y, F.lit(0.0))
+        den = F.col("_te_cnt") - F.when(y.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    else:
+        num = F.col("_te_sum")
+        den = F.col("_te_cnt")
+    enc = (num + m * F.col("_te_prior")) / (den + m)
+    # a level with no observed target at all (all-NULL) has NULL _te_sum:
+    # fall back to the prior rather than propagating NULL
+    enc = F.coalesce(enc, F.col("_te_prior"))
+    d = d.withColumn(out, enc).drop("_te_sum", "_te_cnt", "_te_prior")
+    return pipe._derive(d)

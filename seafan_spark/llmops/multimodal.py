@@ -218,3 +218,120 @@ def sample_video_frames(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame"])
 
     return df.select(id_col, binary_col).mapInPandas(batches, schema=out_schema)
+
+
+# ------------------------------------------------- perceptual near-dup ----
+#: pHash geometry: 64 signature bits as 4 words of 16 bits. 4 words
+#: pigeonhole-guarantee recall 1.0 for max_hamming <= 3 (any pair within
+#: 3 flips agrees exactly on at least one word).
+PHASH_WORDS = 4
+PHASH_WORD_BITS = 16
+
+
+def phash_signatures(
+    df: DataFrame, id_col: str, binary_col: str, decoder: str = "fake"
+) -> DataFrame:
+    """Perceptual-hash signatures for an opaque image column: (id, w0..w3),
+    four 16-bit words of a 64-bit signature.
+
+    ``decoder='fake'`` (default, the hash-oracle mode) derives the words
+    from the md5 hex digest of the payload — pure JVM Columns
+    (``F.md5`` + ``F.conv``), no Python, and reproducible in any engine
+    with an md5 function, so the whole near-dup pipeline downstream of
+    decode is cross-engine hash-checkable. A real deployment sets
+    ``decoder='pil'``/'auto' for a PIL average-hash (8x8 luma threshold
+    vs the mean — aHash; payloads here are synthetic so the sandbox
+    path stays 'fake'), batched through ``mapInPandas`` like
+    :func:`extract_image_features`.
+    """
+    mode = _resolve_decoder(decoder)
+    if mode == "fake":
+        hexd = F.md5(F.col(binary_col))
+        words = [
+            F.conv(F.substring(hexd, 1 + 4 * w, 4), 16, 10)
+            .cast("int")
+            .alias(f"w{w}")
+            for w in range(PHASH_WORDS)
+        ]
+        return df.select(F.col(id_col), *words)
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    pil = _pil_module()
+    out_schema = T.StructType(
+        [df.schema[id_col]]
+        + [T.StructField(f"w{w}", T.IntegerType()) for w in range(PHASH_WORDS)]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io  # noqa: PLC0415
+
+        for pdf in it:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[binary_col]):
+                img = pil.open(io.BytesIO(p)).convert("L").resize((8, 8))
+                px = np.asarray(img, dtype=np.float64).ravel()
+                bits = (px > px.mean()).astype(np.uint64)
+                sig = 0
+                for b in bits:
+                    sig = (sig << 1) | int(b)
+                rows.append(
+                    (int(i), *[(sig >> (16 * w)) & 0xFFFF for w in range(PHASH_WORDS)])
+                )
+            yield pd.DataFrame(rows, columns=[id_col] + [f"w{w}" for w in range(PHASH_WORDS)])
+
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=out_schema)
+
+
+def phash_hamming_pairs(
+    sig: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup image pairs from a (id, w0..w3) signature relation:
+    pigeonhole candidate generation — a pair within ``max_hamming`` <=
+    3 bit flips of a 64-bit signature must agree exactly on one of the
+    4 words, so candidates are an equi-join on (word index, word value)
+    — then exact hamming verification as the sum of per-word
+    ``bit_count(xor)``. Identical scale shape to
+    ``dedup.simhash_pairs`` (the join carries ids + 4 ints per side;
+    verification prices only surviving candidates)."""
+    if not 0 <= max_hamming <= PHASH_WORDS - 1:
+        raise ValueError(
+            f"phash_hamming_pairs: max_hamming must be in [0, {PHASH_WORDS - 1}] "
+            "for pigeonhole recall 1.0 over 4 words"
+        )
+    wcols = [f"w{w}" for w in range(PHASH_WORDS)]
+    banded = sig.select(
+        F.col(id_col).alias("_id"),
+        *wcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(w).alias("chunk"), F.col(f"w{w}").alias("key"))
+                    for w in range(PHASH_WORDS)
+                ]
+            )
+        ).alias("cb"),
+    ).select("_id", *wcols, "cb.chunk", "cb.key")
+    a = banded.select(
+        F.col("_id").alias("id_a"), *[F.col(w).alias(f"{w}_a") for w in wcols], "chunk", "key"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), *[F.col(w).alias(f"{w}_b") for w in wcols], "chunk", "key"
+    )
+    cand = (
+        a.join(b, on=["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = None
+    for w in wcols:
+        term = F.bit_count(
+            F.col(f"{w}_a").cast("long").bitwiseXOR(F.col(f"{w}_b").cast("long"))
+        )
+        ham = term if ham is None else ham + term
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

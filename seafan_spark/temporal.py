@@ -774,3 +774,81 @@ def profile_from_moments(moments: DataFrame) -> DataFrame:
         mean.alias("mean"),
         F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
     )
+
+
+def survival_km(
+    df,
+    duration_col: str,
+    event_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate, optionally per group
+    (Kaplan & Meier 1958) — time-to-event analysis over retention /
+    churn / failure durations, a standard event-analytics companion to
+    :func:`retention_matrix` that the reference engine has no analogue
+    for.
+
+    Input: one row per subject with ``duration_col`` (time observed) and
+    ``event_col`` (1 = event occurred, 0 = right-censored at that time).
+    Output: the KM table, one row per distinct duration per group —
+    (keys..., t, n_risk, n_event, n_censor, survival) where
+
+        S(t) = prod_{t_i <= t} (n_risk_i - d_i) / n_risk_i
+
+    over event times (censor-only times keep the previous S, the standard
+    convention — the factor is 1 when d = 0).
+
+    Scale shape: one map-side-partial groupBy collapses subjects to the
+    (group, distinct duration) relation — bounded by time cardinality,
+    not subject count — then three windows PARTITIONED BY the group keys
+    over that collapsed relation compute at-risk counts and the running
+    product (as exp of a running sum of logs, the same exp-sum-log device
+    as the expression language's ``prodBefore``; a zero factor, d = n at
+    the last time, short-circuits to exact 0). With no keys the windows
+    run on a single task, but over the distinct-duration relation only —
+    for continuous durations bucket first (the KM table itself is then
+    what you'd plot). No Python, no subject-level window.
+    """
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    t = F.col(duration_col).cast("double")
+    ev = F.when(F.col(event_col).cast("double") > 0.5, 1).otherwise(0)
+    base = d.filter(t.isNotNull() & F.col(event_col).isNotNull()).select(
+        *keys, t.alias("t"), ev.alias("_e")
+    )
+    g = base.groupBy(*keys, "t").agg(
+        F.sum("_e").alias("n_event"),
+        F.sum(F.lit(1) - F.col("_e")).alias("n_censor"),
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("t").asc())
+    leaving = F.col("n_event") + F.col("n_censor")
+    total = F.sum(leaving).over(wall)
+    left_before = F.coalesce(
+        F.sum(leaving).over(word.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    g = g.withColumn("n_risk", total - left_before)
+    # running product of (n-d)/n over event times: exp(running sum of
+    # logs); any zero factor (d = n, necessarily the final time in its
+    # group) makes this and all later S exactly 0
+    factor = (F.col("n_risk") - F.col("n_event")).cast("double") / F.col(
+        "n_risk"
+    ).cast("double")
+    logf = F.when(factor > 0.0, F.log(factor))
+    zeros = F.sum(F.when(factor == 0.0, 1).otherwise(0)).over(
+        word.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    logsum = F.coalesce(
+        F.sum(logf).over(word.rowsBetween(Window.unboundedPreceding, 0)),
+        F.lit(0.0),
+    )
+    surv = F.when(zeros > 0, F.lit(0.0)).otherwise(F.exp(logsum))
+    return g.select(
+        *keys,
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.col("n_censor").cast("long").alias("n_censor"),
+        surv.alias("survival"),
+    )

@@ -123,7 +123,9 @@ def test_correctness_window_invariant():
     rows_only = [n for n in names if n not in oracles]
     assert all(n in names[50:] for n in rows_only), rows_only
     # round-8 head + promotions
-    assert names[:11] == ["marginal_fixed", "irr_bisect", "silhouette",
+    assert names[:16] == ["target_encode", "auc", "auc_global",
+                          "survival_km", "phash_neardup",
+                          "marginal_fixed", "irr_bisect", "silhouette",
                           "k_anonymity", "bpe_train", "bpe_encode",
                           "fuzzy_join", "ann_pq_adc", "nn_forward", "mmr",
                           "kcenter"]

@@ -1,0 +1,203 @@
+"""Tests for round-8 session-2 operators: smoothed target encoding,
+rank-based ROC AUC, Kaplan-Meier survival, and perceptual-hash
+image near-dup."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafan_spark.diags import auc_by
+from seafan_spark.encode import target_encode
+from seafan_spark.llmops.multimodal import (
+    PHASH_WORDS,
+    phash_hamming_pairs,
+    phash_signatures,
+)
+from seafan_spark.sources import vec_to_pipe
+from seafan_spark.temporal import survival_km
+
+
+# --------------------------------------------------------- target_encode ----
+@pytest.fixture(scope="module")
+def te_pipe(spark):
+    return vec_to_pipe(
+        spark,
+        {
+            "cat": ["a", "a", "a", "b", "b", "c", None, None],
+            "y": [1.0, 1.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0],
+        },
+    )
+
+
+def test_target_encode_smoothed_values(te_pipe):
+    # prior = 5/8 = 0.625; m = 2
+    out = target_encode(te_pipe, "cat", "y", name="te", smoothing=2.0)
+    rows = {(r["cat"], r["y"]): r["te"] for r in out.df.collect()}
+    assert rows[("a", 1.0)] == pytest.approx((2 + 2 * 0.625) / (3 + 2))
+    assert rows[("b", 0.0)] == pytest.approx((0 + 2 * 0.625) / (2 + 2))
+    assert rows[("c", 1.0)] == pytest.approx((1 + 2 * 0.625) / (1 + 2))
+    # NULL field values form their own level (2 rows, sum 2) — and the
+    # expected value differs from the prior, so a key-dropping join
+    # (which would fall back to the prior) cannot fake this
+    assert rows[(None, 1.0)] == pytest.approx((2 + 2 * 0.625) / (2 + 2))
+
+
+def test_target_encode_loo_singleton_is_prior(te_pipe):
+    out = target_encode(
+        te_pipe, "cat", "y", name="te", smoothing=2.0, out_of_fold=True
+    )
+    rows = [(r["cat"], r["y"], r["te"]) for r in out.df.collect()]
+    # singleton level 'c': (1-1 + 2*prior)/(1-1+2) = exactly the prior
+    c = [v for cat, _, v in rows if cat == "c"]
+    assert c == [pytest.approx(0.625)]
+    # 'a' row with y=1: (2-1 + 1.25)/(2+2); with y=0: (2-0 + 1.25)/(2+2)
+    a1 = sorted(v for cat, y, v in rows if cat == "a" and y == 1.0)
+    a0 = sorted(v for cat, y, v in rows if cat == "a" and y == 0.0)
+    assert a1 == pytest.approx([2.25 / 4, 2.25 / 4])
+    assert a0 == pytest.approx([3.25 / 4])
+
+
+def test_target_encode_all_null_target_level_gets_prior(spark):
+    p = vec_to_pipe(
+        spark,
+        {"cat": ["a", "a", "z", "z"], "y": [1.0, 0.0, None, None]},
+    )
+    out = target_encode(p, "cat", "y", name="te", smoothing=4.0)
+    rows = {r["cat"]: r["te"] for r in out.df.collect()}
+    # prior over non-NULL targets = 0.5; level 'z' has no observations
+    assert rows["z"] == pytest.approx(0.5)
+    assert rows["a"] == pytest.approx((1 + 4 * 0.5) / (2 + 4))
+
+
+# ------------------------------------------------------------------ auc ----
+def test_auc_perfect_and_reversed(spark):
+    p = vec_to_pipe(
+        spark,
+        {"s": [0.1, 0.2, 0.8, 0.9], "y": [0.0, 0.0, 1.0, 1.0]},
+    )
+    row = auc_by(p, "s", "y").collect()[0]
+    assert row["auc"] == pytest.approx(1.0)
+    assert row["n_pos"] == 2 and row["n_neg"] == 2
+    p2 = vec_to_pipe(
+        spark,
+        {"s": [0.9, 0.8, 0.2, 0.1], "y": [0.0, 0.0, 1.0, 1.0]},
+    )
+    assert auc_by(p2, "s", "y").collect()[0]["auc"] == pytest.approx(0.0)
+
+
+def test_auc_all_tied_is_half(spark):
+    p = vec_to_pipe(
+        spark, {"s": [1.0, 1.0, 1.0, 1.0], "y": [1.0, 0.0, 1.0, 0.0]}
+    )
+    assert auc_by(p, "s", "y").collect()[0]["auc"] == pytest.approx(0.5)
+
+
+def test_auc_manual_midrank_value(spark):
+    # scores: pos {3, 2}, neg {2, 1}; midranks: 1->1, 2->2.5 (tie), 3->4
+    # AUC = (sum pos mid - n1(n1+1)/2) / (n1 n0) = (4+2.5-3)/4 = 0.875
+    p = vec_to_pipe(
+        spark, {"s": [3.0, 2.0, 2.0, 1.0], "y": [1.0, 1.0, 0.0, 0.0]}
+    )
+    assert auc_by(p, "s", "y").collect()[0]["auc"] == pytest.approx(0.875)
+
+
+def test_auc_grouped_and_degenerate_group(spark):
+    p = vec_to_pipe(
+        spark,
+        {
+            "g": ["a", "a", "a", "a", "b", "b"],
+            "s": [0.1, 0.2, 0.8, 0.9, 0.3, 0.4],
+            "y": [0.0, 0.0, 1.0, 1.0, 1.0, 1.0],  # group b: no negatives
+        },
+    )
+    rows = {r["g"]: r for r in auc_by(p, "s", "y", keys=["g"]).collect()}
+    assert rows["a"]["auc"] == pytest.approx(1.0)
+    assert rows["b"]["auc"] is None  # undefined, not an error
+    assert rows["b"]["n_neg"] == 0
+
+
+# -------------------------------------------------------------- survival ----
+def test_survival_km_textbook_table(spark):
+    # 5 subjects: events at t=1,2,4; censored at t=3,4
+    p = vec_to_pipe(
+        spark,
+        {"t": [1.0, 2.0, 3.0, 4.0, 4.0], "e": [1, 1, 0, 1, 0]},
+    )
+    rows = {r["t"]: r for r in survival_km(p, "t", "e").collect()}
+    assert rows[1.0]["n_risk"] == 5 and rows[1.0]["n_event"] == 1
+    assert rows[1.0]["survival"] == pytest.approx(4 / 5)
+    assert rows[2.0]["n_risk"] == 4
+    assert rows[2.0]["survival"] == pytest.approx(4 / 5 * 3 / 4)
+    # censor-only time keeps the previous survival
+    assert rows[3.0]["n_event"] == 0 and rows[3.0]["n_censor"] == 1
+    assert rows[3.0]["survival"] == pytest.approx(0.6)
+    # t=4: 2 at risk, 1 event, 1 censored
+    assert rows[4.0]["n_risk"] == 2
+    assert rows[4.0]["survival"] == pytest.approx(0.6 * 1 / 2)
+
+
+def test_survival_km_zero_tail_and_groups(spark):
+    p = vec_to_pipe(
+        spark,
+        {
+            "g": ["x", "x", "y", "y"],
+            "t": [1.0, 2.0, 1.0, 1.0],
+            "e": [1, 1, 0, 0],
+        },
+    )
+    rows = {(r["g"], r["t"]): r for r in survival_km(p, "t", "e", keys=["g"]).collect()}
+    # group x: everyone events; survival hits exactly 0 at the last time
+    assert rows[("x", 2.0)]["survival"] == 0.0
+    # group y: all censored at t=1 -> survival stays 1
+    assert rows[("y", 1.0)]["survival"] == pytest.approx(1.0)
+    assert rows[("y", 1.0)]["n_event"] == 0
+
+
+# ----------------------------------------------------------------- phash ----
+def test_phash_fake_signature_matches_md5(spark):
+    df = spark.createDataFrame([(1, bytearray(b"payload-one"))], "id long, img binary")
+    row = phash_signatures(df, "id", "img").collect()[0]
+    hexd = hashlib.md5(b"payload-one").hexdigest()
+    for w in range(PHASH_WORDS):
+        assert row[f"w{w}"] == int(hexd[4 * w : 4 * w + 4], 16)
+
+
+def test_phash_pairs_pigeonhole_and_filter(spark):
+    # doc 1 base; doc 2 = 1 bit flip on w0; doc 3 = 3 flips (7) on w0;
+    # doc 9 unrelated (random words, expected far)
+    base = [100, 200, 300, 400]
+    rows = [
+        (1, base[0], base[1], base[2], base[3]),
+        (2, base[0] ^ 1, base[1], base[2], base[3]),
+        (3, base[0] ^ 7, base[1], base[2], base[3]),
+        (9, 54321, 11111, 22222, 33333),
+    ]
+    sig = spark.createDataFrame(
+        rows, "id long, w0 int, w1 int, w2 int, w3 int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_hamming_pairs(sig, "id", max_hamming=2).collect()
+    }
+    # (1,2) at hamming 1 and (2,3) at hamming 2 survive; (1,3) at 3 filtered
+    assert got == {(1, 2): 1, (2, 3): 2}
+
+
+def test_phash_pairs_max_hamming_guard(spark):
+    sig = spark.createDataFrame([(1, 0, 0, 0, 0)], "id long, w0 int, w1 int, w2 int, w3 int")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash_hamming_pairs(sig, "id", max_hamming=4)
+
+
+def test_phash_pil_decoder_raises_without_pillow(spark):
+    from seafan_spark.llmops.multimodal import _pil_module
+
+    if _pil_module() is not None:
+        pytest.skip("Pillow available: the pil path decodes for real")
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, img binary")
+    with pytest.raises(NotImplementedError):
+        phash_signatures(df, "id", "img", decoder="pil")

@@ -3326,13 +3326,72 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped average precision (diags.average_precision_by): the
+    step-interpolated PR-AUC of l_discount against the return outcome
+    per linestatus — the same fixture as q_auc so the two ranking
+    metrics are directly comparable. The curve steps between the ~11
+    distinct discount values; cumulative TP/FP are keys-partitioned
+    windows over that collapsed relation."""
+    from seafan_spark.diags import average_precision_by
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    d = p.df.withColumn(
+        "y", F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    )
+    out = average_precision_by(d, "l_discount", "y", keys=["l_linestatus"])
+    return out.select("l_linestatus", "n_pos", "n_neg", "ap").orderBy(
+        "l_linestatus"
+    )
+
+
+def q_average_precision_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungrouped average precision (diags.average_precision_by, keys=()):
+    cumulative TP/FP over the distinct-score relation come from
+    rank.attach_running_ops (range repartition + driver carry-ins) —
+    this query pins that distributed running-sum path against the
+    oracle's ordered window."""
+    from seafan_spark.diags import average_precision_by
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    d = p.df.withColumn(
+        "y", F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    )
+    return average_precision_by(d, "l_extendedprice", "y", keys=())
+
+
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift change-point (temporal.cusum_changepoint) over
+    daily event counts per event type: one map-side-partial groupBy
+    collapses the stream to the (type, day) relation, keyed windows
+    compute the centered running sum, and the reported change-point is
+    the 6-dp-rounded argmax (earliest-day tiebreak) so a last-ulp
+    cross-engine difference cannot flip the pick. Integer daily counts
+    make the mean and every centered term exact; only stddev (which the
+    argmax never touches) carries engine noise, absorbed by rounding."""
+    from seafan_spark.temporal import cusum_changepoint
+
+    ev = _pipe(spark, sf_dir, "events").df
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    out = cusum_changepoint(daily, "day", "cnt", keys=["event_type"])
+    return out.select(
+        "event_type", "n", F.col("t_star").cast("date").alias("t_star"),
+        "s_max", "stat"
+    ).orderBy("event_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ============ driver 50-entry correctness window (round 8) ============
     # --- oracled, new in round 8 (never driver-checked -> window head) ---
     "target_encode": q_target_encode,
     "auc": q_auc,
     "auc_global": q_auc_global,
+    "average_precision": q_average_precision,
+    "average_precision_global": q_average_precision_global,
     "survival_km": q_survival_km,
+    "cusum_changepoint": q_cusum,
     "phash_neardup": q_phash_neardup,
     "marginal_fixed": q_marginal_fixed,
     "irr_bisect": q_irr_bisect,
@@ -7439,6 +7498,86 @@ ORACLES["auc_global"] = """
            ROUND((r1 - n_pos * (n_pos + 1.0) / 2.0)
                  / (n_pos * 1.0 * n_neg), 6) AS auc
     FROM a
+"""
+
+ORACLES["average_precision"] = """
+    WITH base AS (
+        SELECT l_linestatus AS k, l_discount AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+    ), g AS (
+        SELECT k, s, SUM(y) AS pos, SUM(1 - y) AS neg
+        FROM base GROUP BY k, s
+    ), c AS (
+        SELECT k, pos, neg,
+               SUM(pos) OVER (PARTITION BY k ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               SUM(neg) OVER (PARTITION BY k ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+        FROM g
+    ), a AS (
+        SELECT k, SUM(pos) AS n_pos, SUM(neg) AS n_neg,
+               SUM(pos * (tp::DOUBLE / (tp + fp))) AS apn
+        FROM c GROUP BY k
+    )
+    SELECT k AS l_linestatus,
+           CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(apn / n_pos, 6) AS ap
+    FROM a ORDER BY l_linestatus
+"""
+
+ORACLES["average_precision_global"] = """
+    WITH base AS (
+        SELECT l_extendedprice AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ), g AS (
+        SELECT s, SUM(y) AS pos, SUM(1 - y) AS neg FROM base GROUP BY s
+    ), c AS (
+        SELECT pos, neg,
+               SUM(pos) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+               SUM(neg) OVER (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp
+        FROM g
+    ), a AS (
+        SELECT SUM(pos) AS n_pos, SUM(neg) AS n_neg,
+               SUM(pos * (tp::DOUBLE / (tp + fp))) AS apn
+        FROM c
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(apn / n_pos, 6) AS ap
+    FROM a
+"""
+
+ORACLES["cusum_changepoint"] = """
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day, COUNT(*)::DOUBLE AS cnt
+        FROM events GROUP BY event_type, ts::DATE
+    ), st AS (
+        SELECT event_type, day, cnt,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               AVG(cnt) OVER (PARTITION BY event_type) AS m,
+               STDDEV_SAMP(cnt) OVER (PARTITION BY event_type) AS sd
+        FROM daily
+    ), s AS (
+        SELECT event_type, day, n, sd,
+               ABS(SUM(cnt - m) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 AS abs_s
+        FROM st
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY ROUND(abs_s, 6) DESC, day ASC) AS rk
+        FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, day AS t_star,
+           ROUND(abs_s, 6) AS s_max,
+           ROUND(CASE WHEN n >= 2 AND sd > 0
+                      THEN abs_s / (sd * sqrt(n)) END, 6) AS stat
+    FROM r WHERE rk = 1 ORDER BY event_type
 """
 
 ORACLES["survival_km"] = """

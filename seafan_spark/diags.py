@@ -578,3 +578,79 @@ def auc_by(
         (F.col("_r1") - n1 * (n1 + F.lit(1.0)) / F.lit(2.0)) / (n1 * n0),
     )
     return agg.select(*keys, "n_pos", "n_neg", round_col(auc, 6).alias("auc"))
+
+
+def average_precision_by(
+    pipe,
+    fit: str,
+    obs: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Average precision (the step-interpolated area under the
+    precision-recall curve), optionally per group — the PR-side companion
+    to :func:`auc_by`, preferred when positives are rare:
+
+        AP = sum_k (R_k - R_{k-1}) * P_k
+
+    over thresholds placed between DISTINCT score values in descending
+    order (the standard estimator: each distinct score contributes its
+    positives' recall mass at that threshold's precision). Ties carry no
+    ordering ambiguity because the curve only steps between distinct
+    values. Returns (keys..., n_pos, n_neg, ap); a group with no
+    positives gets NULL ap.
+
+    Scale shape: one map-side-partial groupBy collapses rows to the
+    (group, distinct score) relation with positive/negative counts; with
+    keys the cumulative TP/FP are windows PARTITIONED by the group keys
+    over that collapsed relation; with NO keys they come from
+    ``rank.attach_running_ops`` (range repartition + driver carry-ins) —
+    never a corpus-sized single-task window. One final aggregation; each
+    per-threshold term is a ratio of exact integer counts (1-ulp exact),
+    so the only cross-engine noise is summation order — O(n_thresholds *
+    eps), absorbed by the 6 dp rounding.
+    """
+    from seafan_spark.rounding import round_col
+
+    d = getattr(pipe, "df", pipe)
+    keys = list(keys)
+    score = F.col(fit).cast("double")
+    label = F.when(F.col(obs).cast("double") > THRESH, 1).otherwise(0)
+    base = d.filter(score.isNotNull() & F.col(obs).isNotNull()).select(
+        *keys, score.alias("_s"), label.alias("_y")
+    )
+    g = base.groupBy(*keys, "_s").agg(
+        F.sum("_y").alias("_pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_neg"),
+    )
+    if keys:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_s").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        g = g.withColumn("_tp", F.sum("_pos").over(w)).withColumn(
+            "_fp", F.sum("_neg").over(w)
+        )
+    else:
+        from seafan_spark.rank import attach_running_ops
+
+        g = attach_running_ops(
+            g,
+            [("_s", False)],
+            [("_tp", "sum", F.col("_pos")), ("_fp", "sum", F.col("_neg"))],
+        )
+    prec = F.col("_tp").cast("double") / (F.col("_tp") + F.col("_fp")).cast("double")
+    out = g.groupBy(*keys).agg(
+        F.sum("_pos").alias("n_pos"),
+        F.sum("_neg").alias("n_neg"),
+        F.sum(F.col("_pos") * prec).alias("_apn"),
+    )
+    ap = F.when(
+        F.col("n_pos") > 0, F.col("_apn") / F.col("n_pos").cast("double")
+    )
+    return out.select(
+        *keys,
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        round_col(ap, 6).alias("ap"),
+    )

@@ -852,3 +852,85 @@ def survival_km(
         F.col("n_censor").cast("long").alias("n_censor"),
         surv.alias("survival"),
     )
+
+
+def cusum_changepoint(
+    df,
+    order_col: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    argmax_round: int | None = 6,
+) -> DataFrame:
+    """CUSUM mean-shift change-point detection over an ordered series,
+    optionally per group (Page 1954) — the monitoring companion to
+    :func:`psi_drift`/:func:`seasonal_residuals`: where did the level of
+    a metric shift?
+
+        S_i = sum_{j<=i} (x_j - mean(x));   t* = argmax_i |S_i|
+
+    Returns one row per group: (keys..., n, t_star, s_max, stat) where
+    ``s_max`` = max|S_i|, ``stat`` = s_max / (std * sqrt(n)) — the
+    scale-free statistic compared against Kolmogorov-style critical
+    values (1.36 ~ 5%), and ``t_star`` the LAST point before the shift.
+    Groups need n >= 2 and nonzero variance; otherwise NULL stat.
+
+    Determinism: the argmax is taken over |S| rounded to ``argmax_round``
+    dp (ties broken by earliest time) so a last-ulp difference between
+    engines cannot flip the reported change-point — the same
+    rounded-greedy-key contract as kcenter/mmr selection.
+
+    Scale shape: per-group mean/std come from one window (or, ungrouped,
+    a 1-row aggregate via the same keyed path on a constant key would
+    serialize — so the series should already be an AGGREGATED relation:
+    points per group bounded by time cardinality, e.g. daily rollups,
+    exactly like :func:`survival_km`'s collapsed table). Running sums are
+    windows PARTITIONED by the group keys in time order; the final
+    argmax is a max_by aggregation, one pass.
+    """
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull() & F.col(order_col).isNotNull()).select(
+        *keys, F.col(order_col).alias("_t"), x.alias("_x")
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("_t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n = F.count(F.lit(1)).over(wall)
+    mean = F.avg("_x").over(wall)
+    sd = F.stddev_samp("_x").over(wall)
+    s_i = F.sum(F.col("_x") - mean).over(word)
+    scored = base.select(
+        *keys,
+        "_t",
+        n.alias("_n"),
+        sd.alias("_sd"),
+        F.abs(s_i).alias("_abs_s"),
+    )
+    key_col = (
+        F.round(F.col("_abs_s"), argmax_round)
+        if argmax_round is not None
+        else F.col("_abs_s")
+    )
+    # max_by with a struct orders by (rounded |S| desc, earliest t):
+    # negate the time axis inside the struct via a descending-safe trick —
+    # max_by(struct(key, -rownum)) is not expressible for arbitrary _t
+    # types, so rank explicitly and take the first row per group
+    wrank = wall.orderBy(key_col.desc(), F.col("_t").asc())
+    top = scored.withColumn("_rk", F.row_number().over(wrank)).filter(
+        F.col("_rk") == 1
+    )
+    stat = F.when(
+        (F.col("_n") >= 2) & (F.col("_sd") > 0.0),
+        F.col("_abs_s") / (F.col("_sd") * F.sqrt(F.col("_n").cast("double"))),
+    )
+    from seafan_spark.rounding import round_col
+
+    return top.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_t").alias("t_star"),
+        round_col(F.col("_abs_s"), 6).alias("s_max"),
+        round_col(stat, 6).alias("stat"),
+    )

@@ -201,3 +201,108 @@ def test_phash_pil_decoder_raises_without_pillow(spark):
     df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, img binary")
     with pytest.raises(NotImplementedError):
         phash_signatures(df, "id", "img", decoder="pil")
+
+
+# ----------------------------------------------------- average precision ----
+def test_ap_perfect_is_one(spark):
+    from seafan_spark.diags import average_precision_by
+
+    p = vec_to_pipe(
+        spark, {"s": [0.1, 0.2, 0.8, 0.9], "y": [0.0, 0.0, 1.0, 1.0]}
+    )
+    row = average_precision_by(p, "s", "y").collect()[0]
+    assert row["ap"] == pytest.approx(1.0)
+
+
+def test_ap_manual_value_and_ties(spark):
+    from seafan_spark.diags import average_precision_by
+
+    # descending distinct scores: 3 (1 pos), 2 (1 pos + 1 neg), 1 (1 neg)
+    # thresholds: tp/fp = (1,0) P=1; (2,1) P=2/3; (2,2)
+    # AP = (1*1 + 1*(2/3) + 0) / 2 = 5/6
+    p = vec_to_pipe(
+        spark, {"s": [3.0, 2.0, 2.0, 1.0], "y": [1.0, 1.0, 0.0, 0.0]}
+    )
+    row = average_precision_by(p, "s", "y").collect()[0]
+    assert row["ap"] == pytest.approx(5 / 6, abs=1e-6)
+    assert row["n_pos"] == 2 and row["n_neg"] == 2
+
+
+def test_ap_grouped_no_positive_group_is_null(spark):
+    from seafan_spark.diags import average_precision_by
+
+    p = vec_to_pipe(
+        spark,
+        {
+            "g": ["a", "a", "b", "b"],
+            "s": [0.9, 0.1, 0.5, 0.6],
+            "y": [1.0, 0.0, 0.0, 0.0],
+        },
+    )
+    rows = {r["g"]: r for r in
+            average_precision_by(p, "s", "y", keys=["g"]).collect()}
+    assert rows["a"]["ap"] == pytest.approx(1.0)
+    assert rows["b"]["ap"] is None
+
+
+def test_ap_global_matches_grouped_single_group(spark):
+    # the ungrouped attach_running_ops path must agree with the keyed
+    # window path on identical data
+    from seafan_spark.diags import average_precision_by
+
+    data = {
+        "g": ["x"] * 8,
+        "s": [0.1, 0.3, 0.3, 0.5, 0.5, 0.7, 0.8, 0.9],
+        "y": [0.0, 1.0, 0.0, 0.0, 1.0, 0.0, 1.0, 1.0],
+    }
+    p = vec_to_pipe(spark, data)
+    grouped = average_precision_by(p, "s", "y", keys=["g"]).collect()[0]
+    ungrouped = average_precision_by(p, "s", "y").collect()[0]
+    assert ungrouped["ap"] == pytest.approx(grouped["ap"], abs=2e-6)
+
+
+# ----------------------------------------------------------------- cusum ----
+def test_cusum_finds_planted_shift(spark):
+    from seafan_spark.temporal import cusum_changepoint
+
+    # level shift after t=5: 10,10,10,10,10 then 20,20,20,20,20
+    p = vec_to_pipe(
+        spark,
+        {
+            "t": [float(i) for i in range(1, 11)],
+            "x": [10.0] * 5 + [20.0] * 5,
+        },
+    )
+    row = cusum_changepoint(p, "t", "x").collect()[0]
+    # |S| peaks at the last pre-shift point: S_5 = 5*(10-15) = -25
+    assert row["t_star"] == 5.0
+    assert row["s_max"] == pytest.approx(25.0)
+    assert row["n"] == 10
+    assert row["stat"] is not None and row["stat"] > 1.36
+
+
+def test_cusum_constant_series_null_stat(spark):
+    from seafan_spark.temporal import cusum_changepoint
+
+    p = vec_to_pipe(spark, {"t": [1.0, 2.0, 3.0], "x": [4.0, 4.0, 4.0]})
+    row = cusum_changepoint(p, "t", "x").collect()[0]
+    assert row["s_max"] == pytest.approx(0.0)
+    assert row["stat"] is None
+
+
+def test_cusum_grouped_independent(spark):
+    from seafan_spark.temporal import cusum_changepoint
+
+    p = vec_to_pipe(
+        spark,
+        {
+            "g": ["a"] * 6 + ["b"] * 6,
+            "t": [float(i) for i in range(6)] * 2,
+            "x": [1.0, 1.0, 1.0, 9.0, 9.0, 9.0,   # shift at t=2|3
+                  5.0, 5.0, 5.0, 5.0, 5.0, 5.0],  # flat
+        },
+    )
+    rows = {r["g"]: r for r in
+            cusum_changepoint(p, "t", "x", keys=["g"]).collect()}
+    assert rows["a"]["t_star"] == 2.0
+    assert rows["b"]["stat"] is None

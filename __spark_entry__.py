@@ -3382,6 +3382,78 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR correction (agg.fdr_bh) over a per-(lang,
+    source) hypothesis relation, grouped by lang (each language is its
+    own test family). The p fixture is md5-derived arithmetic shared
+    verbatim with the twin (integer mod + one division — bit-exact), so
+    what's hash-checked is the BH machinery: per-family rank, the
+    p*m/rank schedule, and the reverse cumulative min. ``rank`` is
+    excluded from the output because tied p make the rank permutation
+    engine-dependent while p_adj/rejected stay identical (the documented
+    tie contract)."""
+    from seafan_spark.agg import fdr_bh
+
+    docs = _pipe(spark, sf_dir, "documents").df
+    tests = docs.select("lang", "source").distinct()
+    p = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("source"), F.lit(":"), F.col("lang"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 997
+            + 1
+        ).cast("double")
+        / 1000.0
+    )
+    rel = tests.withColumn("p", p)
+    out = fdr_bh(rel, "p", keys=["lang"], alpha=0.05)
+    return out.select(
+        "lang",
+        "source",
+        round_col("p", 6).alias("p"),
+        round_col("p_adj", 6).alias("p_adj"),
+        "rejected",
+    ).orderBy("lang", "source")
+
+
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy reliability/resolution decomposition
+    (diags.brier_decomposition): l_discount*5 as the forecast
+    probability of the return outcome, 10 equal-width bins. One
+    map-side-partial groupBy to the 10-row bin relation carrying
+    closed-form per-bin sums, then one scalar aggregation — the
+    within_bin column closes the identity exactly."""
+    from seafan_spark.diags import brier_decomposition
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    d = p.df.select(
+        (F.col("l_discount") * 5.0).alias("prob"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    return brier_decomposition(d, "prob", "y", bins=10)
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (quality.l_diversity): quasi-identifier =
+    (source, n_chars mod 5), sensitive attribute = lang, l = 3 — the
+    k_anonymity companion: a class every member of which shares one
+    language leaks it. Two map-side-combining groupBys (combination
+    relation, then class relation) + one scalar aggregation."""
+    from seafan_spark.quality import l_diversity
+
+    docs = _pipe(spark, sf_dir, "documents").df.select(
+        "source", (F.col("n_chars") % 5).cast("int").alias("qi2"), "lang"
+    )
+    return l_diversity(docs, ["source", "qi2"], "lang", l=3)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ============ driver 50-entry correctness window (round 8) ============
     # --- oracled, new in round 8 (never driver-checked -> window head) ---
@@ -3393,6 +3465,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "survival_km": q_survival_km,
     "cusum_changepoint": q_cusum,
     "phash_neardup": q_phash_neardup,
+    "fdr_bh": q_fdr_bh,
+    "brier": q_brier,
+    "l_diversity": q_l_diversity,
     "marginal_fixed": q_marginal_fixed,
     "irr_bisect": q_irr_bisect,
     "silhouette": q_silhouette,
@@ -7498,6 +7573,84 @@ ORACLES["auc_global"] = """
            ROUND((r1 - n_pos * (n_pos + 1.0) / 2.0)
                  / (n_pos * 1.0 * n_neg), 6) AS auc
     FROM a
+"""
+
+ORACLES["fdr_bh"] = """
+    WITH t AS (
+        SELECT DISTINCT lang, source FROM documents
+    ), pv AS (
+        SELECT lang, source,
+               ((('0x' || substr(md5(source || ':' || lang), 1, 4))::INT
+                 % 997) + 1)::DOUBLE / 1000.0 AS p
+        FROM t
+    ), r AS (
+        SELECT lang, source, p,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY p ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS m
+        FROM pv
+    ), raw AS (
+        SELECT lang, source, p, rk,
+               p * m / rk AS praw
+        FROM r
+    ), adj AS (
+        SELECT lang, source, p,
+               LEAST(MIN(praw) OVER (PARTITION BY lang ORDER BY rk DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   1.0) AS p_adj
+        FROM raw
+    )
+    SELECT lang, source, ROUND(p, 6) AS p, ROUND(p_adj, 6) AS p_adj,
+           p_adj <= 0.05 AS rejected
+    FROM adj ORDER BY lang, source
+"""
+
+ORACLES["brier"] = """
+    WITH base AS (
+        SELECT LEAST(GREATEST(l_discount * 5.0, 0.0), 1.0) AS p,
+               CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        FROM lineitem
+        WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+    ), g AS (
+        SELECT LEAST(CAST(FLOOR(p * 10.0) AS INT), 9) AS bin,
+               COUNT(*) AS n, SUM(p) AS sp, SUM(y) AS sy,
+               SUM((p - y) * (p - y)) AS sq
+        FROM base GROUP BY 1
+    ), tot AS (
+        SELECT SUM(n) AS n, SUM(sq) AS ssq, SUM(sy) AS tsy,
+               SUM((sp - sy) * (sp - sy) / n) AS rel_n,
+               SUM(sy * sy / n) AS sy2n
+        FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(ssq / n, 6) AS brier,
+           ROUND(rel_n / n, 6) AS reliability,
+           ROUND(sy2n / n - (tsy / n) * (tsy / n), 6) AS resolution,
+           ROUND((tsy / n) * (1.0 - tsy / n), 6) AS uncertainty,
+           ROUND(ssq / n - (rel_n / n
+                            - (sy2n / n - (tsy / n) * (tsy / n))
+                            + (tsy / n) * (1.0 - tsy / n)), 6) AS within_bin
+    FROM tot
+"""
+
+ORACLES["l_diversity"] = """
+    WITH combo AS (
+        SELECT source, CAST(n_chars % 5 AS INT) AS qi2, lang,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY source, n_chars % 5, lang
+    ), cls AS (
+        SELECT source, qi2, SUM(cnt) AS rows_,
+               SUM(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS div_
+        FROM combo GROUP BY source, qi2
+    )
+    SELECT CAST(3 AS BIGINT) AS l,
+           CAST(SUM(rows_) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(div_) AS BIGINT) AS min_distinct_sensitive,
+           CAST(SUM(CASE WHEN div_ < 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_classes,
+           CAST(SUM(CASE WHEN div_ < 3 THEN rows_ ELSE 0 END) AS BIGINT)
+               AS violating_rows
+    FROM cls
 """
 
 ORACLES["average_precision"] = """

@@ -1796,3 +1796,68 @@ def mode_by(
         # zero rows, matching the keyed path (round-6 ADVICE)
         .filter(F.col("mode_n").isNotNull())
     )
+
+
+def fdr_bh(
+    df,
+    p_col: str,
+    keys: Sequence[str] = (),
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction over a relation
+    of test p-values (Benjamini & Hochberg 1995) — the multiple-testing
+    companion to the battery's per-group tests: screen thousands of
+    segments, then BH-adjust before acting on "significant" ones.
+
+        p_adj(i) = min_{j >= i} ( p(j) * m / j ),  clamped to 1
+
+    with p ascending, 1-based rank i, m tests per group. Returns the
+    input columns plus (rank, p_adj, rejected) where ``rejected`` =
+    p_adj <= alpha. Ties share the same adjusted value (the reverse
+    cumulative min flows backward through equal p). NULL p rows are
+    dropped (they are not tests).
+
+    Determinism: ranks are integers and the reverse cumulative min only
+    COMPARES doubles (each candidate is one multiply + one divide from
+    exact inputs), so adjusted values are bit-identical cross-engine.
+
+    Scale shape: the input is a TEST-level relation — one row per
+    hypothesis, bounded by the number of segments screened, not the
+    corpus (the battery's *_by functions already collapsed the corpus).
+    Windows partition by the group keys; ungrouped, the single-task
+    window runs over that hypothesis relation only, same contract as
+    the post-LIMIT top-k rankings.
+    """
+    from pyspark.sql import Window
+
+    d = getattr(df, "df", df)
+    keys = list(keys)
+    p = F.col(p_col).cast("double")
+    base = d.filter(p.isNotNull())
+    pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    # total order: tiebreak by every remaining column is overkill — rank
+    # ties on p are adjusted to the same value, so (p ascending) alone is
+    # deterministic in the OUTPUT even when the rank permutation is not
+    w = pk.orderBy(p.asc())
+    m = F.count(F.lit(1)).over(pk)
+    i = F.row_number().over(w)
+    # materialize rank/m/raw before the reverse pass — a window expression
+    # cannot nest inside another window's argument
+    ranked = (
+        base.withColumn("_bh_rank", i)
+        .withColumn("_bh_m", m)
+        .withColumn(
+            "_bh_raw",
+            p * F.col("_bh_m").cast("double") / F.col("_bh_rank").cast("double"),
+        )
+    )
+    # reverse cumulative min: min over rows with rank >= i = window ordered
+    # by rank DESC, unbounded preceding .. current
+    wrev = pk.orderBy(F.col("_bh_rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = F.least(F.min("_bh_raw").over(wrev), F.lit(1.0))
+    out = ranked.withColumn("p_adj", adj).withColumn(
+        "rejected", F.col("p_adj") <= F.lit(float(alpha))
+    )
+    return out.withColumnRenamed("_bh_rank", "rank").drop("_bh_m", "_bh_raw")

@@ -654,3 +654,85 @@ def average_precision_by(
         F.col("n_neg").cast("long").alias("n_neg"),
         round_col(ap, 6).alias("ap"),
     )
+
+
+def brier_decomposition(
+    pipe,
+    fit: str,
+    obs: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) reliability-resolution
+    decomposition over equal-width probability bins — the calibration
+    summary behind :func:`isotonic_calibrate`'s curve:
+
+        brier      = mean((p - y)^2)
+        reliability = sum_k n_k (pbar_k - ybar_k)^2 / N   (want ~0)
+        resolution  = sum_k n_k (ybar_k - ybar)^2 / N     (want large)
+        uncertainty = ybar (1 - ybar)
+
+    The identity ``brier = reliability - resolution + uncertainty``
+    holds exactly only when scores are constant within bins; the gap
+    (within-bin variance) is reported as ``within_bin`` so the table is
+    self-consistent. Returns ONE row: (n, brier, reliability,
+    resolution, uncertainty, within_bin).
+
+    Scale shape: one map-side-partial groupBy to the ``bins``-row bin
+    relation carrying (n, sum p, sum y, sum (p-y)^2), then one scalar
+    aggregation — the corpus shuffles once, kilobytes. Scores are
+    clamped into [0, 1] before binning (the top edge closes the last
+    bin, the standard convention).
+    """
+    from seafan_spark.rounding import round_col
+
+    d = getattr(pipe, "df", pipe)
+    if bins < 1:
+        raise ValueError("brier_decomposition: bins must be >= 1")
+    p = F.col(fit).cast("double")
+    y = F.when(F.col(obs).cast("double") > THRESH, 1.0).otherwise(0.0)
+    base = d.filter(p.isNotNull() & F.col(obs).isNotNull()).select(
+        F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)).alias("_p"),
+        y.alias("_y"),
+    )
+    b = F.least(
+        F.floor(F.col("_p") * F.lit(float(bins))).cast("int"), F.lit(bins - 1)
+    )
+    g = base.groupBy(b.alias("_bin")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_p").alias("_sp"),
+        F.sum("_y").alias("_sy"),
+        F.sum((F.col("_p") - F.col("_y")) * (F.col("_p") - F.col("_y"))).alias(
+            "_sq"
+        ),
+    )
+    tot = g.agg(
+        F.sum("_n").alias("n"),
+        F.sum("_sq").alias("_ssq"),
+        F.sum("_sy").alias("_tsy"),
+        # sum over bins of n_k * (pbar_k - ybar_k)^2 expands to per-bin
+        # closed forms of the three sums — no second corpus pass
+        F.sum(
+            (F.col("_sp") - F.col("_sy"))
+            * (F.col("_sp") - F.col("_sy"))
+            / F.col("_n").cast("double")
+        ).alias("_rel_n"),
+        F.sum(
+            F.col("_sy") * F.col("_sy") / F.col("_n").cast("double")
+        ).alias("_sy2n"),
+    )
+    nn = F.col("n").cast("double")
+    ybar = F.col("_tsy") / nn
+    brier = F.col("_ssq") / nn
+    rel = F.col("_rel_n") / nn
+    # resolution = sum n_k (ybar_k - ybar)^2 / N = (sum sy_k^2/n_k)/N - ybar^2
+    res = F.col("_sy2n") / nn - ybar * ybar
+    unc = ybar * (F.lit(1.0) - ybar)
+    within = brier - (rel - res + unc)
+    return tot.select(
+        F.col("n").cast("long").alias("n"),
+        round_col(brier, 6).alias("brier"),
+        round_col(rel, 6).alias("reliability"),
+        round_col(res, 6).alias("resolution"),
+        round_col(unc, 6).alias("uncertainty"),
+        round_col(within, 6).alias("within_bin"),
+    )

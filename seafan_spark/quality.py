@@ -233,3 +233,45 @@ def k_anonymity(
         .cast("bigint")
         .alias("violating_rows"),
     ).select(F.lit(int(k)).cast("bigint").alias("k"), "*")
+
+
+def l_diversity(
+    df: DataFrame, qi_cols: Sequence[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala 2007), the companion to
+    :func:`k_anonymity`: a QI equivalence class that is k-anonymous can
+    still leak the sensitive attribute if everyone in it SHARES that
+    attribute — each class should contain at least ``l`` distinct
+    sensitive values.
+
+    Returns ONE row: (l, n_rows, n_classes, min_distinct_sensitive,
+    violating_classes, violating_rows) where "violating" means a class
+    with fewer than ``l`` distinct non-NULL sensitive values. NULL
+    sensitive values count toward rows but never toward diversity.
+
+    100 TB design: one map-side-combining groupBy on (QI key, sensitive)
+    — the widest relation is distinct combinations, not rows — then a
+    second groupBy up to the QI class and one scalar aggregation.
+    """
+    if not qi_cols:
+        raise ValueError("l_diversity: need at least one quasi-identifier")
+    if l < 1:
+        raise ValueError("l_diversity: l must be >= 1")
+    combo = df.groupBy(
+        *[F.col(c) for c in qi_cols], F.col(sensitive_col).alias("_sv")
+    ).agg(F.count(F.lit(1)).alias("_cnt"))
+    cls = combo.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.sum("_cnt").alias("_rows"),
+        F.sum(F.when(F.col("_sv").isNotNull(), 1).otherwise(0)).alias("_div"),
+    )
+    return cls.agg(
+        F.sum("_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("_div").cast("bigint").alias("min_distinct_sensitive"),
+        F.sum(F.when(F.col("_div") < l, 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_classes"),
+        F.sum(F.when(F.col("_div") < l, F.col("_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("violating_rows"),
+    ).select(F.lit(int(l)).cast("bigint").alias("l"), "*")

@@ -306,3 +306,120 @@ def test_cusum_grouped_independent(spark):
             cusum_changepoint(p, "t", "x", keys=["g"]).collect()}
     assert rows["a"]["t_star"] == 2.0
     assert rows["b"]["stat"] is None
+
+
+# ---------------------------------------------------------------- fdr_bh ----
+def test_fdr_bh_textbook_adjustment(spark):
+    from seafan_spark.agg import fdr_bh
+
+    # classic worked example: p = .01, .02, .03, .04, .05 with m=5
+    # raw = .05, .05, .05, .05, .05 -> all adjusted to 0.05
+    p = vec_to_pipe(spark, {"p": [0.01, 0.02, 0.03, 0.04, 0.05]})
+    rows = fdr_bh(p, "p").orderBy("rank").collect()
+    assert [r["p_adj"] for r in rows] == pytest.approx([0.05] * 5)
+    assert all(r["rejected"] for r in rows)
+
+
+def test_fdr_bh_monotone_and_clamped(spark):
+    from seafan_spark.agg import fdr_bh
+
+    p = vec_to_pipe(spark, {"p": [0.001, 0.4, 0.9, 0.95]})
+    rows = fdr_bh(p, "p").orderBy("rank").collect()
+    adj = [r["p_adj"] for r in rows]
+    # adjusted sequence is non-decreasing in rank and never exceeds 1
+    assert adj == sorted(adj)
+    assert adj[0] == pytest.approx(0.004)  # 0.001 * 4 / 1
+    assert all(a <= 1.0 for a in adj)
+    assert rows[0]["rejected"] and not rows[-1]["rejected"]
+
+
+def test_fdr_bh_ties_share_adjusted_value(spark):
+    from seafan_spark.agg import fdr_bh
+
+    p = vec_to_pipe(spark, {"id": [1, 2, 3], "p": [0.02, 0.02, 0.9]})
+    rows = fdr_bh(p, "p").collect()
+    tied = sorted(r["p_adj"] for r in rows if r["p"] == 0.02)
+    assert tied[0] == pytest.approx(tied[1])
+    # both ties get the rank-2 schedule value: 0.02*3/2 = 0.03
+    assert tied[0] == pytest.approx(0.03)
+
+
+def test_fdr_bh_grouped_families_independent(spark):
+    from seafan_spark.agg import fdr_bh
+
+    p = vec_to_pipe(
+        spark,
+        {
+            "fam": ["a", "a", "b", "b"],
+            "p": [0.01, 0.8, 0.01, 0.8],
+        },
+    )
+    rows = fdr_bh(p, "p", keys=["fam"]).collect()
+    # each family has m=2: smallest p adjusts to 0.02 in BOTH families
+    small = [r["p_adj"] for r in rows if r["p"] == 0.01]
+    assert small == pytest.approx([0.02, 0.02])
+
+
+# ----------------------------------------------------------------- brier ----
+def test_brier_perfect_forecast(spark):
+    from seafan_spark.diags import brier_decomposition
+
+    p = vec_to_pipe(spark, {"p": [1.0, 1.0, 0.0, 0.0], "y": [1.0, 1.0, 0.0, 0.0]})
+    row = brier_decomposition(p, "p", "y", bins=10).collect()[0]
+    assert row["brier"] == pytest.approx(0.0)
+    assert row["reliability"] == pytest.approx(0.0)
+    # resolution equals uncertainty for a perfect sharp forecast
+    assert row["resolution"] == pytest.approx(row["uncertainty"])
+
+
+def test_brier_constant_forecast_identity(spark):
+    from seafan_spark.diags import brier_decomposition
+
+    # constant p=0.5 vs base rate 0.25: brier = mean((0.5-y)^2) = 0.25,
+    # rel = (0.5-0.25)^2 = 0.0625, res = 0, unc = 0.1875; within_bin = 0
+    p = vec_to_pipe(
+        spark, {"p": [0.5] * 4, "y": [1.0, 0.0, 0.0, 0.0]}
+    )
+    row = brier_decomposition(p, "p", "y", bins=10).collect()[0]
+    assert row["brier"] == pytest.approx(0.25)
+    assert row["reliability"] == pytest.approx(0.0625)
+    assert row["resolution"] == pytest.approx(0.0)
+    assert row["uncertainty"] == pytest.approx(0.1875)
+    assert row["within_bin"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_brier_bins_guard(spark):
+    from seafan_spark.diags import brier_decomposition
+
+    p = vec_to_pipe(spark, {"p": [0.5], "y": [1.0]})
+    with pytest.raises(ValueError, match="bins"):
+        brier_decomposition(p, "p", "y", bins=0)
+
+
+# ----------------------------------------------------------- l_diversity ----
+def test_l_diversity_counts(spark):
+    from seafan_spark.quality import l_diversity
+
+    p = vec_to_pipe(
+        spark,
+        {
+            "zip": ["a", "a", "a", "b", "b", "c"],
+            "diag": ["flu", "flu", "cold", "flu", "flu", None],
+        },
+    )
+    row = l_diversity(p.df, ["zip"], "diag", l=2).collect()[0]
+    assert row["n_rows"] == 6 and row["n_classes"] == 3
+    # class a has 2 distinct diagnoses; b has 1; c has 0 (NULL only)
+    assert row["min_distinct_sensitive"] == 0
+    assert row["violating_classes"] == 2
+    assert row["violating_rows"] == 3
+
+
+def test_l_diversity_guards(spark):
+    from seafan_spark.quality import l_diversity
+
+    p = vec_to_pipe(spark, {"zip": ["a"], "diag": ["flu"]})
+    with pytest.raises(ValueError, match="quasi-identifier"):
+        l_diversity(p.df, [], "diag")
+    with pytest.raises(ValueError, match="l must be"):
+        l_diversity(p.df, ["zip"], "diag", l=0)

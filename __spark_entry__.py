@@ -3454,6 +3454,26 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity(docs, ["source", "qi2"], "lang", l=3)
 
 
+def q_ks_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped distributed two-sample KS (diags.ks_by): l_extendedprice
+    split by the return outcome per linestatus — the reference's
+    flagship diagnostic as a relation instead of a driver-side
+    histogram fold (the shape a thousand-segment fairness scan needs).
+    Every CDF term is a ratio of exact integer counts over the
+    <= bins-row-per-group cell relation, so the statistic is
+    deterministic cross-engine."""
+    from seafan_spark.diags import ks_by
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    d = p.df.withColumn(
+        "y", F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    )
+    out = ks_by(d, "l_extendedprice", "y", keys=["l_linestatus"], bins=1000)
+    return out.select("l_linestatus", "n_pos", "n_neg", "ks").orderBy(
+        "l_linestatus"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ============ driver 50-entry correctness window (round 8) ============
     # --- oracled, new in round 8 (never driver-checked -> window head) ---
@@ -3468,6 +3488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fdr_bh": q_fdr_bh,
     "brier": q_brier,
     "l_diversity": q_l_diversity,
+    "ks_grouped": q_ks_grouped,
     "marginal_fixed": q_marginal_fixed,
     "irr_bisect": q_irr_bisect,
     "silhouette": q_silhouette,
@@ -7573,6 +7594,42 @@ ORACLES["auc_global"] = """
            ROUND((r1 - n_pos * (n_pos + 1.0) / 2.0)
                  / (n_pos * 1.0 * n_neg), 6) AS auc
     FROM a
+"""
+
+ORACLES["ks_grouped"] = """
+    WITH base AS (
+        SELECT l_linestatus AS k, l_extendedprice AS s,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+    ), rng AS (
+        SELECT k, MIN(s) AS lo, MAX(s) AS hi,
+               SUM(y) AS n1, SUM(1 - y) AS n0
+        FROM base GROUP BY k
+    ), cells AS (
+        SELECT b.k,
+               CASE WHEN r.hi = r.lo THEN 0
+                    ELSE LEAST(CAST(FLOOR((b.s - r.lo)
+                                   / ((r.hi - r.lo) / 1000.0)) AS INT),
+                               999) END AS bin,
+               r.n1, r.n0,
+               SUM(b.y) AS c1, SUM(1 - b.y) AS c0
+        FROM base b JOIN rng r USING (k)
+        GROUP BY 1, 2, r.n1, r.n0
+    ), cum AS (
+        SELECT k, n1, n0,
+               ABS(SUM(c1) OVER (PARTITION BY k ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::DOUBLE / n1
+                   - SUM(c0) OVER (PARTITION BY k ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       ::DOUBLE / n0) AS d
+        FROM cells
+    )
+    SELECT k AS l_linestatus, CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n0 AS BIGINT) AS n_neg,
+           ROUND(100.0 * MAX(d), 6) AS ks
+    FROM cum GROUP BY k, n1, n0 ORDER BY k
 """
 
 ORACLES["fdr_bh"] = """

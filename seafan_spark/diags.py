@@ -736,3 +736,85 @@ def brier_decomposition(
         round_col(unc, 6).alias("uncertainty"),
         round_col(within, 6).alias("within_bin"),
     )
+
+
+def ks_by(
+    pipe,
+    fit: str,
+    obs: str,
+    keys: Sequence[str] = (),
+    bins: int = 1000,
+) -> DataFrame:
+    """Grouped, fully-distributed two-sample KS of a score split by a
+    binary outcome — the DataFrame generalization of :func:`ks` (the
+    reference's flagship diagnostic, diags.go:110-221): 100 * max
+    |CDF_pos - CDF_neg| over ``bins`` equal-width bins of each group's
+    own score range. Returns (keys..., n_pos, n_neg, ks); groups
+    missing a class get NULL (a one-class KS is undefined), and a
+    zero-range group scores exactly 0.
+
+    Unlike :func:`ks` (which folds two histograms driver-side — fine
+    for one statistic, not for a thousand-segment fairness scan), every
+    stage here is a relation: per-group score range and class totals
+    from one aggregation, bin counts from a second map-side-partial
+    groupBy (at most ``bins`` rows per group, regardless of corpus
+    size), and the CDF-difference maximum from one keyed window over
+    that bounded relation. Each CDF term is a ratio of exact integer
+    counts, so the statistic is deterministic cross-engine.
+    """
+    from seafan_spark.rounding import round_col
+
+    d = getattr(pipe, "df", pipe)
+    keys = list(keys)
+    score = F.col(fit).cast("double")
+    label = F.when(F.col(obs).cast("double") > THRESH, 1).otherwise(0)
+    base = d.filter(score.isNotNull() & F.col(obs).isNotNull()).select(
+        *keys, score.alias("_s"), label.alias("_y")
+    )
+    rng = base.groupBy(*keys).agg(
+        F.min("_s").alias("_lo"),
+        F.max("_s").alias("_hi"),
+        F.sum("_y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("_y")).alias("n_neg"),
+    )
+    joined = (
+        base.join(F.broadcast(rng), on=keys, how="inner")
+        if keys
+        else base.crossJoin(F.broadcast(rng))
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("_s") - F.col("_lo")) / width).cast("int"),
+            F.lit(bins - 1),
+        )
+    )
+    cells = joined.groupBy(
+        *keys, b.alias("_bin"), F.col("n_pos"), F.col("n_neg")
+    ).agg(
+        F.sum("_y").alias("_c1"),
+        F.sum(F.lit(1) - F.col("_y")).alias("_c0"),
+    )
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    ).orderBy(F.col("_bin").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    # one-class groups would divide by zero under ANSI mode: NULL the
+    # denominator instead — the final guard already returns NULL ks there
+    safe_pos = F.when(F.col("n_pos") > 0, F.col("n_pos")).cast("double")
+    safe_neg = F.when(F.col("n_neg") > 0, F.col("n_neg")).cast("double")
+    diff = F.abs(
+        F.sum("_c1").over(w).cast("double") / safe_pos
+        - F.sum("_c0").over(w).cast("double") / safe_neg
+    )
+    scored = cells.withColumn("_d", diff)
+    out = scored.groupBy(*keys, "n_pos", "n_neg").agg(F.max("_d").alias("_ks"))
+    ks_val = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.lit(100.0) * F.col("_ks"),
+    )
+    return out.select(
+        *keys,
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        round_col(ks_val, 6).alias("ks"),
+    )

@@ -358,7 +358,10 @@ def target_encode(
     else:
         num = F.col("_te_sum")
         den = F.col("_te_cnt")
-    enc = (num + m * F.col("_te_prior")) / (den + m)
+    # NULL the denominator when it is 0 (possible only with smoothing=0 on
+    # a level with no observed targets) — ANSI mode would error the divide
+    den_safe = F.when((den + m) > 0, den + m)
+    enc = (num + m * F.col("_te_prior")) / den_safe
     # a level with no observed target at all (all-NULL) has NULL _te_sum:
     # fall back to the prior rather than propagating NULL
     enc = F.coalesce(enc, F.col("_te_prior"))

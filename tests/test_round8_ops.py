@@ -423,3 +423,68 @@ def test_l_diversity_guards(spark):
         l_diversity(p.df, [], "diag")
     with pytest.raises(ValueError, match="l must be"):
         l_diversity(p.df, ["zip"], "diag", l=0)
+
+
+# ----------------------------------------------------------------- ks_by ----
+def test_ks_by_matches_scalar_ks(spark):
+    # the distributed grouped form must agree with the driver-fold ks()
+    # on identical data (single group)
+    from seafan_spark.diags import ks, ks_by
+
+    import random
+
+    rng = random.Random(3)
+    s = [rng.gauss(0, 1) for _ in range(200)] + [rng.gauss(1, 1) for _ in range(200)]
+    y = [0.0] * 200 + [1.0] * 200
+    p = vec_to_pipe(spark, {"s": s, "y": y})
+    scalar = ks(p, "s", "y", bins=100)
+    row = ks_by(p, "s", "y", bins=100).collect()[0]
+    assert row["ks"] == pytest.approx(scalar, abs=1e-6)
+    assert row["n_pos"] == 200 and row["n_neg"] == 200
+
+
+def test_ks_by_separated_and_identical(spark):
+    from seafan_spark.diags import ks_by
+
+    # perfectly separated classes -> KS 100
+    p = vec_to_pipe(
+        spark, {"s": [1.0, 2.0, 3.0, 11.0, 12.0, 13.0],
+                "y": [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]}
+    )
+    assert ks_by(p, "s", "y", bins=10).collect()[0]["ks"] == pytest.approx(100.0)
+    # identical distributions -> KS 0
+    p2 = vec_to_pipe(
+        spark, {"s": [1.0, 2.0, 1.0, 2.0], "y": [0.0, 0.0, 1.0, 1.0]}
+    )
+    assert ks_by(p2, "s", "y", bins=10).collect()[0]["ks"] == pytest.approx(0.0)
+
+
+def test_ks_by_grouped_degenerate_and_zero_range(spark):
+    from seafan_spark.diags import ks_by
+
+    p = vec_to_pipe(
+        spark,
+        {
+            "g": ["a", "a", "a", "a", "b", "b", "c", "c"],
+            "s": [1.0, 2.0, 9.0, 10.0, 5.0, 5.0, 1.0, 2.0],
+            "y": [0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 1.0, 1.0],
+        },
+    )
+    rows = {r["g"]: r for r in ks_by(p, "s", "y", keys=["g"], bins=10).collect()}
+    assert rows["a"]["ks"] == pytest.approx(100.0)
+    # zero score range: KS is exactly 0
+    assert rows["b"]["ks"] == pytest.approx(0.0)
+    # one-class group: NULL, not an error
+    assert rows["c"]["ks"] is None
+
+
+def test_target_encode_zero_smoothing_empty_level(spark):
+    # smoothing=0 with an all-NULL-target level: falls back to the prior
+    # instead of an ANSI divide-by-zero
+    p = vec_to_pipe(
+        spark, {"cat": ["a", "a", "z"], "y": [1.0, 0.0, None]}
+    )
+    out = target_encode(p, "cat", "y", name="te", smoothing=0.0)
+    rows = {r["cat"]: r["te"] for r in out.df.collect()}
+    assert rows["z"] == pytest.approx(0.5)
+    assert rows["a"] == pytest.approx(0.5)

@@ -3474,6 +3474,31 @@ def q_ks_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank test (temporal.logrank_test): does
+    time-to-first-purchase differ between even/odd user-id arms, per
+    cohort — the inference companion to q_survival_km over the same
+    collapsed distinct-duration relation. Every E/V term is a ratio of
+    exact integer counts from keyed windows; only the final double sums
+    carry engine noise, absorbed by 6-dp rounding."""
+    from seafan_spark.temporal import logrank_test
+
+    ev = _pipe(spark, sf_dir, "events").df
+    first_buy = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    subj = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(first_buy, F.max("ts"))), F.to_date(F.min("ts"))
+        ).alias("dur"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    subj = subj.withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+    subj = subj.withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    out = logrank_test(subj, "dur", "e", "arm", keys=["cohort"])
+    return out.select(
+        "cohort", "n0", "n1", "observed1", "expected1", "chi2", "significant"
+    ).orderBy("cohort")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ============ driver 50-entry correctness window (round 8) ============
     # --- oracled, new in round 8 (never driver-checked -> window head) ---
@@ -3489,6 +3514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "brier": q_brier,
     "l_diversity": q_l_diversity,
     "ks_grouped": q_ks_grouped,
+    "logrank": q_logrank,
     "marginal_fixed": q_marginal_fixed,
     "irr_bisect": q_irr_bisect,
     "silhouette": q_silhouette,
@@ -7594,6 +7620,66 @@ ORACLES["auc_global"] = """
            ROUND((r1 - n_pos * (n_pos + 1.0) / 2.0)
                  / (n_pos * 1.0 * n_neg), 6) AS auc
     FROM a
+"""
+
+ORACLES["logrank"] = """
+    WITH subj AS (
+        SELECT user_id % 3 AS cohort, user_id % 2 AS arm,
+               date_diff('day', MIN(ts)::DATE,
+                   COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END),
+                            MAX(ts))::DATE) AS dur,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), tagged AS (
+        SELECT cohort, dur AS t, e,
+               CASE WHEN arm = MIN(arm) OVER (PARTITION BY cohort)
+                    THEN 0 ELSE 1 END AS side,
+               COUNT(DISTINCT arm) OVER (PARTITION BY cohort) AS nv
+        FROM subj
+    ), g AS (
+        SELECT cohort, t, MAX(nv) AS nv,
+               SUM(CASE WHEN side = 1 THEN e ELSE 0 END) AS d1,
+               SUM(e) AS d,
+               SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS l1,
+               COUNT(*) AS l
+        FROM tagged GROUP BY cohort, t
+    ), w AS (
+        SELECT cohort, t, nv, d1, d, l1, l,
+               SUM(l) OVER (PARTITION BY cohort)
+                 - COALESCE(SUM(l) OVER (PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n,
+               SUM(l1) OVER (PARTITION BY cohort)
+                 - COALESCE(SUM(l1) OVER (PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n1r
+        FROM g
+    ), terms AS (
+        SELECT cohort, nv, d1, l, l1,
+               d::DOUBLE * (n1r::DOUBLE / n) AS e1,
+               CASE WHEN n > 1
+                    THEN d::DOUBLE * (n1r::DOUBLE / n)
+                         * (1.0 - n1r::DOUBLE / n)
+                         * (n - d)::DOUBLE / (n - 1)
+                    ELSE 0.0 END AS v
+        FROM w
+    ), agg AS (
+        SELECT cohort, MAX(nv) AS nv,
+               SUM(l - l1) AS n0, SUM(l1) AS n1,
+               SUM(d1) AS observed1, SUM(e1) AS expected1,
+               SUM(d1::DOUBLE - e1) AS oe, SUM(v) AS vv
+        FROM terms GROUP BY cohort
+    )
+    SELECT CAST(cohort AS INT) AS cohort,
+           CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(observed1 AS BIGINT) AS observed1,
+           ROUND(expected1, 6) AS expected1,
+           ROUND(CASE WHEN nv = 2 AND vv > 0.0
+                      THEN oe * oe / vv END, 6) AS chi2,
+           CASE WHEN nv = 2 AND vv > 0.0
+                THEN (oe * oe / vv) > 3.841 END AS significant
+    FROM agg ORDER BY cohort
 """
 
 ORACLES["ks_grouped"] = """

@@ -934,3 +934,114 @@ def cusum_changepoint(
         round_col(F.col("_abs_s"), 6).alias("s_max"),
         round_col(stat, 6).alias("stat"),
     )
+
+
+def logrank_test(
+    df,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — does survival differ
+    between two arms? The inference companion to :func:`survival_km`
+    (which estimates each curve; this tests the difference):
+
+        chi2 = (sum_t (d1_t - E1_t))^2 / sum_t V_t
+        E1_t = d_t * n1_t / n_t
+        V_t  = d_t * (n1_t/n_t) * (1 - n1_t/n_t) * (n_t - d_t) / (n_t - 1)
+
+    summed over pooled event times (hypergeometric mean/variance of the
+    group-1 event count conditional on the margins). Exactly two
+    non-NULL group values are required per ``keys`` cell — the smaller
+    label is group 0, mirroring ``prop_test_by``'s contract; groups
+    with a different count get NULL output rather than a wrong pool.
+    Returns (keys..., n0, n1, observed1, expected1, chi2,
+    significant) with ``significant = chi2 > 3.841`` (the 5% chi-square
+    critical value — a p-value would need the incomplete gamma, whose
+    libm rounding differs across engines; the boolean at the
+    conventional threshold is stable).
+
+    Scale shape: subjects collapse to the (keys, group, distinct
+    duration) relation in one map-side-partial groupBy; at-risk counts
+    and the E/V terms are keys-partitioned windows over that bounded
+    relation (every term a ratio of exact integer counts); one final
+    aggregation. Same collapsed-table contract as :func:`survival_km`.
+    """
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    t = F.col(duration_col).cast("double")
+    ev = F.when(F.col(event_col).cast("double") > 0.5, 1).otherwise(0)
+    base = d.filter(
+        t.isNotNull() & F.col(event_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(*keys, F.col(group_col).alias("_g"), t.alias("t"), ev.alias("_e"))
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    # group side: smaller label = 0 (prop_test_by convention); enforce two.
+    # Grouped, the label stats are keys-partitioned windows over subjects;
+    # ungrouped they come from a broadcast 1-row aggregate — never a
+    # corpus-sized single-task window (the lit(0) windows below run only
+    # on the collapsed distinct-duration relation)
+    if keys:
+        lo = F.min("_g").over(wall)
+        # distinct window aggregates are unsupported; collect_set is the
+        # standard stand-in (set size = label cardinality, tiny by contract)
+        nv = F.size(F.collect_set("_g").over(wall))
+        base = base.withColumn("_side", F.when(F.col("_g") == lo, 0).otherwise(1))
+        base = base.withColumn("_nv", nv)
+    else:
+        stats = base.agg(
+            F.min("_g").alias("_glo"), F.count_distinct("_g").alias("_gnv")
+        )
+        base = base.crossJoin(F.broadcast(stats))
+        base = base.withColumn(
+            "_side", F.when(F.col("_g") == F.col("_glo"), 0).otherwise(1)
+        ).withColumn("_nv", F.col("_gnv")).drop("_glo", "_gnv")
+    g = base.groupBy(*keys, "t").agg(
+        F.max("_nv").alias("_nv"),
+        F.sum(F.when(F.col("_side") == 1, F.col("_e")).otherwise(0)).alias("d1"),
+        F.sum(F.col("_e")).alias("d"),
+        F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("l1"),
+        F.count(F.lit(1)).alias("l"),
+    )
+    word = wall.orderBy(F.col("t").asc())
+    before = word.rowsBetween(Window.unboundedPreceding, -1)
+    n_tot = F.sum("l").over(wall) - F.coalesce(
+        F.sum("l").over(before), F.lit(0).cast("long")
+    )
+    n1 = F.sum("l1").over(wall) - F.coalesce(
+        F.sum("l1").over(before), F.lit(0).cast("long")
+    )
+    g = g.withColumn("_n", n_tot).withColumn("_n1", n1)
+    dd = F.col("d").cast("double")
+    nn = F.col("_n").cast("double")
+    nn1 = F.col("_n1").cast("double")
+    frac = nn1 / nn
+    e1 = dd * frac
+    v = F.when(
+        F.col("_n") > 1,
+        dd * frac * (F.lit(1.0) - frac) * (nn - dd) / (nn - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    agg = g.groupBy(*keys).agg(
+        F.max("_nv").alias("_nv"),
+        F.sum(F.col("l") - F.col("l1")).alias("n0"),
+        F.sum("l1").alias("n1"),
+        F.sum("d1").alias("observed1"),
+        F.sum(e1).alias("expected1"),
+        F.sum(F.col("d1").cast("double") - e1).alias("_oe"),
+        F.sum(v).alias("_v"),
+    )
+    chi2 = F.when(
+        (F.col("_nv") == 2) & (F.col("_v") > 0.0),
+        F.col("_oe") * F.col("_oe") / F.col("_v"),
+    )
+    from seafan_spark.rounding import round_col
+
+    return agg.select(
+        *keys,
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("observed1").cast("long").alias("observed1"),
+        round_col(F.col("expected1"), 6).alias("expected1"),
+        round_col(chi2, 6).alias("chi2"),
+        F.when(chi2.isNotNull(), chi2 > F.lit(3.841)).alias("significant"),
+    )

@@ -123,11 +123,11 @@ def test_correctness_window_invariant():
     rows_only = [n for n in names if n not in oracles]
     assert all(n in names[50:] for n in rows_only), rows_only
     # round-8 head + promotions
-    assert names[:23] == ["target_encode", "auc", "auc_global",
+    assert names[:24] == ["target_encode", "auc", "auc_global",
                           "average_precision", "average_precision_global",
                           "survival_km", "cusum_changepoint",
                           "phash_neardup", "fdr_bh", "brier", "l_diversity",
-                          "ks_grouped",
+                          "ks_grouped", "logrank",
                           "marginal_fixed", "irr_bisect", "silhouette",
                           "k_anonymity", "bpe_train", "bpe_encode",
                           "fuzzy_join", "ann_pq_adc", "nn_forward", "mmr",

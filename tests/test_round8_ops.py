@@ -488,3 +488,69 @@ def test_target_encode_zero_smoothing_empty_level(spark):
     rows = {r["cat"]: r["te"] for r in out.df.collect()}
     assert rows["z"] == pytest.approx(0.5)
     assert rows["a"] == pytest.approx(0.5)
+
+
+# --------------------------------------------------------------- logrank ----
+def test_logrank_hand_computed(spark):
+    from seafan_spark.temporal import logrank_test
+
+    # arm 0 events at t=1,2; arm 1 events at t=3,4 (complete separation):
+    # t=1: n=4 n1=2 d=1 d1=0 E1=0.5    V=0.25
+    # t=2: n=3 n1=2 d=1 d1=0 E1=2/3    V=2/9
+    # t=3: n=2 n1=2 d=1 d1=1 E1=1      V=0
+    # t=4: n=1 n1=1 d=1 d1=1 E1=1      V=0 (n=1 guard)
+    # chi2 = (2 - 19/6)^2 / (0.25 + 2/9) = 2.882353
+    p = vec_to_pipe(
+        spark,
+        {"t": [1.0, 2.0, 3.0, 4.0], "e": [1, 1, 1, 1], "g": [0, 0, 1, 1]},
+    )
+    row = logrank_test(p, "t", "e", "g").collect()[0]
+    assert row["observed1"] == 2
+    assert row["expected1"] == pytest.approx(19 / 6, abs=1e-6)
+    assert row["chi2"] == pytest.approx((2 - 19 / 6) ** 2 / (0.25 + 2 / 9), abs=1e-5)
+    assert row["n0"] == 2 and row["n1"] == 2
+
+
+def test_logrank_identical_arms_zero(spark):
+    from seafan_spark.temporal import logrank_test
+
+    # both arms share the same event times -> O1 == E1 -> chi2 == 0
+    p = vec_to_pipe(
+        spark,
+        {
+            "t": [1.0, 2.0, 3.0, 1.0, 2.0, 3.0],
+            "e": [1, 1, 1, 1, 1, 1],
+            "g": [0, 0, 0, 1, 1, 1],
+        },
+    )
+    row = logrank_test(p, "t", "e", "g").collect()[0]
+    assert row["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert row["significant"] is False
+
+
+def test_logrank_one_arm_is_null(spark):
+    from seafan_spark.temporal import logrank_test
+
+    p = vec_to_pipe(
+        spark, {"t": [1.0, 2.0], "e": [1, 1], "g": [0, 0]}
+    )
+    row = logrank_test(p, "t", "e", "g").collect()[0]
+    assert row["chi2"] is None and row["significant"] is None
+
+
+def test_logrank_grouped_cells(spark):
+    from seafan_spark.temporal import logrank_test
+
+    p = vec_to_pipe(
+        spark,
+        {
+            "cell": ["a"] * 4 + ["b"] * 4,
+            "t": [1.0, 2.0, 3.0, 4.0] * 2,
+            "e": [1, 1, 1, 1] * 2,
+            "g": [0, 0, 1, 1, 0, 0, 1, 1],
+        },
+    )
+    rows = {r["cell"]: r for r in
+            logrank_test(p, "t", "e", "g", keys=["cell"]).collect()}
+    # identical fixture per cell -> identical statistic, computed per cell
+    assert rows["a"]["chi2"] == pytest.approx(rows["b"]["chi2"])

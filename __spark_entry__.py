@@ -3285,6 +3285,7 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_event",
         "n_censor",
         round_col("survival", 6).alias("survival"),
+        round_col("cumhaz", 6).alias("cumhaz"),
     ).orderBy("cohort", "t")
 
 
@@ -3499,6 +3500,63 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort")
 
 
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction intervals (diags.conformal_interval):
+    wrap a deliberately crude price predictor (1000 * quantity) in
+    distribution-free 90% bands. The calibration half is an md5-keyed
+    deterministic split shared verbatim with the twin; q is the exact
+    conformal order statistic (k = ceil((n+1)*0.9)-th smallest absolute
+    residual) fetched through the distributed-rank machinery — no
+    global sort, no interpolation, cross-engine identical. Output: the
+    non-calibration rows' bands (top 2000 by key for a bounded result)."""
+    from seafan_spark.diags import conformal_interval
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    d = p.df.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        (F.col("l_quantity") * 1000.0).alias("pred"),
+        F.col("l_extendedprice").alias("actual"),
+    )
+    out = conformal_interval(d, "pred", "actual", "rid", alpha=0.1)
+    return (
+        out.filter(~F.col("is_calibration"))
+        .select(
+            "rid",
+            round_col("conf_lo", 6).alias("conf_lo"),
+            round_col("conf_hi", 6).alias("conf_hi"),
+            (
+                (F.col("actual") >= F.col("conf_lo"))
+                & (F.col("actual") <= F.col("conf_hi"))
+            ).alias("covered"),
+        )
+        .orderBy("rid")
+        .limit(2000)
+    )
+
+
+def q_logrank_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gehan-Breslow-Wilcoxon weighted log-rank (temporal.logrank_test
+    weights='wilcoxon'): the early-difference-sensitive family member,
+    same arms/cohorts fixture as q_logrank — w_t = n_t multiplies the
+    O-E terms and squares into the variance."""
+    from seafan_spark.temporal import logrank_test
+
+    ev = _pipe(spark, sf_dir, "events").df
+    first_buy = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    subj = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(first_buy, F.max("ts"))), F.to_date(F.min("ts"))
+        ).alias("dur"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    subj = subj.withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+    subj = subj.withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    out = logrank_test(subj, "dur", "e", "arm", keys=["cohort"], weights="wilcoxon")
+    return out.select(
+        "cohort", "n0", "n1", "observed1", "expected1", "chi2", "significant"
+    ).orderBy("cohort")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ============ driver 50-entry correctness window (round 8) ============
     # --- oracled, new in round 8 (never driver-checked -> window head) ---
@@ -3515,6 +3573,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "l_diversity": q_l_diversity,
     "ks_grouped": q_ks_grouped,
     "logrank": q_logrank,
+    "logrank_wilcoxon": q_logrank_wilcoxon,
+    "conformal": q_conformal,
     "marginal_fixed": q_marginal_fixed,
     "irr_bisect": q_irr_bisect,
     "silhouette": q_silhouette,
@@ -7682,6 +7742,98 @@ ORACLES["logrank"] = """
     FROM agg ORDER BY cohort
 """
 
+ORACLES["conformal"] = """
+    WITH base AS (
+        SELECT l_orderkey * 10 + l_linenumber AS rid,
+               l_quantity * 1000.0 AS pred,
+               l_extendedprice AS actual
+        FROM lineitem
+    ), tagged AS (
+        SELECT *,
+               (('0x' || substr(md5(CAST(rid AS VARCHAR) || 'conformal'),
+                                1, 8))::BIGINT % 1000000) < 500000 AS cal
+        FROM base
+    ), calib AS (
+        SELECT ABS(actual - pred) AS r
+        FROM tagged
+        WHERE cal AND pred IS NOT NULL AND actual IS NOT NULL
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM calib
+    ), q AS (
+        SELECT r FROM calib ORDER BY r
+        LIMIT 1 OFFSET (SELECT CAST(CEIL((n + 1) * 0.9) AS BIGINT) - 1
+                        FROM nn)
+    )
+    SELECT t.rid,
+           ROUND(t.pred - q.r, 6) AS conf_lo,
+           ROUND(t.pred + q.r, 6) AS conf_hi,
+           t.actual >= t.pred - q.r AND t.actual <= t.pred + q.r AS covered
+    FROM tagged t CROSS JOIN q
+    WHERE NOT t.cal
+    ORDER BY t.rid LIMIT 2000
+"""
+
+ORACLES["logrank_wilcoxon"] = """
+    WITH subj AS (
+        SELECT user_id % 3 AS cohort, user_id % 2 AS arm,
+               date_diff('day', MIN(ts)::DATE,
+                   COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END),
+                            MAX(ts))::DATE) AS dur,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), tagged AS (
+        SELECT cohort, dur AS t, e,
+               CASE WHEN arm = MIN(arm) OVER (PARTITION BY cohort)
+                    THEN 0 ELSE 1 END AS side,
+               COUNT(DISTINCT arm) OVER (PARTITION BY cohort) AS nv
+        FROM subj
+    ), g AS (
+        SELECT cohort, t, MAX(nv) AS nv,
+               SUM(CASE WHEN side = 1 THEN e ELSE 0 END) AS d1,
+               SUM(e) AS d,
+               SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS l1,
+               COUNT(*) AS l
+        FROM tagged GROUP BY cohort, t
+    ), w AS (
+        SELECT cohort, t, nv, d1, d, l1, l,
+               SUM(l) OVER (PARTITION BY cohort)
+                 - COALESCE(SUM(l) OVER (PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n,
+               SUM(l1) OVER (PARTITION BY cohort)
+                 - COALESCE(SUM(l1) OVER (PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n1r
+        FROM g
+    ), terms AS (
+        SELECT cohort, nv, d1, l, l1, n,
+               d::DOUBLE * (n1r::DOUBLE / n) AS e1,
+               CASE WHEN n > 1
+                    THEN d::DOUBLE * (n1r::DOUBLE / n)
+                         * (1.0 - n1r::DOUBLE / n)
+                         * (n - d)::DOUBLE / (n - 1)
+                    ELSE 0.0 END AS v
+        FROM w
+    ), agg AS (
+        SELECT cohort, MAX(nv) AS nv,
+               SUM(l - l1) AS n0, SUM(l1) AS n1,
+               SUM(d1) AS observed1, SUM(e1) AS expected1,
+               SUM(n::DOUBLE * (d1::DOUBLE - e1)) AS oe,
+               SUM(n::DOUBLE * n::DOUBLE * v) AS vv
+        FROM terms GROUP BY cohort
+    )
+    SELECT CAST(cohort AS INT) AS cohort,
+           CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(observed1 AS BIGINT) AS observed1,
+           ROUND(expected1, 6) AS expected1,
+           ROUND(CASE WHEN nv = 2 AND vv > 0.0
+                      THEN oe * oe / vv END, 6) AS chi2,
+           CASE WHEN nv = 2 AND vv > 0.0
+                THEN (oe * oe / vv) > 3.841 END AS significant
+    FROM agg ORDER BY cohort
+"""
+
 ORACLES["ks_grouped"] = """
     WITH base AS (
         SELECT l_linestatus AS k, l_extendedprice AS s,
@@ -7911,7 +8063,10 @@ ORACLES["survival_km"] = """
            CAST(n_risk AS BIGINT) AS n_risk,
            CAST(d AS BIGINT) AS n_event, CAST(c AS BIGINT) AS n_censor,
            ROUND(CASE WHEN zeros > 0 THEN 0.0
-                      ELSE exp(COALESCE(lsum, 0.0)) END, 6) AS survival
+                      ELSE exp(COALESCE(lsum, 0.0)) END, 6) AS survival,
+           ROUND(SUM(d::DOUBLE / n_risk) OVER (PARTITION BY cohort ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cumhaz
     FROM s ORDER BY cohort, t
 """
 

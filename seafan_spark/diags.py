@@ -818,3 +818,65 @@ def ks_by(
         F.col("n_neg").cast("long").alias("n_neg"),
         round_col(ks_val, 6).alias("ks"),
     )
+
+
+def conformal_interval(
+    pipe,
+    fit: str,
+    obs: str,
+    key_col: str,
+    alpha: float = 0.1,
+    calib_frac: float = 0.5,
+    salt: str = "conformal",
+):
+    """Split conformal prediction intervals (Vovk et al.; Lei et al.
+    2018): distribution-free (1 - alpha)-coverage bands around ANY
+    point predictor, the finite-sample honesty wrapper a fitted model's
+    predictions should ship with.
+
+    A deterministic md5-keyed split (``sampling.hash_bucket_col`` on
+    ``key_col`` — reproducible across runs/engines/retries) reserves
+    ~``calib_frac`` of rows for calibration; q is the k-th smallest
+    absolute residual there with ``k = ceil((n_calib + 1)(1 - alpha))``
+    (the conformal order statistic — an exact rank, no interpolation,
+    so cross-engine identical), and every row gets
+    ``[fit - q, fit + q]`` plus its split label. Raises if the
+    calibration set is too small for the requested alpha (k > n).
+
+    Scale shape: the split is a pure hash filter (no shuffle); the
+    order statistic comes from the distributed-rank machinery
+    (``rank.global_row_number``: range repartition + per-partition rank
+    + driver offsets) and fetches ONE row; the bands are a literal
+    projection. The corpus never sorts globally.
+    """
+    import math as _math
+
+    from seafan_spark.rank import global_row_number
+    from seafan_spark.sampling import _BUCKETS, hash_bucket_col
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("conformal_interval: alpha must be in (0, 1)")
+    if not 0.0 < calib_frac < 1.0:
+        raise ValueError("conformal_interval: calib_frac must be in (0, 1)")
+    d = getattr(pipe, "df", pipe)
+    bucket = hash_bucket_col(F.col(key_col), salt)
+    is_calib = bucket < int(calib_frac * _BUCKETS)
+    scored = d.withColumn("_cal", is_calib)
+    calib = scored.filter(
+        F.col("_cal") & F.col(fit).isNotNull() & F.col(obs).isNotNull()
+    ).select(
+        F.abs(F.col(obs).cast("double") - F.col(fit).cast("double")).alias("_r")
+    )
+    ranked, n = global_row_number(calib, [("_r", True)], "_rk")
+    k = _math.ceil((n + 1) * (1.0 - alpha))
+    if k > n:
+        raise ValueError(
+            f"conformal_interval: calibration set too small (n={n}) for "
+            f"alpha={alpha} (needs k={k} <= n)"
+        )
+    q = float(ranked.filter(F.col("_rk") == k).collect()[0]["_r"])
+    return scored.withColumn(
+        "conf_lo", F.col(fit).cast("double") - F.lit(q)
+    ).withColumn("conf_hi", F.col(fit).cast("double") + F.lit(q)).withColumnRenamed(
+        "_cal", "is_calibration"
+    )

@@ -791,7 +791,9 @@ def survival_km(
     Input: one row per subject with ``duration_col`` (time observed) and
     ``event_col`` (1 = event occurred, 0 = right-censored at that time).
     Output: the KM table, one row per distinct duration per group —
-    (keys..., t, n_risk, n_event, n_censor, survival) where
+    (keys..., t, n_risk, n_event, n_censor, survival, cumhaz) — with
+    ``cumhaz`` the Nelson-Aalen cumulative hazard (running sum of d/n
+    over the same ordered window) and
 
         S(t) = prod_{t_i <= t} (n_risk_i - d_i) / n_risk_i
 
@@ -844,6 +846,11 @@ def survival_km(
         F.lit(0.0),
     )
     surv = F.when(zeros > 0, F.lit(0.0)).otherwise(F.exp(logsum))
+    # Nelson-Aalen cumulative hazard rides along for free: the running sum
+    # of d/n over the same ordered window (exact integer ratios)
+    cumhaz = F.sum(
+        F.col("n_event").cast("double") / F.col("n_risk").cast("double")
+    ).over(word.rowsBetween(Window.unboundedPreceding, 0))
     return g.select(
         *keys,
         "t",
@@ -851,6 +858,7 @@ def survival_km(
         F.col("n_event").cast("long").alias("n_event"),
         F.col("n_censor").cast("long").alias("n_censor"),
         surv.alias("survival"),
+        cumhaz.alias("cumhaz"),
     )
 
 
@@ -942,6 +950,7 @@ def logrank_test(
     event_col: str,
     group_col: str,
     keys: Sequence[str] = (),
+    weights: str = "logrank",
 ) -> DataFrame:
     """Two-sample log-rank test (Mantel 1966) — does survival differ
     between two arms? The inference companion to :func:`survival_km`
@@ -952,7 +961,11 @@ def logrank_test(
         V_t  = d_t * (n1_t/n_t) * (1 - n1_t/n_t) * (n_t - d_t) / (n_t - 1)
 
     summed over pooled event times (hypergeometric mean/variance of the
-    group-1 event count conditional on the margins). Exactly two
+    group-1 event count conditional on the margins). ``weights``
+    selects the family member: ``"logrank"`` (w_t = 1, late differences
+    weighted equally) or ``"wilcoxon"`` (Gehan-Breslow, w_t = n_t —
+    sensitive to EARLY differences); the statistic becomes
+    (sum w(d1-E1))^2 / sum w^2 V. Exactly two
     non-NULL group values are required per ``keys`` cell — the smaller
     label is group 0, mirroring ``prop_test_by``'s contract; groups
     with a different count get NULL output rather than a wrong pool.
@@ -1021,14 +1034,20 @@ def logrank_test(
         F.col("_n") > 1,
         dd * frac * (F.lit(1.0) - frac) * (nn - dd) / (nn - F.lit(1.0)),
     ).otherwise(F.lit(0.0))
+    if weights == "logrank":
+        w_t = F.lit(1.0)
+    elif weights == "wilcoxon":
+        w_t = nn
+    else:
+        raise ValueError("logrank_test: weights must be 'logrank' or 'wilcoxon'")
     agg = g.groupBy(*keys).agg(
         F.max("_nv").alias("_nv"),
         F.sum(F.col("l") - F.col("l1")).alias("n0"),
         F.sum("l1").alias("n1"),
         F.sum("d1").alias("observed1"),
         F.sum(e1).alias("expected1"),
-        F.sum(F.col("d1").cast("double") - e1).alias("_oe"),
-        F.sum(v).alias("_v"),
+        F.sum(w_t * (F.col("d1").cast("double") - e1)).alias("_oe"),
+        F.sum(w_t * w_t * v).alias("_v"),
     )
     chi2 = F.when(
         (F.col("_nv") == 2) & (F.col("_v") > 0.0),

@@ -105,14 +105,14 @@ def test_scale_report_signals(spark):
 
 def test_correctness_window_invariant():
     """The driver hash-checks only the first 50 queries() entries: every
-    one of them must have an oracle. Round-8 contract: the two new
-    oracled queries (marginal_fixed/irr_bisect) head the window, the
-    four whose implementation/oracle changed this round follow
-    (ann_pq_adc/nn_forward/mmr/kcenter), then every oracled query that
-    has NEVER had a driver record, the r06-recorded restorations
-    (VERDICT #7), and the least-recently-checked (r02) basics; the
-    r07-recorded greens rotate below the marker — the window stays
-    50/50 oracled."""
+    one of them must have an oracle. Round-8 contract: the fifteen
+    session-2 additions (target_encode ... conformal) head the window,
+    then the earlier round-8 additions (marginal_fixed ... fuzzy_join),
+    the four whose implementation/oracle changed this round
+    (ann_pq_adc/nn_forward/mmr/kcenter), then never-driver-checked
+    oracled queries and r06-recorded restorations; the r07-recorded
+    greens and the r02 basics rotate below the marker — the window
+    stays 50/50 oracled."""
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
@@ -123,11 +123,12 @@ def test_correctness_window_invariant():
     rows_only = [n for n in names if n not in oracles]
     assert all(n in names[50:] for n in rows_only), rows_only
     # round-8 head + promotions
-    assert names[:24] == ["target_encode", "auc", "auc_global",
+    assert names[:26] == ["target_encode", "auc", "auc_global",
                           "average_precision", "average_precision_global",
                           "survival_km", "cusum_changepoint",
                           "phash_neardup", "fdr_bh", "brier", "l_diversity",
-                          "ks_grouped", "logrank",
+                          "ks_grouped", "logrank", "logrank_wilcoxon",
+                          "conformal",
                           "marginal_fixed", "irr_bisect", "silhouette",
                           "k_anonymity", "bpe_train", "bpe_encode",
                           "fuzzy_join", "ann_pq_adc", "nn_forward", "mmr",
@@ -137,8 +138,7 @@ def test_correctness_window_invariant():
     # driver records and queue for round 9)
     assert {"semantic_dedup", "semantic_dedup_incr", "ngram_jaccard_prefix",
             "cdc_apply", "scd2", "ttest", "chisq", "cms", "token_divergence",
-            "rrf", "anova", "kruskal", "ts_pattern",
-            "asof"} <= set(names[:50])
+            "rrf", "anova", "kruskal", "ts_pattern"} <= set(names[:50])
     # r07-recorded greens rotated out (their driver rows are the record)
     assert {"bm25", "glm_moments", "ranking_metrics", "minhash_clusters",
             "dedup_lines", "leakage_split"} <= set(names[50:])

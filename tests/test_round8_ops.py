@@ -554,3 +554,72 @@ def test_logrank_grouped_cells(spark):
             logrank_test(p, "t", "e", "g", keys=["cell"]).collect()}
     # identical fixture per cell -> identical statistic, computed per cell
     assert rows["a"]["chi2"] == pytest.approx(rows["b"]["chi2"])
+
+
+# ------------------------------------------------------ conformal / NA ----
+def test_survival_km_cumhaz_nelson_aalen(spark):
+    # same textbook fixture: cumhaz = running sum of d/n over all times
+    p = vec_to_pipe(
+        spark,
+        {"t": [1.0, 2.0, 3.0, 4.0, 4.0], "e": [1, 1, 0, 1, 0]},
+    )
+    rows = {r["t"]: r for r in survival_km(p, "t", "e").collect()}
+    assert rows[1.0]["cumhaz"] == pytest.approx(1 / 5)
+    assert rows[2.0]["cumhaz"] == pytest.approx(1 / 5 + 1 / 4)
+    assert rows[3.0]["cumhaz"] == pytest.approx(1 / 5 + 1 / 4)  # censor-only
+    assert rows[4.0]["cumhaz"] == pytest.approx(1 / 5 + 1 / 4 + 1 / 2)
+
+
+def test_logrank_wilcoxon_weights_differ(spark):
+    from seafan_spark.temporal import logrank_test
+
+    p = vec_to_pipe(
+        spark,
+        {"t": [1.0, 2.0, 3.0, 4.0], "e": [1, 1, 1, 1], "g": [0, 0, 1, 1]},
+    )
+    lr = logrank_test(p, "t", "e", "g").collect()[0]
+    wx = logrank_test(p, "t", "e", "g", weights="wilcoxon").collect()[0]
+    # same O/E bookkeeping, different statistic
+    assert wx["observed1"] == lr["observed1"]
+    assert wx["expected1"] == pytest.approx(lr["expected1"])
+    assert wx["chi2"] != pytest.approx(lr["chi2"])
+    # hand check: oe_w = 4*(-.5) + 3*(-2/3) + 0 + 0 = -4;
+    # vv_w = 16*.25 + 9*(2/9) = 6; chi2 = 16/6
+    assert wx["chi2"] == pytest.approx(16 / 6, abs=1e-5)
+    with pytest.raises(ValueError, match="weights"):
+        logrank_test(p, "t", "e", "g", weights="tarone")
+
+
+def test_conformal_coverage_and_determinism(spark):
+    import random
+
+    from seafan_spark.diags import conformal_interval
+
+    rng = random.Random(11)
+    n = 400
+    data = {
+        "rid": list(range(n)),
+        "pred": [float(i % 50) for i in range(n)],
+        "actual": [float(i % 50) + rng.gauss(0, 2.0) for i in range(n)],
+    }
+    p = vec_to_pipe(spark, data)
+    out = conformal_interval(p, "pred", "actual", "rid", alpha=0.1)
+    test_rows = out.filter(~F.col("is_calibration")).collect()
+    covered = sum(
+        1 for r in test_rows if r["conf_lo"] <= r["actual"] <= r["conf_hi"]
+    )
+    # exchangeable data: coverage should be ~90%; allow slack for n=~200
+    assert covered / len(test_rows) >= 0.8
+    # same split + same q on a second run (determinism)
+    out2 = conformal_interval(p, "pred", "actual", "rid", alpha=0.1)
+    assert out2.select("conf_lo").first()[0] == out.select("conf_lo").first()[0]
+
+
+def test_conformal_guards(spark):
+    from seafan_spark.diags import conformal_interval
+
+    p = vec_to_pipe(spark, {"rid": [1, 2], "pred": [1.0, 2.0], "actual": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_interval(p, "pred", "actual", "rid", alpha=0.0)
+    with pytest.raises(ValueError, match="too small"):
+        conformal_interval(p, "pred", "actual", "rid", alpha=0.01)

@@ -3557,6 +3557,39 @@ def q_logrank_wilcoxon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort")
 
 
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation (encode.impute): plant NULLs on a copy
+    of l_quantity (every 7th order) and l_returnflag (every 11th), then
+    repair — quantity by per-linestatus MEAN (integral values, so the
+    group means are exact single divisions), returnflag by per-
+    linestatus MODE (smallest-value tiebreak). Statistics are
+    categorical-cardinality relations broadcast back; the corpus
+    shuffles once per statistic."""
+    from seafan_spark.encode import impute
+
+    p = _pipe(spark, sf_dir, "lineitem")
+    d = p.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_linestatus",
+        F.when(F.col("l_orderkey") % 7 == 0, None)
+        .otherwise(F.col("l_quantity"))
+        .alias("qty"),
+        F.when(F.col("l_orderkey") % 11 == 0, None)
+        .otherwise(F.col("l_returnflag"))
+        .alias("rf"),
+    )
+    p2 = p._derive(d)
+    p2 = impute(p2, "qty", strategy="mean", keys=["l_linestatus"], name="qty_imp")
+    p2 = impute(p2, "rf", strategy="mode", keys=["l_linestatus"], name="rf_imp")
+    return p2.df.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("int").alias("l_linenumber"),
+        round_col("qty_imp", 6).alias("qty_imp"),
+        "rf_imp",
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ============ driver 50-entry correctness window (round 8) ============
     # --- oracled, new in round 8 (never driver-checked -> window head) ---
@@ -3575,6 +3608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logrank": q_logrank,
     "logrank_wilcoxon": q_logrank_wilcoxon,
     "conformal": q_conformal,
+    "impute": q_impute,
     "marginal_fixed": q_marginal_fixed,
     "irr_bisect": q_irr_bisect,
     "silhouette": q_silhouette,
@@ -7740,6 +7774,45 @@ ORACLES["logrank"] = """
            CASE WHEN nv = 2 AND vv > 0.0
                 THEN (oe * oe / vv) > 3.841 END AS significant
     FROM agg ORDER BY cohort
+"""
+
+ORACLES["impute"] = """
+    WITH base AS (
+        SELECT l_orderkey, l_linenumber, l_linestatus,
+               CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                    ELSE l_quantity END AS qty,
+               CASE WHEN l_orderkey % 11 = 0 THEN NULL
+                    ELSE l_returnflag END AS rf
+        FROM lineitem
+    ), mean_s AS (
+        SELECT l_linestatus, SUM(qty) / COUNT(qty) AS m
+        FROM base GROUP BY l_linestatus
+    ), gmean AS (
+        SELECT SUM(qty) / COUNT(qty) AS gm FROM base
+    ), mode_c AS (
+        SELECT l_linestatus, rf, COUNT(*) AS c
+        FROM base WHERE rf IS NOT NULL GROUP BY l_linestatus, rf
+    ), mode_s AS (
+        SELECT l_linestatus, rf AS mo,
+               ROW_NUMBER() OVER (PARTITION BY l_linestatus
+                                  ORDER BY c DESC, rf ASC) AS rk
+        FROM mode_c
+    ), gmode AS (
+        SELECT rf AS gmo FROM (
+            SELECT rf, COUNT(*) AS c FROM base WHERE rf IS NOT NULL
+            GROUP BY rf ORDER BY c DESC, rf ASC LIMIT 1
+        )
+    )
+    SELECT b.l_orderkey,
+           CAST(b.l_linenumber AS INT) AS l_linenumber,
+           ROUND(COALESCE(b.qty, ms.m, g.gm), 6) AS qty_imp,
+           COALESCE(b.rf, mo.mo, gmode.gmo) AS rf_imp
+    FROM base b
+    LEFT JOIN mean_s ms USING (l_linestatus)
+    LEFT JOIN (SELECT l_linestatus, mo FROM mode_s WHERE rk = 1) mo
+        USING (l_linestatus)
+    CROSS JOIN gmean g CROSS JOIN gmode
+    ORDER BY b.l_orderkey, b.l_linenumber
 """
 
 ORACLES["conformal"] = """

@@ -367,3 +367,139 @@ def target_encode(
     enc = F.coalesce(enc, F.col("_te_prior"))
     d = d.withColumn(out, enc).drop("_te_sum", "_te_cnt", "_te_prior")
     return pipe._derive(d)
+
+
+def impute(
+    pipe: Pipeline,
+    field: str,
+    strategy: str = "mean",
+    keys: "list[str] | tuple[str, ...]" = (),
+    value: Any = None,
+    name: str | None = None,
+) -> Pipeline:
+    """Missing-value imputation — the repair step between the quality
+    scanners (profile/quality_rules flag the NULL rates) and the encode
+    stage (AppendC rejects NULL-heavy continuous fields):
+
+    - ``mean``   per-group mean (exact: one sum + one count, single
+      IEEE division);
+    - ``median`` exact median — grouped via keyed rank windows (avg of
+      the middle one/two order statistics), ungrouped through
+      ``agg.exact_quantiles`` (distributed rank, never an unbounded
+      percentile buffer);
+    - ``mode``   most frequent value with SMALLEST-value tiebreak (the
+      deterministic ``agg.mode_by`` contract, not Spark's arbitrary
+      ``F.mode``);
+    - ``constant`` the supplied ``value``.
+
+    Groups with NO observed values fall back to the global statistic
+    (mean/mode) — a group of all-NULLs should not stay NULL. Output
+    column ``name`` (default ``{field}_imp``) is double for
+    mean/median, the field's own type otherwise.
+
+    Scale shape: every statistic comes from a map-side-partial groupBy
+    collapsed to group (or group x distinct-value) cardinality and is
+    broadcast-joined back; the corpus shuffles at most once and never
+    sorts globally. Grouped medians rank within keys-partitioned
+    windows (each group independent).
+    """
+    out = name or f"{field}_imp"
+    keys = list(keys)
+    d = pipe.df
+    x = F.col(field)
+
+    if strategy == "constant":
+        if value is None:
+            raise EncodeError("impute: strategy='constant' needs value=")
+        return pipe._derive(d.withColumn(out, F.coalesce(x, F.lit(value))))
+
+    if strategy == "mean":
+        xd = x.cast("double")
+        glob = d.agg((F.sum(xd) / F.count(xd)).alias("_imp_g"))
+        if keys:
+            stats = d.groupBy(*keys).agg(
+                (F.sum(xd) / F.count(xd)).alias("_imp_v")
+            )
+            j = d.join(F.broadcast(stats), on=keys, how="left").crossJoin(
+                F.broadcast(glob)
+            )
+        else:
+            j = d.crossJoin(F.broadcast(glob)).withColumn(
+                "_imp_v", F.col("_imp_g")
+            )
+        filled = F.coalesce(xd, F.col("_imp_v"), F.col("_imp_g"))
+        return pipe._derive(
+            j.withColumn(out, filled).drop("_imp_v", "_imp_g")
+        )
+
+    if strategy == "median":
+        from pyspark.sql import Window
+
+        xd = x.cast("double")
+        if keys:
+            base = d.filter(xd.isNotNull()).select(*keys, xd.alias("_mx"))
+            wk = Window.partitionBy(*keys)
+            wo = wk.orderBy(F.col("_mx").asc())
+            med = (
+                base.withColumn("_rn", F.row_number().over(wo))
+                .withColumn("_cnt", F.count(F.lit(1)).over(wk))
+                .filter(
+                    # lower middle (rn = ceil(cnt/2)) and upper middle
+                    # (rn = floor(cnt/2) + 1) — the same row when cnt is
+                    # odd, the two middles when even; avg is the median
+                    (F.col("_rn") == F.ceil(F.col("_cnt") / 2))
+                    | (F.col("_rn") == F.floor(F.col("_cnt") / 2) + 1)
+                )
+                .groupBy(*keys)
+                .agg(F.avg("_mx").alias("_imp_v"))
+            )
+            j = d.join(F.broadcast(med), on=keys, how="left")
+            # global fallback for all-NULL groups: median of group medians
+            # would be biased; use the exact global median instead
+            from seafan_spark.agg import exact_quantiles
+
+            _, qs = exact_quantiles(d.filter(xd.isNotNull()), field, [0.5])
+            gmed = float(qs[0.5])
+            filled = F.coalesce(xd, F.col("_imp_v"), F.lit(gmed))
+            return pipe._derive(j.withColumn(out, filled).drop("_imp_v"))
+        from seafan_spark.agg import exact_quantiles
+
+        _, qs = exact_quantiles(d.filter(xd.isNotNull()), field, [0.5])
+        gmed = float(qs[0.5])
+        return pipe._derive(d.withColumn(out, F.coalesce(xd, F.lit(gmed))))
+
+    if strategy == "mode":
+        from pyspark.sql import Window
+
+        base = d.filter(x.isNotNull())
+        counts = base.groupBy(*keys, x.alias("_mv")).agg(
+            F.count(F.lit(1)).alias("_mc")
+        )
+        wk = (
+            Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+        ).orderBy(F.col("_mc").desc(), F.col("_mv").asc())
+        modes = counts.withColumn("_mr", F.row_number().over(wk)).filter(
+            F.col("_mr") == 1
+        )
+        gmode = (
+            base.groupBy(x.alias("_gv"))
+            .agg(F.count(F.lit(1)).alias("_gc"))
+            .orderBy(F.col("_gc").desc(), F.col("_gv").asc())
+            .limit(1)
+            .select("_gv")
+        )
+        if keys:
+            j = d.join(
+                F.broadcast(modes.select(*keys, "_mv")), on=keys, how="left"
+            ).crossJoin(F.broadcast(gmode))
+        else:
+            j = d.crossJoin(
+                F.broadcast(modes.select("_mv"))
+            ).crossJoin(F.broadcast(gmode))
+        filled = F.coalesce(x, F.col("_mv"), F.col("_gv"))
+        return pipe._derive(j.withColumn(out, filled).drop("_mv", "_gv"))
+
+    raise EncodeError(
+        f"impute: unknown strategy {strategy!r} "
+        "(mean | median | mode | constant)"
+    )

@@ -623,3 +623,70 @@ def test_conformal_guards(spark):
         conformal_interval(p, "pred", "actual", "rid", alpha=0.0)
     with pytest.raises(ValueError, match="too small"):
         conformal_interval(p, "pred", "actual", "rid", alpha=0.01)
+
+
+# ---------------------------------------------------------------- impute ----
+def test_impute_mean_grouped_and_all_null_group(spark):
+    from seafan_spark.encode import impute
+
+    p = vec_to_pipe(
+        spark,
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "x": [1.0, 3.0, None, None, None],
+        },
+    )
+    out = impute(p, "x", strategy="mean", keys=["g"], name="xi")
+    rows = [(r["g"], r["x"], r["xi"]) for r in out.df.collect()]
+    a_null = [xi for g, x, xi in rows if g == "a" and x is None]
+    assert a_null == [pytest.approx(2.0)]
+    # group b has no observations: falls back to the GLOBAL mean (2.0)
+    b_vals = sorted(xi for g, _, xi in rows if g == "b")
+    assert b_vals == pytest.approx([2.0, 2.0])
+
+
+def test_impute_median_grouped_even_odd(spark):
+    from seafan_spark.encode import impute
+
+    p = vec_to_pipe(
+        spark,
+        {
+            "g": ["a"] * 4 + ["b"] * 3,
+            "x": [1.0, 2.0, 10.0, None, 5.0, 7.0, None],
+        },
+    )
+    out = impute(p, "x", strategy="median", keys=["g"], name="xi")
+    rows = [(r["g"], r["x"], r["xi"]) for r in out.df.collect()]
+    # group a: 3 observed values {1,2,10} -> median 2
+    assert [xi for g, x, xi in rows if g == "a" and x is None] == [
+        pytest.approx(2.0)
+    ]
+    # group b: {5,7} -> median 6
+    assert [xi for g, x, xi in rows if g == "b" and x is None] == [
+        pytest.approx(6.0)
+    ]
+
+
+def test_impute_median_ungrouped_exact(spark):
+    from seafan_spark.encode import impute
+
+    p = vec_to_pipe(spark, {"x": [1.0, 2.0, 3.0, 100.0, None]})
+    out = impute(p, "x", strategy="median", name="xi")
+    got = {r["x"]: r["xi"] for r in out.df.collect()}
+    assert got[None] == pytest.approx(2.5)
+
+
+def test_impute_mode_tiebreak_and_constant(spark):
+    from seafan_spark.encode import impute
+    from seafan_spark.encode import EncodeError
+
+    p = vec_to_pipe(spark, {"x": ["b", "a", None, "a", "b"]})
+    out = impute(p, "x", strategy="mode", name="xi")
+    # a and b tie at 2: smallest value wins
+    assert [r["xi"] for r in out.df.collect() if r["x"] is None] == ["a"]
+    out2 = impute(p, "x", strategy="constant", value="z", name="xi")
+    assert [r["xi"] for r in out2.df.collect() if r["x"] is None] == ["z"]
+    with pytest.raises(EncodeError, match="strategy"):
+        impute(p, "x", strategy="knn")
+    with pytest.raises(EncodeError, match="value"):
+        impute(p, "x", strategy="constant")

@@ -131,13 +131,22 @@ def gen_events(src: str, out: str, mult: int, rng: np.random.Generator) -> None:
         rep = base.copy()
         rep["event_id"] = rep["event_id"] + r * n
         rep["user_id"] = rep["user_id"] + r * n_users
-        # jitter inside the same window: density grows, the window doesn't
-        rep["ts"] = rep["ts"] + pd.to_timedelta(
-            rng.integers(-20_000_000, 20_000_000, size=n), unit="us"
-        )
+        # jitter inside the same window: density grows, the window doesn't.
+        # keep microsecond resolution — the timedelta addition upcasts to
+        # ns, and Spark reads parquet timestamp(ns) as LONG, breaking every
+        # downstream to_date/window (measured: 10x ERR on the events
+        # queries)
+        rep["ts"] = (
+            rep["ts"]
+            + pd.to_timedelta(
+                rng.integers(-20_000_000, 20_000_000, size=n), unit="us"
+            )
+        ).astype("datetime64[us]")
         rep["value"] = (rep["value"] * (1.0 + rng.normal(0, 0.02, size=n))).round(2)
         parts.append(rep)
-    _write(out, "events", pd.concat(parts, ignore_index=True))
+    ev = pd.concat(parts, ignore_index=True)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    _write(out, "events", ev)
 
 
 def gen_tpch(src: str, out: str, mult: int) -> None:

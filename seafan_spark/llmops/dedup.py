@@ -1569,7 +1569,12 @@ def fuzzy_join(
     rides as an attached filter so Catalyst still plans an equi-join;
     best-match is a per-left-id WindowGroupLimit (rank 1 over dist, id),
     never a global sort. Skewed blocks (one hot prefix) are the
-    standard hazard: lengthen prefix_len or pre-salt the hot key.
+    standard hazard: lengthen prefix_len or pre-salt the hot key. In
+    particular, ``prefix_len`` must CLEAR any corpus-wide shared stem —
+    id-like texts ('Customer#0...', 'SKU-0...') share their first many
+    characters, and a prefix inside the stem collapses the block join
+    to one bucket, i.e. an all-pairs Levenshtein (measured: 49s vs
+    sub-second at sf0.1 on TPC-H customer names with prefix 10 vs 16).
 
     Returns (left_id, right_id, dist) with the caller's column names.
     """

@@ -3594,6 +3594,93 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_orderkey", "l_linenumber")
 
 
+def _cox_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Cox fixture: per-user time-to-first-purchase with two
+    deterministic covariates (arm = user_id % 2, x2 = (user_id % 5)/4)."""
+    ev = _pipe(spark, sf_dir, "events").df
+    first_buy = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    subj = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(first_buy, F.max("ts"))), F.to_date(F.min("ts"))
+        ).alias("dur"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    return subj.select(
+        "user_id",
+        F.col("dur").cast("double").alias("dur"),
+        "e",
+        (F.col("user_id") % 2).cast("double").alias("arm"),
+        ((F.col("user_id") % 5) / 4.0).alias("x2"),
+    )
+
+
+def q_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional hazards (temporal.cox_ph): fit hazard ratios for
+    the two covariates on the time-to-first-purchase study. Iterative
+    Newton-Raphson (driver-side p x p solve per step over ONE collected
+    gradient/Hessian row) — rows-only; the distributed per-iteration
+    relation is hash-checked by q_cox_moments at a pinned dyadic beta."""
+    from seafan_spark.temporal import cox_ph
+
+    subj = _cox_subjects(spark, sf_dir)
+    res = cox_ph(subj, "dur", "e", ["arm", "x2"])
+    rows = [
+        (r["name"], round(r["beta"], 6), round(r["hr"], 6), round(r["se"], 6))
+        for r in res
+    ]
+    return spark.createDataFrame(rows, "name string, beta double, hr double, se double")
+
+
+def q_cox_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Cox fit's distributed half, hash-checked (the glm_moments /
+    nn_forward pattern): at the PINNED dyadic beta = (0.5, -0.25), one
+    Newton iteration's event-time relation — per distinct duration the
+    risk-set suffix sums S0/S1 (exp terms summed in descending-time
+    window order, deterministic accumulation) and the per-time gradient
+    terms d_x - d * S1/S0. Everything cox_ph computes per iteration
+    except the driver-side p x p solve; exp is the only libm call and
+    its 1-ulp noise is absorbed by 6-dp rounding."""
+    subj = _cox_subjects(spark, sf_dir)
+    s = F.exp(F.lit(0.5) * F.col("arm") + F.lit(-0.25) * F.col("x2"))
+    g = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum(s).alias("_s0"),
+        F.sum(s * F.col("arm")).alias("_s1a"),
+        F.sum(s * F.col("x2")).alias("_s1b"),
+        F.sum("e").alias("d"),
+        F.sum(F.col("e") * F.col("arm")).alias("_dxa"),
+        F.sum(F.col("e") * F.col("x2")).alias("_dxb"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(F.lit(0))
+        .orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    g = g.select(
+        "t",
+        "d",
+        "_dxa",
+        "_dxb",
+        F.sum("_s0").over(w).alias("S0"),
+        F.sum("_s1a").over(w).alias("S1a"),
+        F.sum("_s1b").over(w).alias("S1b"),
+    ).filter(F.col("d") > 0)
+    return g.select(
+        F.col("t").cast("double").alias("t"),
+        F.col("d").cast("bigint").alias("d"),
+        round_col("S0", 6).alias("s0"),
+        round_col("S1a", 6).alias("s1a"),
+        round_col("S1b", 6).alias("s1b"),
+        round_col(
+            F.col("_dxa") - F.col("d") * F.col("S1a") / F.col("S0"), 6
+        ).alias("grad_a"),
+        round_col(
+            F.col("_dxb") - F.col("d") * F.col("S1b") / F.col("S0"), 6
+        ).alias("grad_b"),
+    ).orderBy("t")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ============ driver 50-entry correctness window (round 8) ============
     # --- oracled, new in round 8 (never driver-checked -> window head) ---
@@ -3613,6 +3700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logrank_wilcoxon": q_logrank_wilcoxon,
     "conformal": q_conformal,
     "impute": q_impute,
+    "cox_moments": q_cox_moments,
     "marginal_fixed": q_marginal_fixed,
     "irr_bisect": q_irr_bisect,
     "silhouette": q_silhouette,
@@ -3738,6 +3826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "irr_by": q_irr_by,
     "model_nn": q_model_nn,
     "pca": q_pca,
+    "cox_ph": q_cox_ph,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
     "embed_neardup": q_embed_neardup,
@@ -7778,6 +7867,43 @@ ORACLES["logrank"] = """
            CASE WHEN nv = 2 AND vv > 0.0
                 THEN (oe * oe / vv) > 3.841 END AS significant
     FROM agg ORDER BY cohort
+"""
+
+ORACLES["cox_moments"] = """
+    WITH subj AS (
+        SELECT user_id,
+               date_diff('day', MIN(ts)::DATE,
+                   COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END),
+                            MAX(ts))::DATE)::DOUBLE AS dur,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               (user_id % 2)::DOUBLE AS arm,
+               (user_id % 5) / 4.0 AS x2
+        FROM events GROUP BY user_id
+    ), terms AS (
+        SELECT dur AS t,
+               SUM(exp(0.5 * arm - 0.25 * x2)) AS s0_,
+               SUM(exp(0.5 * arm - 0.25 * x2) * arm) AS s1a_,
+               SUM(exp(0.5 * arm - 0.25 * x2) * x2) AS s1b_,
+               SUM(e) AS d,
+               SUM(e * arm) AS dxa,
+               SUM(e * x2) AS dxb
+        FROM subj GROUP BY dur
+    ), suff AS (
+        SELECT t, d, dxa, dxb,
+               SUM(s0_) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S0,
+               SUM(s1a_) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S1a,
+               SUM(s1b_) OVER (ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S1b
+        FROM terms
+    )
+    SELECT t, CAST(d AS BIGINT) AS d,
+           ROUND(S0, 6) AS s0, ROUND(S1a, 6) AS s1a, ROUND(S1b, 6) AS s1b,
+           ROUND(dxa - d * S1a / S0, 6) AS grad_a,
+           ROUND(dxb - d * S1b / S0, 6) AS grad_b
+    FROM suff WHERE d > 0 ORDER BY t
 """
 
 ORACLES["impute"] = """

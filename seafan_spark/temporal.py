@@ -1064,3 +1064,128 @@ def logrank_test(
         round_col(chi2, 6).alias("chi2"),
         F.when(chi2.isNotNull(), chi2 > F.lit(3.841)).alias("significant"),
     )
+
+
+def cox_ph(
+    df,
+    duration_col: str,
+    event_col: str,
+    x_cols: Sequence[str],
+    max_iter: int = 12,
+    tol: float = 1e-9,
+):
+    """Cox proportional-hazards regression (Cox 1972, Breslow ties) —
+    the multivariate member of the survival family
+    (:func:`survival_km` estimates, :func:`logrank_test` compares two
+    arms, this fits covariate effects):
+
+        log PL(b) = sum_{i: event} [ x_i.b - log S0(t_i) ],
+        S0(t) = sum_{j: t_j >= t} exp(x_j.b)
+
+    fitted by Newton-Raphson. Returns a list of per-covariate dicts:
+    (name, beta, hr, se, z) with ``hr = exp(beta)`` and Wald ``z =
+    beta/se`` from the inverse information at convergence.
+
+    Distribution: each iteration is ONE relational pass — per-subject
+    exp(x.b) terms and their x-weighted products collapse to the
+    distinct-duration relation (one map-side-partial groupBy), risk-set
+    sums S0/S1/S2 are SUFFIX sums over that bounded relation (ordered
+    window, descending time — the :func:`survival_km` collapsed-table
+    contract), and the gradient/Hessian reduce to ONE collected row of
+    p + p(p+1)/2 + 1 numbers. The Newton step (a p x p solve) runs on
+    the driver with numpy; p is small by contract (covariates, not
+    features). No subject-level window, no Python in the row path.
+    """
+    import numpy as np
+
+    p = len(x_cols)
+    if p == 0:
+        raise ValueError("cox_ph: need at least one covariate")
+    d = getattr(df, "df", df)
+    t = F.col(duration_col).cast("double")
+    ev = F.when(F.col(event_col).cast("double") > 0.5, 1).otherwise(0)
+    cond = t.isNotNull() & F.col(event_col).isNotNull()
+    for c in x_cols:
+        cond = cond & F.col(c).isNotNull()
+    base = d.filter(cond).select(
+        t.alias("_t"), ev.alias("_e"),
+        *[F.col(c).cast("double").alias(f"_x{k}") for k in range(p)
+          for c in [x_cols[k]]],
+    ).localCheckpoint(eager=True)
+
+    pairs = [(k, l) for k in range(p) for l in range(k, p)]
+    beta = np.zeros(p)
+    info = np.eye(p)
+    for _ in range(max_iter):
+        lin = F.lit(0.0)
+        for k in range(p):
+            lin = lin + F.lit(float(beta[k])) * F.col(f"_x{k}")
+        s = F.exp(lin)
+        g = base.groupBy("_t").agg(
+            F.sum(s).alias("_s0"),
+            *[F.sum(s * F.col(f"_x{k}")).alias(f"_s1_{k}") for k in range(p)],
+            *[
+                F.sum(s * F.col(f"_x{k}") * F.col(f"_x{l}")).alias(f"_s2_{k}_{l}")
+                for k, l in pairs
+            ],
+            F.sum("_e").alias("_d"),
+            *[
+                F.sum(F.col("_e") * F.col(f"_x{k}")).alias(f"_dx_{k}")
+                for k in range(p)
+            ],
+        )
+        w = (
+            Window.partitionBy(F.lit(0))
+            .orderBy(F.col("_t").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        g = g.select(
+            "_t", "_d", *[f"_dx_{k}" for k in range(p)],
+            F.sum("_s0").over(w).alias("_S0"),
+            *[F.sum(f"_s1_{k}").over(w).alias(f"_S1_{k}") for k in range(p)],
+            *[
+                F.sum(f"_s2_{k}_{l}").over(w).alias(f"_S2_{k}_{l}")
+                for k, l in pairs
+            ],
+        ).filter(F.col("_d") > 0)
+        ll_grad = [
+            F.sum(
+                F.col(f"_dx_{k}")
+                - F.col("_d") * F.col(f"_S1_{k}") / F.col("_S0")
+            ).alias(f"g{k}")
+            for k in range(p)
+        ]
+        ll_hess = [
+            F.sum(
+                F.col("_d")
+                * (
+                    F.col(f"_S2_{k}_{l}") / F.col("_S0")
+                    - F.col(f"_S1_{k}") * F.col(f"_S1_{l}")
+                    / (F.col("_S0") * F.col("_S0"))
+                )
+            ).alias(f"h{k}_{l}")
+            for k, l in pairs
+        ]
+        row = g.agg(*ll_grad, *ll_hess).collect()[0]
+        grad = np.array([row[f"g{k}"] for k in range(p)])
+        info = np.zeros((p, p))
+        for k, l in pairs:
+            info[k, l] = info[l, k] = row[f"h{k}_{l}"]
+        step = np.linalg.solve(info, grad)
+        beta = beta + step
+        if float(np.max(np.abs(step))) < tol:
+            break
+    cov = np.linalg.inv(info)
+    out = []
+    for k in range(p):
+        se = float(np.sqrt(max(cov[k, k], 0.0)))
+        out.append(
+            {
+                "name": x_cols[k],
+                "beta": float(beta[k]),
+                "hr": float(np.exp(beta[k])),
+                "se": se,
+                "z": float(beta[k] / se) if se > 0 else None,
+            }
+        )
+    return out

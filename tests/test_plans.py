@@ -123,12 +123,12 @@ def test_correctness_window_invariant():
     rows_only = [n for n in names if n not in oracles]
     assert all(n in names[50:] for n in rows_only), rows_only
     # round-8 head + promotions
-    assert names[:27] == ["target_encode", "auc", "auc_global",
+    assert names[:28] == ["target_encode", "auc", "auc_global",
                           "average_precision", "average_precision_global",
                           "survival_km", "cusum_changepoint",
                           "phash_neardup", "fdr_bh", "brier", "l_diversity",
                           "ks_grouped", "logrank", "logrank_wilcoxon",
-                          "conformal", "impute",
+                          "conformal", "impute", "cox_moments",
                           "marginal_fixed", "irr_bisect", "silhouette",
                           "k_anonymity", "bpe_train", "bpe_encode",
                           "fuzzy_join", "ann_pq_adc", "nn_forward", "mmr",
@@ -138,7 +138,7 @@ def test_correctness_window_invariant():
     # driver records and queue for round 9)
     assert {"semantic_dedup", "semantic_dedup_incr", "ngram_jaccard_prefix",
             "cdc_apply", "scd2", "ttest", "chisq", "cms", "token_divergence",
-            "rrf", "anova", "kruskal"} <= set(names[:50])
+            "rrf", "anova"} <= set(names[:50])
     # r07-recorded greens rotated out (their driver rows are the record)
     assert {"bm25", "glm_moments", "ranking_metrics", "minhash_clusters",
             "dedup_lines", "leakage_split"} <= set(names[50:])

@@ -690,3 +690,92 @@ def test_impute_mode_tiebreak_and_constant(spark):
         impute(p, "x", strategy="knn")
     with pytest.raises(EncodeError, match="value"):
         impute(p, "x", strategy="constant")
+
+
+# ---------------------------------------------------------------- cox_ph ----
+def _cox_numpy_reference(t, e, X, max_iter=12, tol=1e-9):
+    """Independent plain-numpy Newton on the Breslow partial likelihood
+    (suffix sums over sorted times) — the parity oracle for cox_ph."""
+    import numpy as np
+
+    t = np.asarray(t, dtype=float)
+    e = np.asarray(e, dtype=int)
+    X = np.asarray(X, dtype=float)
+    n, p = X.shape
+    beta = np.zeros(p)
+    order = np.argsort(-t)  # descending
+    ts, es, Xs = t[order], e[order], X[order]
+    for _ in range(max_iter):
+        s = np.exp(Xs @ beta)
+        S0 = np.cumsum(s)
+        S1 = np.cumsum(s[:, None] * Xs, axis=0)
+        S2 = np.cumsum(s[:, None, None] * (Xs[:, :, None] * Xs[:, None, :]), axis=0)
+        grad = np.zeros(p)
+        info = np.zeros((p, p))
+        # iterate distinct event times; suffix sums = cumsum at the LAST
+        # index of each time block (all subjects with t >= that time)
+        i = 0
+        while i < n:
+            j = i
+            while j + 1 < n and ts[j + 1] == ts[i]:
+                j += 1
+            d = es[i : j + 1].sum()
+            if d > 0:
+                dx = (es[i : j + 1, None] * Xs[i : j + 1]).sum(axis=0)
+                s0, s1, s2 = S0[j], S1[j], S2[j]
+                grad += dx - d * s1 / s0
+                info += d * (s2 / s0 - np.outer(s1, s1) / s0**2)
+            i = j + 1
+        step = np.linalg.solve(info, grad)
+        beta = beta + step
+        if np.max(np.abs(step)) < tol:
+            break
+    return beta
+
+
+def test_cox_ph_matches_numpy_reference(spark):
+    import random
+
+    from seafan_spark.temporal import cox_ph
+
+    rng = random.Random(5)
+    n = 120
+    x1 = [float(rng.random() > 0.5) for _ in range(n)]
+    x2 = [round(rng.gauss(0, 1), 3) for _ in range(n)]
+    t = [round(rng.expovariate(0.1 * (2.0 ** x1[i])), 2) for i in range(n)]
+    e = [1 if t[i] < 15 else 0 for i in range(n)]
+    t = [min(v, 15.0) for v in t]
+    p = vec_to_pipe(spark, {"t": t, "e": e, "x1": x1, "x2": x2})
+    res = cox_ph(p, "t", "e", ["x1", "x2"])
+    import numpy as np
+
+    ref = _cox_numpy_reference(t, e, np.column_stack([x1, x2]))
+    assert res[0]["beta"] == pytest.approx(ref[0], abs=1e-6)
+    assert res[1]["beta"] == pytest.approx(ref[1], abs=1e-6)
+    # planted hazard ratio ~2 on x1: positive, significant
+    assert res[0]["beta"] > 0.2 and res[0]["z"] > 1.5
+    assert res[0]["hr"] == pytest.approx(float(np.exp(res[0]["beta"])))
+
+
+def test_cox_ph_null_covariate_near_zero(spark):
+    import random
+
+    from seafan_spark.temporal import cox_ph
+
+    rng = random.Random(9)
+    n = 150
+    x = [float(i % 2) for i in range(n)]
+    t = [round(rng.expovariate(0.2), 2) + 0.01 for _ in range(n)]
+    e = [1] * n
+    p = vec_to_pipe(spark, {"t": t, "e": e, "x": x})
+    res = cox_ph(p, "t", "e", ["x"])
+    # covariate independent of hazard: |z| small
+    assert abs(res[0]["z"]) < 2.0
+
+
+def test_cox_ph_needs_covariates(spark):
+    from seafan_spark.temporal import cox_ph
+
+    p = vec_to_pipe(spark, {"t": [1.0], "e": [1], "x": [0.0]})
+    with pytest.raises(ValueError, match="covariate"):
+        cox_ph(p, "t", "e", [])

@@ -2268,7 +2268,7 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit("x")).alias("text"),
     )
     p = Pipeline(base.unionByName(typos))
-    return edit_distance_pairs(p, "doc_id", "text", max_dist=2, prefix_len=8)
+    return edit_distance_pairs(p, "doc_id", "text", max_dist=2, prefix_len=16)
 
 
 def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5834,7 +5834,7 @@ ORACLES["edit_distance"] = """
             SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
             FROM aug
         ), p AS (
-            SELECT doc_id, t, substr(t, 1, 8) AS pfx FROM d
+            SELECT doc_id, t, substr(t, 1, 16) AS pfx FROM d
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(levenshtein(a.t, b.t) AS INT) AS dist

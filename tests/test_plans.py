@@ -105,8 +105,8 @@ def test_scale_report_signals(spark):
 
 def test_correctness_window_invariant():
     """The driver hash-checks only the first 50 queries() entries: every
-    one of them must have an oracle. Round-8 contract: the fifteen
-    session-2 additions (target_encode ... conformal) head the window,
+    one of them must have an oracle. Round-8 contract: the seventeen
+    session-2 additions (target_encode ... cox_moments) head the window,
     then the earlier round-8 additions (marginal_fixed ... fuzzy_join),
     the four whose implementation/oracle changed this round
     (ann_pq_adc/nn_forward/mmr/kcenter), then never-driver-checked

@@ -82,6 +82,15 @@ def semantic_default(spark, sf_dir):
     )
 
 
+def ann_lsh_adaptive(spark, sf_dir):
+    from seafan_spark.llmops.similarity import ann_lsh_topk
+
+    # planes omitted -> adaptive ~log2(N/16) (round-8 fix: the oracled
+    # query pins planes=8, which measured e_big 1.58 at 10x — candidate
+    # volume N^2/2^planes is quadratic at any FIXED plane count)
+    return ann_lsh_topk(_emb(spark, sf_dir), "vec_id", "embedding", k=5, dim=64)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--trials", type=int, default=2)
@@ -103,6 +112,7 @@ def main() -> None:
         "ngram_prefix_capped": ngram_capped,
         "ngram_prefix_uncapped": ngram_uncapped,
         "semantic_dedup_default": semantic_default,
+        "ann_lsh_adaptive": ann_lsh_adaptive,
     }
     for fn in variants.values():  # warmup: codegen+JIT per plan shape
         force(fn(spark, "/root/testdata/sf0.001"))

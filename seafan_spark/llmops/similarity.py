@@ -387,12 +387,28 @@ def ann_ivf_topk(
     )
 
 
+def adaptive_planes(n: int, target_bucket: int = 16, floor: int = 8) -> int:
+    """Hyperplane count that keeps the EXPECTED bucket size ~constant
+    (``target_bucket``) as the corpus grows: planes = ceil(log2(n /
+    target)). At a FIXED plane count the within-bucket candidate volume
+    is n^2 / 2^planes — quadratic in corpus size (measured: e_big 1.58,
+    1.3s -> 48.8s over one 10x step at planes=8) — while the adaptive
+    count makes it ~n * target, linear. Same shape as
+    ``dedup.adaptive_n_clusters`` (the semantic-dedup k ~ sqrt(N)
+    default)."""
+    import math as _math
+
+    if n <= target_bucket:
+        return floor
+    return max(floor, int(_math.ceil(_math.log2(n / target_bucket))))
+
+
 def ann_lsh_topk(
     pipe: Pipeline,
     id_col: str,
     vec_col: str,
     k: int = 10,
-    planes: int = 12,
+    planes: int | None = None,
     seed: int = 42,
     dim: int | None = None,
     probe_bits: int = 0,
@@ -401,14 +417,22 @@ def ann_lsh_topk(
     cosine within each bucket. The join key is the bucket — no cross
     product across buckets. Expected bucket size n/2^planes controls cost.
 
-    ``dim`` should be passed explicitly when known (otherwise inferred
-    from the first row — an extra eager job; wrong-length vectors raise
-    either way). ``probe_bits=1`` turns on multi-probe: the query side
-    also probes every bucket one sign-bit away, recovering recall lost
-    to hyperplane quantization for ~(planes+1)x candidate volume."""
+    ``planes=None`` (the default) sizes the hyperplane count from a
+    cheap corpus count via :func:`adaptive_planes` — constant expected
+    bucket size, so candidate volume grows LINEARLY with the corpus; a
+    fixed ``planes`` is the oracle-pinning/expert knob (at a fixed
+    count the candidate volume is quadratic: the measured 10x exponent
+    at planes=8 was 1.58). ``dim`` should be passed explicitly when
+    known (otherwise inferred from the first row — an extra eager job;
+    wrong-length vectors raise either way). ``probe_bits=1`` turns on
+    multi-probe: the query side also probes every bucket one sign-bit
+    away, recovering recall lost to hyperplane quantization for
+    ~(planes+1)x candidate volume."""
     df = pipe.df
     if dim is None:
         dim = infer_vec_dim(df, vec_col, "ann_lsh_topk")
+    if planes is None:
+        planes = adaptive_planes(df.count())
     d = with_hyperplane_bucket(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         "_v", "_bkt", dim, planes, seed,

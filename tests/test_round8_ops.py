@@ -779,3 +779,32 @@ def test_cox_ph_needs_covariates(spark):
     p = vec_to_pipe(spark, {"t": [1.0], "e": [1], "x": [0.0]})
     with pytest.raises(ValueError, match="covariate"):
         cox_ph(p, "t", "e", [])
+
+
+# --------------------------------------------------------------- ann_lsh ----
+def test_adaptive_planes_keeps_bucket_size_constant():
+    from seafan_spark.llmops.similarity import adaptive_planes
+
+    # expected bucket size n / 2^planes stays <= ~2*target as n grows
+    for n in (100, 2_000, 20_000, 200_000, 2_000_000):
+        p = adaptive_planes(n, target_bucket=16)
+        assert n / (2 ** p) <= 32 or p == 8  # floor dominates tiny n
+    assert adaptive_planes(10) == 8           # floor
+    assert adaptive_planes(2_000) == 8        # log2(125) ~ 7 -> floor
+    assert adaptive_planes(20_000) == 11      # log2(1250) ~ 10.3 -> 11
+    assert adaptive_planes(2_000_000) == 17
+
+
+def test_ann_lsh_adaptive_default_runs_and_finds_planted(spark):
+    import random
+
+    from seafan_spark.llmops.similarity import ann_lsh_topk
+    from seafan_spark.sources import vec_to_pipe
+
+    rng = random.Random(3)
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(60)]
+    vecs[1] = [v + rng.gauss(0, 0.01) for v in vecs[0]]  # planted near-dup
+    p = vec_to_pipe(spark, {"id": list(range(60)), "v": vecs})
+    out = ann_lsh_topk(p, "id", "v", k=3, dim=8)  # planes=None adaptive
+    top = {r["neighbor_id"] for r in out.collect() if r["q_id"] == 0 and r["rank"] == 1}
+    assert top == {1}

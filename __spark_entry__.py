@@ -7760,7 +7760,10 @@ ORACLES["target_encode"] = """
            ROUND(((st.s - b.y) + 20.0 * pr.prior) / ((st.c - 1) + 20.0), 6)
                AS te_loo
     FROM base b
-    JOIN stats st USING (source)
+    -- LEFT + IS NOT DISTINCT FROM: the implementation's null-safe LEFT
+    -- join (a NULL source is its own level, never dropped) — an inner
+    -- USING join would silently drop NULL-source rows
+    LEFT JOIN stats st ON st.source IS NOT DISTINCT FROM b.source
     CROSS JOIN pr
     ORDER BY b.doc_id
 """

@@ -1803,6 +1803,7 @@ def fdr_bh(
     p_col: str,
     keys: Sequence[str] = (),
     alpha: float = 0.05,
+    rank_col: str = "rank",
 ) -> DataFrame:
     """Benjamini-Hochberg false-discovery-rate correction over a relation
     of test p-values (Benjamini & Hochberg 1995) — the multiple-testing
@@ -1832,6 +1833,15 @@ def fdr_bh(
 
     d = getattr(df, "df", df)
     keys = list(keys)
+    # output columns must not shadow input columns — a duplicate name
+    # (e.g. an input that already carries 'rank') would leave TWO
+    # ambiguous columns and break downstream selects
+    for out_name in (rank_col, "p_adj", "rejected"):
+        if out_name in d.columns:
+            raise ValueError(
+                f"fdr_bh: input already has a column named {out_name!r}; "
+                "pass rank_col= (for the rank) or rename the input column"
+            )
     p = F.col(p_col).cast("double")
     base = d.filter(p.isNotNull())
     pk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
@@ -1860,4 +1870,4 @@ def fdr_bh(
     out = ranked.withColumn("p_adj", adj).withColumn(
         "rejected", F.col("p_adj") <= F.lit(float(alpha))
     )
-    return out.withColumnRenamed("_bh_rank", "rank").drop("_bh_m", "_bh_raw")
+    return out.withColumnRenamed("_bh_rank", rank_col).drop("_bh_m", "_bh_raw")

@@ -459,12 +459,22 @@ def impute(
             from seafan_spark.agg import exact_quantiles
 
             _, qs = exact_quantiles(d.filter(xd.isNotNull()), field, [0.5])
+            if qs.get(0.5) is None:
+                raise EncodeError(
+                    f"impute(median): column {field!r} has no observed "
+                    "(non-NULL) values — nothing to impute from"
+                )
             gmed = float(qs[0.5])
             filled = F.coalesce(xd, F.col("_imp_v"), F.lit(gmed))
             return pipe._derive(j.withColumn(out, filled).drop("_imp_v"))
         from seafan_spark.agg import exact_quantiles
 
         _, qs = exact_quantiles(d.filter(xd.isNotNull()), field, [0.5])
+        if qs.get(0.5) is None:
+            raise EncodeError(
+                f"impute(median): column {field!r} has no observed "
+                "(non-NULL) values — nothing to impute from"
+            )
         gmed = float(qs[0.5])
         return pipe._derive(d.withColumn(out, F.coalesce(xd, F.lit(gmed))))
 
@@ -481,23 +491,34 @@ def impute(
         modes = counts.withColumn("_mr", F.row_number().over(wk)).filter(
             F.col("_mr") == 1
         )
-        gmode = (
+        # The global mode is a single scalar: collect it (1 row, bounded)
+        # and inject via F.lit rather than crossJoin — a crossJoin with an
+        # EMPTY 1-row relation (all-NULL column) would silently drop every
+        # input row. Raise a clear error instead.
+        gmode_rows = (
             base.groupBy(x.alias("_gv"))
             .agg(F.count(F.lit(1)).alias("_gc"))
             .orderBy(F.col("_gc").desc(), F.col("_gv").asc())
             .limit(1)
             .select("_gv")
+            .collect()
         )
+        if not gmode_rows:
+            raise EncodeError(
+                f"impute(mode): column {field!r} has no observed "
+                "(non-NULL) values — nothing to impute from"
+            )
+        gmode_val = gmode_rows[0][0]
         if keys:
             j = d.join(
                 F.broadcast(modes.select(*keys, "_mv")), on=keys, how="left"
-            ).crossJoin(F.broadcast(gmode))
-        else:
-            j = d.crossJoin(
-                F.broadcast(modes.select("_mv"))
-            ).crossJoin(F.broadcast(gmode))
-        filled = F.coalesce(x, F.col("_mv"), F.col("_gv"))
-        return pipe._derive(j.withColumn(out, filled).drop("_mv", "_gv"))
+            )
+            filled = F.coalesce(x, F.col("_mv"), F.lit(gmode_val))
+            return pipe._derive(j.withColumn(out, filled).drop("_mv"))
+        # ungrouped: the per-corpus mode IS the global mode
+        return pipe._derive(
+            d.withColumn(out, F.coalesce(x, F.lit(gmode_val)))
+        )
 
     raise EncodeError(
         f"impute: unknown strategy {strategy!r} "

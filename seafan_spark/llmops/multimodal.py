@@ -276,8 +276,11 @@ def phash_signatures(
                 sig = 0
                 for b in bits:
                     sig = (sig << 1) | int(b)
+                # pass the id through unchanged — out_schema reuses the
+                # source id type, so coercing (e.g. int()) would crash on
+                # string ids; matches the fake-decoder path's behavior
                 rows.append(
-                    (int(i), *[(sig >> (16 * w)) & 0xFFFF for w in range(PHASH_WORDS)])
+                    (i, *[(sig >> (16 * w)) & 0xFFFF for w in range(PHASH_WORDS)])
                 )
             yield pd.DataFrame(rows, columns=[id_col] + [f"w{w}" for w in range(PHASH_WORDS)])
 

@@ -1168,14 +1168,43 @@ def cox_ph(
         ]
         row = g.agg(*ll_grad, *ll_hess).collect()[0]
         grad = np.array([row[f"g{k}"] for k in range(p)])
+        if not np.all(np.isfinite(grad)):
+            raise ValueError(
+                "cox_ph: non-finite gradient — the partial likelihood "
+                "diverged (exp(x.beta) overflow), usually complete "
+                "separation (a covariate perfectly predicts event order) "
+                "or unscaled covariates; standardize x_cols or drop the "
+                "separating covariate"
+            )
         info = np.zeros((p, p))
         for k, l in pairs:
             info[k, l] = info[l, k] = row[f"h{k}_{l}"]
-        step = np.linalg.solve(info, grad)
+        try:
+            step = np.linalg.solve(info, grad)
+        except np.linalg.LinAlgError as exc:
+            raise ValueError(
+                "cox_ph: singular information matrix — covariates "
+                f"{list(x_cols)} are collinear (or a covariate is "
+                "constant); drop the redundant column(s)"
+            ) from exc
+        if not np.all(np.isfinite(step)):
+            raise ValueError(
+                "cox_ph: non-finite Newton step — ill-conditioned "
+                "information matrix (near-collinear covariates)"
+            )
         beta = beta + step
         if float(np.max(np.abs(step))) < tol:
+            converged = True
             break
-    cov = np.linalg.inv(info)
+    else:
+        converged = False
+    try:
+        cov = np.linalg.inv(info)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            "cox_ph: singular information matrix at the final iterate — "
+            "covariates are collinear; drop the redundant column(s)"
+        ) from exc
     out = []
     for k in range(p):
         se = float(np.sqrt(max(cov[k, k], 0.0)))
@@ -1186,6 +1215,7 @@ def cox_ph(
                 "hr": float(np.exp(beta[k])),
                 "se": se,
                 "z": float(beta[k] / se) if se > 0 else None,
+                "converged": converged,
             }
         )
     return out

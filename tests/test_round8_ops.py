@@ -692,6 +692,29 @@ def test_impute_mode_tiebreak_and_constant(spark):
         impute(p, "x", strategy="constant")
 
 
+def test_impute_all_null_column_raises_not_empty(spark):
+    """An all-NULL column must raise a clear EncodeError, never silently
+    return an empty relation (the old mode path crossJoined an EMPTY
+    1-row global-mode relation, dropping every input row)."""
+    from seafan_spark.encode import EncodeError, impute
+    from seafan_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [("a", None, 0), ("b", None, 1)],
+        "g string, x double, _rid long",
+    )
+    p = Pipeline(df)
+    with pytest.raises(EncodeError, match="no observed"):
+        impute(p, "x", strategy="mode", name="xi")
+    with pytest.raises(EncodeError, match="no observed"):
+        impute(p, "x", strategy="median", name="xi")
+    with pytest.raises(EncodeError, match="no observed"):
+        impute(p, "x", strategy="median", keys=["g"], name="xi")
+    # mean leaves NULLs (the 1-row global agg is NULL, coalesce no-ops)
+    out = impute(p, "x", strategy="mean", name="xi")
+    assert [r["xi"] for r in out.df.collect()] == [None, None]
+
+
 # ---------------------------------------------------------------- cox_ph ----
 def _cox_numpy_reference(t, e, X, max_iter=12, tol=1e-9):
     """Independent plain-numpy Newton on the Breslow partial likelihood
@@ -779,6 +802,43 @@ def test_cox_ph_needs_covariates(spark):
     p = vec_to_pipe(spark, {"t": [1.0], "e": [1], "x": [0.0]})
     with pytest.raises(ValueError, match="covariate"):
         cox_ph(p, "t", "e", [])
+
+
+def test_cox_ph_collinear_covariates_descriptive_error(spark):
+    """Duplicated covariate -> singular information matrix: must raise a
+    descriptive ValueError, not a bare numpy LinAlgError."""
+    from seafan_spark.temporal import cox_ph
+
+    t = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    x = [0.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+    p = vec_to_pipe(spark, {"t": t, "e": [1] * 6, "x1": x, "x2": x})
+    with pytest.raises(ValueError, match="collinear|singular"):
+        cox_ph(p, "t", "e", ["x1", "x2"])
+
+
+def test_cox_ph_reports_convergence_flag(spark):
+    from seafan_spark.temporal import cox_ph
+
+    t = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    e = [1, 1, 0, 1, 1, 0, 1, 1]
+    x = [0.2, -0.1, 0.4, 0.0, -0.3, 0.5, 0.1, -0.2]
+    p = vec_to_pipe(spark, {"t": t, "e": e, "x": x})
+    assert cox_ph(p, "t", "e", ["x"])[0]["converged"] is True
+    # one Newton step on a non-trivial likelihood cannot hit tol=1e-9
+    assert cox_ph(p, "t", "e", ["x"], max_iter=1)[0]["converged"] is False
+
+
+def test_fdr_bh_output_name_collision_guard(spark):
+    """Pre-existing 'rank' column must raise (not emit two ambiguous
+    'rank' columns); rank_col= reroutes the output name."""
+    from seafan_spark.agg import fdr_bh
+
+    p = vec_to_pipe(spark, {"p": [0.01, 0.2, 0.9], "rank": [9, 9, 9]})
+    with pytest.raises(ValueError, match="rank"):
+        fdr_bh(p, "p")
+    out = fdr_bh(p, "p", rank_col="bh_rank")
+    assert "bh_rank" in out.columns and out.columns.count("rank") == 1
+    assert [r["bh_rank"] for r in out.orderBy("p").collect()] == [1, 2, 3]
 
 
 # --------------------------------------------------------------- ann_lsh ----

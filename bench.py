@@ -142,7 +142,43 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_detail.json")
+
+    # trial-spread summary: per-query relative spread (max-min)/median
+    # over the steady trials — run-level noise evidence that travels WITH
+    # the artifact (round-8 VERDICT #2: drift triage needs the spread in
+    # the JSON, not re-derived by hand each round)
+    spreads = sorted(
+        100.0 * (max(ts) - min(ts)) / med
+        for name, ts in steady_trials.items()
+        for med in [timings[name]]
+        if med > 0
+    )
+    trial_spread = {
+        "median_rel_spread_pct": round(statistics.median(spreads), 1) if spreads else None,
+        "p90_rel_spread_pct": round(spreads[int(0.9 * (len(spreads) - 1))], 1) if spreads else None,
+        "n_spread_gt_15pct": sum(1 for s in spreads if s > 15.0),
+    }
+
+    # committed-vs-run drift gate: compare against the artifact this run
+    # is ABOUT to overwrite (when launched from a clean tree that is the
+    # committed record) and embed the verdict — one-directional exceeders
+    # + elevated load here is the machine-load signature, adjudicated in
+    # the artifact instead of by hand (scripts/bench_drift.py)
+    drift_gate = {"verdict": "no-prior"}
+    try:
+        sys.path.insert(0, os.path.join(repo, "scripts"))
+        import bench_drift
+
+        prior = bench_drift.load_artifact(detail_path)
+        prior_q = {k: float(v) for k, v in (prior.get("queries") or {}).items()}
+        if prior_q and prior.get("sf") == sf_val:
+            drift_gate = bench_drift.gate_queries(prior_q, timings)
+            drift_gate["prior_loadavg_start"] = prior.get("loadavg_start")
+    except Exception as exc:  # a broken prior artifact must not kill the run
+        drift_gate = {"verdict": f"prior-unreadable: {exc}"}
+
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -153,6 +189,8 @@ def main() -> None:
                 "queries_fresh": fresh,
                 "queries_steady_trials": steady_trials,
                 "steady_trials_per_query": steady_trials_n,
+                "trial_spread": trial_spread,
+                "drift_gate": drift_gate,
                 "sf": sf_val,
                 # 1/5/15-min load averages at start and end: a broad
                 # one-directional per-query drift on identical code with
@@ -169,6 +207,15 @@ def main() -> None:
     # (r01-r05 all recorded "parsed": null tails), so print only the 20
     # slowest medians + the total — the full record is BENCH_detail.json.
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:20])
+    if drift_gate.get("common"):
+        drift_str = (
+            f"{drift_gate['verdict']} {drift_gate['total_pct']:+.1f}% vs "
+            f"{drift_gate['total_old']:.1f}s prior "
+            f"({drift_gate['slower']}slow/{drift_gate['faster']}fast"
+            f"{', ONE-DIRECTIONAL' if drift_gate['one_directional'] else ''})"
+        )
+    else:
+        drift_str = drift_gate.get("verdict", "no-prior")
     print(
         json.dumps(
             {
@@ -181,6 +228,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in top.items()},
                 "sf": sf_val,
+                "loadavg_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
+                "drift_vs_committed": drift_str,
             },
             separators=(",", ":"),
         )

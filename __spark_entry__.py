@@ -1497,6 +1497,32 @@ def q_irr_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(round(rate, 6),)], "rate double")
 
 
+def q_irr_by_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED IRR via distributed fixed-step bisection (agg.irr_by_bisect
+    — round-8 VERDICT #3, the irr_bisect unroll generalized): per-user
+    rates for users 0-11 of `events`, 40 halvings of the dyadic bracket
+    [0, 4], EVERY group advancing in ONE groupBy(user_id) aggregate per
+    step (map-side-partial shuffles carrying only group cardinality; no
+    applyInPandas, flows never leave the JVM). The DuckDB twin unrolls
+    the same 40 steps as a CTE chain with a GROUP BY per step; bracket
+    decisions on the 4-dp-ROUNDED f(mid) over exact dyadic midpoints
+    make the rates bit-equal, 6-dp rounded for the hash."""
+    from seafan_spark.agg import irr_by_bisect
+    from seafan_spark.sources import read_parquet
+
+    flows = read_parquet(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") < 12
+    )
+    out = irr_by_bisect(
+        flows, ["user_id"], "value", ["ts", "event_id"], steps=40
+    )
+    from seafan_spark.rounding import round_col
+
+    return out.select(
+        "user_id", round_col(F.col("rate"), 6).alias("rate")
+    ).orderBy("user_id")
+
+
 def q_glm_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTRIBUTED half of the GLM fit, oracled (round-6 VERDICT #4
     — the pca_moments split applied to model_glm): the upper-triangle
@@ -3681,9 +3707,149 @@ def q_cox_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t")
 
 
+def q_cox_moments_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED Cox fit's distributed half, hash-checked (round-8
+    VERDICT #8 — temporal.cox_ph with keys=): at PINNED per-cohort
+    dyadic betas (beta_arm = 0.5 − 0.25·cohort, beta_x2 = −0.25 +
+    0.125·cohort — the broadcast beta relation each keyed iteration
+    joins in), one Newton iteration's event-time relation per cohort:
+    duration collapse groupBy(cohort, t), risk-set suffix sums S0/S1
+    over cohort-PARTITIONED descending-time windows, per-time gradient
+    terms d_x − d·S1/S0. Exactly what _cox_ph_keyed computes per
+    iteration except the batched driver-side p x p solves; exp noise
+    absorbed by 6-dp rounding."""
+    from pyspark.sql import Window as W
+
+    subj = _cox_subjects(spark, sf_dir).withColumn(
+        "cohort", (F.col("user_id") % 3).cast("int")
+    )
+    ba = F.lit(0.5) - F.lit(0.25) * F.col("cohort")
+    bb = F.lit(-0.25) + F.lit(0.125) * F.col("cohort")
+    s = F.exp(ba * F.col("arm") + bb * F.col("x2"))
+    g = subj.groupBy("cohort", F.col("dur").alias("t")).agg(
+        F.sum(s).alias("_s0"),
+        F.sum(s * F.col("arm")).alias("_s1a"),
+        F.sum(s * F.col("x2")).alias("_s1b"),
+        F.sum("e").alias("d"),
+        F.sum(F.col("e") * F.col("arm")).alias("_dxa"),
+        F.sum(F.col("e") * F.col("x2")).alias("_dxb"),
+    )
+    w = (
+        W.partitionBy("cohort")
+        .orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    g = g.select(
+        "cohort",
+        "t",
+        "d",
+        "_dxa",
+        "_dxb",
+        F.sum("_s0").over(w).alias("S0"),
+        F.sum("_s1a").over(w).alias("S1a"),
+        F.sum("_s1b").over(w).alias("S1b"),
+    ).filter(F.col("d") > 0)
+    return g.select(
+        "cohort",
+        F.col("t").cast("double").alias("t"),
+        F.col("d").cast("bigint").alias("d"),
+        round_col("S0", 6).alias("s0"),
+        round_col("S1a", 6).alias("s1a"),
+        round_col("S1b", 6).alias("s1b"),
+        round_col(
+            F.col("_dxa") - F.col("d") * F.col("S1a") / F.col("S0"), 6
+        ).alias("grad_a"),
+        round_col(
+            F.col("_dxb") - F.col("d") * F.col("S1b") / F.col("S0"), 6
+        ).alias("grad_b"),
+    ).orderBy("cohort", "t")
+
+
+def q_logrank_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED log-rank (temporal.logrank_test strata=): one test of
+    the even/odd-user arm effect on time-to-first-purchase CONTROLLING
+    for cohort (user_id % 3) — risk sets and hypergeometric E/V within
+    each cohort, O−E and V pooled across cohorts before the single chi²
+    (the standard confounder adjustment; contrast q_logrank, which
+    reports a separate test per cohort). Same exact-integer-ratio
+    determinism story; 6-dp rounding on the two double sums."""
+    from seafan_spark.temporal import logrank_test
+
+    ev = _pipe(spark, sf_dir, "events").df
+    first_buy = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    subj = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.to_date(F.coalesce(first_buy, F.max("ts"))), F.to_date(F.min("ts"))
+        ).alias("dur"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    subj = subj.withColumn("cohort", (F.col("user_id") % 3).cast("int"))
+    subj = subj.withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    out = logrank_test(subj, "dur", "e", "arm", strata=["cohort"])
+    return out.select(
+        "n0", "n1", "observed1", "expected1", "chi2", "significant"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ============ driver 50-entry correctness window (round 8) ============
-    # --- oracled, new in round 8 (never driver-checked -> window head) ---
+    # ========== driver 50-entry correctness window (round 9) ==========
+    # --- oracled, new in round 9 (never driver-checked -> window head) ---
+    "irr_by_bisect": q_irr_by_bisect,
+    "cox_moments_keyed": q_cox_moments_keyed,
+    "logrank_strat": q_logrank_strat,
+    # --- missed the r8 cut at positions 51-52 (last checked r6/r5) ---
+    "kruskal": q_kruskal,
+    "ts_pattern": q_ts_pattern,
+    # --- r02-checked oracled basics, re-validated (oldest on the board) ---
+    "append": q_append,
+    "asof": q_asof,
+    "contamination": q_contamination,
+    "corr_matrix": q_corr_matrix,
+    "dedup_exact": q_dedup_exact,
+    "distinct_counts": q_distinct_counts,
+    "expr_datefns": q_expr_datefns,
+    "expr_if": q_expr_if,
+    "expr_strfns": q_expr_strfns,
+    "join_inner": q_join_inner,
+    "pack": q_pack,
+    "pii_repetition": q_pii_repetition,
+    "pivot": q_pivot,
+    "range_join": q_range_join,
+    "rollup": q_rollup,
+    "salted_agg": q_salted_agg,
+    "salted_join": q_salted_join,
+    "sample_split": q_sample_split,
+    "sessionize": q_sessionize,
+    "stream_join": q_stream_join,
+    "text_quality_lang": q_text_quality_lang,
+    "tfidf": q_tfidf,
+    "stream_tumbling": q_stream_tumbling,
+    "vocab": q_vocab,
+    "where_keep": q_where_keep,
+    "topk": q_topk,
+    "text_stats": q_text_stats,
+    "text_tokens": q_text_tokens,
+    # --- r04-checked survivors, next-oldest ---
+    "tpch_q3": q_tpch_q3,
+    "minhash_incr": q_minhash_incr,
+    "ann_lsh": q_ann_lsh,
+    "multimodal": q_multimodal,
+    "embed_neardup": q_embed_neardup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "distinct_sketch": q_distinct_sketch,
+    "lm_score": q_lm_score,
+    "hist_sketch": q_hist_sketch,
+    "embed_incr": q_embed_incr,
+    "quality_rules": q_quality_rules,
+    "coalesce_logodds": q_coalesce_logodds,
+    "minhash_calibration": q_minhash_calibration,
+    "hist_quantiles": q_hist_quantiles,
+    "psi_drift": q_psi_drift,
+    "dedup_reps": q_dedup_reps,
+    "source_cap": q_source_cap,
+    # --- end of the driver's 50-entry correctness window ---
+    # (r08-checked greens and newer rotate below; their driver rows are
+    # the record. Rows-only queries stay below by the ordering contract.)
     "target_encode": q_target_encode,
     "auc": q_auc,
     "auc_global": q_auc_global,
@@ -3708,16 +3874,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
     "fuzzy_join": q_fuzzy_join,
-    # --- oracled, implementation/oracle touched in round 8 (ann_pq_adc
-    # NULL-parity filter, nn_forward oracle float conversion, mmr/kcenter
-    # argmax_round default flip) ---
     "ann_pq_adc": q_ann_pq_adc,
     "nn_forward": q_nn_forward,
     "mmr": q_mmr,
     "kcenter": q_kcenter,
-    # --- oracled but NEVER driver-checked before (added below the marker
-    # in earlier rounds; promoted so every oracled query eventually gets
-    # a driver record) ---
     "semantic_dedup": q_semantic_dedup,
     "semantic_dedup_incr": q_semantic_dedup_incr,
     "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
@@ -3736,41 +3896,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling": q_rolling,
     "robust_outliers": q_robust_outliers,
     "hard_negatives": q_hard_negatives,
-    # --- r06-recorded greens restored per round-7 VERDICT #7 ---
     "cms": q_cms,
     "token_divergence": q_token_divergence,
     "rrf": q_rrf,
     "anova": q_anova,
-    "kruskal": q_kruskal,
-    "ts_pattern": q_ts_pattern,
-    # --- least-recently driver-checked (r02) oracled basics, re-validated ---
-    "append": q_append,
-    "asof": q_asof,
-    "contamination": q_contamination,
-    "corr_matrix": q_corr_matrix,
-    "dedup_exact": q_dedup_exact,
-    "distinct_counts": q_distinct_counts,
-    "expr_datefns": q_expr_datefns,
-    "expr_if": q_expr_if,
-    "expr_strfns": q_expr_strfns,
-    "join_inner": q_join_inner,
-    "pack": q_pack,
-    "pii_repetition": q_pii_repetition,
-    "pivot": q_pivot,
-    "range_join": q_range_join,
-    "rollup": q_rollup,
-    # --- end of the driver's 50-entry correctness window ---
-    "salted_agg": q_salted_agg,
-    "salted_join": q_salted_join,
-    "sample_split": q_sample_split,
-    # (sessionize/stream_join displaced by the two round-8 late adds;
-    # both r02-checked, still in the full-registry local gates)
-    "sessionize": q_sessionize,
-    "stream_join": q_stream_join,
-    # (r07-recorded greens — bm25/glm_moments/ranking_metrics/
-    # minhash_clusters and the r05/r06 blocks — rotate below; their
-    # driver rows are the record. Rows-only queries stay below by the
-    # ordering contract.)
     "bm25": q_bm25,
     "glm_moments": q_glm_moments,
     "ranking_metrics": q_ranking_metrics,
@@ -3819,29 +3948,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance": q_edit_distance,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
-    "tpch_q3": q_tpch_q3,
-    "minhash_incr": q_minhash_incr,
     "minhash_pairs_fast": q_minhash_pairs_fast,
     "simhash_pairs_fast": q_simhash_pairs_fast,
     "irr_by": q_irr_by,
     "model_nn": q_model_nn,
     "pca": q_pca,
     "cox_ph": q_cox_ph,
-    "ann_lsh": q_ann_lsh,
-    "multimodal": q_multimodal,
-    "embed_neardup": q_embed_neardup,
-    "ngram_jaccard": q_ngram_jaccard,
-    "distinct_sketch": q_distinct_sketch,
-    "lm_score": q_lm_score,
-    "hist_sketch": q_hist_sketch,
-    "embed_incr": q_embed_incr,
-    "quality_rules": q_quality_rules,
-    "coalesce_logodds": q_coalesce_logodds,
-    "minhash_calibration": q_minhash_calibration,
-    "hist_quantiles": q_hist_quantiles,
-    "psi_drift": q_psi_drift,
-    "dedup_reps": q_dedup_reps,
-    "source_cap": q_source_cap,
     "retention": q_retention,
     "winsorize": q_winsorize,
     "embed_project": q_embed_project,
@@ -3861,14 +3973,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "encode_normalize": q_encode_normalize,
     "decile": q_decile,
     "assess_r2": q_assess_r2,
-    "text_quality_lang": q_text_quality_lang,
-    "tfidf": q_tfidf,
-    "stream_tumbling": q_stream_tumbling,
-    "vocab": q_vocab,
-    "where_keep": q_where_keep,
-    "topk": q_topk,
-    "text_stats": q_text_stats,
-    "text_tokens": q_text_tokens,
     "irr": q_irr,
     "model_glm": q_model_glm,
     "marginal": q_marginal,
@@ -6821,6 +6925,67 @@ def _irr_bisect_oracle_sql(steps: int = 40, npv_round: int = 4) -> str:
 ORACLES["irr_bisect"] = _irr_bisect_oracle_sql()
 
 
+def _irr_by_bisect_oracle_sql(steps: int = 40, npv_round: int = 4) -> str:
+    """Generated twin for q_irr_by_bisect: the grouped 40-step bisection
+    unrolled as a CTE chain where each step is ONE grouped aggregate —
+    every user's rounded f(mid) = npv((lo+hi)/2) − cost computed in a
+    single GROUP BY over the flows-join-bracket relation, then the same
+    CASE bracket update as agg.irr_by_bisect. Groups without a sign
+    change in [0, 4] carry ok=false and emit rate NULL. Every CTE is
+    MATERIALIZED: DuckDB's default inlining re-evaluates the grouped
+    step chain ~2x per level (exponential past ~12 steps, measured);
+    materialization makes it the linear 40-pass chain the Spark side
+    runs (0.2s at sf0.01)."""
+    head = f"""
+    WITH flows AS MATERIALIZED (
+        SELECT user_id AS k,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) - 1 AS DOUBLE)
+                   AS i,
+               CAST(value AS DOUBLE) AS v
+        FROM events WHERE user_id < 12
+    ),
+    cst AS MATERIALIZED (SELECT k, SUM(v) / 2.0 AS c FROM flows GROUP BY k),
+    s0 AS MATERIALIZED (
+        SELECT f.k, 0.0 AS lo, 4.0 AS hi,
+               ROUND(SUM(f.v / POWER(1.0, f.i)) - MAX(cst.c), {npv_round})
+                   AS flo,
+               (ROUND(SUM(f.v / POWER(1.0, f.i)) - MAX(cst.c), {npv_round})
+                * ROUND(SUM(f.v / POWER(5.0, f.i)) - MAX(cst.c), {npv_round})
+                <= 0) AS ok
+        FROM flows f JOIN cst ON cst.k = f.k
+        GROUP BY f.k
+    )"""
+    parts = [head]
+    for k in range(1, steps + 1):
+        parts.append(f""",
+    s{k} AS MATERIALIZED (
+        SELECT k,
+               CASE WHEN flo * fm <= 0 THEN lo ELSE mid END AS lo,
+               CASE WHEN flo * fm <= 0 THEN mid ELSE hi END AS hi,
+               CASE WHEN flo * fm <= 0 THEN flo ELSE fm END AS flo,
+               ok
+        FROM (
+            SELECT s.k, s.lo, s.hi, s.flo, s.ok,
+                   (s.lo + s.hi) / 2.0 AS mid,
+                   ROUND(SUM(f.v / POWER(1.0 + (s.lo + s.hi) / 2.0, f.i))
+                         - MAX(cst.c), {npv_round}) AS fm
+            FROM s{k - 1} s
+            JOIN flows f ON f.k = s.k
+            JOIN cst ON cst.k = s.k
+            GROUP BY s.k, s.lo, s.hi, s.flo, s.ok
+        )
+    )""")
+    parts.append(f"""
+    SELECT k AS user_id,
+           CASE WHEN ok THEN ROUND((lo + hi) / 2.0, 6) END AS rate
+    FROM s{steps} ORDER BY user_id""")
+    return "".join(parts)
+
+
+ORACLES["irr_by_bisect"] = _irr_by_bisect_oracle_sql()
+
+
 # silhouette twin: reuses the semantic_dedup oracle's seed-centroid
 # assignment skeleton (list_dot_product ≡ the Spark fold dot at 6 dp,
 # pytest-proven), then a = 1 − cos(own cell), b = 1 − max cos(other cells),
@@ -7907,6 +8072,105 @@ ORACLES["cox_moments"] = """
            ROUND(dxa - d * S1a / S0, 6) AS grad_a,
            ROUND(dxb - d * S1b / S0, 6) AS grad_b
     FROM suff WHERE d > 0 ORDER BY t
+"""
+
+ORACLES["cox_moments_keyed"] = """
+    WITH subj AS (
+        SELECT user_id, user_id % 3 AS cohort,
+               date_diff('day', MIN(ts)::DATE,
+                   COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END),
+                            MAX(ts))::DATE)::DOUBLE AS dur,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e,
+               (user_id % 2)::DOUBLE AS arm,
+               (user_id % 5) / 4.0 AS x2
+        FROM events GROUP BY user_id
+    ), terms AS (
+        SELECT cohort, dur AS t,
+               SUM(exp((0.5 - 0.25 * cohort) * arm
+                       + (-0.25 + 0.125 * cohort) * x2)) AS s0_,
+               SUM(exp((0.5 - 0.25 * cohort) * arm
+                       + (-0.25 + 0.125 * cohort) * x2) * arm) AS s1a_,
+               SUM(exp((0.5 - 0.25 * cohort) * arm
+                       + (-0.25 + 0.125 * cohort) * x2) * x2) AS s1b_,
+               SUM(e) AS d,
+               SUM(e * arm) AS dxa,
+               SUM(e * x2) AS dxb
+        FROM subj GROUP BY cohort, dur
+    ), suff AS (
+        SELECT cohort, t, d, dxa, dxb,
+               SUM(s0_) OVER (PARTITION BY cohort ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S0,
+               SUM(s1a_) OVER (PARTITION BY cohort ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S1a,
+               SUM(s1b_) OVER (PARTITION BY cohort ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S1b
+        FROM terms
+    )
+    SELECT CAST(cohort AS INT) AS cohort, t, CAST(d AS BIGINT) AS d,
+           ROUND(S0, 6) AS s0, ROUND(S1a, 6) AS s1a, ROUND(S1b, 6) AS s1b,
+           ROUND(dxa - d * S1a / S0, 6) AS grad_a,
+           ROUND(dxb - d * S1b / S0, 6) AS grad_b
+    FROM suff WHERE d > 0 ORDER BY cohort, t
+"""
+
+ORACLES["logrank_strat"] = """
+    WITH subj AS (
+        SELECT user_id % 3 AS cohort, user_id % 2 AS arm,
+               date_diff('day', MIN(ts)::DATE,
+                   COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END),
+                            MAX(ts))::DATE) AS dur,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), tagged AS (
+        -- side labels are GLOBAL (keys empty); risk sets are per-stratum
+        SELECT cohort, dur AS t, e,
+               CASE WHEN arm = MIN(arm) OVER () THEN 0 ELSE 1 END AS side,
+               COUNT(DISTINCT arm) OVER () AS nv
+        FROM subj
+    ), g AS (
+        SELECT cohort, t, MAX(nv) AS nv,
+               SUM(CASE WHEN side = 1 THEN e ELSE 0 END) AS d1,
+               SUM(e) AS d,
+               SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS l1,
+               COUNT(*) AS l
+        FROM tagged GROUP BY cohort, t
+    ), w AS (
+        SELECT cohort, t, nv, d1, d, l1, l,
+               SUM(l) OVER (PARTITION BY cohort)
+                 - COALESCE(SUM(l) OVER (PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n,
+               SUM(l1) OVER (PARTITION BY cohort)
+                 - COALESCE(SUM(l1) OVER (PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n1r
+        FROM g
+    ), terms AS (
+        SELECT nv, d1, l, l1,
+               d::DOUBLE * (n1r::DOUBLE / n) AS e1,
+               CASE WHEN n > 1
+                    THEN d::DOUBLE * (n1r::DOUBLE / n)
+                         * (1.0 - n1r::DOUBLE / n)
+                         * (n - d)::DOUBLE / (n - 1)
+                    ELSE 0.0 END AS v
+        FROM w
+    ), agg AS (
+        SELECT MAX(nv) AS nv,
+               SUM(l - l1) AS n0, SUM(l1) AS n1,
+               SUM(d1) AS observed1, SUM(e1) AS expected1,
+               SUM(d1::DOUBLE - e1) AS oe, SUM(v) AS vv
+        FROM terms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+           CAST(observed1 AS BIGINT) AS observed1,
+           ROUND(expected1, 6) AS expected1,
+           ROUND(CASE WHEN nv = 2 AND vv > 0.0
+                      THEN oe * oe / vv END, 6) AS chi2,
+           CASE WHEN nv = 2 AND vv > 0.0
+                THEN (oe * oe / vv) > 3.841 END AS significant
+    FROM agg
 """
 
 ORACLES["impute"] = """

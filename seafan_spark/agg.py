@@ -351,6 +351,132 @@ def irr_bisect(
         d.unpersist()
 
 
+def irr_by_bisect(
+    df: DataFrame,
+    keys: Sequence[str],
+    flow_col: str,
+    order: Sequence[str],
+    cost: float | None = None,
+    lo: float = 0.0,
+    hi: float = 4.0,
+    steps: int = 40,
+    npv_round: int = 4,
+) -> DataFrame:
+    """GROUPED distributed fixed-step bisection IRR — :func:`irr_bisect`
+    generalized so EVERY group advances in one aggregate per step
+    (round-8 VERDICT #3): per group g, the rate r in [lo, hi] with
+    ``npv(r, flows_g) = cost_g`` after exactly ``steps`` halvings.
+
+    Shape per step: the group-cardinality bracket relation (keys, lo,
+    hi, flo, cost) broadcast-joins onto the cached indexed flow relation
+    and ONE ``groupBy(keys)`` computes every group's rounded f(mid) =
+    npv((lo+hi)/2) − cost simultaneously — map-side partial aggregation
+    means the shuffle carries only group-cardinality partials, so 40
+    steps = 40 bounded shuffles, never an ``applyInPandas`` (contrast
+    :func:`irr_by`, which Arrow-ships each group's whole flow vector to
+    Python). The bracket relation is ``localCheckpoint``-ed each step
+    (tiny) to keep the 40-iteration lineage shallow; flows NEVER collect
+    and never leave the JVM.
+
+    Determinism contract shared with ``irr_bisect``: bracket decisions
+    test the ROUNDED f(mid) (``npv_round`` decimals), and a dyadic
+    [lo, hi] makes every midpoint an exact double, so matching decisions
+    give bit-equal rates cross-engine. ``cost`` defaults to half each
+    group's undiscounted flow total. Groups whose bracket has no sign
+    change return rate NULL (a distributed op must not abort the job for
+    one degenerate group — the ``irr_by`` contract).
+
+    Returns (keys..., rate double), one row per group.
+    """
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    if steps < 1:
+        raise ValueError("irr_by_bisect: steps must be >= 1")
+    keys = list(keys)
+    if not keys:
+        raise ValueError("irr_by_bisect: need at least one key (use irr_bisect)")
+    lo, hi = float(lo), float(hi)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order])
+    flows = (
+        df.select(*keys, F.col(flow_col).cast("double").alias("_v"), *order)
+        .withColumn("_i", (F.row_number().over(w) - 1).cast("double"))
+        .select(*keys, "_v", "_i")
+    )
+    # small total flow relations collapse to one partition so each of the
+    # ~40 per-step aggregate jobs is one task, not 32 mostly-empty ones
+    # (the irr_bisect measurement, 30s -> ~3s at sf0.1); big relations
+    # keep their partitioning — the per-step groupBy is map-side partial
+    # either way. cache() first so the count materializes the cache and
+    # the coalesce is a narrow read of it.
+    cached = flows.cache()
+    flows = cached.coalesce(1) if cached.count() <= 100_000 else cached
+    try:
+        def f_at(r) -> "F.Column":
+            # r: per-group bracket Column (exact dyadic) or a float literal
+            rc = r if not isinstance(r, float) else F.lit(r)
+            return round_col(
+                F.sum(F.col("_v") / F.pow(F.lit(1.0) + rc, F.col("_i")))
+                - F.first("_c"),
+                npv_round,
+            )
+
+        c_expr = (F.sum("_v") / 2.0) if cost is None else F.lit(float(cost))
+        base = flows.groupBy(*keys).agg(c_expr.alias("_c0"))
+        b = (
+            flows.join(F.broadcast(base), on=keys)
+            .withColumnRenamed("_c0", "_c")
+            .groupBy(*keys)
+            .agg(
+                f_at(lo).alias("_flo"),
+                f_at(hi).alias("_fhi"),
+                F.first("_c").alias("_c"),
+            )
+            .select(
+                *keys,
+                F.lit(lo).alias("_lo"),
+                F.lit(hi).alias("_hi"),
+                "_flo",
+                (F.col("_flo") * F.col("_fhi") <= 0).alias("_ok"),
+                "_c",
+            )
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(steps):
+            mid = (F.first("_lo") + F.first("_hi")) / 2.0
+            g = (
+                flows.join(F.broadcast(b), on=keys)
+                .groupBy(*keys)
+                .agg(
+                    f_at((F.col("_lo") + F.col("_hi")) / 2.0).alias("_fm"),
+                    mid.alias("_mid"),
+                    F.first("_lo").alias("_lo"),
+                    F.first("_hi").alias("_hi"),
+                    F.first("_flo").alias("_flo"),
+                    F.first("_ok").alias("_ok"),
+                    F.first("_c").alias("_c"),
+                )
+            )
+            keep_lo = F.col("_flo") * F.col("_fm") <= 0
+            b = g.select(
+                *keys,
+                F.when(keep_lo, F.col("_lo")).otherwise(F.col("_mid")).alias("_lo"),
+                F.when(keep_lo, F.col("_mid")).otherwise(F.col("_hi")).alias("_hi"),
+                F.when(keep_lo, F.col("_flo")).otherwise(F.col("_fm")).alias("_flo"),
+                "_ok",
+                "_c",
+            ).localCheckpoint(eager=True)
+        return b.select(
+            *keys,
+            F.when(
+                F.col("_ok"), (F.col("_lo") + F.col("_hi")) / 2.0
+            ).alias("rate"),
+        )
+    finally:
+        cached.unpersist()
+
+
 def rollup_table(
     pipe: Pipeline,
     keys: Sequence[str],

@@ -26,6 +26,55 @@ class SmallDataLimitError(ValueError):
     pass
 
 
+def _default_group_limit() -> int:
+    return int(os.environ.get("SEAFAN_COLLAPSED_GROUP_LIMIT", "2000000"))
+
+
+def assert_bounded_groups(
+    df: DataFrame,
+    keys,
+    op: str,
+    limit: int | None = None,
+    scale_hint: str = "",
+) -> int:
+    """Raise if any ``keys`` cell of ``df`` exceeds the collapsed-relation
+    row ceiling; returns the max cell size (total count when ``keys`` is
+    empty).
+
+    The survival/CUSUM family runs ordered windows PER GROUP over a
+    collapsed (group, distinct time) relation — correct at any corpus
+    size ONLY while that relation stays bounded by time cardinality. A
+    continuous duration column (microsecond floats) silently defeats the
+    collapse: each group's window becomes subject-cardinality on a single
+    task. This guard prices one aggregate over the already-collapsed
+    relation (group-cardinality output) and fails loudly with the
+    'bucket first' guidance instead. Ceiling via
+    ``SEAFAN_COLLAPSED_GROUP_LIMIT`` (default 2e6 rows per group).
+    """
+    from pyspark.sql import functions as F
+
+    cap = _default_group_limit() if limit is None else limit
+    keys = list(keys)
+    if keys:
+        mx = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("_m"))
+            .collect()[0]["_m"]
+        )
+        mx = int(mx or 0)
+    else:
+        mx = df.count()
+    if mx > cap:
+        hint = f" {scale_hint}" if scale_hint else ""
+        raise SmallDataLimitError(
+            f"{op}: a group's collapsed relation has {mx} rows, above the "
+            f"{cap} per-group ceiling (set SEAFAN_COLLAPSED_GROUP_LIMIT "
+            f"to override).{hint}"
+        )
+    return mx
+
+
 def assert_small(
     df: DataFrame, op: str, limit: int | None = None, scale_hint: str = ""
 ) -> int:

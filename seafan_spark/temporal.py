@@ -26,6 +26,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 from seafan_spark.pipeline import as_df as _df  # shared unwrap contract
@@ -822,6 +823,17 @@ def survival_km(
         F.sum("_e").alias("n_event"),
         F.sum(F.lit(1) - F.col("_e")).alias("n_censor"),
     )
+    # enforce the collapsed-table contract (round-8 VERDICT #4): a
+    # continuous duration column defeats the collapse and turns each
+    # group's window into a subject-cardinality single task. One bounded
+    # count aggregate (group-cardinality output), fails with guidance.
+    from seafan_spark.guards import assert_bounded_groups
+
+    assert_bounded_groups(
+        g, keys, "survival_km",
+        scale_hint="Bucket the duration column first (day/week bins) — "
+        "the KM table is one row per DISTINCT duration per group.",
+    )
     wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
     word = wall.orderBy(F.col("t").asc())
     leaving = F.col("n_event") + F.col("n_censor")
@@ -901,6 +913,17 @@ def cusum_changepoint(
     base = d.filter(x.isNotNull() & F.col(order_col).isNotNull()).select(
         *keys, F.col(order_col).alias("_t"), x.alias("_x")
     )
+    # enforce the aggregated-series contract (round-8 VERDICT #4): the
+    # CUSUM windows run per group on a single task, so each group's
+    # series must be time-cardinality-bounded (daily rollups), never raw
+    # subject rows. One bounded count aggregate, fails with guidance.
+    from seafan_spark.guards import assert_bounded_groups
+
+    assert_bounded_groups(
+        base, keys, "cusum_changepoint",
+        scale_hint="Aggregate the series first (e.g. one row per day per "
+        "group) — CUSUM running sums are per-group ordered windows.",
+    )
     wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
     word = wall.orderBy(F.col("_t").asc()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -951,6 +974,7 @@ def logrank_test(
     group_col: str,
     keys: Sequence[str] = (),
     weights: str = "logrank",
+    strata: Sequence[str] = (),
 ) -> DataFrame:
     """Two-sample log-rank test (Mantel 1966) — does survival differ
     between two arms? The inference companion to :func:`survival_km`
@@ -969,6 +993,14 @@ def logrank_test(
     non-NULL group values are required per ``keys`` cell — the smaller
     label is group 0, mirroring ``prop_test_by``'s contract; groups
     with a different count get NULL output rather than a wrong pool.
+
+    ``strata``: STRATIFIED log-rank (the standard confounder control —
+    e.g. test treatment arms while adjusting for site): risk sets and
+    the hypergeometric E/V terms are computed WITHIN each (keys, strata)
+    cell, then O−E and V pool ACROSS strata before the single chi².
+    Side labels stay per-``keys`` cell so arm 0/1 means the same thing
+    in every stratum. One extra column set in the duration-collapse key
+    and the window partitioning — the scale shape is unchanged.
     Returns (keys..., n0, n1, observed1, expected1, chi2,
     significant) with ``significant = chi2 > 3.841`` (the 5% chi-square
     critical value — a p-value would need the incomplete gamma, whose
@@ -982,13 +1014,23 @@ def logrank_test(
     aggregation. Same collapsed-table contract as :func:`survival_km`.
     """
     keys = list(keys)
+    strata = list(strata)
     d = getattr(df, "df", df)
     t = F.col(duration_col).cast("double")
     ev = F.when(F.col(event_col).cast("double") > 0.5, 1).otherwise(0)
-    base = d.filter(
-        t.isNotNull() & F.col(event_col).isNotNull() & F.col(group_col).isNotNull()
-    ).select(*keys, F.col(group_col).alias("_g"), t.alias("t"), ev.alias("_e"))
+    cond = t.isNotNull() & F.col(event_col).isNotNull() & F.col(group_col).isNotNull()
+    for c in strata:
+        cond = cond & F.col(c).isNotNull()
+    base = d.filter(cond).select(
+        *keys, *strata, F.col(group_col).alias("_g"), t.alias("t"), ev.alias("_e")
+    )
     wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    # risk sets live within (keys, strata); label sides stay per-keys cell
+    wrisk = (
+        Window.partitionBy(*keys, *strata)
+        if (keys or strata)
+        else Window.partitionBy(F.lit(0))
+    )
     # group side: smaller label = 0 (prop_test_by convention); enforce two.
     # Grouped, the label stats are keys-partitioned windows over subjects;
     # ungrouped they come from a broadcast 1-row aggregate — never a
@@ -1009,19 +1051,28 @@ def logrank_test(
         base = base.withColumn(
             "_side", F.when(F.col("_g") == F.col("_glo"), 0).otherwise(1)
         ).withColumn("_nv", F.col("_gnv")).drop("_glo", "_gnv")
-    g = base.groupBy(*keys, "t").agg(
+    from seafan_spark.guards import assert_bounded_groups
+
+    g = base.groupBy(*keys, *strata, "t").agg(
         F.max("_nv").alias("_nv"),
         F.sum(F.when(F.col("_side") == 1, F.col("_e")).otherwise(0)).alias("d1"),
         F.sum(F.col("_e")).alias("d"),
         F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("l1"),
         F.count(F.lit(1)).alias("l"),
     )
-    word = wall.orderBy(F.col("t").asc())
+    # collapsed-table contract (round-8 VERDICT #4): continuous durations
+    # defeat the collapse — per-(keys, strata) cells must stay bounded
+    assert_bounded_groups(
+        g, [*keys, *strata], "logrank_test",
+        scale_hint="Bucket the duration column first (day/week bins) — "
+        "the E/V terms are per DISTINCT duration per cell.",
+    )
+    word = wrisk.orderBy(F.col("t").asc())
     before = word.rowsBetween(Window.unboundedPreceding, -1)
-    n_tot = F.sum("l").over(wall) - F.coalesce(
+    n_tot = F.sum("l").over(wrisk) - F.coalesce(
         F.sum("l").over(before), F.lit(0).cast("long")
     )
-    n1 = F.sum("l1").over(wall) - F.coalesce(
+    n1 = F.sum("l1").over(wrisk) - F.coalesce(
         F.sum("l1").over(before), F.lit(0).cast("long")
     )
     g = g.withColumn("_n", n_tot).withColumn("_n1", n1)
@@ -1066,6 +1117,213 @@ def logrank_test(
     )
 
 
+def _cox_ph_keyed(base, x_cols, keys, max_iter, tol):
+    """Grouped-Newton driver loop for :func:`cox_ph` with ``keys=``.
+
+    ``base`` is the pre-filtered, localCheckpointed subject relation
+    (keys..., _t, _e, _x0.._xp-1). Per iteration: broadcast-join the
+    group-cardinality beta relation, ONE groupBy(keys, _t) collapse, one
+    keys-partitioned suffix-sum window, one groupBy(keys) aggregate
+    collected as a row per group, then batched driver-side p x p solves.
+    """
+    import numpy as np
+
+    p = len(x_cols)
+    pairs = [(k, l) for k in range(p) for l in range(k, p)]
+    spark = base.sparkSession
+    key_fields = [base.schema[k] for k in keys]
+    groups = [tuple(r) for r in base.select(*keys).distinct().collect()]
+    if not groups:
+        return []
+    beta = {g: np.zeros(p) for g in groups}
+    converged = {g: False for g in groups}
+    failed: dict[tuple, str] = {}
+    beta_schema = T.StructType(
+        list(key_fields) + [T.StructField(f"_b{k}", T.DoubleType()) for k in range(p)]
+    )
+    for _ in range(max_iter):
+        active = [g for g in groups if not converged[g] and g not in failed]
+        if not active:
+            break
+        brel = spark.createDataFrame(
+            [(*g, *[float(b) for b in beta[g]]) for g in active], beta_schema
+        )
+        j = base.join(F.broadcast(brel), on=keys)  # inner: frozen groups drop out
+        lin = F.lit(0.0)
+        for k in range(p):
+            lin = lin + F.col(f"_b{k}") * F.col(f"_x{k}")
+        s = F.exp(lin)
+        g = j.groupBy(*keys, "_t").agg(
+            F.sum(s).alias("_s0"),
+            *[F.sum(s * F.col(f"_x{k}")).alias(f"_s1_{k}") for k in range(p)],
+            *[
+                F.sum(s * F.col(f"_x{k}") * F.col(f"_x{l}")).alias(f"_s2_{k}_{l}")
+                for k, l in pairs
+            ],
+            F.sum("_e").alias("_d"),
+            *[
+                F.sum(F.col("_e") * F.col(f"_x{k}")).alias(f"_dx_{k}")
+                for k in range(p)
+            ],
+        )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        g = g.select(
+            *keys, "_t", "_d", *[f"_dx_{k}" for k in range(p)],
+            F.sum("_s0").over(w).alias("_S0"),
+            *[F.sum(f"_s1_{k}").over(w).alias(f"_S1_{k}") for k in range(p)],
+            *[
+                F.sum(f"_s2_{k}_{l}").over(w).alias(f"_S2_{k}_{l}")
+                for k, l in pairs
+            ],
+        ).filter(F.col("_d") > 0)
+        rows = g.groupBy(*keys).agg(
+            *[
+                F.sum(
+                    F.col(f"_dx_{k}")
+                    - F.col("_d") * F.col(f"_S1_{k}") / F.col("_S0")
+                ).alias(f"g{k}")
+                for k in range(p)
+            ],
+            *[
+                F.sum(
+                    F.col("_d")
+                    * (
+                        F.col(f"_S2_{k}_{l}") / F.col("_S0")
+                        - F.col(f"_S1_{k}") * F.col(f"_S1_{l}")
+                        / (F.col("_S0") * F.col("_S0"))
+                    )
+                ).alias(f"h{k}_{l}")
+                for k, l in pairs
+            ],
+        ).collect()
+        seen = set()
+        for row in rows:
+            gk = tuple(row[k] for k in keys)
+            seen.add(gk)
+            grad = np.array([row[f"g{k}"] for k in range(p)])
+            if not np.all(np.isfinite(grad)):
+                failed[gk] = "non-finite gradient (divergence / separation)"
+                continue
+            info = np.zeros((p, p))
+            for k, l in pairs:
+                info[k, l] = info[l, k] = row[f"h{k}_{l}"]
+            try:
+                step = np.linalg.solve(info, grad)
+            except np.linalg.LinAlgError:
+                failed[gk] = "singular information matrix (collinear covariates)"
+                continue
+            if not np.all(np.isfinite(step)):
+                failed[gk] = "non-finite Newton step (ill-conditioned)"
+                continue
+            beta[gk] = beta[gk] + step
+            if float(np.max(np.abs(step))) < tol:
+                converged[gk] = True
+        for gk in active:
+            if gk not in seen and gk not in failed:
+                # group present in the input but with zero event times
+                failed[gk] = "no events in group"
+    out = []
+    for gk in groups:
+        err = failed.get(gk)
+        for k in range(p):
+            rec = dict(zip(keys, gk))
+            rec["name"] = x_cols[k]
+            if err is None:
+                # final-iterate observed information for this group is not
+                # retained per-covariate here without one more pass; reuse
+                # the last solve's info via a refit-free recompute below
+                rec.update(
+                    beta=float(beta[gk][k]),
+                    hr=float(np.exp(beta[gk][k])),
+                    converged=converged[gk],
+                )
+            else:
+                rec.update(
+                    beta=None, hr=None, se=None, z=None,
+                    converged=False, error=err,
+                )
+            out.append(rec)
+    # one extra relational pass at the final betas to get each group's
+    # observed information -> per-covariate se/z (the ungrouped path gets
+    # this for free from its last iteration; here frozen groups may have
+    # converged in different iterations)
+    ok_groups = [g for g in groups if g not in failed]
+    if ok_groups:
+        brel = spark.createDataFrame(
+            [(*g, *[float(b) for b in beta[g]]) for g in ok_groups], beta_schema
+        )
+        j = base.join(F.broadcast(brel), on=keys)
+        lin = F.lit(0.0)
+        for k in range(p):
+            lin = lin + F.col(f"_b{k}") * F.col(f"_x{k}")
+        s = F.exp(lin)
+        g = j.groupBy(*keys, "_t").agg(
+            F.sum(s).alias("_s0"),
+            *[F.sum(s * F.col(f"_x{k}")).alias(f"_s1_{k}") for k in range(p)],
+            *[
+                F.sum(s * F.col(f"_x{k}") * F.col(f"_x{l}")).alias(f"_s2_{k}_{l}")
+                for k, l in pairs
+            ],
+            F.sum("_e").alias("_d"),
+        )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("_t").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        g = g.select(
+            *keys, "_d",
+            F.sum("_s0").over(w).alias("_S0"),
+            *[F.sum(f"_s1_{k}").over(w).alias(f"_S1_{k}") for k in range(p)],
+            *[
+                F.sum(f"_s2_{k}_{l}").over(w).alias(f"_S2_{k}_{l}")
+                for k, l in pairs
+            ],
+        ).filter(F.col("_d") > 0)
+        rows = g.groupBy(*keys).agg(
+            *[
+                F.sum(
+                    F.col("_d")
+                    * (
+                        F.col(f"_S2_{k}_{l}") / F.col("_S0")
+                        - F.col(f"_S1_{k}") * F.col(f"_S1_{l}")
+                        / (F.col("_S0") * F.col("_S0"))
+                    )
+                ).alias(f"h{k}_{l}")
+                for k, l in pairs
+            ],
+        ).collect()
+        import numpy.linalg as LA
+
+        for row in rows:
+            gk = tuple(row[k] for k in keys)
+            info = np.zeros((p, p))
+            for k, l in pairs:
+                info[k, l] = info[l, k] = row[f"h{k}_{l}"]
+            try:
+                cov = LA.inv(info)
+            except LA.LinAlgError:
+                cov = None
+            for k in range(p):
+                rec = next(
+                    r for r in out
+                    if all(r[kc] == kv for kc, kv in zip(keys, gk))
+                    and r["name"] == x_cols[k]
+                )
+                if cov is None:
+                    rec["se"] = None
+                    rec["z"] = None
+                    continue
+                se = float(np.sqrt(max(cov[k, k], 0.0)))
+                rec["se"] = se
+                rec["z"] = float(rec["beta"] / se) if se > 0 else None
+    return out
+
+
 def cox_ph(
     df,
     duration_col: str,
@@ -1073,6 +1331,7 @@ def cox_ph(
     x_cols: Sequence[str],
     max_iter: int = 12,
     tol: float = 1e-9,
+    keys: Sequence[str] = (),
 ):
     """Cox proportional-hazards regression (Cox 1972, Breslow ties) —
     the multivariate member of the survival family
@@ -1095,23 +1354,51 @@ def cox_ph(
     p + p(p+1)/2 + 1 numbers. The Newton step (a p x p solve) runs on
     the driver with numpy; p is small by contract (covariates, not
     features). No subject-level window, no Python in the row path.
+
+    ``keys``: GROUPED Cox (round-8 VERDICT #8) — an independent fit per
+    cohort, every cohort advancing in the SAME relational pass per
+    iteration: the per-group beta vector rides in as a broadcast
+    group-cardinality relation (so each subject's linear predictor uses
+    its own cohort's beta), the duration collapse and suffix sums
+    partition by the keys (the :func:`survival_km` pattern), and ONE
+    ``groupBy(keys)`` collect returns a gradient/Hessian row per group
+    whose p x p solves are batched driver-side. Group cardinality is
+    cohort-scale by contract (the beta relation broadcasts); returns one
+    dict per (group, covariate) with the key columns included. Groups
+    whose fit diverges or is singular come back with beta/hr/se/z None
+    and ``converged`` False plus an ``error`` note — one degenerate
+    cohort must not abort the fleet fit.
     """
     import numpy as np
 
     p = len(x_cols)
     if p == 0:
         raise ValueError("cox_ph: need at least one covariate")
+    keys = list(keys)
     d = getattr(df, "df", df)
     t = F.col(duration_col).cast("double")
     ev = F.when(F.col(event_col).cast("double") > 0.5, 1).otherwise(0)
     cond = t.isNotNull() & F.col(event_col).isNotNull()
-    for c in x_cols:
+    for c in [*x_cols, *keys]:
         cond = cond & F.col(c).isNotNull()
     base = d.filter(cond).select(
-        t.alias("_t"), ev.alias("_e"),
+        *keys, t.alias("_t"), ev.alias("_e"),
         *[F.col(c).cast("double").alias(f"_x{k}") for k in range(p)
           for c in [x_cols[k]]],
     ).localCheckpoint(eager=True)
+    # collapsed-table contract (round-8 VERDICT #4): each iteration's
+    # suffix sums run over the per-(keys) distinct-duration relation on a
+    # single task per group — continuous durations defeat the collapse.
+    # Guard ONCE before iterating (the relation shape never changes).
+    from seafan_spark.guards import assert_bounded_groups
+
+    assert_bounded_groups(
+        base.select(*keys, "_t").distinct(), keys, "cox_ph",
+        scale_hint="Bucket the duration column first (day/week bins) — "
+        "risk-set suffix sums are per DISTINCT duration per group.",
+    )
+    if keys:
+        return _cox_ph_keyed(base, x_cols, keys, max_iter, tol)
 
     pairs = [(k, l) for k in range(p) for l in range(k, p)]
     beta = np.zeros(p)

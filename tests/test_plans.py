@@ -105,14 +105,13 @@ def test_scale_report_signals(spark):
 
 def test_correctness_window_invariant():
     """The driver hash-checks only the first 50 queries() entries: every
-    one of them must have an oracle. Round-8 contract: the seventeen
-    session-2 additions (target_encode ... cox_moments) head the window,
-    then the earlier round-8 additions (marginal_fixed ... fuzzy_join),
-    the four whose implementation/oracle changed this round
-    (ann_pq_adc/nn_forward/mmr/kcenter), then never-driver-checked
-    oracled queries and r06-recorded restorations; the r07-recorded
-    greens and the r02 basics rotate below the marker — the window
-    stays 50/50 oracled."""
+    one of them must have an oracle. Round-9 contract (round-8 VERDICT
+    #7): the three round-9 additions head the window, then kruskal /
+    ts_pattern (missed the r8 cut at positions 51-52), then the
+    r02-checked oracled basics (oldest driver records on the board), then
+    the oldest r04-checked survivors; the r08-checked greens — whose
+    driver rows CORRECTNESS_r08.json now records 50/50 — rotate below
+    the marker. The window stays 50/50 oracled."""
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
@@ -122,26 +121,23 @@ def test_correctness_window_invariant():
     # rows-only queries must all sit below the window
     rows_only = [n for n in names if n not in oracles]
     assert all(n in names[50:] for n in rows_only), rows_only
-    # round-8 head + promotions
-    assert names[:28] == ["target_encode", "auc", "auc_global",
-                          "average_precision", "average_precision_global",
-                          "survival_km", "cusum_changepoint",
-                          "phash_neardup", "fdr_bh", "brier", "l_diversity",
-                          "ks_grouped", "logrank", "logrank_wilcoxon",
-                          "conformal", "impute", "cox_moments",
-                          "marginal_fixed", "irr_bisect", "silhouette",
-                          "k_anonymity", "bpe_train", "bpe_encode",
-                          "fuzzy_join", "ann_pq_adc", "nn_forward", "mmr",
-                          "kcenter"]
-    # (the r02-basics tail — join_inner/pack/pivot/rollup/... — was pushed
-    # below the window by the eight session-2 additions; they have r02
-    # driver records and queue for round 9)
-    assert {"semantic_dedup", "semantic_dedup_incr", "ngram_jaccard_prefix",
-            "cdc_apply", "scd2", "ttest", "chisq", "cms", "token_divergence",
-            "rrf", "anova"} <= set(names[:50])
-    # r07-recorded greens rotated out (their driver rows are the record)
-    assert {"bm25", "glm_moments", "ranking_metrics", "minhash_clusters",
-            "dedup_lines", "leakage_split"} <= set(names[50:])
+    # round-9 head: new ops, then the two that missed the r8 cut
+    assert names[:5] == ["irr_by_bisect", "cox_moments_keyed",
+                         "logrank_strat", "kruskal", "ts_pattern"]
+    # r02-checked basics restored (oldest driver records)
+    assert {"append", "asof", "contamination", "join_inner", "pack",
+            "pivot", "range_join", "rollup", "salted_agg", "sessionize",
+            "stream_join", "tfidf", "vocab", "where_keep", "topk"} <= set(
+        names[5:33]
+    )
+    # oldest r04-checked survivors fill the tail of the window
+    assert {"tpch_q3", "minhash_incr", "ann_lsh", "multimodal",
+            "lm_score", "psi_drift", "source_cap"} <= set(names[33:50])
+    # r08-checked greens rotated out (their driver rows are the record)
+    assert {"target_encode", "survival_km", "cox_moments", "irr_bisect",
+            "fdr_bh", "fuzzy_join", "bpe_train", "semantic_dedup"} <= set(
+        names[50:]
+    )
     # every oracle key must reference a real query
     dangling = [n for n in oracles if n not in names]
     assert not dangling, f"oracles without queries: {dangling}"

@@ -3791,12 +3791,106 @@ def q_logrank_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences ATT (causal.did_estimator) per event
+    type: treated = even user ids, post = second half of the event
+    window (a pinned calendar split), y = value. One map-side-partial
+    groupBy collapses the corpus to the (event_type x arm x period)
+    cells; the four means and the ATT are exact sums with single IEEE
+    divisions — 6-dp rounded for the hash."""
+    from seafan_spark.causal import did_estimator
+
+    ev = _pipe(spark, sf_dir, "events").df
+    mid = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    ).collect()[0]
+    import datetime as _dt
+
+    cut = mid["d0"] + _dt.timedelta(
+        days=(mid["d1"] - mid["d0"]).days // 2
+    )
+    d = ev.select(
+        "event_type",
+        ((F.col("user_id") % 2) == 0).cast("int").alias("treated"),
+        (F.to_date("ts") > F.lit(cut)).cast("int").alias("post"),
+        F.col("value").alias("y"),
+    )
+    out = did_estimator(d, "treated", "post", "y", keys=["event_type"])
+    return out.select(
+        "event_type",
+        "n_t_pre", "n_t_post", "n_c_pre", "n_c_post",
+        round_col("y_t_pre", 6).alias("y_t_pre"),
+        round_col("y_t_post", 6).alias("y_t_post"),
+        round_col("y_c_pre", 6).alias("y_c_pre"),
+        round_col("y_c_post", 6).alias("y_c_post"),
+        round_col("att", 6).alias("att"),
+    ).orderBy("event_type")
+
+
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hajek IPW average treatment effect (causal.ipw_ate) per event
+    type at a PINNED deterministic propensity (e = 0.25 + 0.5*(user_id
+    % 7)/6 — the role the driver-oracled GLM fills in production, pinned
+    here so the estimator itself is the thing hash-checked): clipped
+    weights, one grouped pass of weighted sums, divisions at the end."""
+    from seafan_spark.causal import ipw_ate
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        "event_type",
+        ((F.col("user_id") % 3) == 0).cast("int").alias("treated"),
+        F.col("value").alias("y"),
+        (F.lit(0.25) + F.lit(0.5) * (F.col("user_id") % 7) / F.lit(6.0)).alias("e"),
+    )
+    out = ipw_ate(d, "treated", "y", "e", keys=["event_type"])
+    return out.select(
+        "event_type",
+        "n", "n_treated",
+        round_col("sum_w1", 6).alias("sum_w1"),
+        round_col("sum_w0", 6).alias("sum_w0"),
+        round_col("mu1", 6).alias("mu1"),
+        round_col("mu0", 6).alias("mu0"),
+        round_col("ate", 6).alias("ate"),
+    ).orderBy("event_type")
+
+
+def q_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational 1-nearest-control propensity matching
+    (causal.propensity_match): treated = every 5th document, score a
+    pinned deterministic hash-free formula ((doc_id*37) % 1000)/1000 —
+    duplicate scores ARE present at sf0.1, exercising the total-order
+    tie contract (score, controls-first, id) that makes the match
+    reproduce in DuckDB's identical windows. Two keyed windows over the
+    score-sorted relation, never a pairwise join; caliper 0.005."""
+    from seafan_spark.causal import propensity_match
+
+    docs = _pipe(spark, sf_dir, "documents").df
+    d = docs.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") % 5) == 0).cast("int").alias("treated"),
+        (((F.col("doc_id") * 37) % 1000) / F.lit(1000.0)).alias("s"),
+        "lang",
+    )
+    out = propensity_match(d, "id", "treated", "s", caliper=0.005, keys=["lang"])
+    return out.select(
+        "lang",
+        "treated_id",
+        "control_id",
+        round_col("treated_score", 6).alias("treated_score"),
+        round_col("control_score", 6).alias("control_score"),
+        round_col("distance", 6).alias("distance"),
+    ).orderBy("lang", "treated_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ========== driver 50-entry correctness window (round 9) ==========
     # --- oracled, new in round 9 (never driver-checked -> window head) ---
     "irr_by_bisect": q_irr_by_bisect,
     "cox_moments_keyed": q_cox_moments_keyed,
     "logrank_strat": q_logrank_strat,
+    "did": q_did,
+    "ipw_ate": q_ipw_ate,
+    "psm_match": q_psm_match,
     # --- missed the r8 cut at positions 51-52 (last checked r6/r5) ---
     "kruskal": q_kruskal,
     "ts_pattern": q_ts_pattern,
@@ -3844,10 +3938,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coalesce_logodds": q_coalesce_logodds,
     "minhash_calibration": q_minhash_calibration,
     "hist_quantiles": q_hist_quantiles,
+    # --- end of the driver's 50-entry correctness window ---
+    # (psi_drift/dedup_reps/source_cap displaced to 51-53 by the three
+    # causal additions; r04-checked, first in line for round 10)
     "psi_drift": q_psi_drift,
     "dedup_reps": q_dedup_reps,
     "source_cap": q_source_cap,
-    # --- end of the driver's 50-entry correctness window ---
     # (r08-checked greens and newer rotate below; their driver rows are
     # the record. Rows-only queries stay below by the ordering contract.)
     "target_encode": q_target_encode,
@@ -8112,6 +8208,119 @@ ORACLES["cox_moments_keyed"] = """
            ROUND(dxa - d * S1a / S0, 6) AS grad_a,
            ROUND(dxb - d * S1b / S0, 6) AS grad_b
     FROM suff WHERE d > 0 ORDER BY cohort, t
+"""
+
+ORACLES["did"] = """
+    WITH bounds AS (
+        SELECT MIN(ts)::DATE AS d0, MAX(ts)::DATE AS d1 FROM events
+    ), base AS (
+        SELECT event_type,
+               CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+               CASE WHEN ts::DATE > (SELECT d0 + CAST((d1 - d0) // 2 AS INTEGER)
+                                     FROM bounds)
+                    THEN 1 ELSE 0 END AS p,
+               value::DOUBLE AS y
+        FROM events WHERE value IS NOT NULL
+    ), g AS (
+        SELECT event_type,
+               SUM(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS n_t_pre,
+               SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS n_t_post,
+               SUM(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS n_c_pre,
+               SUM(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS n_c_post,
+               SUM(CASE WHEN t = 1 AND p = 0 THEN y END) AS s_t_pre,
+               SUM(CASE WHEN t = 1 AND p = 1 THEN y END) AS s_t_post,
+               SUM(CASE WHEN t = 0 AND p = 0 THEN y END) AS s_c_pre,
+               SUM(CASE WHEN t = 0 AND p = 1 THEN y END) AS s_c_post
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_t_pre AS BIGINT) AS n_t_pre,
+           CAST(n_t_post AS BIGINT) AS n_t_post,
+           CAST(n_c_pre AS BIGINT) AS n_c_pre,
+           CAST(n_c_post AS BIGINT) AS n_c_post,
+           ROUND(s_t_pre / n_t_pre, 6) AS y_t_pre,
+           ROUND(s_t_post / n_t_post, 6) AS y_t_post,
+           ROUND(s_c_pre / n_c_pre, 6) AS y_c_pre,
+           ROUND(s_c_post / n_c_post, 6) AS y_c_post,
+           ROUND((s_t_post / n_t_post - s_t_pre / n_t_pre)
+                 - (s_c_post / n_c_post - s_c_pre / n_c_pre), 6) AS att
+    FROM g ORDER BY event_type
+"""
+
+ORACLES["ipw_ate"] = """
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+               value::DOUBLE AS y,
+               LEAST(GREATEST(0.25 + 0.5 * (user_id % 7) / 6.0, 0.01), 0.99)
+                   AS e
+        FROM events WHERE value IS NOT NULL
+    ), w AS (
+        SELECT event_type, t, y, e,
+               CASE WHEN t = 1 THEN 1.0 / e ELSE 0.0 END AS w1,
+               CASE WHEN t = 0 THEN 1.0 / (1.0 - e) ELSE 0.0 END AS w0
+        FROM base
+    ), g AS (
+        SELECT event_type,
+               COUNT(*) AS n, SUM(t) AS n_treated,
+               SUM(w1) AS sum_w1, SUM(w0) AS sum_w0,
+               SUM(w1 * y) AS wy1, SUM(w0 * y) AS wy0
+        FROM w GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n, CAST(n_treated AS BIGINT) AS n_treated,
+           ROUND(sum_w1, 6) AS sum_w1, ROUND(sum_w0, 6) AS sum_w0,
+           ROUND(wy1 / sum_w1, 6) AS mu1,
+           ROUND(wy0 / sum_w0, 6) AS mu0,
+           ROUND(wy1 / sum_w1 - wy0 / sum_w0, 6) AS ate
+    FROM g ORDER BY event_type
+"""
+
+ORACLES["psm_match"] = """
+    WITH base AS (
+        SELECT lang, doc_id AS id,
+               CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS t,
+               ((doc_id * 37) % 1000) / 1000.0 AS s
+        FROM documents
+    ), cand AS (
+        SELECT lang, id, t, s,
+               LAST_VALUE(CASE WHEN t = 0 THEN s END IGNORE NULLS) OVER (
+                   PARTITION BY lang ORDER BY s ASC, t ASC, id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS lo_s,
+               LAST_VALUE(CASE WHEN t = 0 THEN id END IGNORE NULLS) OVER (
+                   PARTITION BY lang ORDER BY s ASC, t ASC, id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS lo_id,
+               LAST_VALUE(CASE WHEN t = 0 THEN s END IGNORE NULLS) OVER (
+                   PARTITION BY lang ORDER BY s DESC, t DESC, id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS hi_s,
+               LAST_VALUE(CASE WHEN t = 0 THEN id END IGNORE NULLS) OVER (
+                   PARTITION BY lang ORDER BY s DESC, t DESC, id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS hi_id
+        FROM base
+    ), picked AS (
+        SELECT lang, id AS treated_id, s AS treated_score,
+               CASE WHEN lo_s IS NOT NULL
+                         AND (hi_s IS NULL OR ABS(s - lo_s) <= ABS(hi_s - s))
+                    THEN lo_id ELSE hi_id END AS control_id,
+               CASE WHEN lo_s IS NOT NULL
+                         AND (hi_s IS NULL OR ABS(s - lo_s) <= ABS(hi_s - s))
+                    THEN lo_s ELSE hi_s END AS control_score,
+               CASE WHEN lo_s IS NOT NULL
+                         AND (hi_s IS NULL OR ABS(s - lo_s) <= ABS(hi_s - s))
+                    THEN ABS(s - lo_s) ELSE ABS(hi_s - s) END AS distance
+        FROM cand WHERE t = 1
+    )
+    SELECT lang, treated_id, control_id,
+           ROUND(treated_score, 6) AS treated_score,
+           ROUND(control_score, 6) AS control_score,
+           ROUND(distance, 6) AS distance
+    FROM picked
+    WHERE control_id IS NOT NULL AND distance <= 0.005
+    ORDER BY lang, treated_id
 """
 
 ORACLES["logrank_strat"] = """

@@ -1,0 +1,260 @@
+"""Experimentation / causal-inference estimators (round 9, beyond the
+reference): difference-in-differences, inverse-propensity-weighted ATE,
+and deterministic nearest-score propensity matching.
+
+These are the read-out operators a large-scale experimentation pipeline
+runs after the assignment/exposure logs land in the lake — the natural
+consumers of the engine's A/B battery (``agg.ttest_by``/``cuped_adjust``
+screen metrics; these estimate effects under the corresponding designs):
+
+- :func:`did_estimator` — the 2x2 (or keyed) difference-in-differences
+  ATT for staggered rollouts and holdout designs;
+- :func:`ipw_ate` — Horvitz-Thompson / Hajek average treatment effect
+  re-weighting by a (pre-computed) propensity score, clipped;
+- :func:`propensity_match` — 1:1 nearest-score caliper matching as a
+  RELATIONAL operator (sorted-window nearest neighbor, no greedy loop).
+
+Scale shape: every estimator collapses the corpus with one map-side-
+partial groupBy to a cell- or group-cardinality relation (cells = keys x
+treated x period), then finishes with exact-count/sum divisions — the
+same determinism contract as the stats battery (integral or
+decimal-exact sums, single IEEE division at the end). The matcher is two
+keyed windows over a score-sorted relation, never a pairwise join.
+
+All public functions accept a Pipeline or a DataFrame (``getattr(df,
+"df", df)``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def did_estimator(
+    df,
+    treated_col: str,
+    post_col: str,
+    y_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Difference-in-differences ATT over a 2x2 design (Card & Krueger
+    1994 shape): treated/control x pre/post,
+
+        att = (ybar_t_post − ybar_t_pre) − (ybar_c_post − ybar_c_pre)
+
+    ``treated_col`` and ``post_col`` are 0/1 indicators (anything
+    castable; >0.5 = 1). Returns one row per ``keys`` cell:
+    (keys..., n_t_pre, n_t_post, n_c_pre, n_c_post, the four cell means,
+    att). Cells with an EMPTY arm yield NULL att (a rollout where no
+    control exists in some segment must not read as a zero effect).
+
+    Scale shape: ONE map-side-partial groupBy collapses the corpus to
+    the keys-cell relation (conditional sums/counts for all four cells
+    in the same pass — no pivot, no second scan); the means are exact
+    sums with a single IEEE division each, so the DuckDB twin
+    bit-matches when y is decimal-exact.
+    """
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    t = (F.col(treated_col).cast("double") > 0.5).cast("int")
+    p = (F.col(post_col).cast("double") > 0.5).cast("int")
+    y = F.col(y_col).cast("double")
+    base = d.filter(
+        y.isNotNull()
+        & F.col(treated_col).isNotNull()
+        & F.col(post_col).isNotNull()
+    ).select(*keys, t.alias("_t"), p.alias("_p"), y.alias("_y"))
+
+    def cell(tv: int, pv: int, what: str):
+        m = (F.col("_t") == tv) & (F.col("_p") == pv)
+        if what == "n":
+            return F.sum(F.when(m, 1).otherwise(0))
+        return F.sum(F.when(m, F.col("_y")))
+
+    g = base.groupBy(*keys).agg(
+        cell(1, 0, "n").alias("n_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"),
+        cell(0, 0, "n").alias("n_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"),
+        cell(1, 0, "s").alias("_s_t_pre"),
+        cell(1, 1, "s").alias("_s_t_post"),
+        cell(0, 0, "s").alias("_s_c_pre"),
+        cell(0, 1, "s").alias("_s_c_post"),
+    )
+    means = {
+        f"y_{a}_{b}": F.col(f"_s_{a}_{b}") / F.col(f"n_{a}_{b}")
+        for a in ("t", "c")
+        for b in ("pre", "post")
+    }
+    att = (means["y_t_post"] - means["y_t_pre"]) - (
+        means["y_c_post"] - means["y_c_pre"]
+    )
+    return g.select(
+        *keys,
+        *[F.col(f"n_{a}_{b}").cast("long").alias(f"n_{a}_{b}")
+          for a in ("t", "c") for b in ("pre", "post")],
+        *[c.alias(n) for n, c in means.items()],
+        att.alias("att"),
+    )
+
+
+def ipw_ate(
+    df,
+    treated_col: str,
+    y_col: str,
+    propensity_col: str,
+    keys: Sequence[str] = (),
+    clip: tuple[float, float] = (0.01, 0.99),
+    estimator: str = "hajek",
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Horvitz &
+    Thompson 1952; Hajek-normalized by default) from a PRE-COMPUTED
+    propensity column (fit it with the model layer — ``optim.fit_glm``
+    — or supply design weights):
+
+        w1 = t/e,  w0 = (1−t)/(1−e),  e clipped to ``clip``
+        hajek:           ate = sum(w1*y)/sum(w1) − sum(w0*y)/sum(w0)
+        horvitz_thompson: ate = sum(w1*y)/n − sum(w0*y)/n
+
+    Returns (keys..., n, n_treated, sum_w1, sum_w0, mu1, mu0, ate).
+    Rows with NULL y/t/e are excluded; the clip bounds guard the
+    division (an unclipped e→0 control would dominate the whole sum —
+    the standard positivity-violation failure).
+
+    Scale shape: one map-side-partial groupBy to the keys relation;
+    weighted sums and counts in a single pass, divisions at the end.
+    No model fitting here — propensity estimation composes with the
+    existing (driver-oracled) GLM machinery so the estimator itself
+    stays an exact relational pass.
+    """
+    if estimator not in ("hajek", "horvitz_thompson"):
+        raise ValueError(
+            "ipw_ate: estimator must be 'hajek' or 'horvitz_thompson'"
+        )
+    lo, hi = float(clip[0]), float(clip[1])
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError("ipw_ate: clip bounds must satisfy 0 < lo < hi < 1")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    t = (F.col(treated_col).cast("double") > 0.5).cast("int")
+    y = F.col(y_col).cast("double")
+    e = F.least(F.greatest(F.col(propensity_col).cast("double"), F.lit(lo)), F.lit(hi))
+    base = d.filter(
+        y.isNotNull()
+        & F.col(treated_col).isNotNull()
+        & F.col(propensity_col).cast("double").isNotNull()
+    ).select(*keys, t.alias("_t"), y.alias("_y"), e.alias("_e"))
+    w1 = F.when(F.col("_t") == 1, 1.0 / F.col("_e")).otherwise(0.0)
+    w0 = F.when(F.col("_t") == 0, 1.0 / (1.0 - F.col("_e"))).otherwise(0.0)
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_t").alias("n_treated"),
+        F.sum(w1).alias("sum_w1"),
+        F.sum(w0).alias("sum_w0"),
+        F.sum(w1 * F.col("_y")).alias("_wy1"),
+        F.sum(w0 * F.col("_y")).alias("_wy0"),
+    )
+    if estimator == "hajek":
+        mu1 = F.when(F.col("sum_w1") > 0, F.col("_wy1") / F.col("sum_w1"))
+        mu0 = F.when(F.col("sum_w0") > 0, F.col("_wy0") / F.col("sum_w0"))
+    else:
+        mu1 = F.col("_wy1") / F.col("n")
+        mu0 = F.col("_wy0") / F.col("n")
+    return g.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_treated").cast("long").alias("n_treated"),
+        "sum_w1",
+        "sum_w0",
+        mu1.alias("mu1"),
+        mu0.alias("mu0"),
+        (mu1 - mu0).alias("ate"),
+    )
+
+
+def propensity_match(
+    df,
+    id_col: str,
+    treated_col: str,
+    score_col: str,
+    caliper: float,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic 1-nearest-control propensity matching as a
+    RELATIONAL operator (Rosenbaum & Rubin 1983's matching step,
+    re-expressed without the sequential greedy loop):
+
+    every treated unit is paired with the control whose score is
+    nearest on the score-sorted axis (exact-distance ties break toward
+    the LOWER score; among controls with identical scores the
+    sort-adjacent one under the total order (score, controls-first, id)
+    wins — fully deterministic, so the match reproduces across
+    runs/engines and the DuckDB twin); pairs farther than ``caliper``
+    apart are dropped. Controls may be reused (matching WITH
+    replacement — the variant that is order-free and hence exactly
+    parallelizable; greedy without-replacement matching is inherently
+    sequential and belongs driver-side at cohort scale).
+
+    Returns (keys..., treated_id, control_id, treated_score,
+    control_score, abs(distance)).
+
+    Scale shape: two keyed windows over the score-sorted relation — a
+    last_value(ignoreNulls) scan forward and a first_value scan
+    backward pick each treated row's nearest control on either side
+    (each window partitioned by ``keys``, single pass, no pairwise
+    join); a final projection chooses the nearer side and applies the
+    caliper. Window ordering is (score, is-control-first, id) so equal
+    scores resolve deterministically.
+    """
+    if caliper <= 0:
+        raise ValueError("propensity_match: caliper must be > 0")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    t = (F.col(treated_col).cast("double") > 0.5).cast("int")
+    s = F.col(score_col).cast("double")
+    base = d.filter(
+        s.isNotNull() & F.col(treated_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(*keys, F.col(id_col).alias("_id"), t.alias("_t"), s.alias("_s"))
+    # controls sort BEFORE treated at equal scores so a tied control is
+    # visible to the forward scan (<= semantics) but not double-counted
+    order = [F.col("_s").asc(), F.col("_t").asc(), F.col("_id").asc()]
+    wfwd = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    ).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    wbwd = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    ).orderBy(*[c.desc() for c in [F.col("_s"), F.col("_t"), F.col("_id")]]).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ctrl_s = F.when(F.col("_t") == 0, F.col("_s"))
+    ctrl_id = F.when(F.col("_t") == 0, F.col("_id"))
+    cand = base.select(
+        *keys,
+        "_id",
+        "_t",
+        "_s",
+        F.last(ctrl_s, ignorenulls=True).over(wfwd).alias("_lo_s"),
+        F.last(ctrl_id, ignorenulls=True).over(wfwd).alias("_lo_id"),
+        F.last(ctrl_s, ignorenulls=True).over(wbwd).alias("_hi_s"),
+        F.last(ctrl_id, ignorenulls=True).over(wbwd).alias("_hi_id"),
+    ).filter(F.col("_t") == 1)
+    d_lo = F.abs(F.col("_s") - F.col("_lo_s"))
+    d_hi = F.abs(F.col("_hi_s") - F.col("_s"))
+    # nearer side wins; exact-distance ties go to the LOWER score (_lo)
+    take_lo = F.col("_lo_s").isNotNull() & (
+        F.col("_hi_s").isNull() | (d_lo <= d_hi)
+    )
+    m = cand.select(
+        *keys,
+        F.col("_id").alias("treated_id"),
+        F.when(take_lo, F.col("_lo_id")).otherwise(F.col("_hi_id")).alias("control_id"),
+        F.col("_s").alias("treated_score"),
+        F.when(take_lo, F.col("_lo_s")).otherwise(F.col("_hi_s")).alias("control_score"),
+        F.when(take_lo, d_lo).otherwise(d_hi).alias("distance"),
+    )
+    return m.filter(
+        F.col("control_id").isNotNull() & (F.col("distance") <= F.lit(float(caliper)))
+    )

@@ -1,0 +1,164 @@
+"""Tests for the causal/experimentation estimators (seafan_spark.causal):
+difference-in-differences, IPW ATE, and relational propensity matching."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from seafan_spark.causal import did_estimator, ipw_ate, propensity_match
+from seafan_spark.sources import vec_to_pipe
+
+
+# ------------------------------------------------------------------- did ----
+def test_did_hand_computed_2x2(spark):
+    # treated: pre mean 10, post mean 15 (+5); control: 8 -> 9 (+1)
+    rows = {
+        "t": [1, 1, 1, 1, 0, 0, 0, 0],
+        "post": [0, 0, 1, 1, 0, 0, 1, 1],
+        "y": [9.0, 11.0, 14.0, 16.0, 7.0, 9.0, 8.0, 10.0],
+    }
+    p = vec_to_pipe(spark, rows)
+    r = did_estimator(p, "t", "post", "y").collect()[0]
+    assert r["y_t_pre"] == 10.0 and r["y_t_post"] == 15.0
+    assert r["y_c_pre"] == 8.0 and r["y_c_post"] == 9.0
+    assert r["att"] == pytest.approx(4.0)
+    assert (r["n_t_pre"], r["n_t_post"], r["n_c_pre"], r["n_c_post"]) == (
+        2, 2, 2, 2,
+    )
+
+
+def test_did_empty_arm_yields_null_not_zero(spark):
+    rows = {"t": [1, 1, 1, 1], "post": [0, 0, 1, 1], "y": [1.0, 2.0, 3.0, 4.0]}
+    p = vec_to_pipe(spark, rows)
+    r = did_estimator(p, "t", "post", "y").collect()[0]
+    assert r["att"] is None and r["n_c_pre"] == 0
+
+
+def test_did_keyed_cells_independent(spark):
+    rows = {
+        "seg": ["a"] * 8 + ["b"] * 8,
+        "t": [1, 1, 1, 1, 0, 0, 0, 0] * 2,
+        "post": [0, 0, 1, 1, 0, 0, 1, 1] * 2,
+        "y": [9.0, 11.0, 14.0, 16.0, 7.0, 9.0, 8.0, 10.0]  # att 4
+        + [0.0, 2.0, 1.0, 3.0, 0.0, 2.0, 1.0, 3.0],        # att 0
+    }
+    p = vec_to_pipe(spark, rows)
+    got = {r["seg"]: r["att"] for r in did_estimator(p, "t", "post", "y", keys=["seg"]).collect()}
+    assert got == {"a": pytest.approx(4.0), "b": pytest.approx(0.0)}
+
+
+# --------------------------------------------------------------- ipw_ate ----
+def test_ipw_hajek_hand_computed(spark):
+    # two treated at e=0.5 (w=2 each), two controls at e=0.5 (w=2 each)
+    rows = {
+        "t": [1, 1, 0, 0],
+        "y": [3.0, 5.0, 1.0, 3.0],
+        "e": [0.5, 0.5, 0.5, 0.5],
+    }
+    p = vec_to_pipe(spark, rows)
+    r = ipw_ate(p, "t", "y", "e").collect()[0]
+    assert r["mu1"] == pytest.approx(4.0) and r["mu0"] == pytest.approx(2.0)
+    assert r["ate"] == pytest.approx(2.0)
+    assert r["n"] == 4 and r["n_treated"] == 2
+
+
+def test_ipw_weights_correct_confounded_sample(spark):
+    # stratum A (e=0.8): y1=10, y0=8; stratum B (e=0.2): y1=4, y0=2.
+    # true ATE = 2 in both strata; naive diff of means is biased because
+    # treated oversample stratum A. Hajek IPW recovers 2 exactly.
+    rows = {"t": [], "y": [], "e": []}
+    for (e, y1, y0, n1, n0) in ((0.8, 10.0, 8.0, 8, 2), (0.2, 4.0, 2.0, 2, 8)):
+        rows["t"] += [1] * n1 + [0] * n0
+        rows["y"] += [y1] * n1 + [y0] * n0
+        rows["e"] += [e] * (n1 + n0)
+    p = vec_to_pipe(spark, rows)
+    r = ipw_ate(p, "t", "y", "e").collect()[0]
+    assert r["ate"] == pytest.approx(2.0)
+    naive = (
+        p.df.groupBy()
+        .agg(
+            F.avg(F.when(F.col("t") == 1, F.col("y"))).alias("m1"),
+            F.avg(F.when(F.col("t") == 0, F.col("y"))).alias("m0"),
+        )
+        .collect()[0]
+    )
+    assert abs((naive["m1"] - naive["m0"]) - 2.0) > 1.0  # the bias is real
+
+
+def test_ipw_clip_and_estimator_validation(spark):
+    p = vec_to_pipe(spark, {"t": [1, 0], "y": [1.0, 0.0], "e": [0.001, 0.999]})
+    # with clip (0.01, 0.99): weights bounded at 100, no inf
+    r = ipw_ate(p, "t", "y", "e").collect()[0]
+    assert r["sum_w1"] == pytest.approx(100.0)
+    with pytest.raises(ValueError, match="estimator"):
+        ipw_ate(p, "t", "y", "e", estimator="aipw")
+    with pytest.raises(ValueError, match="clip"):
+        ipw_ate(p, "t", "y", "e", clip=(0.5, 0.4))
+
+
+def test_ipw_horvitz_thompson_differs_from_hajek(spark):
+    rows = {"t": [1, 0, 0, 0], "y": [4.0, 1.0, 1.0, 1.0], "e": [0.5, 0.5, 0.5, 0.5]}
+    p = vec_to_pipe(spark, rows)
+    hj = ipw_ate(p, "t", "y", "e").collect()[0]
+    ht = ipw_ate(p, "t", "y", "e", estimator="horvitz_thompson").collect()[0]
+    assert hj["mu1"] == pytest.approx(4.0)          # normalized
+    assert ht["mu1"] == pytest.approx(8.0 / 4.0)     # sum(w*y)/n
+    assert hj["ate"] != ht["ate"]
+
+
+# ------------------------------------------------------ propensity_match ----
+def test_match_picks_nearest_side_and_caliper(spark):
+    rows = {
+        "id": [1, 2, 3, 4, 5],
+        "t": [1, 0, 0, 1, 1],
+        "s": [0.30, 0.28, 0.45, 0.44, 0.90],
+    }
+    p = vec_to_pipe(spark, rows)
+    m = {r["treated_id"]: r for r in propensity_match(p, "id", "t", "s", caliper=0.1).collect()}
+    assert m[1]["control_id"] == 2 and m[1]["distance"] == pytest.approx(0.02)
+    assert m[4]["control_id"] == 3 and m[4]["distance"] == pytest.approx(0.01)
+    assert 5 not in m  # nearest control 0.45 is outside the 0.1 caliper
+
+
+def test_match_tie_goes_to_lower_score(spark):
+    rows = {
+        "id": [10, 20, 30],
+        "t": [0, 1, 0],
+        "s": [0.4, 0.5, 0.6],  # exactly equidistant
+    }
+    p = vec_to_pipe(spark, rows)
+    r = propensity_match(p, "id", "t", "s", caliper=1.0).collect()[0]
+    assert r["control_id"] == 10 and r["control_score"] == pytest.approx(0.4)
+
+
+def test_match_with_replacement_and_keys_isolation(spark):
+    rows = {
+        "g": ["a", "a", "a", "b", "b"],
+        "id": [1, 2, 3, 4, 5],
+        "t": [1, 1, 0, 1, 0],
+        "s": [0.5, 0.52, 0.51, 0.5, 0.9],
+    }
+    p = vec_to_pipe(spark, rows)
+    m = propensity_match(p, "id", "t", "s", caliper=0.05, keys=["g"]).collect()
+    got = {(r["g"], r["treated_id"]): r["control_id"] for r in m}
+    # control 3 is reused by both treated in group a (with replacement)
+    assert got[("a", 1)] == 3 and got[("a", 2)] == 3
+    # group b's only control is 0.4 away: outside caliper, no cross-group leak
+    assert ("b", 4) not in got
+    r = propensity_match(p, "id", "t", "s", caliper=0.5, keys=["g"]).collect()
+    got2 = {(x["g"], x["treated_id"]): x["control_id"] for x in r}
+    assert got2[("b", 4)] == 5
+
+
+def test_match_equal_score_control_visible(spark):
+    # a control at EXACTLY the treated score must match at distance 0
+    rows = {"id": [1, 2], "t": [1, 0], "s": [0.7, 0.7]}
+    p = vec_to_pipe(spark, rows)
+    r = propensity_match(p, "id", "t", "s", caliper=0.01).collect()[0]
+    assert r["control_id"] == 2 and r["distance"] == 0.0
+
+
+def test_match_validates_caliper(spark):
+    p = vec_to_pipe(spark, {"id": [1], "t": [1], "s": [0.5]})
+    with pytest.raises(ValueError, match="caliper"):
+        propensity_match(p, "id", "t", "s", caliper=0.0)

@@ -122,17 +122,21 @@ def test_correctness_window_invariant():
     rows_only = [n for n in names if n not in oracles]
     assert all(n in names[50:] for n in rows_only), rows_only
     # round-9 head: new ops, then the two that missed the r8 cut
-    assert names[:5] == ["irr_by_bisect", "cox_moments_keyed",
-                         "logrank_strat", "kruskal", "ts_pattern"]
+    assert names[:8] == ["irr_by_bisect", "cox_moments_keyed",
+                         "logrank_strat", "did", "ipw_ate", "psm_match",
+                         "kruskal", "ts_pattern"]
     # r02-checked basics restored (oldest driver records)
     assert {"append", "asof", "contamination", "join_inner", "pack",
             "pivot", "range_join", "rollup", "salted_agg", "sessionize",
             "stream_join", "tfidf", "vocab", "where_keep", "topk"} <= set(
-        names[5:33]
+        names[8:36]
     )
     # oldest r04-checked survivors fill the tail of the window
+    # (psi_drift/dedup_reps/source_cap displaced to 51-53 by the causal
+    # additions — first in line for round 10)
     assert {"tpch_q3", "minhash_incr", "ann_lsh", "multimodal",
-            "lm_score", "psi_drift", "source_cap"} <= set(names[33:50])
+            "lm_score", "hist_quantiles"} <= set(names[36:50])
+    assert names[50:53] == ["psi_drift", "dedup_reps", "source_cap"]
     # r08-checked greens rotated out (their driver rows are the record)
     assert {"target_encode", "survival_km", "cox_moments", "irr_bisect",
             "fdr_bh", "fuzzy_join", "bpe_train", "semantic_dedup"} <= set(

@@ -3882,6 +3882,51 @@ def q_psm_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "treated_id")
 
 
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time (temporal.rmst): area under each
+    cohort's KM curve up to tau = 20 days — the PH-assumption-free
+    effect scale for the time-to-first-purchase study. One lag window +
+    one groupBy over survival_km's collapsed distinct-duration relation;
+    the twin extends the survival_km SQL with the same step integral
+    (UNROUNDED S inside, 6-dp only on the final area)."""
+    from seafan_spark.temporal import rmst
+
+    subj = _cox_subjects(spark, sf_dir).withColumn(
+        "cohort", (F.col("user_id") % 3).cast("int")
+    )
+    out = rmst(subj, "dur", "e", tau=20.0, keys=["cohort"])
+    return out.select(
+        "cohort", "tau", round_col(F.col("rmst"), 6).alias("rmst")
+    ).orderBy("cohort")
+
+
+def q_aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly robust AIPW ATE (causal.aipw_ate) per event type at
+    PINNED deterministic nuisances (propensity e = 0.25 + 0.5*(user_id
+    % 7)/6 shared with q_ipw_ate; outcome models mu1 = 50 + 2*(user_id
+    % 5), mu0 = 48 + (user_id % 5)) — the estimator itself is the thing
+    hash-checked, as with ipw_ate. One grouped pass over the psi
+    projection: sum, sum of squares, count."""
+    from seafan_spark.causal import aipw_ate
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        "event_type",
+        ((F.col("user_id") % 3) == 0).cast("int").alias("treated"),
+        F.col("value").alias("y"),
+        (F.lit(0.25) + F.lit(0.5) * (F.col("user_id") % 7) / F.lit(6.0)).alias("e"),
+        (F.lit(50.0) + 2.0 * (F.col("user_id") % 5)).alias("m1"),
+        (F.lit(48.0) + (F.col("user_id") % 5)).alias("m0"),
+    )
+    out = aipw_ate(d, "treated", "y", "e", "m1", "m0", keys=["event_type"])
+    return out.select(
+        "event_type",
+        "n",
+        round_col("ate", 6).alias("ate"),
+        round_col("se", 6).alias("se"),
+    ).orderBy("event_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ========== driver 50-entry correctness window (round 9) ==========
     # --- oracled, new in round 9 (never driver-checked -> window head) ---
@@ -3891,6 +3936,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "did": q_did,
     "ipw_ate": q_ipw_ate,
     "psm_match": q_psm_match,
+    "rmst": q_rmst,
+    "aipw_ate": q_aipw_ate,
     # --- missed the r8 cut at positions 51-52 (last checked r6/r5) ---
     "kruskal": q_kruskal,
     "ts_pattern": q_ts_pattern,
@@ -3936,11 +3983,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_incr": q_embed_incr,
     "quality_rules": q_quality_rules,
     "coalesce_logodds": q_coalesce_logodds,
+    # --- end of the driver's 50-entry correctness window ---
+    # (minhash_calibration/hist_quantiles/psi_drift/dedup_reps/source_cap
+    # displaced to 51-55 by the five causal/survival additions;
+    # r04-checked, first in line for round 10)
     "minhash_calibration": q_minhash_calibration,
     "hist_quantiles": q_hist_quantiles,
-    # --- end of the driver's 50-entry correctness window ---
-    # (psi_drift/dedup_reps/source_cap displaced to 51-53 by the three
-    # causal additions; r04-checked, first in line for round 10)
     "psi_drift": q_psi_drift,
     "dedup_reps": q_dedup_reps,
     "source_cap": q_source_cap,
@@ -8747,6 +8795,80 @@ ORACLES["survival_km"] = """
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                AS cumhaz
     FROM s ORDER BY cohort, t
+"""
+
+ORACLES["rmst"] = """
+    WITH subj AS (
+        SELECT user_id % 3 AS cohort,
+               date_diff('day', MIN(ts)::DATE,
+                   COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END),
+                            MAX(ts))::DATE) AS dur,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT cohort, dur AS t, SUM(e) AS d, SUM(1 - e) AS c
+        FROM subj GROUP BY cohort, dur
+    ), w AS (
+        SELECT cohort, t, d, c,
+               SUM(d + c) OVER (PARTITION BY cohort)
+                 - COALESCE(SUM(d + c) OVER (
+                       PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM g
+    ), s AS (
+        SELECT cohort, t::DOUBLE AS t,
+               CASE WHEN SUM(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY cohort ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                    THEN 0.0
+                    ELSE exp(COALESCE(SUM(CASE WHEN n_risk > d
+                             THEN ln((n_risk - d)::DOUBLE / n_risk) END) OVER (
+                        PARTITION BY cohort ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        0.0)) END AS surv
+        FROM w
+    ), seg AS (
+        SELECT cohort, t, surv,
+               COALESCE(LAG(surv) OVER (PARTITION BY cohort ORDER BY t), 1.0)
+                   * (LEAST(t, 20.0)
+                      - LEAST(COALESCE(LAG(t) OVER (
+                            PARTITION BY cohort ORDER BY t), 0.0), 20.0))
+                   AS body
+        FROM s
+    )
+    SELECT CAST(cohort AS INT) AS cohort, 20.0 AS tau,
+           ROUND(SUM(body)
+                 + MAX_BY(surv, t)
+                   * GREATEST(20.0 - LEAST(MAX(t), 20.0), 0.0), 6) AS rmst
+    FROM seg GROUP BY cohort ORDER BY cohort
+"""
+
+ORACLES["aipw_ate"] = """
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN user_id % 3 = 0 THEN 1.0 ELSE 0.0 END AS t,
+               value::DOUBLE AS y,
+               LEAST(GREATEST(0.25 + 0.5 * (user_id % 7) / 6.0, 0.01), 0.99)
+                   AS e,
+               50.0 + 2.0 * (user_id % 5) AS m1,
+               48.0 + (user_id % 5) AS m0
+        FROM events WHERE value IS NOT NULL
+    ), psi AS (
+        SELECT event_type,
+               m1 - m0 + t * (y - m1) / e - (1.0 - t) * (y - m0) / (1.0 - e)
+                   AS p
+        FROM base
+    ), g AS (
+        SELECT event_type, COUNT(*) AS n, SUM(p) AS s, SUM(p * p) AS ss
+        FROM psi GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(s / n, 6) AS ate,
+           ROUND(SQRT(GREATEST((ss - n * (s / n) * (s / n)) / (n - 1.0),
+                               0.0) / n), 6) AS se
+    FROM g ORDER BY event_type
 """
 
 ORACLES["phash_neardup"] = """

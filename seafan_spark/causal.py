@@ -175,6 +175,77 @@ def ipw_ate(
     )
 
 
+def aipw_ate(
+    df,
+    treated_col: str,
+    y_col: str,
+    propensity_col: str,
+    mu1_col: str,
+    mu0_col: str,
+    keys: Sequence[str] = (),
+    clip: tuple[float, float] = (0.01, 0.99),
+) -> DataFrame:
+    """Augmented IPW (doubly robust) average treatment effect (Robins,
+    Rotnitzky & Zhao 1994) from pre-computed nuisance columns — a
+    propensity ``e(x)`` and outcome regressions ``mu1(x)``/``mu0(x)``
+    (fit both with the model layer; the estimator is consistent if
+    EITHER is right):
+
+        psi_i = mu1 − mu0 + t·(y − mu1)/e − (1−t)·(y − mu0)/(1−e)
+        ate   = mean(psi),  se = sd(psi)/sqrt(n)  (the influence-
+                function variance — asymptotically valid, free here)
+
+    Returns (keys..., n, ate, se). Propensity is clipped to ``clip``
+    (positivity guard, as :func:`ipw_ate`); rows with any NULL nuisance
+    are excluded.
+
+    Scale shape: a single map-side-partial groupBy over the psi
+    projection — sums, sum of squares, count; divisions at the end.
+    """
+    lo, hi = float(clip[0]), float(clip[1])
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError("aipw_ate: clip bounds must satisfy 0 < lo < hi < 1")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    t = (F.col(treated_col).cast("double") > 0.5).cast("int").cast("double")
+    y = F.col(y_col).cast("double")
+    e = F.least(
+        F.greatest(F.col(propensity_col).cast("double"), F.lit(lo)), F.lit(hi)
+    )
+    mu1 = F.col(mu1_col).cast("double")
+    mu0 = F.col(mu0_col).cast("double")
+    cond = (
+        y.isNotNull()
+        & F.col(treated_col).isNotNull()
+        & F.col(propensity_col).cast("double").isNotNull()
+        & mu1.isNotNull()
+        & mu0.isNotNull()
+    )
+    psi = (
+        mu1 - mu0
+        + t * (y - mu1) / e
+        - (F.lit(1.0) - t) * (y - mu0) / (F.lit(1.0) - e)
+    )
+    base = d.filter(cond).select(*keys, psi.alias("_psi"))
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_psi").alias("_s"),
+        F.sum(F.col("_psi") * F.col("_psi")).alias("_ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s") / n
+    # influence-function variance: sd(psi)/sqrt(n), sample (n-1) form
+    var = F.when(
+        F.col("n") > 1, (F.col("_ss") - n * mean * mean) / (n - 1.0)
+    )
+    return g.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        mean.alias("ate"),
+        F.sqrt(F.greatest(var, F.lit(0.0)) / n).alias("se"),
+    )
+
+
 def propensity_match(
     df,
     id_col: str,

@@ -874,6 +874,65 @@ def survival_km(
     )
 
 
+def rmst(
+    df,
+    duration_col: str,
+    event_col: str,
+    tau: float,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Restricted mean survival time (Royston & Parmar 2013 as the
+    modern reference; the estimand is classical): the area under the
+    Kaplan-Meier curve up to horizon ``tau`` —
+
+        rmst(tau) = ∫_0^tau S(t) dt
+
+    the expected survival time over the next ``tau`` units, per group.
+    The clinically/product-preferred effect scale when hazards are not
+    proportional (difference of RMSTs needs no PH assumption, unlike a
+    Cox hazard ratio) — the natural summary to pair with
+    :func:`survival_km` (curve), :func:`logrank_test` (test) and
+    :func:`cox_ph` (regression).
+
+    Computed exactly from the step-function KM estimate: segment
+    [t_{i-1}, t_i) contributes S(t_{i-1}) · (min(t_i, tau) − min(t_{i-1},
+    tau)) — one lag window over the (bounded) KM table — plus the tail
+    S(t_last) · (tau − min(t_last, tau)). S before the first event time
+    is 1 by definition. Returns (keys..., tau, rmst).
+
+    Scale shape: everything happens on :func:`survival_km`'s collapsed
+    (group, distinct duration) relation — already guarded by the
+    collapsed-table contract — with one keys-partitioned lag window and
+    one final groupBy. Durations are assumed >= 0 (survival times).
+    """
+    tau = float(tau)
+    if tau <= 0:
+        raise ValueError("rmst: tau must be > 0")
+    keys = list(keys)
+    km = survival_km(df, duration_col, event_col, keys=keys)
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("t").asc())
+    prev_t = F.coalesce(F.lag("t").over(word), F.lit(0.0))
+    prev_s = F.coalesce(F.lag("survival").over(word), F.lit(1.0))
+    clamp_t = F.least(F.col("t"), F.lit(tau))
+    clamp_prev = F.least(prev_t, F.lit(tau))
+    seg = prev_s * (clamp_t - clamp_prev)
+    rows = km.select(*keys, "t", "survival", seg.alias("_seg"))
+    g = rows.groupBy(*keys).agg(
+        F.sum("_seg").alias("_body"),
+        F.max_by("survival", F.col("t")).alias("_s_last"),
+        F.max("t").alias("_t_last"),
+    )
+    tail = F.col("_s_last") * F.greatest(
+        F.lit(tau) - F.least(F.col("_t_last"), F.lit(tau)), F.lit(0.0)
+    )
+    return g.select(
+        *keys,
+        F.lit(tau).alias("tau"),
+        (F.col("_body") + tail).alias("rmst"),
+    )
+
+
 def cusum_changepoint(
     df,
     order_col: str,

@@ -106,6 +106,54 @@ def test_ipw_horvitz_thompson_differs_from_hajek(spark):
     assert hj["ate"] != ht["ate"]
 
 
+# -------------------------------------------------------------- aipw_ate ----
+def test_aipw_hand_computed(spark):
+    from seafan_spark.causal import aipw_ate
+
+    # e=0.5 everywhere; mu1/mu0 constant -> psi per row hand-computable:
+    # treated: (m1-m0) + (y-m1)/0.5 ; control: (m1-m0) - (y-m0)/0.5
+    rows = {
+        "t": [1, 0],
+        "y": [6.0, 1.0],
+        "e": [0.5, 0.5],
+        "m1": [5.0, 5.0],
+        "m0": [2.0, 2.0],
+    }
+    p = vec_to_pipe(spark, rows)
+    r = aipw_ate(p, "t", "y", "e", "m1", "m0").collect()[0]
+    psi = [(5 - 2) + (6 - 5) / 0.5, (5 - 2) - (1 - 2) / 0.5]  # [5, 5]
+    assert r["ate"] == pytest.approx(sum(psi) / 2) == pytest.approx(5.0)
+    assert r["se"] == pytest.approx(0.0)  # identical psi -> zero variance
+    assert r["n"] == 2
+
+
+def test_aipw_doubly_robust_with_correct_outcome_model(spark):
+    """With the TRUE outcome regressions plugged in, AIPW recovers the
+    exact ATE even when the propensity column is garbage (the 'doubly
+    robust' half the estimator is named for)."""
+    import random
+
+    from seafan_spark.causal import aipw_ate
+
+    rng = random.Random(3)
+    rows = {"t": [], "y": [], "e": [], "m1": [], "m0": [], "x": []}
+    for _ in range(400):
+        x = float(rng.randint(0, 4))
+        t = 1 if rng.random() < 0.2 + 0.12 * x else 0  # confounded assignment
+        m1, m0 = 10.0 + x, 7.0 + x                      # true ATE = 3
+        rows["t"].append(t)
+        rows["y"].append(m1 if t else m0)               # no outcome noise
+        rows["e"].append(0.5)                           # WRONG propensity
+        rows["m1"].append(m1)
+        rows["m0"].append(m0)
+        rows["x"].append(x)
+    p = vec_to_pipe(spark, rows)
+    r = aipw_ate(p, "t", "y", "e", "m1", "m0").collect()[0]
+    assert r["ate"] == pytest.approx(3.0)  # exact: residuals are zero
+    with pytest.raises(ValueError, match="clip"):
+        aipw_ate(p, "t", "y", "e", "m1", "m0", clip=(0.9, 0.1))
+
+
 # ------------------------------------------------------ propensity_match ----
 def test_match_picks_nearest_side_and_caliper(spark):
     rows = {

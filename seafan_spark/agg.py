@@ -281,32 +281,52 @@ def irr_bisect(
     hi: float = 4.0,
     steps: int = 40,
     npv_round: int = 4,
+    batch: int | None = None,
 ) -> float:
     """DISTRIBUTED fixed-step bisection IRR: the rate r in [lo, hi] with
     ``npv(r, flows) = cost`` after exactly ``steps`` halvings.
 
     This is the deterministic, exactly-replayable half of the IRR family
-    (the kcenter/mmr/rake unroll applied to a root-finder): every step is
-    ONE tiny NPV aggregate over the indexed flow relation — the flow
+    (the kcenter/mmr/rake unroll applied to a root-finder): the flow
     vector NEVER collects to the driver (driver state is the 3-float
     bracket), unlike the reference-compat expression ``irr()`` which
-    gathers the flows (parser.go:617-658). Each step decides the bracket
-    on the ROUNDED f(mid) (``npv_round`` decimals, the argmax_round
-    story applied to a sign test) so cross-engine/cross-run sum-order
-    noise in the NPV can never flip a step; with a dyadic bracket every
-    midpoint is an exact dyadic rational, so matching decisions give a
-    BIT-EQUAL rate. ``cost`` defaults to half the undiscounted flow
-    total (brackets a root whenever the first flow is below half the
-    total: f(0) = total − cost > 0, f(r→∞) → flow₀ − cost < 0).
+    gathers the flows (parser.go:617-658). Decisions test the ROUNDED
+    f(mid) (``npv_round`` decimals, the argmax_round story applied to a
+    sign test) so cross-engine/cross-run sum-order noise can never flip
+    a step; with a dyadic bracket every midpoint is an exact dyadic
+    rational, so matching decisions give a BIT-EQUAL rate. ``cost``
+    defaults to half the undiscounted flow total (brackets a root
+    whenever the first flow is below half the total: f(0) = total −
+    cost > 0, f(r→∞) → flow₀ − cost < 0).
+
+    Fixed-step bisection is binary search over a FIXED dyadic grid, so
+    ``batch`` consecutive halvings collapse into ONE relational pass
+    that prices all 2^batch − 1 interior grid points of the current
+    bracket — candidates ride as a broadcast (j, r) ROW relation
+    cross-joined onto the flows (one fixed aggregate; the
+    ``irr_by_bisect`` lesson: wide-aggregate-column plans pay ~3x
+    per-expression overhead) — then a driver-side walk of the k-level
+    decision tree replays the sequential recurrence exactly (the grid
+    points ARE the midpoints it would visit, and the collected sums are
+    rounded with the same binary rule as ``rounding.round_col``). 40
+    steps at the default batch=10 (small relations) = 4 passes + 1 init
+    job, vs 42. ``batch=None`` adapts: 10 when the flow relation
+    coalesces (small), else 3 — big relations re-scan the cache
+    2^batch-fold per pass.
 
     Adaptive-tolerance root polishing stays in ``irr()``/``irr_by`` —
     fixed-step bisection trades their early exit for replayability.
     """
+    import math
+
+    from pyspark.sql import types as _T
+
     from seafan_spark.rank import global_row_number
-    from seafan_spark.rounding import round_col
 
     if steps < 1:
         raise ValueError("irr_bisect: steps must be >= 1")
+    if batch is not None and batch < 1:
+        raise ValueError("irr_bisect: batch must be >= 1")
     lo, hi = float(lo), float(hi)
     d, _total = global_row_number(
         df.select(F.col(flow_col).cast("double").alias("_v"), *order),
@@ -315,41 +335,94 @@ def irr_bisect(
     )
     d = d.select("_v", (F.col("_rn") - 1).cast("double").alias("_i"))
     # a single cashflow series is small by contract; collapsing it to one
-    # partition turns each of the ~40 per-step aggregate jobs into one
-    # task instead of 32 mostly-empty ones (measured 30s -> ~3s at sf0.1).
-    # Big relations keep their partitioning — the per-step aggregate is
+    # partition turns each aggregate pass into one task instead of 32
+    # mostly-empty ones (measured 30s -> ~3s at sf0.1 pre-batching). Big
+    # relations keep their partitioning — the per-pass aggregate is
     # map-side partial either way.
-    if _total <= 100_000:
+    small = _total <= 100_000
+    if small:
         d = d.coalesce(1)
     d = d.cache()
+    if batch is None:
+        batch = 10 if small else 3
+
+    scale = float(10**npv_round)
+
+    def _round_bin(x: float) -> float:
+        # driver-side twin of rounding.round_col's binary-value rule
+        if x is None or math.isnan(x) or math.isinf(x):
+            return x
+        scaled = abs(x) * scale
+        if scaled >= float(2**52):
+            return x
+        return math.copysign(math.floor(scaled + 0.5) / scale, x)
+
+    cand_schema = _T.StructType(
+        [_T.StructField("_j", _T.IntegerType()),
+         _T.StructField("_r", _T.DoubleType())]
+    )
     try:
-        if cost is None:
-            cost = float(d.agg((F.sum("_v") / 2.0).alias("c")).collect()[0]["c"])
+        spark = d.sparkSession
 
-        def f(r: float) -> float:
-            npv = F.sum(F.col("_v") / F.pow(F.lit(1.0 + r), F.col("_i")))
-            return float(
-                d.agg(round_col(npv - F.lit(cost), npv_round).alias("f"))
-                .collect()[0]["f"]
+        def price(pairs):
+            """ONE pass: raw npv sum at each (j, r) candidate."""
+            cand = spark.createDataFrame(pairs, cand_schema)
+            got = (
+                d.crossJoin(F.broadcast(cand))
+                .groupBy("_j")
+                .agg(
+                    F.sum(
+                        F.col("_v")
+                        / F.pow(F.lit(1.0) + F.col("_r"), F.col("_i"))
+                    ).alias("_s")
+                )
+                .collect()
             )
+            return {r["_j"]: r["_s"] for r in got}
 
-        flo, fhi = f(lo), f(hi)
+        # ONE init job: cost (sum/2, the same Spark-side division as
+        # before) + raw sums at both bracket ends
+        agg_cols = [
+            F.sum(
+                F.col("_v") / F.pow(F.lit(1.0 + lo), F.col("_i"))
+            ).alias("_slo"),
+            F.sum(
+                F.col("_v") / F.pow(F.lit(1.0 + hi), F.col("_i"))
+            ).alias("_shi"),
+        ]
+        if cost is None:
+            agg_cols.append((F.sum("_v") / 2.0).alias("_c"))
+        row = d.agg(*agg_cols).collect()[0]
+        if cost is None:
+            cost = float(row["_c"])
+        flo = _round_bin(row["_slo"] - cost)
+        fhi = _round_bin(row["_shi"] - cost)
         if flo * fhi > 0:
             raise ValueError(
                 f"irr_bisect: no sign change in [{lo}, {hi}] "
                 f"(f(lo)={flo}, f(hi)={fhi})"
             )
-        for _ in range(steps):
-            mid = (lo + hi) / 2.0
-            fm = f(mid)
-            if flo * fm <= 0:
-                hi = mid
-            else:
-                lo, flo = mid, fm
+        done = 0
+        while done < steps:
+            k_now = min(batch, steps - done)
+            npts = (1 << k_now) - 1
+            span = (hi - lo) / float(1 << k_now)
+            fs = price(
+                [(j, lo + float(j) * span) for j in range(1, npts + 1)]
+            )
+            lo_i, hi_i = 0, 1 << k_now
+            for _ in range(k_now):
+                mid_i = (lo_i + hi_i) // 2
+                fm = _round_bin(fs[mid_i] - cost) if mid_i > 0 else flo
+                if flo * fm <= 0:
+                    hi_i = mid_i
+                else:
+                    lo_i, flo = mid_i, fm
+            lo, hi = lo + float(lo_i) * span, lo + float(hi_i) * span
+            done += k_now
         return (lo + hi) / 2.0
     finally:
         d.unpersist()
-
 
 def irr_by_bisect(
     df: DataFrame,

@@ -3927,6 +3927,56 @@ def q_aipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_km_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier with Greenwood 95% bands (temporal.km_confidence):
+    the survival_km cohorts plus Var(S) = S^2 * sum d/(n(n-d)) as ONE
+    extra ordered window over the collapsed relation; z is the exact
+    1.959963984540054 literal on both sides (no inverse-normal libm in
+    the plan), 6-dp rounding absorbs the exp noise in S."""
+    from seafan_spark.temporal import km_confidence
+
+    subj = _cox_subjects(spark, sf_dir).withColumn(
+        "cohort", (F.col("user_id") % 3).cast("int")
+    )
+    out = km_confidence(subj, "dur", "e", keys=["cohort"])
+    return out.select(
+        "cohort",
+        "t",
+        "n_risk",
+        round_col("survival", 6).alias("survival"),
+        round_col("se", 6).alias("se"),
+        round_col("ci_lo", 6).alias("ci_lo"),
+        round_col("ci_hi", 6).alias("ci_hi"),
+    ).orderBy("cohort", "t")
+
+
+def q_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini/uplift decile curve (causal.uplift_curve) per event type:
+    treated = user_id % 3 == 0 (the ipw/aipw assignment), conversion =
+    value > 50, score a pinned hash-free formula ((user_id*61) % 1000)
+    /1000 with REAL ties at sf0.1 — the standard-SQL NTILE cut over the
+    (score DESC, event_id ASC) total order reproduces exactly in
+    DuckDB. Cumulative counts are integral and qini is two IEEE ops on
+    exact integers: bit-exact, no rounding needed."""
+    from seafan_spark.causal import uplift_curve
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        "event_type",
+        F.col("event_id").alias("id"),
+        ((F.col("user_id") % 3) == 0).cast("int").alias("treated"),
+        (F.col("value") > 50.0).cast("double").alias("y"),
+        (((F.col("user_id") * 61) % 1000) / F.lit(1000.0)).alias("s"),
+    )
+    out = uplift_curve(d, "treated", "y", "s", "id", n_buckets=10, keys=["event_type"])
+    return out.select(
+        "event_type", "bucket", "n", "n_t", "n_c",
+        F.col("y_t").cast("long").alias("y_t"),
+        F.col("y_c").cast("long").alias("y_c"),
+        round_col("qini", 6).alias("qini"),
+    ).orderBy("event_type", "bucket")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ========== driver 50-entry correctness window (round 9) ==========
     # --- oracled, new in round 9 (never driver-checked -> window head) ---
@@ -3938,6 +3988,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "psm_match": q_psm_match,
     "rmst": q_rmst,
     "aipw_ate": q_aipw_ate,
+    "km_ci": q_km_ci,
+    "uplift": q_uplift,
     # --- missed the r8 cut at positions 51-52 (last checked r6/r5) ---
     "kruskal": q_kruskal,
     "ts_pattern": q_ts_pattern,
@@ -3981,12 +4033,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lm_score": q_lm_score,
     "hist_sketch": q_hist_sketch,
     "embed_incr": q_embed_incr,
+    # --- end of the driver's 50-entry correctness window ---
+    # (quality_rules/coalesce_logodds/minhash_calibration/hist_quantiles/
+    # psi_drift/dedup_reps/source_cap displaced to 51-57 by the seven
+    # causal/survival additions; r04-checked, first in line for round 10)
     "quality_rules": q_quality_rules,
     "coalesce_logodds": q_coalesce_logodds,
-    # --- end of the driver's 50-entry correctness window ---
-    # (minhash_calibration/hist_quantiles/psi_drift/dedup_reps/source_cap
-    # displaced to 51-55 by the five causal/survival additions;
-    # r04-checked, first in line for round 10)
     "minhash_calibration": q_minhash_calibration,
     "hist_quantiles": q_hist_quantiles,
     "psi_drift": q_psi_drift,
@@ -8869,6 +8921,90 @@ ORACLES["aipw_ate"] = """
            ROUND(SQRT(GREATEST((ss - n * (s / n) * (s / n)) / (n - 1.0),
                                0.0) / n), 6) AS se
     FROM g ORDER BY event_type
+"""
+
+ORACLES["km_ci"] = """
+    WITH subj AS (
+        SELECT user_id % 3 AS cohort,
+               date_diff('day', MIN(ts)::DATE,
+                   COALESCE(MIN(CASE WHEN event_type = 'purchase'
+                                     THEN ts END),
+                            MAX(ts))::DATE) AS dur,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS e
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT cohort, dur AS t, SUM(e) AS d, SUM(1 - e) AS c
+        FROM subj GROUP BY cohort, dur
+    ), w AS (
+        SELECT cohort, t, d, c,
+               SUM(d + c) OVER (PARTITION BY cohort)
+                 - COALESCE(SUM(d + c) OVER (
+                       PARTITION BY cohort ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM g
+    ), s AS (
+        SELECT cohort, t::DOUBLE AS t, n_risk,
+               CASE WHEN SUM(CASE WHEN n_risk = d THEN 1 ELSE 0 END) OVER (
+                        PARTITION BY cohort ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                    THEN 0.0
+                    ELSE exp(COALESCE(SUM(CASE WHEN n_risk > d
+                             THEN ln((n_risk - d)::DOUBLE / n_risk) END) OVER (
+                        PARTITION BY cohort ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        0.0)) END AS surv,
+               COALESCE(SUM(CASE WHEN n_risk > d
+                            THEN d::DOUBLE / (n_risk * (n_risk - d)) END)
+                   OVER (PARTITION BY cohort ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   0.0) AS gw
+        FROM w
+    )
+    SELECT CAST(cohort AS INT) AS cohort, t,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           ROUND(surv, 6) AS survival,
+           ROUND(SQRT(surv * surv * gw), 6) AS se,
+           ROUND(GREATEST(surv - 1.959963984540054
+                          * SQRT(surv * surv * gw), 0.0), 6) AS ci_lo,
+           ROUND(LEAST(surv + 1.959963984540054
+                       * SQRT(surv * surv * gw), 1.0), 6) AS ci_hi
+    FROM s ORDER BY cohort, t
+"""
+
+ORACLES["uplift"] = """
+    WITH base AS (
+        SELECT event_type, event_id AS id,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+               CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END AS y,
+               ((user_id * 61) % 1000) / 1000.0 AS s
+        FROM events WHERE value IS NOT NULL
+    ), cut AS (
+        SELECT event_type, t, y,
+               NTILE(10) OVER (PARTITION BY event_type
+                               ORDER BY s DESC, id ASC) AS b
+        FROM base
+    ), g AS (
+        SELECT event_type, b,
+               COUNT(*) AS n, SUM(t) AS nt, SUM(1 - t) AS nc,
+               SUM(t * y) AS yt, SUM((1 - t) * y) AS yc
+        FROM cut GROUP BY event_type, b
+    ), cum AS (
+        SELECT event_type, b,
+               SUM(n) OVER wc AS n, SUM(nt) OVER wc AS nt,
+               SUM(nc) OVER wc AS nc, SUM(yt) OVER wc AS yt,
+               SUM(yc) OVER wc AS yc
+        FROM g
+        WINDOW wc AS (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(b AS INT) AS bucket,
+           CAST(n AS BIGINT) AS n, CAST(nt AS BIGINT) AS n_t,
+           CAST(nc AS BIGINT) AS n_c,
+           CAST(yt AS BIGINT) AS y_t, CAST(yc AS BIGINT) AS y_c,
+           ROUND(CASE WHEN nc > 0
+                      THEN yt - yc * nt::DOUBLE / nc::DOUBLE END, 6) AS qini
+    FROM cum ORDER BY event_type, bucket
 """
 
 ORACLES["phash_neardup"] = """

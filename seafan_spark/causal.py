@@ -246,6 +246,96 @@ def aipw_ate(
     )
 
 
+def uplift_curve(
+    df,
+    treated_col: str,
+    y_col: str,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Qini / uplift curve (Radcliffe 2007) — the evaluation companion
+    to the uplift models the other causal estimators feed: rank units
+    by predicted-uplift ``score`` descending, cut into ``n_buckets``
+    equal-depth buckets, and report per cumulative depth k
+
+        qini(k) = Y_t(k) − Y_c(k) · N_t(k) / N_c(k)
+
+    (the incremental responses among the first k bucket-depths, with
+    controls scaled to the treated exposure). A good uplift model front-
+    loads positive qini; the random baseline is the straight line to
+    qini(total). Returns one row per (keys, bucket):
+    (keys..., bucket, n, n_t, n_c, y_t, y_c, qini) — all columns
+    CUMULATIVE from bucket 1, so the last row is the whole population
+    and the curve plots directly.
+
+    Determinism: ranking is a total order (score DESC, id ASC) and the
+    cut is standard-SQL NTILE (as-equal-as-possible buckets, larger
+    first — identical semantics in Spark and DuckDB), so the twin
+    reproduces the curve even with heavy score ties. Buckets with no
+    controls yet yield NULL qini (no fake zeros).
+
+    Scale shape: one keys-partitioned rank window over (score, id),
+    then a map-side-partial groupBy to (keys x bucket) and running sums
+    over that B-row relation. No subject-level second pass.
+    """
+    if n_buckets < 1:
+        raise ValueError("uplift_curve: n_buckets must be >= 1")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    t = (F.col(treated_col).cast("double") > 0.5).cast("int")
+    y = F.col(y_col).cast("double")
+    s = F.col(score_col).cast("double")
+    base = d.filter(
+        y.isNotNull()
+        & F.col(treated_col).isNotNull()
+        & s.isNotNull()
+        & F.col(id_col).isNotNull()
+    ).select(
+        *keys, F.col(id_col).alias("_id"), t.alias("_t"), y.alias("_y"),
+        s.alias("_s"),
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("_s").desc(), F.col("_id").asc())
+    # standard-SQL NTILE: as-equal-as-possible buckets, larger ones
+    # first — identical semantics in Spark and DuckDB, exact integers
+    bucket = F.ntile(int(n_buckets)).over(word)
+    g = (
+        base.withColumn("_b", bucket)
+        .groupBy(*keys, "_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_t").alias("_nt"),
+            F.sum(F.lit(1) - F.col("_t")).alias("_nc"),
+            F.sum(F.col("_t") * F.col("_y")).alias("_yt"),
+            F.sum((F.lit(1) - F.col("_t")) * F.col("_y")).alias("_yc"),
+        )
+    )
+    wcum = wall.orderBy(F.col("_b").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cn = F.sum("_n").over(wcum)
+    cnt = F.sum("_nt").over(wcum)
+    cnc = F.sum("_nc").over(wcum)
+    cyt = F.sum("_yt").over(wcum)
+    cyc = F.sum("_yc").over(wcum)
+    qini = F.when(
+        cnc > 0,
+        cyt - cyc * cnt.cast("double") / cnc.cast("double"),
+    )
+    return g.select(
+        *keys,
+        F.col("_b").cast("int").alias("bucket"),
+        cn.cast("long").alias("n"),
+        cnt.cast("long").alias("n_t"),
+        cnc.cast("long").alias("n_c"),
+        cyt.alias("y_t"),
+        cyc.alias("y_c"),
+        qini.alias("qini"),
+    )
+
+
 def propensity_match(
     df,
     id_col: str,

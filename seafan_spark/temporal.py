@@ -933,6 +933,52 @@ def rmst(
     )
 
 
+def km_confidence(
+    df,
+    duration_col: str,
+    event_col: str,
+    keys: Sequence[str] = (),
+    z: float = 1.959963984540054,
+) -> DataFrame:
+    """Kaplan-Meier table with Greenwood confidence bands (Greenwood
+    1926): per (group, distinct duration),
+
+        Var(S(t)) = S(t)^2 · sum_{t_i <= t} d_i / (n_i (n_i − d_i))
+        ci = S ± z·sqrt(Var), clipped to [0, 1]
+
+    the plain (linear) Greenwood interval — ``z`` defaults to the
+    two-sided 95% normal quantile as an exact literal, so no erf/
+    inverse-normal libm call enters the plan (the logrank 3.841
+    convention). Terms with d_i = n_i (the curve hits exact 0) are
+    excluded from the running sum — S is 0 from there on and the band
+    collapses to [0, 0].
+
+    Returns survival_km's columns + (se, ci_lo, ci_hi).
+
+    Scale shape: ONE extra ordered window (the running Greenwood sum)
+    over :func:`survival_km`'s collapsed, guard-protected
+    distinct-duration relation — nothing touches subject rows.
+    """
+    keys = list(keys)
+    km = survival_km(df, duration_col, event_col, keys=keys)
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n = F.col("n_risk").cast("double")
+    d = F.col("n_event").cast("double")
+    term = F.when(n > d, d / (n * (n - d)))
+    gsum = F.coalesce(F.sum(term).over(word), F.lit(0.0))
+    s = F.col("survival")
+    var = s * s * gsum
+    se = F.sqrt(var)
+    return km.withColumn("se", se).withColumn(
+        "ci_lo", F.greatest(s - F.lit(float(z)) * se, F.lit(0.0))
+    ).withColumn(
+        "ci_hi", F.least(s + F.lit(float(z)) * se, F.lit(1.0))
+    )
+
+
 def cusum_changepoint(
     df,
     order_col: str,

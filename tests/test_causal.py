@@ -206,6 +206,68 @@ def test_match_equal_score_control_visible(spark):
     assert r["control_id"] == 2 and r["distance"] == 0.0
 
 
+# ----------------------------------------------------------- uplift_curve ----
+def test_uplift_curve_hand_computed_two_buckets(spark):
+    from seafan_spark.causal import uplift_curve
+
+    # scores rank ids 1..4 descending; top half: treated converts,
+    # control doesn't; bottom half: both convert equally
+    rows = {
+        "id": [1, 2, 3, 4],
+        "t": [1, 0, 1, 0],
+        "y": [1.0, 0.0, 1.0, 1.0],
+        "s": [0.9, 0.8, 0.2, 0.1],
+    }
+    p = vec_to_pipe(spark, rows)
+    out = {r["bucket"]: r for r in uplift_curve(p, "t", "y", "s", "id", n_buckets=2).collect()}
+    b1, b2 = out[1], out[2]
+    # bucket 1 cumulative: ids 1,2 -> n_t=1, n_c=1, y_t=1, y_c=0, qini=1
+    assert (b1["n"], b1["n_t"], b1["n_c"]) == (2, 1, 1)
+    assert b1["qini"] == pytest.approx(1.0)
+    # full population: y_t=2, y_c=1, n_t=n_c=2 -> qini = 2 - 1*1 = 1
+    assert (b2["n"], b2["y_t"], b2["y_c"]) == (4, 2.0, 1.0)
+    assert b2["qini"] == pytest.approx(1.0)
+
+
+def test_uplift_curve_good_model_frontloads_qini(spark):
+    import random
+
+    from seafan_spark.causal import uplift_curve
+
+    rng = random.Random(21)
+    rows = {"id": [], "t": [], "y": [], "s": []}
+    for i in range(400):
+        # true uplift is high for even ids; a perfect model scores them high
+        hi = i % 2 == 0
+        t = rng.random() < 0.5
+        base = 0.2
+        p_conv = base + (0.5 if (hi and t) else 0.0)
+        rows["id"].append(i)
+        rows["t"].append(1 if t else 0)
+        rows["y"].append(1.0 if rng.random() < p_conv else 0.0)
+        rows["s"].append(1.0 if hi else 0.0)
+    p = vec_to_pipe(spark, rows)
+    out = sorted(
+        uplift_curve(p, "t", "y", "s", "id", n_buckets=4).collect(),
+        key=lambda r: r["bucket"],
+    )
+    # half the qini should be realized by depth 1/2 (the scored-high half)
+    assert out[1]["qini"] > 0.8 * out[3]["qini"]
+    # cumulative counts are monotone and end at the population
+    assert out[3]["n"] == 400 and out[0]["n"] < out[3]["n"]
+
+
+def test_uplift_curve_no_controls_yet_null(spark):
+    from seafan_spark.causal import uplift_curve
+
+    rows = {"id": [1, 2], "t": [1, 0], "y": [1.0, 0.0], "s": [0.9, 0.1]}
+    p = vec_to_pipe(spark, rows)
+    out = {r["bucket"]: r for r in uplift_curve(p, "t", "y", "s", "id", n_buckets=2).collect()}
+    assert out[1]["qini"] is None  # first bucket is all-treated
+    with pytest.raises(ValueError, match="n_buckets"):
+        uplift_curve(p, "t", "y", "s", "id", n_buckets=0)
+
+
 def test_match_validates_caliper(spark):
     p = vec_to_pipe(spark, {"id": [1], "t": [1], "s": [0.5]})
     with pytest.raises(ValueError, match="caliper"):

@@ -217,6 +217,35 @@ def test_rmst_keyed_and_no_events_past_tau(spark):
     assert got["b"] == pytest.approx(10.0)
 
 
+# --------------------------------------------------------- km_confidence ----
+def test_km_confidence_greenwood_hand_computed(spark):
+    """Textbook Greenwood: 4 subjects, event at t=2 (S=3/4):
+    Var = (3/4)^2 * 1/(4*3) = 3/64, se = sqrt(3)/8."""
+    import math
+
+    from seafan_spark.temporal import km_confidence
+
+    p = vec_to_pipe(spark, {"t": [2.0, 5.0, 7.0, 9.0], "e": [1, 0, 0, 0]})
+    rows = {r["t"]: r for r in km_confidence(p, "t", "e").collect()}
+    r = rows[2.0]
+    se = math.sqrt(3.0) / 8.0
+    assert r["se"] == pytest.approx(se)
+    assert r["ci_lo"] == pytest.approx(max(0.75 - 1.959963984540054 * se, 0.0))
+    assert r["ci_hi"] == pytest.approx(min(0.75 + 1.959963984540054 * se, 1.0))
+    # censor-only rows keep S and accumulate no new variance
+    assert rows[5.0]["se"] == pytest.approx(se)
+
+
+def test_km_confidence_curve_to_zero_band_collapses(spark):
+    from seafan_spark.temporal import km_confidence
+
+    # both subjects event at the last time: S hits exact 0 there
+    p = vec_to_pipe(spark, {"t": [1.0, 3.0, 3.0], "e": [1, 1, 1]})
+    last = {r["t"]: r for r in km_confidence(p, "t", "e").collect()}[3.0]
+    assert last["survival"] == 0.0
+    assert last["se"] == 0.0 and last["ci_lo"] == 0.0 and last["ci_hi"] == 0.0
+
+
 # ------------------------------------------- collapsed-relation guards ----
 def test_survival_windows_enforce_collapsed_contract(spark, monkeypatch):
     """Round-8 VERDICT #4: a continuous duration column (every value

@@ -3977,6 +3977,50 @@ def q_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket")
 
 
+def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-experiment power read-out (causal.power_mde): minimum
+    detectable effect on `value` per event type at 50/50 assignment,
+    alpha 5% / power 80% with the z's as exact literals (no
+    inverse-normal libm). One grouped pass — count / sum / sum of
+    squares — then closed form; 6-dp rounded."""
+    from seafan_spark.causal import power_mde
+
+    ev = _pipe(spark, sf_dir, "events").df
+    out = power_mde(ev.select("event_type", F.col("value").alias("y")), "y",
+                    keys=["event_type"])
+    return out.select(
+        "event_type",
+        "n",
+        round_col("mean", 6).alias("mean"),
+        round_col("var", 6).alias("var"),
+        round_col("mde", 6).alias("mde"),
+        round_col("mde_rel", 6).alias("mde_rel"),
+    ).orderBy("event_type")
+
+
+def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (causal.srm_check) per event type on
+    the pinned user_id % 3 == 0 'assignment' against a DELIBERATELY
+    wrong 50/50 design — the real split is ~1/3, so every segment
+    flags, exercising the detection path on honest data. Exact integer
+    counts; the chi2 is a few IEEE ops, 6-dp rounded; the boolean at
+    the 3.841 critical value is engine-stable."""
+    from seafan_spark.causal import srm_check
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        "event_type",
+        ((F.col("user_id") % 3) == 0).cast("int").alias("treated"),
+    )
+    out = srm_check(d, "treated", keys=["event_type"], expected_frac=0.5)
+    return out.select(
+        "event_type", "n", "n_t", "n_c",
+        round_col("expected_t", 6).alias("expected_t"),
+        round_col("chi2", 6).alias("chi2"),
+        "srm",
+    ).orderBy("event_type")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ========== driver 50-entry correctness window (round 9) ==========
     # --- oracled, new in round 9 (never driver-checked -> window head) ---
@@ -3990,6 +4034,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "aipw_ate": q_aipw_ate,
     "km_ci": q_km_ci,
     "uplift": q_uplift,
+    "power_mde": q_power_mde,
+    "srm": q_srm,
     # --- missed the r8 cut at positions 51-52 (last checked r6/r5) ---
     "kruskal": q_kruskal,
     "ts_pattern": q_ts_pattern,
@@ -4031,12 +4077,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
+    # --- end of the driver's 50-entry correctness window ---
+    # (hist_sketch/embed_incr/quality_rules/coalesce_logodds/
+    # minhash_calibration/hist_quantiles/psi_drift/dedup_reps/source_cap
+    # displaced to 51-59 by the nine causal/survival additions;
+    # r04-checked, first in line for round 10)
     "hist_sketch": q_hist_sketch,
     "embed_incr": q_embed_incr,
-    # --- end of the driver's 50-entry correctness window ---
-    # (quality_rules/coalesce_logodds/minhash_calibration/hist_quantiles/
-    # psi_drift/dedup_reps/source_cap displaced to 51-57 by the seven
-    # causal/survival additions; r04-checked, first in line for round 10)
     "quality_rules": q_quality_rules,
     "coalesce_logodds": q_coalesce_logodds,
     "minhash_calibration": q_minhash_calibration,
@@ -9005,6 +9052,45 @@ ORACLES["uplift"] = """
            ROUND(CASE WHEN nc > 0
                       THEN yt - yc * nt::DOUBLE / nc::DOUBLE END, 6) AS qini
     FROM cum ORDER BY event_type, bucket
+"""
+
+ORACLES["power_mde"] = """
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS n,
+               SUM(value::DOUBLE) AS s,
+               SUM(value::DOUBLE * value::DOUBLE) AS ss
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(s / n, 6) AS mean,
+           ROUND((ss - n * (s / n) * (s / n)) / (n - 1.0), 6) AS var,
+           ROUND((1.959963984540054 + 0.8416212335729143)
+                 * SQRT(GREATEST((ss - n * (s / n) * (s / n)) / (n - 1.0),
+                                 0.0) * 4.0 / n), 6) AS mde,
+           ROUND(CASE WHEN s / n <> 0.0 THEN
+                 (1.959963984540054 + 0.8416212335729143)
+                 * SQRT(GREATEST((ss - n * (s / n) * (s / n)) / (n - 1.0),
+                                 0.0) * 4.0 / n) / (s / n) END, 6) AS mde_rel
+    FROM g ORDER BY event_type
+"""
+
+ORACLES["srm"] = """
+    WITH base AS (
+        SELECT event_type,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS t
+        FROM events
+    ), g AS (
+        SELECT event_type, COUNT(*) AS n, SUM(t) AS nt, SUM(1 - t) AS nc
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(nt AS BIGINT) AS n_t, CAST(nc AS BIGINT) AS n_c,
+           ROUND(n * 0.5, 6) AS expected_t,
+           ROUND((nt - n * 0.5) * (nt - n * 0.5) / (n * 0.5)
+                 + (nc - n * 0.5) * (nc - n * 0.5) / (n * 0.5), 6) AS chi2,
+           ((nt - n * 0.5) * (nt - n * 0.5) / (n * 0.5)
+            + (nc - n * 0.5) * (nc - n * 0.5) / (n * 0.5)) > 3.841 AS srm
+    FROM g ORDER BY event_type
 """
 
 ORACLES["phash_neardup"] = """

@@ -246,6 +246,115 @@ def aipw_ate(
     )
 
 
+def power_mde(
+    df,
+    y_col: str,
+    keys: Sequence[str] = (),
+    treat_frac: float = 0.5,
+    z_alpha: float = 1.959963984540054,
+    z_power: float = 0.8416212335729143,
+) -> DataFrame:
+    """Minimum detectable effect for a two-arm experiment on metric
+    ``y`` at the observed sample size (the pre-launch power read-out —
+    run it per segment BEFORE assigning treatment, on historical data):
+
+        mde = (z_{alpha/2} + z_power) · sqrt( var(y) · (1/f + 1/(1−f)) / n )
+
+    the classical two-sample normal-approximation formula at default
+    alpha = 5% two-sided / power = 80% — both z's are exact literals
+    (no inverse-normal libm in the plan, the logrank-3.841 convention);
+    pass other quantiles explicitly. ``treat_frac`` f is the planned
+    treated share. Also reports the relative MDE (mde / mean, NULL at
+    zero mean).
+
+    Returns (keys..., n, mean, var, mde, mde_rel).
+
+    Scale shape: one map-side-partial groupBy (count, sum, sum of
+    squares) per keys cell; closed-form projection after. Exactly the
+    stats battery's determinism contract — integral-ish sums, a couple
+    of IEEE ops at the end.
+    """
+    f = float(treat_frac)
+    if not 0.0 < f < 1.0:
+        raise ValueError("power_mde: treat_frac must be in (0, 1)")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    y = F.col(y_col).cast("double")
+    base = d.filter(y.isNotNull()).select(*keys, y.alias("_y"))
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("_s"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s") / n
+    var = F.when(F.col("n") > 1, (F.col("_ss") - n * mean * mean) / (n - 1.0))
+    mde = (F.lit(float(z_alpha)) + F.lit(float(z_power))) * F.sqrt(
+        F.greatest(var, F.lit(0.0)) * F.lit(1.0 / f + 1.0 / (1.0 - f)) / n
+    )
+    return g.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        mean.alias("mean"),
+        var.alias("var"),
+        mde.alias("mde"),
+        F.when(mean != 0.0, mde / mean).alias("mde_rel"),
+    )
+
+
+def srm_check(
+    df,
+    treated_col: str,
+    keys: Sequence[str] = (),
+    expected_frac: float = 0.5,
+) -> DataFrame:
+    """Sample-ratio-mismatch check (the first thing to run on ANY
+    experiment readout — a biased assignment invalidates every
+    downstream estimate): one-df chi-square of the observed
+    treated/control split against the design fraction,
+
+        chi2 = (n_t − N·f)² / (N·f) + (n_c − N·(1−f))² / (N·(1−f))
+
+    flagged ``srm = chi2 > 3.841`` (the 5% critical value — erf-free,
+    the logrank convention; a *significant* SRM at readout means the
+    assignment or logging pipeline dropped units non-randomly).
+
+    Returns (keys..., n, n_t, n_c, expected_t, chi2, srm).
+
+    Scale shape: one map-side-partial groupBy per keys cell; exact
+    integer counts, the chi2 a few IEEE ops.
+    """
+    f = float(expected_frac)
+    if not 0.0 < f < 1.0:
+        raise ValueError("srm_check: expected_frac must be in (0, 1)")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    t = (F.col(treated_col).cast("double") > 0.5).cast("int")
+    base = d.filter(F.col(treated_col).isNotNull()).select(
+        *keys, t.alias("_t")
+    )
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_t").alias("n_t"),
+        F.sum(F.lit(1) - F.col("_t")).alias("n_c"),
+    )
+    n = F.col("n").cast("double")
+    et = n * F.lit(f)
+    ec = n * F.lit(1.0 - f)
+    dt = F.col("n_t").cast("double") - et
+    dc = F.col("n_c").cast("double") - ec
+    chi2 = dt * dt / et + dc * dc / ec
+    return g.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("n_t").cast("long").alias("n_t"),
+        F.col("n_c").cast("long").alias("n_c"),
+        et.alias("expected_t"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("srm"),
+    )
+
+
 def uplift_curve(
     df,
     treated_col: str,

@@ -206,6 +206,46 @@ def test_match_equal_score_control_visible(spark):
     assert r["control_id"] == 2 and r["distance"] == 0.0
 
 
+# -------------------------------------------------------------- power_mde ----
+def test_power_mde_closed_form(spark):
+    import math
+
+    from seafan_spark.causal import power_mde
+
+    ys = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]  # var = 3.5, mean 3.5, n 6
+    p = vec_to_pipe(spark, {"y": ys})
+    r = power_mde(p, "y").collect()[0]
+    expect = (1.959963984540054 + 0.8416212335729143) * math.sqrt(
+        3.5 * (2.0 + 2.0) / 6.0
+    )
+    assert r["var"] == pytest.approx(3.5) and r["n"] == 6
+    assert r["mde"] == pytest.approx(expect)
+    assert r["mde_rel"] == pytest.approx(expect / 3.5)
+    # unbalanced design needs a larger effect to detect
+    r2 = power_mde(p, "y", treat_frac=0.1).collect()[0]
+    assert r2["mde"] > r["mde"]
+    with pytest.raises(ValueError, match="treat_frac"):
+        power_mde(p, "y", treat_frac=1.0)
+
+
+def test_srm_check_flags_broken_split(spark):
+    from seafan_spark.causal import srm_check
+
+    # 50/50 design, observed 700/300: chi2 = 2*(200^2/500) = 160 >> 3.841
+    p = vec_to_pipe(spark, {"t": [1] * 700 + [0] * 300})
+    r = srm_check(p, "t").collect()[0]
+    assert r["srm"] is True and r["chi2"] == pytest.approx(160.0)
+    assert (r["n_t"], r["n_c"], r["expected_t"]) == (700, 300, 500.0)
+    # a healthy 50/50 split does not flag
+    p2 = vec_to_pipe(spark, {"t": [1] * 503 + [0] * 497})
+    assert srm_check(p2, "t").collect()[0]["srm"] is False
+    # 90/10 design with matching observation: clean
+    p3 = vec_to_pipe(spark, {"t": [1] * 900 + [0] * 100})
+    assert srm_check(p3, "t", expected_frac=0.9).collect()[0]["srm"] is False
+    with pytest.raises(ValueError, match="expected_frac"):
+        srm_check(p3, "t", expected_frac=0.0)
+
+
 # ----------------------------------------------------------- uplift_curve ----
 def test_uplift_curve_hand_computed_two_buckets(spark):
     from seafan_spark.causal import uplift_curve

@@ -3977,6 +3977,34 @@ def q_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "bucket")
 
 
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend + Sen slope (temporal.mann_kendall) over
+    daily event counts per event type — the drift monitor next to
+    q_cusum's level-shift detector. Day as an exact epoch-day integer,
+    so S, the tie term and every pairwise slope are exact arithmetic
+    over the B^2-bounded pair relation; Sen's median via keyed rank
+    windows (avg of the middle one/two order statistics). 6-dp rounding
+    only on var/z/slope."""
+    from seafan_spark.temporal import mann_kendall
+
+    ev = _pipe(spark, sf_dir, "events").df
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    daily = daily.withColumn(
+        "day_i",
+        F.datediff(F.col("day"), F.to_date(F.lit("1970-01-01"))).cast("double"),
+    )
+    out = mann_kendall(daily, "day_i", "cnt", keys=["event_type"])
+    return out.select(
+        "event_type", "n", "s",
+        round_col("var_s", 6).alias("var_s"),
+        round_col("z", 6).alias("z"),
+        "trend",
+        round_col("sen_slope", 6).alias("sen_slope"),
+    ).orderBy("event_type")
+
+
 def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-experiment power read-out (causal.power_mde): minimum
     detectable effect on `value` per event type at 50/50 assignment,
@@ -4036,6 +4064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "uplift": q_uplift,
     "power_mde": q_power_mde,
     "srm": q_srm,
+    "mann_kendall": q_mann_kendall,
     # --- missed the r8 cut at positions 51-52 (last checked r6/r5) ---
     "kruskal": q_kruskal,
     "ts_pattern": q_ts_pattern,
@@ -9052,6 +9081,58 @@ ORACLES["uplift"] = """
            ROUND(CASE WHEN nc > 0
                       THEN yt - yc * nt::DOUBLE / nc::DOUBLE END, 6) AS qini
     FROM cum ORDER BY event_type, bucket
+"""
+
+ORACLES["mann_kendall"] = """
+    WITH daily AS (
+        SELECT event_type,
+               (ts::DATE - DATE '1970-01-01')::DOUBLE AS x,
+               COUNT(*)::DOUBLE AS v
+        FROM events GROUP BY event_type, ts::DATE
+    ), pairs AS (
+        SELECT a.event_type,
+               SIGN(b.v - a.v) AS sgn,
+               (b.v - a.v) / (b.x - a.x) AS m
+        FROM daily a JOIN daily b
+          ON b.event_type = a.event_type AND b.x > a.x
+    ), srel AS (
+        SELECT event_type, SUM(sgn) AS s FROM pairs GROUP BY event_type
+    ), ties AS (
+        SELECT event_type,
+               SUM(t * (t - 1) * (2 * t + 5)) AS tie, SUM(t) AS n
+        FROM (SELECT event_type, v, COUNT(*) AS t
+              FROM daily GROUP BY event_type, v)
+        GROUP BY event_type
+    ), ranked AS (
+        SELECT event_type, m,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m ASC)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        FROM pairs
+    ), med AS (
+        SELECT event_type, AVG(m) AS sen
+        FROM ranked
+        WHERE rn = CEIL(cnt / 2.0) OR rn = FLOOR(cnt / 2.0) + 1
+        GROUP BY event_type
+    ), g AS (
+        SELECT s.event_type, s.s, t.n, t.tie, med.sen,
+               (t.n * (t.n - 1) * (2 * t.n + 5) - t.tie) / 18.0 AS var_s
+        FROM srel s JOIN ties t USING (event_type)
+        JOIN med USING (event_type)
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+           ROUND(var_s, 6) AS var_s,
+           ROUND(CASE WHEN var_s <= 0.0 THEN 0.0
+                      WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+                      WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+                      ELSE 0.0 END, 6) AS z,
+           CAST(CASE WHEN ABS(CASE WHEN var_s <= 0.0 THEN 0.0
+                                   WHEN s > 0 THEN (s - 1) / SQRT(var_s)
+                                   WHEN s < 0 THEN (s + 1) / SQRT(var_s)
+                                   ELSE 0.0 END) > 1.959963984540054
+                     THEN SIGN(s) ELSE 0 END AS INT) AS trend,
+           ROUND(sen, 6) AS sen_slope
+    FROM g ORDER BY event_type
 """
 
 ORACLES["power_mde"] = """

@@ -979,6 +979,116 @@ def km_confidence(
     )
 
 
+def mann_kendall(
+    df,
+    order_col: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    z_crit: float = 1.959963984540054,
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test (Mann 1945, Kendall's S) with
+    Sen's slope (Sen 1968) — the nonparametric is-this-metric-drifting
+    monitor for per-segment time series, the trend companion to
+    :func:`cusum_changepoint` (which finds a level SHIFT; this detects
+    a monotone drift):
+
+        S = sum_{i<j} sign(v_j − v_i)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie groups t)
+        z = (S−1)/sqrt(Var) if S>0, (S+1)/sqrt(Var) if S<0, else 0
+        sen_slope = median over pairs of (v_j − v_i)/(x_j − x_i)
+
+    ``z_crit`` defaults to the exact two-sided 95% literal (no
+    inverse-normal libm — the logrank-3.841 convention). Returns
+    (keys..., n, s, var_s, z, trend, sen_slope) with ``trend`` in
+    {-1, 0, 1} (sign of S when |z| > z_crit, else 0).
+
+    Scale shape: the input must be an AGGREGATED series (one row per
+    order value per group — the :func:`cusum_changepoint` contract,
+    enforced by the same collapsed-table guard), so the pair self-join
+    is B² per group with B bounded by time cardinality. S and the tie
+    term are exact integer aggregates; Sen's slope is the exact median
+    of the bounded pair relation via keyed rank windows (the
+    impute-median pattern) — no Python anywhere.
+    """
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    x = F.col(order_col).cast("double")
+    v = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull() & v.isNotNull()).select(
+        *keys, x.alias("_x"), v.alias("_v")
+    )
+    from seafan_spark.guards import assert_bounded_groups
+
+    assert_bounded_groups(
+        base, keys, "mann_kendall",
+        scale_hint="Aggregate the series first (e.g. one row per day per "
+        "group) — the trend test prices B^2 pairs per group.",
+    )
+    left = base.select(
+        *keys, F.col("_x").alias("_xi"), F.col("_v").alias("_vi")
+    )
+    right = base.select(
+        *keys, F.col("_x").alias("_xj"), F.col("_v").alias("_vj")
+    )
+    pairs = left.join(right, on=keys) if keys else left.crossJoin(right)
+    pairs = pairs.filter(F.col("_xj") > F.col("_xi"))
+    sgn = F.signum(F.col("_vj") - F.col("_vi"))
+    slope = (F.col("_vj") - F.col("_vi")) / (F.col("_xj") - F.col("_xi"))
+    p = pairs.select(*keys, sgn.alias("_sgn"), slope.alias("_m"))
+    s_rel = p.groupBy(*keys).agg(
+        F.sum("_sgn").cast("long").alias("s"),
+        F.count(F.lit(1)).alias("_npairs"),
+    )
+    # tie term over value-tie groups + n, from the series itself
+    ties = (
+        base.groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            ).alias("_tie"),
+            F.sum("_t").alias("n"),
+        )
+    )
+    # Sen slope: exact median of the pair relation (keyed rank windows —
+    # the impute-median pattern; the pair relation is B^2-bounded)
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    wo = wk.orderBy(F.col("_m").asc())
+    med = (
+        p.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wk))
+        .filter(
+            (F.col("_rn") == F.ceil(F.col("_cnt") / 2))
+            | (F.col("_rn") == F.floor(F.col("_cnt") / 2) + 1)
+        )
+        .groupBy(*keys)
+        .agg(F.avg("_m").alias("sen_slope"))
+    )
+    g = s_rel.join(ties, on=keys) if keys else s_rel.crossJoin(ties)
+    g = g.join(med, on=keys) if keys else g.crossJoin(med)
+    n = F.col("n").cast("double")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("_tie").cast("double")) / 18.0
+    sd = F.sqrt(var_s)
+    z = F.when(var_s <= 0.0, F.lit(0.0)).otherwise(
+        F.when(F.col("s") > 0, (F.col("s") - 1) / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1) / sd)
+        .otherwise(F.lit(0.0))
+    )
+    trend = F.when(
+        F.abs(z) > F.lit(float(z_crit)), F.signum(F.col("s").cast("double"))
+    ).otherwise(F.lit(0.0)).cast("int")
+    return g.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        "s",
+        var_s.alias("var_s"),
+        z.alias("z"),
+        trend.alias("trend"),
+        "sen_slope",
+    )
+
+
 def cusum_changepoint(
     df,
     order_col: str,

@@ -217,6 +217,58 @@ def test_rmst_keyed_and_no_events_past_tau(spark):
     assert got["b"] == pytest.approx(10.0)
 
 
+# ----------------------------------------------------------- mann_kendall ----
+def test_mann_kendall_textbook(spark):
+    """Strictly increasing 5-point series: S = 10 (all pairs +1),
+    Var = 5*4*15/18 = 50/3, z = 9/sqrt(50/3), Sen slope = median of
+    pairwise slopes."""
+    import math
+
+    from seafan_spark.temporal import mann_kendall
+
+    p = vec_to_pipe(
+        spark, {"x": [1.0, 2.0, 3.0, 4.0, 5.0], "v": [1.0, 3.0, 4.0, 6.0, 9.0]}
+    )
+    r = mann_kendall(p, "x", "v").collect()[0]
+    assert r["s"] == 10 and r["n"] == 5
+    assert r["var_s"] == pytest.approx(50.0 / 3.0)
+    assert r["z"] == pytest.approx(9.0 / math.sqrt(50.0 / 3.0))
+    assert r["trend"] == 1
+    slopes = sorted(
+        (vj - vi) / (xj - xi)
+        for i, (xi, vi) in enumerate(zip([1, 2, 3, 4, 5], [1, 3, 4, 6, 9]))
+        for xj, vj in zip([1, 2, 3, 4, 5][i + 1:], [1, 3, 4, 6, 9][i + 1:])
+    )
+    mid = (slopes[4] + slopes[5]) / 2  # 10 pairs -> avg of 5th/6th
+    assert r["sen_slope"] == pytest.approx(mid)
+
+
+def test_mann_kendall_flat_and_ties(spark):
+    from seafan_spark.temporal import mann_kendall
+
+    # constant series: S = 0, the tie term kills the variance -> z 0
+    p = vec_to_pipe(spark, {"x": [1.0, 2.0, 3.0, 4.0], "v": [2.0] * 4})
+    r = mann_kendall(p, "x", "v").collect()[0]
+    assert r["s"] == 0 and r["z"] == 0.0 and r["trend"] == 0
+    assert r["var_s"] == pytest.approx(0.0)
+    assert r["sen_slope"] == pytest.approx(0.0)
+
+
+def test_mann_kendall_keyed_opposite_trends(spark):
+    from seafan_spark.temporal import mann_kendall
+
+    rows = {"g": [], "x": [], "v": []}
+    for g, sign in (("up", 1.0), ("down", -1.0)):
+        for i in range(12):
+            rows["g"].append(g)
+            rows["x"].append(float(i))
+            rows["v"].append(sign * i + (0.1 if i % 2 else -0.1))
+    p = vec_to_pipe(spark, rows)
+    got = {r["g"]: r for r in mann_kendall(p, "x", "v", keys=["g"]).collect()}
+    assert got["up"]["trend"] == 1 and got["down"]["trend"] == -1
+    assert got["up"]["sen_slope"] > 0 > got["down"]["sen_slope"]
+
+
 # --------------------------------------------------------- km_confidence ----
 def test_km_confidence_greenwood_hand_computed(spark):
     """Textbook Greenwood: 4 subjects, event at t=2 (S=3/4):

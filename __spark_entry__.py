@@ -4005,6 +4005,33 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_cluster_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-randomized readout (causal.cluster_ttest): users are the
+    randomization clusters (assignment user_id % 3 == 0 is constant per
+    user by construction), value the metric, per event type. Units
+    collapse to (type, user) means — one map-side-partial groupBy to
+    cluster cardinality — then the Welch t over CLUSTER means, in
+    ttest_by's association order so the twin bit-matches at 6 dp."""
+    from seafan_spark.causal import cluster_ttest
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        "event_type",
+        F.col("user_id").alias("cluster"),
+        ((F.col("user_id") % 3) == 0).cast("int").alias("treated"),
+        F.col("value").alias("y"),
+    )
+    out = cluster_ttest(d, "cluster", "treated", "y", keys=["event_type"])
+    return out.select(
+        "event_type", "n1", "n0",
+        round_col("mean1", 6).alias("mean1"),
+        round_col("mean0", 6).alias("mean0"),
+        round_col("diff", 6).alias("diff"),
+        round_col("t_stat", 6).alias("t_stat"),
+        round_col("df", 6).alias("df"),
+    ).orderBy("event_type")
+
+
 def q_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-experiment power read-out (causal.power_mde): minimum
     detectable effect on `value` per event type at 50/50 assignment,
@@ -4065,6 +4092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "power_mde": q_power_mde,
     "srm": q_srm,
     "mann_kendall": q_mann_kendall,
+    "cluster_ttest": q_cluster_ttest,
     # --- missed the r8 cut at positions 51-52 (last checked r6/r5) ---
     "kruskal": q_kruskal,
     "ts_pattern": q_ts_pattern,
@@ -4104,13 +4132,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal": q_multimodal,
     "embed_neardup": q_embed_neardup,
     "ngram_jaccard": q_ngram_jaccard,
+    # --- end of the driver's 50-entry correctness window ---
+    # (distinct_sketch/lm_score/hist_sketch/embed_incr/quality_rules/
+    # coalesce_logodds/minhash_calibration/hist_quantiles/psi_drift/
+    # dedup_reps/source_cap displaced to 51-61 by the eleven causal/
+    # survival/monitoring additions; r04-checked, first in line for
+    # round 10)
     "distinct_sketch": q_distinct_sketch,
     "lm_score": q_lm_score,
-    # --- end of the driver's 50-entry correctness window ---
-    # (hist_sketch/embed_incr/quality_rules/coalesce_logodds/
-    # minhash_calibration/hist_quantiles/psi_drift/dedup_reps/source_cap
-    # displaced to 51-59 by the nine causal/survival additions;
-    # r04-checked, first in line for round 10)
     "hist_sketch": q_hist_sketch,
     "embed_incr": q_embed_incr,
     "quality_rules": q_quality_rules,
@@ -9133,6 +9162,43 @@ ORACLES["mann_kendall"] = """
                      THEN SIGN(s) ELSE 0 END AS INT) AS trend,
            ROUND(sen, 6) AS sen_slope
     FROM g ORDER BY event_type
+"""
+
+ORACLES["cluster_ttest"] = """
+    WITH cl AS (
+        SELECT event_type, user_id,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+               AVG(value::DOUBLE) AS m
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, user_id
+    ), mo AS (
+        SELECT event_type,
+               SUM(CASE WHEN t = 1 THEN 1.0 ELSE 0.0 END) AS n1,
+               SUM(CASE WHEN t = 1 THEN 0.0 ELSE 1.0 END) AS n0,
+               SUM(m * CASE WHEN t = 1 THEN 1.0 ELSE 0.0 END) AS s1,
+               SUM(m * CASE WHEN t = 1 THEN 0.0 ELSE 1.0 END) AS s0,
+               SUM(m * m * CASE WHEN t = 1 THEN 1.0 ELSE 0.0 END) AS q1,
+               SUM(m * m * CASE WHEN t = 1 THEN 0.0 ELSE 1.0 END) AS q0
+        FROM cl GROUP BY event_type
+    ), s AS (
+        SELECT event_type, n1, n0, s1/n1 AS m1, s0/n0 AS m0,
+               (n1*q1 - s1*s1)/(n1*(n1-1.0)) AS v1,
+               (n0*q0 - s0*s0)/(n0*(n0-1.0)) AS v0
+        FROM mo
+    ), e AS (
+        SELECT *, v1/n1 + v0/n0 AS se2 FROM s
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n1, CAST(n0 AS BIGINT) AS n0,
+           ROUND(m1, 6) AS mean1, ROUND(m0, 6) AS mean0,
+           ROUND(m1 - m0, 6) AS diff,
+           ROUND(CASE WHEN n1 >= 2 AND n0 >= 2 AND se2 > 0
+                      THEN (m1 - m0)/SQRT(se2) END, 6) AS t_stat,
+           ROUND(CASE WHEN n1 >= 2 AND n0 >= 2 AND se2 > 0
+                      THEN (se2*se2)/((v1/n1)*(v1/n1)/(n1-1.0)
+                                      + (v0/n0)*(v0/n0)/(n0-1.0)) END, 6)
+               AS df
+    FROM e ORDER BY event_type
 """
 
 ORACLES["power_mde"] = """

@@ -246,6 +246,94 @@ def aipw_ate(
     )
 
 
+def cluster_ttest(
+    df,
+    cluster_col: str,
+    treated_col: str,
+    y_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Cluster-randomized experiment readout (Donner & Klar's classic
+    cluster-level analysis): when assignment happens at CLUSTER
+    granularity — geos, stores, classrooms, tenants — unit-level
+    t-tests are anticonservative (within-cluster correlation shrinks
+    the effective n). The robust-and-simple estimator collapses each
+    cluster to its mean outcome, then runs the Welch two-sample t-test
+    over CLUSTER means, so the clusters are the units of inference:
+
+        per cluster: ybar_c = mean(y),  arm = treated (constant within)
+        Welch t over {ybar_c} by arm, Satterthwaite df
+
+    Returns (keys..., n1, n0, mean1, mean0, diff, t_stat, df) where
+    n1/n0 count CLUSTERS. Clusters with mixed treatment (a broken
+    assignment) raise — silently picking a side would hide exactly the
+    bug this analysis exists to respect.
+
+    Scale shape: one map-side-partial groupBy collapses units to the
+    (keys, cluster) relation — cluster cardinality, not corpus — then
+    one more tiny aggregate; closed form after, the ``agg.ttest_by``
+    association order so the DuckDB twin bit-matches after rounding.
+    """
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    t = (F.col(treated_col).cast("double") > 0.5).cast("int")
+    y = F.col(y_col).cast("double")
+    base = d.filter(
+        y.isNotNull()
+        & F.col(treated_col).isNotNull()
+        & F.col(cluster_col).isNotNull()
+    ).select(*keys, F.col(cluster_col).alias("_c"), t.alias("_t"), y.alias("_y"))
+    cl = base.groupBy(*keys, "_c").agg(
+        F.avg("_y").alias("_m"),
+        F.min("_t").alias("_tmin"),
+        F.max("_t").alias("_tmax"),
+    )
+    mixed = cl.filter(F.col("_tmin") != F.col("_tmax"))
+    bad = mixed.select(*keys, "_c").limit(5).collect()
+    if bad:
+        raise ValueError(
+            "cluster_ttest: clusters with MIXED treatment found (first "
+            f"few: {[tuple(r) for r in bad]}) — assignment must be "
+            "constant within a cluster; fix the assignment join before "
+            "analyzing"
+        )
+    x = F.col("_m")
+    is1 = F.col("_tmax") == 1
+    one = F.when(is1, 1.0).otherwise(0.0)
+    zero = F.when(is1, 0.0).otherwise(1.0)
+    agg = cl.groupBy(*keys).agg(
+        F.sum(one).alias("_n1"),
+        F.sum(zero).alias("_n0"),
+        F.sum(x * one).alias("_s1"),
+        F.sum(x * zero).alias("_s0"),
+        F.sum(x * x * one).alias("_q1"),
+        F.sum(x * x * zero).alias("_q0"),
+    )
+    n1, n0 = F.col("_n1"), F.col("_n0")
+    m1, m0 = F.col("_s1") / n1, F.col("_s0") / n0
+    v1 = (n1 * F.col("_q1") - F.col("_s1") * F.col("_s1")) / (n1 * (n1 - 1.0))
+    v0 = (n0 * F.col("_q0") - F.col("_s0") * F.col("_s0")) / (n0 * (n0 - 1.0))
+    ok = (n1 >= 2.0) & (n0 >= 2.0)
+    se2 = v1 / n1 + v0 / n0
+    tstat = F.when(ok & (se2 > 0.0), (m1 - m0) / F.sqrt(se2))
+    dof = F.when(
+        ok & (se2 > 0.0),
+        (se2 * se2)
+        / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+           + (v0 / n0) * (v0 / n0) / (n0 - 1.0)),
+    )
+    return agg.select(
+        *keys,
+        n1.cast("long").alias("n1"),
+        n0.cast("long").alias("n0"),
+        m1.alias("mean1"),
+        m0.alias("mean0"),
+        (m1 - m0).alias("diff"),
+        tstat.alias("t_stat"),
+        dof.alias("df"),
+    )
+
+
 def power_mde(
     df,
     y_col: str,

@@ -206,6 +206,68 @@ def test_match_equal_score_control_visible(spark):
     assert r["control_id"] == 2 and r["distance"] == 0.0
 
 
+# ----------------------------------------------------------- cluster_ttest ----
+def test_cluster_ttest_welch_over_cluster_means(spark):
+    """Hand-check: treated clusters mean {10, 12, 14}, control {9, 9,
+    9, 9} — t computed on the 3-vs-4 cluster means, not the unit rows
+    (each cluster holds several identical units, which would otherwise
+    inflate n and the statistic)."""
+    import math
+
+    from seafan_spark.causal import cluster_ttest
+
+    rows = {"c": [], "t": [], "y": []}
+    for cid, (tt, m) in enumerate(
+        [(1, 10.0), (1, 12.0), (1, 14.0), (0, 9.0), (0, 9.0), (0, 9.0), (0, 9.0)]
+    ):
+        for _ in range(5):  # 5 identical units per cluster
+            rows["c"].append(cid)
+            rows["t"].append(tt)
+            rows["y"].append(m)
+    p = vec_to_pipe(spark, rows)
+    r = cluster_ttest(p, "c", "t", "y").collect()[0]
+    assert (r["n1"], r["n0"]) == (3, 4)
+    assert r["mean1"] == pytest.approx(12.0) and r["mean0"] == pytest.approx(9.0)
+    # Welch over cluster means: v1 = 4, v0 = 0 -> se2 = 4/3, t = 3/sqrt(4/3)
+    assert r["t_stat"] == pytest.approx(3.0 / math.sqrt(4.0 / 3.0))
+    assert r["df"] == pytest.approx(2.0)  # all variance from the 3 treated
+
+
+def test_cluster_ttest_rejects_mixed_clusters(spark):
+    from seafan_spark.causal import cluster_ttest
+
+    p = vec_to_pipe(
+        spark, {"c": [1, 1, 2, 2], "t": [1, 0, 0, 0], "y": [1.0, 2.0, 3.0, 4.0]}
+    )
+    with pytest.raises(ValueError, match="MIXED"):
+        cluster_ttest(p, "c", "t", "y")
+
+
+def test_cluster_ttest_vs_unit_level_inflation(spark):
+    """Correlated within-cluster outcomes: the unit-level t (ttest_by)
+    is far larger than the cluster-level one — the anticonservativeness
+    the estimator exists to fix."""
+    import random
+
+    from seafan_spark.agg import ttest_by
+    from seafan_spark.causal import cluster_ttest
+
+    rng = random.Random(17)
+    rows = {"c": [], "t": [], "y": []}
+    for cid in range(12):
+        tt = 1 if cid % 2 == 0 else 0
+        cluster_effect = rng.gauss(0.3 if tt else 0.0, 1.0)
+        for _ in range(50):  # strong within-cluster correlation
+            rows["c"].append(cid)
+            rows["t"].append(tt)
+            rows["y"].append(cluster_effect + rng.gauss(0, 0.05))
+    p = vec_to_pipe(spark, rows)
+    cl = cluster_ttest(p, "c", "t", "y").collect()[0]
+    unit = ttest_by(p, "y", "t", keys=[]).collect()[0]
+    assert abs(unit["t_stat"]) > 3 * abs(cl["t_stat"])
+    assert cl["n1"] == 6 and cl["n0"] == 6
+
+
 # -------------------------------------------------------------- power_mde ----
 def test_power_mde_closed_form(spark):
     import math

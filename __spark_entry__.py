@@ -4005,6 +4005,65 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_qini_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini coefficient (causal.qini_auc): the scalar area between
+    q_uplift's curve and the random-targeting diagonal, one row per
+    event type — the experimentation battery's model leaderboard
+    number. The fold over the 10 segments is a RUNNING sum in bucket
+    order (identical left-to-right association in both engines) on top
+    of the curve's exact integer counts; the twin mirrors the exact
+    expression shape (x = n/n_tot, d = qini − x·qini_total, trapezoid)
+    so 6-dp rounding lands identically."""
+    from seafan_spark.causal import qini_auc
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        "event_type",
+        F.col("event_id").alias("id"),
+        ((F.col("user_id") % 3) == 0).cast("int").alias("treated"),
+        (F.col("value") > 50.0).cast("double").alias("y"),
+        (((F.col("user_id") * 61) % 1000) / F.lit(1000.0)).alias("s"),
+    )
+    out = qini_auc(d, "treated", "y", "s", "id", n_buckets=10, keys=["event_type"])
+    return out.select(
+        "event_type",
+        "n",
+        round_col("qini_total", 6).alias("qini_total"),
+        round_col("qini_auc", 6).alias("qini_auc"),
+    ).orderBy("event_type")
+
+
+def q_psm_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical greedy without-replacement propensity matching
+    (causal.propensity_match_greedy) on q_psm_match's exact cohort —
+    the epidemiology variant: best-match-first pair consumption, each
+    control used at most once. ROWS-ONLY by design: the greedy order is
+    an iterative heap walk with no SQL twin; correctness is pinned by
+    tests/test_causal.py (planted-cohort equality with the relational
+    with-replacement matcher + without-replacement invariants) and the
+    driver's row-count contract."""
+    from seafan_spark.causal import propensity_match_greedy
+
+    docs = _pipe(spark, sf_dir, "documents").df
+    d = docs.select(
+        F.col("doc_id").alias("id"),
+        ((F.col("doc_id") % 5) == 0).cast("int").alias("treated"),
+        (((F.col("doc_id") * 37) % 1000) / F.lit(1000.0)).alias("s"),
+        "lang",
+    )
+    out = propensity_match_greedy(
+        d, "id", "treated", "s", caliper=0.005, keys=["lang"]
+    )
+    return out.select(
+        "lang",
+        "treated_id",
+        "control_id",
+        round_col("treated_score", 6).alias("treated_score"),
+        round_col("control_score", 6).alias("control_score"),
+        round_col("distance", 6).alias("distance"),
+    ).orderBy("lang", "treated_id")
+
+
 def q_cluster_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-randomized readout (causal.cluster_ttest): users are the
     randomization clusters (assignment user_id % 3 == 0 is constant per
@@ -4077,25 +4136,38 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ========== driver 50-entry correctness window (round 9) ==========
-    # --- oracled, new in round 9 (never driver-checked -> window head) ---
-    "irr_by_bisect": q_irr_by_bisect,
-    "cox_moments_keyed": q_cox_moments_keyed,
-    "logrank_strat": q_logrank_strat,
-    "did": q_did,
-    "ipw_ate": q_ipw_ate,
-    "psm_match": q_psm_match,
-    "rmst": q_rmst,
-    "aipw_ate": q_aipw_ate,
-    "km_ci": q_km_ci,
+    # ========== driver 50-entry correctness window (round 10) ==========
+    # --- new in round 10 (never driver-checked -> window head) ---
+    "qini_auc": q_qini_auc,
+    "psm_greedy": q_psm_greedy,  # rows-only BY DESIGN (iterative greedy)
+    # --- never driver-checked residue (VERDICT #5): cusum oracled since
+    # r7 but never rotated in; ann_pq/cox_ph rows-only — included ONCE so
+    # the driver log records their row-count contract ---
+    "cusum_changepoint": q_cusum,
+    "ann_pq": q_ann_pq,
+    "cox_ph": q_cox_ph,
+    # --- displaced 51-61 block (r04-checked, first in line per r9 plan) ---
+    "distinct_sketch": q_distinct_sketch,
+    "lm_score": q_lm_score,
+    "hist_sketch": q_hist_sketch,
+    "embed_incr": q_embed_incr,
+    "quality_rules": q_quality_rules,
+    "coalesce_logodds": q_coalesce_logodds,
+    "minhash_calibration": q_minhash_calibration,
+    "hist_quantiles": q_hist_quantiles,
+    "psi_drift": q_psi_drift,
+    "dedup_reps": q_dedup_reps,
+    "source_cap": q_source_cap,
+    # --- re-check: operators whose PLAN changed in round 10 (uplift/
+    # psm_match range-partition scale-shape; mann_kendall pair budget +
+    # tie contract; rmst/km_ci guard memoization; irr_by_bisect adaptive
+    # step batching) ---
     "uplift": q_uplift,
-    "power_mde": q_power_mde,
-    "srm": q_srm,
+    "psm_match": q_psm_match,
     "mann_kendall": q_mann_kendall,
-    "cluster_ttest": q_cluster_ttest,
-    # --- missed the r8 cut at positions 51-52 (last checked r6/r5) ---
-    "kruskal": q_kruskal,
-    "ts_pattern": q_ts_pattern,
+    "rmst": q_rmst,
+    "km_ci": q_km_ci,
+    "irr_by_bisect": q_irr_by_bisect,
     # --- r02-checked oracled basics, re-validated (oldest on the board) ---
     "append": q_append,
     "asof": q_asof,
@@ -4125,39 +4197,34 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "topk": q_topk,
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
-    # --- r04-checked survivors, next-oldest ---
+    # --- end of the driver's 50-entry correctness window ---
+    # (r04 survivors + kruskal/ts_pattern + the round-9 causal/survival
+    # family rotate below — r09/r04 driver rows are their record)
     "tpch_q3": q_tpch_q3,
     "minhash_incr": q_minhash_incr,
     "ann_lsh": q_ann_lsh,
     "multimodal": q_multimodal,
     "embed_neardup": q_embed_neardup,
     "ngram_jaccard": q_ngram_jaccard,
-    # --- end of the driver's 50-entry correctness window ---
-    # (distinct_sketch/lm_score/hist_sketch/embed_incr/quality_rules/
-    # coalesce_logodds/minhash_calibration/hist_quantiles/psi_drift/
-    # dedup_reps/source_cap displaced to 51-61 by the eleven causal/
-    # survival/monitoring additions; r04-checked, first in line for
-    # round 10)
-    "distinct_sketch": q_distinct_sketch,
-    "lm_score": q_lm_score,
-    "hist_sketch": q_hist_sketch,
-    "embed_incr": q_embed_incr,
-    "quality_rules": q_quality_rules,
-    "coalesce_logodds": q_coalesce_logodds,
-    "minhash_calibration": q_minhash_calibration,
-    "hist_quantiles": q_hist_quantiles,
-    "psi_drift": q_psi_drift,
-    "dedup_reps": q_dedup_reps,
-    "source_cap": q_source_cap,
+    "kruskal": q_kruskal,
+    "ts_pattern": q_ts_pattern,
+    "cox_moments_keyed": q_cox_moments_keyed,
+    "logrank_strat": q_logrank_strat,
+    "did": q_did,
+    "ipw_ate": q_ipw_ate,
+    "aipw_ate": q_aipw_ate,
+    "power_mde": q_power_mde,
+    "srm": q_srm,
+    "cluster_ttest": q_cluster_ttest,
     # (r08-checked greens and newer rotate below; their driver rows are
-    # the record. Rows-only queries stay below by the ordering contract.)
+    # the record. Rows-only queries stay below by the ordering contract —
+    # except the one-time ann_pq/cox_ph/psm_greedy window passes above.)
     "target_encode": q_target_encode,
     "auc": q_auc,
     "auc_global": q_auc_global,
     "average_precision": q_average_precision,
     "average_precision_global": q_average_precision_global,
     "survival_km": q_survival_km,
-    "cusum_changepoint": q_cusum,
     "phash_neardup": q_phash_neardup,
     "fdr_bh": q_fdr_bh,
     "brier": q_brier,
@@ -4254,7 +4321,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "irr_by": q_irr_by,
     "model_nn": q_model_nn,
     "pca": q_pca,
-    "cox_ph": q_cox_ph,
     "retention": q_retention,
     "winsorize": q_winsorize,
     "embed_project": q_embed_project,
@@ -4277,7 +4343,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "irr": q_irr,
     "model_glm": q_model_glm,
     "marginal": q_marginal,
-    "ann_pq": q_ann_pq,
     "npv": q_npv,
     "loop": q_loop,
     "expr_misc": q_expr_misc,
@@ -9110,6 +9175,79 @@ ORACLES["uplift"] = """
            ROUND(CASE WHEN nc > 0
                       THEN yt - yc * nt::DOUBLE / nc::DOUBLE END, 6) AS qini
     FROM cum ORDER BY event_type, bucket
+"""
+
+# qini_total via the group TOTALS rather than the last cumulative row:
+# the sums are exact integers, so the doubles are bit-identical to the
+# curve's final-bucket qini; the trapezoid fold mirrors the Spark
+# expression shape term by term and runs as a left-to-right running sum.
+ORACLES["qini_auc"] = """
+    WITH base AS (
+        SELECT event_type, event_id AS id,
+               CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS t,
+               CASE WHEN value > 50.0 THEN 1.0 ELSE 0.0 END AS y,
+               ((user_id * 61) % 1000) / 1000.0 AS s
+        FROM events WHERE value IS NOT NULL
+    ), cut AS (
+        SELECT event_type, t, y,
+               NTILE(10) OVER (PARTITION BY event_type
+                               ORDER BY s DESC, id ASC) AS b
+        FROM base
+    ), g AS (
+        SELECT event_type, b,
+               COUNT(*) AS n, SUM(t) AS nt, SUM(1 - t) AS nc,
+               SUM(t * y) AS yt, SUM((1 - t) * y) AS yc
+        FROM cut GROUP BY event_type, b
+    ), cum AS (
+        SELECT event_type, b,
+               SUM(n) OVER wc AS n, SUM(nt) OVER wc AS nt,
+               SUM(nc) OVER wc AS nc, SUM(yt) OVER wc AS yt,
+               SUM(yc) OVER wc AS yc
+        FROM g
+        WINDOW wc AS (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), curve AS (
+        SELECT event_type, b AS bucket, n,
+               CASE WHEN nc > 0
+                    THEN yt - yc * nt::DOUBLE / nc::DOUBLE END AS qini
+        FROM cum
+    ), tot AS (
+        SELECT event_type, COUNT(*) AS tn,
+               SUM(t) AS tnt, SUM(1 - t) AS tnc,
+               SUM(t * y) AS tyt, SUM((1 - t) * y) AS tyc
+        FROM base GROUP BY event_type
+    ), seg AS (
+        SELECT c.event_type, c.bucket, c.qini,
+               t.tn,
+               CASE WHEN t.tnc > 0
+                    THEN t.tyt - t.tyc * t.tnt::DOUBLE / t.tnc::DOUBLE
+               END AS qtot,
+               c.n::DOUBLE / t.tn::DOUBLE AS x,
+               c.qini - (c.n::DOUBLE / t.tn::DOUBLE)
+                 * (CASE WHEN t.tnc > 0
+                         THEN t.tyt - t.tyc * t.tnt::DOUBLE / t.tnc::DOUBLE
+                    END) AS d
+        FROM curve c JOIN tot t USING (event_type)
+    ), fold AS (
+        SELECT event_type, bucket, qini, tn, qtot,
+               (x - COALESCE(LAG(x) OVER wo, 0.0))
+                 * (d + COALESCE(LAG(d) OVER wo, 0.0)) / 2.0 AS piece
+        FROM seg
+        WINDOW wo AS (PARTITION BY event_type ORDER BY bucket)
+    ), run AS (
+        SELECT event_type, bucket, tn, qtot,
+               SUM(piece) OVER wr AS auc,
+               MAX(CASE WHEN qini IS NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY event_type) AS has_null,
+               MAX(bucket) OVER (PARTITION BY event_type) AS lb
+        FROM fold
+        WINDOW wr AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(tn AS BIGINT) AS n,
+           ROUND(qtot, 6) AS qini_total,
+           ROUND(CASE WHEN has_null = 0 THEN auc END, 6) AS qini_auc
+    FROM run WHERE bucket = lb ORDER BY event_type
 """
 
 ORACLES["mann_kendall"] = """

@@ -272,6 +272,25 @@ def irr_by(
     return d.groupBy(*keys).applyInPandas(solve, schema=out_schema)
 
 
+def _auto_batch(small: bool, total_rows: int) -> int:
+    """Dyadic step-batch width for the bisection IRRs: cap the exploded
+    candidate join at ~2M priced rows per pass. A flat batch=10 prices
+    (2^10 − 1) × rows each pass — near the 100k-row small-relation
+    threshold that is ~100M pow() rows on ONE coalesced task, ~25x the
+    sequential total compute (round-9 ADVICE). Scaling the window to
+    the relation keeps tiny series at the 4-pass optimum (800 rows →
+    batch 10) and hands 100k rows batch 4 (~1.5M rows/pass); big
+    relations keep batch 3 (each pass re-scans the cache 2^batch-fold,
+    so the step/scan trade flips regardless)."""
+    import math
+
+    if not small:
+        return 3
+    budget = 2_000_000
+    n = max(1, int(total_rows))
+    return max(1, min(10, int(math.log2(budget / n + 1.0))))
+
+
 def irr_bisect(
     df: DataFrame,
     flow_col: str,
@@ -310,8 +329,10 @@ def irr_bisect(
     points ARE the midpoints it would visit, and the collected sums are
     rounded with the same binary rule as ``rounding.round_col``). 40
     steps at the default batch=10 (small relations) = 4 passes + 1 init
-    job, vs 42. ``batch=None`` adapts: 10 when the flow relation
-    coalesces (small), else 3 — big relations re-scan the cache
+    job, vs 42. ``batch=None`` adapts via :func:`_auto_batch`: the
+    dyadic window is sized so each pass prices <= ~2M candidate rows
+    (10 for tiny series, shrinking toward 4 near the 100k coalesce
+    threshold); big relations use 3 — they re-scan the cache
     2^batch-fold per pass.
 
     Adaptive-tolerance root polishing stays in ``irr()``/``irr_by`` —
@@ -344,7 +365,7 @@ def irr_bisect(
         d = d.coalesce(1)
     d = d.cache()
     if batch is None:
-        batch = 10 if small else 3
+        batch = _auto_batch(small, _total)
 
     scale = float(10**npv_round)
 
@@ -463,9 +484,11 @@ def irr_by_bisect(
       to group x candidate partials either way. 40 steps at the default
       batch=10 (small relations) = 4 passes + 2 init jobs, vs 40.
 
-    ``batch=None`` adapts: 10 when the flow relation is small enough to
-    coalesce (the exploded join is then trivially 2^10 x rows on one
-    task), else 3 — on a corpus-sized flow relation each pass re-scans
+    ``batch=None`` adapts via :func:`_auto_batch`: the dyadic window is
+    sized so each coalesced pass prices <= ~2M exploded candidate rows
+    (batch 10 for tiny series, 4 near the 100k threshold — a flat 10
+    there would put ~100M pow() rows on one task, ~25x the sequential
+    compute); corpus-sized flow relations use 3 — each pass re-scans
     the cache 2^batch-fold, so the step/scan trade flips.
 
     Determinism contract shared with ``irr_bisect``: decisions test the
@@ -508,10 +531,11 @@ def irr_by_bisect(
     # the per-pass groupBy is map-side partial either way. cache() first
     # so the count materializes the cache.
     cached = flows.cache()
-    small = cached.count() <= 100_000
+    _total = cached.count()
+    small = _total <= 100_000
     flows = cached.coalesce(1) if small else cached
     if batch is None:
-        batch = 10 if small else 3
+        batch = _auto_batch(small, _total)
 
     scale = float(10**npv_round)
 

@@ -473,9 +473,14 @@ def uplift_curve(
     reproduces the curve even with heavy score ties. Buckets with no
     controls yet yield NULL qini (no fake zeros).
 
-    Scale shape: one keys-partitioned rank window over (score, id),
-    then a map-side-partial groupBy to (keys x bucket) and running sums
-    over that B-row relation. No subject-level second pass.
+    Scale shape: NTILE is rank arithmetic — the subject-level pass is
+    :func:`seafan_spark.rank.keyed_running_scan` (range-repartition on
+    (keys, score DESC, id), within-partition rank, per-(partition, key)
+    offsets broadcast back), then the closed-form
+    :func:`seafan_spark.rank.ntile_from_rank` cut; a key cell spans a
+    RUN of partitions instead of funneling through one task (the
+    round-9 scale hazard). The only keyed windows left run over the
+    B-row aggregated relation (n_buckets rows per key).
     """
     if n_buckets < 1:
         raise ValueError("uplift_curve: n_buckets must be >= 1")
@@ -493,13 +498,23 @@ def uplift_curve(
         *keys, F.col(id_col).alias("_id"), t.alias("_t"), y.alias("_y"),
         s.alias("_s"),
     )
+    from seafan_spark.rank import keyed_running_scan, ntile_from_rank
+
     wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
-    word = wall.orderBy(F.col("_s").desc(), F.col("_id").asc())
     # standard-SQL NTILE: as-equal-as-possible buckets, larger ones
-    # first — identical semantics in Spark and DuckDB, exact integers
-    bucket = F.ntile(int(n_buckets)).over(word)
+    # first — identical semantics in Spark and DuckDB, exact integers.
+    # Computed as closed-form arithmetic over a range-partitioned keyed
+    # rank so no key cell runs on a single task.
+    ranked = keyed_running_scan(
+        base,
+        keys,
+        [("_s", False), ("_id", True)],
+        rownum_out="_krn",
+        total_out="_ktot",
+    )
+    bucket = ntile_from_rank(F.col("_krn"), F.col("_ktot"), int(n_buckets))
     g = (
-        base.withColumn("_b", bucket)
+        ranked.withColumn("_b", bucket)
         .groupBy(*keys, "_b")
         .agg(
             F.count(F.lit(1)).alias("_n"),
@@ -554,18 +569,22 @@ def propensity_match(
     apart are dropped. Controls may be reused (matching WITH
     replacement — the variant that is order-free and hence exactly
     parallelizable; greedy without-replacement matching is inherently
-    sequential and belongs driver-side at cohort scale).
+    sequential — :func:`propensity_match_greedy` is the guarded
+    driver-side implementation for cohort-scale studies, cross-checked
+    against this one in ``tests/test_causal.py``).
 
     Returns (keys..., treated_id, control_id, treated_score,
     control_score, abs(distance)).
 
-    Scale shape: two keyed windows over the score-sorted relation — a
-    last_value(ignoreNulls) scan forward and a first_value scan
-    backward pick each treated row's nearest control on either side
-    (each window partitioned by ``keys``, single pass, no pairwise
-    join); a final projection chooses the nearer side and applies the
-    caliper. Window ordering is (score, is-control-first, id) so equal
-    scores resolve deterministically.
+    Scale shape: the forward/backward nearest-control scans run through
+    :func:`seafan_spark.rank.keyed_running_scan` — range-repartition on
+    (keys, score, is-control-first, id), within-partition
+    last_value(ignoreNulls) scans both ways, and per-(partition, key)
+    edge-control carry-ins broadcast back — so a key cell spans a run
+    of partitions instead of one task (the round-9 scale hazard). A
+    final projection chooses the nearer side and applies the caliper;
+    the total order (score, controls-first, id) keeps equal scores
+    deterministic. No pairwise join anywhere.
     """
     if caliper <= 0:
         raise ValueError("propensity_match: caliper must be > 0")
@@ -576,28 +595,30 @@ def propensity_match(
     base = d.filter(
         s.isNotNull() & F.col(treated_col).isNotNull() & F.col(id_col).isNotNull()
     ).select(*keys, F.col(id_col).alias("_id"), t.alias("_t"), s.alias("_s"))
+    from seafan_spark.rank import keyed_running_scan
+
     # controls sort BEFORE treated at equal scores so a tied control is
     # visible to the forward scan (<= semantics) but not double-counted
-    order = [F.col("_s").asc(), F.col("_t").asc(), F.col("_id").asc()]
-    wfwd = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
-    ).orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
-    wbwd = (
-        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
-    ).orderBy(*[c.desc() for c in [F.col("_s"), F.col("_t"), F.col("_id")]]).rowsBetween(
-        Window.unboundedPreceding, -1
+    ctrl = F.when(
+        F.col("_t") == 0, F.struct(F.col("_s").alias("s"), F.col("_id").alias("id"))
     )
-    ctrl_s = F.when(F.col("_t") == 0, F.col("_s"))
-    ctrl_id = F.when(F.col("_t") == 0, F.col("_id"))
-    cand = base.select(
+    scanned = keyed_running_scan(
+        base,
+        keys,
+        [("_s", True), ("_t", True), ("_id", True)],
+        val=ctrl,
+        out_prev="_lo",
+        out_next="_hi",
+    )
+    cand = scanned.select(
         *keys,
         "_id",
         "_t",
         "_s",
-        F.last(ctrl_s, ignorenulls=True).over(wfwd).alias("_lo_s"),
-        F.last(ctrl_id, ignorenulls=True).over(wfwd).alias("_lo_id"),
-        F.last(ctrl_s, ignorenulls=True).over(wbwd).alias("_hi_s"),
-        F.last(ctrl_id, ignorenulls=True).over(wbwd).alias("_hi_id"),
+        F.col("_lo.s").alias("_lo_s"),
+        F.col("_lo.id").alias("_lo_id"),
+        F.col("_hi.s").alias("_hi_s"),
+        F.col("_hi.id").alias("_hi_id"),
     ).filter(F.col("_t") == 1)
     d_lo = F.abs(F.col("_s") - F.col("_lo_s"))
     d_hi = F.abs(F.col("_hi_s") - F.col("_s"))
@@ -616,3 +637,197 @@ def propensity_match(
     return m.filter(
         F.col("control_id").isNotNull() & (F.col("distance") <= F.lit(float(caliper)))
     )
+
+
+def qini_auc(
+    df,
+    treated_col: str,
+    y_col: str,
+    score_col: str,
+    id_col: str,
+    n_buckets: int = 10,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Qini coefficient (Radcliffe 2007's single-number uplift-model
+    score): the signed area between the :func:`uplift_curve` and the
+    random-targeting baseline (the straight line from (0, 0) to
+    (1, qini_total)), trapezoid-integrated over population fraction —
+    one comparable scalar per (keys) cell for the experimentation
+    battery's model leaderboard.
+
+    With x_i = n_i / n (cumulative population fraction at bucket i) and
+    d_i = qini_i − x_i · qini_B (the curve's excess over the baseline,
+    d_0 = 0 at the origin):
+
+        auc = Σ_i (x_i − x_{i−1}) · (d_i + d_{i−1}) / 2
+
+    Positive auc = the model front-loads incremental responders; 0 =
+    random; the sign convention matches the plotted curve. Buckets
+    whose cumulative control count is still zero have NULL qini (the
+    :func:`uplift_curve` contract) — any NULL bucket makes the auc
+    NULL rather than silently dropping segments (SQL SUM would skip
+    them).
+
+    Determinism: the fold over the B segments is a RUNNING sum in
+    bucket order (identical left-to-right association in Spark and
+    DuckDB), so the double is bit-stable across engines; inputs are the
+    curve's exact integer counts.
+
+    Scale shape: everything beyond :func:`uplift_curve` (whose
+    subject-level pass is the range-partitioned keyed scan) is window
+    math over the B-row-per-key curve relation — bounded by n_buckets,
+    never by corpus size.
+
+    Returns (keys..., n, qini_total, qini_auc).
+    """
+    keys = list(keys)
+    curve = uplift_curve(
+        df, treated_col, y_col, score_col, id_col, n_buckets=n_buckets, keys=keys
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("bucket").asc())
+    span = wall.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_tot = F.max("n").over(span).cast("double")
+    q_tot = F.max_by("qini", "bucket").over(span)
+    x = F.col("n").cast("double") / n_tot
+    d_exc = F.col("qini") - x * q_tot
+    x_prev = F.coalesce(F.lag(x, 1).over(word), F.lit(0.0))
+    d_prev = F.coalesce(F.lag(d_exc, 1).over(word), F.lit(0.0))
+    seg = (x - x_prev) * (d_exc + d_prev) / F.lit(2.0)
+    running = F.sum(seg).over(word.rowsBetween(Window.unboundedPreceding, 0))
+    has_null = F.max(F.when(F.col("qini").isNull(), 1).otherwise(0)).over(span)
+    last_b = F.max("bucket").over(span)
+    out = curve.select(
+        *keys,
+        F.col("bucket"),
+        F.max("n").over(span).alias("n"),
+        q_tot.alias("qini_total"),
+        F.when(has_null == 0, running).alias("qini_auc"),
+        last_b.alias("_lb"),
+    ).filter(F.col("bucket") == F.col("_lb"))
+    return out.drop("bucket", "_lb")
+
+
+def propensity_match_greedy(
+    df,
+    id_col: str,
+    treated_col: str,
+    score_col: str,
+    caliper: float,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Classical GREEDY 1:1 propensity matching WITHOUT replacement
+    (the standard epidemiology variant; Austin 2011's taxonomy) — the
+    sequential sibling of :func:`propensity_match`, which matches with
+    replacement and is therefore order-free and exactly parallelizable.
+
+    Pairs are consumed in increasing (distance, treated_id) order — the
+    "best-match-first" greedy: repeatedly take the treated unit whose
+    nearest UNTAKEN control is closest, bind the pair, and re-queue any
+    treated unit whose candidate was stolen with its next-nearest
+    untaken control. Exact-distance ties break toward the lower treated
+    id, then toward the lower control score and id — fully
+    deterministic. Pairs farther than ``caliper`` are dropped; each
+    control is used AT MOST ONCE, so treated units can go unmatched
+    even inside the caliper (the defining without-replacement
+    property a cohort study wants for variance honesty).
+
+    Scale shape: inherently sequential (each pick changes the candidate
+    set), so this runs DRIVER-SIDE behind :func:`guards.assert_small`
+    — the documented cohort-scale path (epidemiological cohorts, not
+    corpora). At corpus scale use :func:`propensity_match` and weight
+    repeated controls, or stratify into keyed cohorts first: the greedy
+    loop runs per key cell after ONE guarded collect, O((T+C) log C)
+    per cell via a lazy-invalidation heap over score-sorted controls.
+
+    Returns the :func:`propensity_match` schema: (keys..., treated_id,
+    control_id, treated_score, control_score, distance).
+    """
+    import bisect
+    import heapq
+
+    from seafan_spark.guards import assert_small
+
+    if caliper <= 0:
+        raise ValueError("propensity_match_greedy: caliper must be > 0")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    t = (F.col(treated_col).cast("double") > 0.5).cast("int")
+    s = F.col(score_col).cast("double")
+    base = d.filter(
+        s.isNotNull() & F.col(treated_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(*keys, F.col(id_col).alias("_id"), t.alias("_t"), s.alias("_s"))
+    assert_small(
+        base,
+        "propensity_match_greedy",
+        scale_hint="Greedy without-replacement matching is sequential by "
+        "definition — use propensity_match (with replacement, relational) "
+        "at corpus scale.",
+    )
+    rows = base.collect()
+    groups: dict[tuple, tuple[list, list]] = {}
+    for r in rows:
+        k = tuple(r[c] for c in keys)
+        tr, ct = groups.setdefault(k, ([], []))
+        (tr if r["_t"] == 1 else ct).append((r["_s"], r["_id"]))
+    out_rows = []
+    cal = float(caliper)
+    for k, (treated, controls) in groups.items():
+        controls.sort()
+        cs = [c[0] for c in controls]
+        taken = [False] * len(controls)
+        free = len(controls)
+
+        def nearest(ts, tid):
+            """Closest untaken control to score ts; ties toward lower
+            score then lower id (scan outward from the bisect point)."""
+            j = bisect.bisect_left(cs, ts)
+            lo, hi = j - 1, j
+            best = None
+            while lo >= 0 or hi < len(cs):
+                lo_d = ts - cs[lo] if lo >= 0 else None
+                hi_d = cs[hi] - ts if hi < len(cs) else None
+                if lo_d is not None and (hi_d is None or lo_d <= hi_d):
+                    i, dd = lo, lo_d
+                    lo -= 1
+                else:
+                    i, dd = hi, hi_d
+                    hi += 1
+                if best is not None and dd > best[0]:
+                    break
+                if not taken[i] and dd <= cal:
+                    cand = (dd, cs[i], controls[i][1], i)
+                    if best is None or cand < best:
+                        best = cand
+                elif best is None and dd > cal:
+                    break
+            return best
+
+        heap = []
+        for ts, tid in sorted(treated, key=lambda x: (x[1],)):
+            b = nearest(ts, tid)
+            if b is not None:
+                heapq.heappush(heap, (b[0], tid, b[1], b[2], b[3], ts))
+        while heap and free > 0:
+            dd, tid, csc, cid, ci, ts = heapq.heappop(heap)
+            if taken[ci]:
+                b = nearest(ts, tid)  # candidate stolen — re-queue
+                if b is not None:
+                    heapq.heappush(heap, (b[0], tid, b[1], b[2], b[3], ts))
+                continue
+            taken[ci] = True
+            free -= 1
+            out_rows.append((*k, tid, cid, ts, csc, dd))
+    spark = d.sparkSession
+    id_type = base.schema["_id"].dataType.simpleString()
+    fields = [f"{c} {base.schema[c].dataType.simpleString()}" for c in keys]
+    fields += [
+        f"treated_id {id_type}",
+        f"control_id {id_type}",
+        "treated_score double",
+        "control_score double",
+        "distance double",
+    ]
+    return spark.createDataFrame(out_rows, ", ".join(fields))

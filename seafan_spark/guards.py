@@ -30,12 +30,21 @@ def _default_group_limit() -> int:
     return int(os.environ.get("SEAFAN_COLLAPSED_GROUP_LIMIT", "2000000"))
 
 
+#: session-lifetime memo for :func:`assert_bounded_groups` — keyed by the
+#: analyzed plan's semantic hash so composed operators (survival_km →
+#: rmst/km_confidence over the same input) don't re-pay the eager guard
+#: aggregate per wrapper (round-9 ADVICE). Bounded FIFO.
+_BOUNDED_MEMO: dict[tuple, int] = {}
+_BOUNDED_MEMO_MAX = 256
+
+
 def assert_bounded_groups(
     df: DataFrame,
     keys,
     op: str,
     limit: int | None = None,
     scale_hint: str = "",
+    unique_col: str | None = None,
 ) -> int:
     """Raise if any ``keys`` cell of ``df`` exceeds the collapsed-relation
     row ceiling; returns the max cell size (total count when ``keys`` is
@@ -50,21 +59,52 @@ def assert_bounded_groups(
     relation (group-cardinality output) and fails loudly with the
     'bucket first' guidance instead. Ceiling via
     ``SEAFAN_COLLAPSED_GROUP_LIMIT`` (default 2e6 rows per group).
+
+    Operators whose per-group cost is QUADRATIC in the cell size (pair
+    self-joins — ``mann_kendall``) must pass an explicit ``limit``: the
+    default ceiling prices O(B log B) windows, not O(B²) joins.
+
+    ``unique_col``: when set, the same aggregate also checks that the
+    column is UNIQUE within each group (count == count_distinct) —
+    the one-row-per-order-value contract whose silent violation would
+    otherwise yield a wrong answer rather than a slow one (e.g.
+    Mann-Kendall drops equal-order pairs from S while still counting
+    the rows in n and Var(S)). No extra job: one grouped pass either way.
     """
     from pyspark.sql import functions as F
 
     cap = _default_group_limit() if limit is None else limit
     keys = list(keys)
-    if keys:
-        mx = (
-            df.groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .agg(F.max("_n").alias("_m"))
-            .collect()[0]["_m"]
+    # memoize on (session, analyzed-plan semantic hash, keys, cap): a
+    # PASSING guard for the same lineage never re-runs (derived operators
+    # compose for free); failures are never cached, and a changed plan
+    # hashes differently. Best-effort — any JVM hiccup just recomputes.
+    memo_key = None
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+        memo_key = (id(df.sparkSession), h, tuple(keys), cap, unique_col)
+    except Exception:
+        pass
+    if memo_key is not None and memo_key in _BOUNDED_MEMO:
+        return _BOUNDED_MEMO[memo_key]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if unique_col is not None:
+        aggs.append(F.count_distinct(F.col(unique_col)).alias("_nd"))
+    cells = df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+    finals = [F.max("_n").alias("_m")]
+    if unique_col is not None:
+        finals.append(
+            F.max(F.col("_n") - F.col("_nd")).alias("_dup")
         )
-        mx = int(mx or 0)
-    else:
-        mx = df.count()
+    row = cells.agg(*finals).collect()[0]
+    mx = int(row["_m"] or 0)
+    if unique_col is not None and int(row["_dup"] or 0) > 0:
+        hint = f" {scale_hint}" if scale_hint else ""
+        raise SmallDataLimitError(
+            f"{op}: duplicate {unique_col!r} values within a group — the "
+            f"operator requires one row per {unique_col!r} per group; "
+            f"aggregate the series first.{hint}"
+        )
     if mx > cap:
         hint = f" {scale_hint}" if scale_hint else ""
         raise SmallDataLimitError(
@@ -72,6 +112,10 @@ def assert_bounded_groups(
             f"{cap} per-group ceiling (set SEAFAN_COLLAPSED_GROUP_LIMIT "
             f"to override).{hint}"
         )
+    if memo_key is not None:
+        _BOUNDED_MEMO[memo_key] = mx
+        while len(_BOUNDED_MEMO) > _BOUNDED_MEMO_MAX:
+            _BOUNDED_MEMO.pop(next(iter(_BOUNDED_MEMO)))
     return mx
 
 

@@ -133,6 +133,12 @@ def extract_image_features(
     (real Pillow decode, raises if Pillow is absent), or 'auto' (Pillow
     when importable, else the fake)."""
     mode = _resolve_decoder(decoder)
+    # id dtype follows the INPUT (string doc ids are first-class —
+    # round-9 VERDICT #3); IMAGE_FEATURES_SCHEMA documents the long form
+    out_schema = T.StructType(
+        [T.StructField("doc_id", df.schema[id_col].dataType)]
+        + IMAGE_FEATURES_SCHEMA.fields[1:]
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _pil_decode_image if mode == "pil" else _fake_decode_image
@@ -140,12 +146,12 @@ def extract_image_features(
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[binary_col]):
                 h, w, c, luma = decode(bytes(payload) if payload is not None else b"")
-                rows.append((int(doc_id), h, w, c, luma))
+                rows.append((doc_id, h, w, c, luma))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "height", "width", "channels", "mean_luma"]
             )
 
-    return df.select(id_col, binary_col).mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+    return df.select(id_col, binary_col).mapInPandas(batches, schema=out_schema)
 
 
 def resize_images(
@@ -159,9 +165,10 @@ def resize_images(
     the default stub 'resize' tags the payload with the target size so
     the synthetic corpus stays exercisable."""
     mode = _resolve_decoder(decoder)
+    # id dtype follows the input (string ids supported — VERDICT #3)
     out_schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField("doc_id", df.schema[id_col].dataType),
             T.StructField("resized", T.BinaryType()),
         ]
     )
@@ -183,7 +190,7 @@ def resize_images(
             return tag + hashlib.md5(payload).digest()
 
         for pdf in it:
-            rows = [(int(i), one(p)) for i, p in zip(pdf[id_col], pdf[binary_col])]
+            rows = [(i, one(p)) for i, p in zip(pdf[id_col], pdf[binary_col])]
             yield pd.DataFrame(rows, columns=["doc_id", "resized"])
 
     return df.select(id_col, binary_col).mapInPandas(batches, schema=out_schema)
@@ -195,9 +202,10 @@ def sample_video_frames(
     """Frame-sampling plumbing: one input row -> many frame rows
     (mapInPandas is free to change cardinality). The stub emits
     ``n_bytes // (every_n * 1024) + 1`` fake frames per video."""
+    # id dtype follows the input (string ids supported — VERDICT #3)
     out_schema = T.StructType(
         [
-            T.StructField("doc_id", T.LongType()),
+            T.StructField("doc_id", df.schema[id_col].dataType),
             T.StructField("frame_no", T.IntegerType()),
             T.StructField("frame", T.BinaryType()),
         ]
@@ -213,7 +221,7 @@ def sample_video_frames(
                 n_frames = len(payload) // (every_n * 1024) + 1
                 for f_no in range(n_frames):
                     rows.append(
-                        (int(i), f_no, hashlib.md5(payload + f_no.to_bytes(4, "big")).digest())
+                        (i, f_no, hashlib.md5(payload + f_no.to_bytes(4, "big")).digest())
                     )
             yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame"])
 

@@ -233,6 +233,132 @@ def attach_running_ops(
     return d.drop(*drop)
 
 
+def keyed_running_scan(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    order: OrderKeys,
+    val: Column | None = None,
+    out_prev: str | None = None,
+    out_next: str | None = None,
+    rownum_out: str | None = None,
+    total_out: str | None = None,
+) -> DataFrame:
+    """Keyed order-dependent scans with NO per-key-cell single task — the
+    grouped sibling of :func:`attach_running_ops` for operators whose
+    ``Window.partitionBy(keys)`` keys are low-cardinality (a handful of
+    segments over a 100 TB corpus puts a corpus-fraction cell on one task).
+
+    Range-repartition on ``(keys..., order...)`` so each key cell spans a
+    contiguous RUN of partitions (never confined to one), compute each
+    request within (partition, key) cells, then stitch the runs together
+    through a tiny per-(partition, key) stats relation — O(shuffle
+    partitions + key cells) rows — broadcast-joined back. Attachable
+    columns, all under the keyed total order ``order``:
+
+    - ``rownum_out`` — exact 1-based row number within the key cell.
+    - ``total_out`` — the key cell's total row count (long).
+    - ``out_prev`` — last non-null ``val`` STRICTLY BEFORE the row
+      (``rowsBetween(unboundedPreceding, -1)`` semantics across the
+      whole cell); ``val`` may be a struct for multi-column payloads.
+    - ``out_next`` — first non-null ``val`` strictly after the row.
+
+    The range shuffle is materialized once (``localCheckpoint``) for the
+    same bounds-resampling reason as :func:`global_row_number`. The
+    stats relation's own windows order partition ids per key — bounded
+    by the shuffle-partition count, never by data size.
+    """
+    keys = list(keys)
+    if not order:
+        raise ValueError("keyed_running_scan: order must be non-empty")
+    requested = {total_out, rownum_out, out_prev, out_next} - {None}
+    if requested & set(df.columns):
+        raise ValueError("keyed_running_scan: output name collides with input")
+    ocols = _order_cols(order)
+    rev_ocols = [F.col(c).desc() if asc else F.col(c).asc() for c, asc in order]
+    kcols = [F.col(k).asc() for k in keys]
+    d = (
+        df.repartitionByRange(*(kcols + ocols))
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = Window.partitionBy("_gpid", *keys).orderBy(*ocols)
+    d = d.withColumn("_lrn", F.row_number().over(wloc))
+    if val is not None:
+        d = d.withColumn("_krs_val", val)
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if val is not None:
+        nn_rn = F.when(F.col("_krs_val").isNotNull(), F.col("_lrn"))
+        aggs += [
+            F.max_by(F.col("_krs_val"), nn_rn).alias("_lastv"),
+            F.min_by(F.col("_krs_val"), nn_rn).alias("_firstv"),
+        ]
+    stats = d.groupBy("_gpid", *keys).agg(*aggs)
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    wk_asc = wk.orderBy(F.col("_gpid").asc())
+    proj: dict[str, Column] = {
+        "_krs_off": F.coalesce(
+            F.sum("_cnt").over(wk_asc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long"),
+        "_krs_tot": F.sum("_cnt")
+        .over(wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long"),
+    }
+    if val is not None:
+        wk_desc = wk.orderBy(F.col("_gpid").desc())
+        # carry-ins: nearest EARLIER partition's last non-null val, nearest
+        # LATER partition's first non-null val (per key cell)
+        proj["_krs_cprev"] = F.last("_lastv", ignorenulls=True).over(
+            wk_asc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        proj["_krs_cnext"] = F.last("_firstv", ignorenulls=True).over(
+            wk_desc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    offsets = stats.select(
+        "_gpid", *keys, *[c.alias(n) for n, c in proj.items()]
+    )
+    d = d.join(F.broadcast(offsets), ["_gpid", *keys], "left")
+    out: dict[str, Column] = {}
+    drop = ["_gpid", "_lrn", "_krs_off", "_krs_tot"]
+    if rownum_out:
+        out[rownum_out] = (F.col("_lrn") + F.col("_krs_off")).cast("long")
+    if total_out:
+        out[total_out] = F.col("_krs_tot")
+    if val is not None:
+        drop += ["_krs_val", "_krs_cprev", "_krs_cnext"]
+        if out_prev:
+            loc_prev = F.last("_krs_val", ignorenulls=True).over(
+                wloc.rowsBetween(Window.unboundedPreceding, -1)
+            )
+            out[out_prev] = F.coalesce(loc_prev, F.col("_krs_cprev"))
+        if out_next:
+            wloc_rev = Window.partitionBy("_gpid", *keys).orderBy(*rev_ocols)
+            loc_next = F.last("_krs_val", ignorenulls=True).over(
+                wloc_rev.rowsBetween(Window.unboundedPreceding, -1)
+            )
+            out[out_next] = F.coalesce(loc_next, F.col("_krs_cnext"))
+    d = d.withColumns(out)
+    return d.drop(*drop)
+
+
+def ntile_from_rank(rank: Column, total: Column, n_buckets: int) -> Column:
+    """Column form of :func:`ntile_bucket_col` — SQL ``NTILE(n)`` bucket
+    from a 1-based rank and the (per-key) total as COLUMNS, so the cut is
+    computable after :func:`keyed_running_scan` with no window at all.
+    Exact integer arithmetic; identical semantics in Spark and DuckDB
+    (first ``total mod n`` buckets one row larger)."""
+    nb = F.lit(int(n_buckets)).cast("long")
+    base = F.floor(total / nb).cast("long")
+    rem = (total % nb).cast("long")
+    cut = rem * (base + 1)
+    return (
+        F.when(base == 0, rank)
+        .when(rank <= cut, F.floor((rank - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((rank - cut - 1) / base) + 1)
+        .cast("int")
+    )
+
+
 def rrf_fuse(
     df: DataFrame,
     id_col: str,

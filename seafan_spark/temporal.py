@@ -782,6 +782,7 @@ def survival_km(
     duration_col: str,
     event_col: str,
     keys: Sequence[str] = (),
+    _skip_guard: bool = False,
 ) -> DataFrame:
     """Kaplan-Meier product-limit survival estimate, optionally per group
     (Kaplan & Meier 1958) — time-to-event analysis over retention /
@@ -827,13 +828,17 @@ def survival_km(
     # continuous duration column defeats the collapse and turns each
     # group's window into a subject-cardinality single task. One bounded
     # count aggregate (group-cardinality output), fails with guidance.
-    from seafan_spark.guards import assert_bounded_groups
+    # Derived operators (rmst, km_confidence) pass _skip_guard=True after
+    # running their OWN guard once, so composing doesn't re-pay the
+    # eager aggregate job per wrapper (round-9 ADVICE).
+    if not _skip_guard:
+        from seafan_spark.guards import assert_bounded_groups
 
-    assert_bounded_groups(
-        g, keys, "survival_km",
-        scale_hint="Bucket the duration column first (day/week bins) — "
-        "the KM table is one row per DISTINCT duration per group.",
-    )
+        assert_bounded_groups(
+            g, keys, "survival_km",
+            scale_hint="Bucket the duration column first (day/week bins) — "
+            "the KM table is one row per DISTINCT duration per group.",
+        )
     wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
     word = wall.orderBy(F.col("t").asc())
     leaving = F.col("n_event") + F.col("n_censor")
@@ -1019,10 +1024,24 @@ def mann_kendall(
     )
     from seafan_spark.guards import assert_bounded_groups
 
+    # pair budget: the default collapsed-group ceiling (2e6) prices
+    # O(B log B) windows; this op SELF-JOINS the series, so the ceiling
+    # must bound B^2 — 50k rows/group caps the pair relation at 2.5e9
+    # pairs/group (SEAFAN_MK_PAIR_ROW_LIMIT overrides). The same
+    # aggregate enforces the one-row-per-order-value contract: equal _x
+    # pairs would silently vanish from S (the _xj > _xi filter drops
+    # both directions) while n and Var(S) still count those rows.
+    import os as _os
+
+    pair_cap = int(_os.environ.get("SEAFAN_MK_PAIR_ROW_LIMIT", "50000"))
     assert_bounded_groups(
         base, keys, "mann_kendall",
+        limit=pair_cap,
+        unique_col="_x",
         scale_hint="Aggregate the series first (e.g. one row per day per "
-        "group) — the trend test prices B^2 pairs per group.",
+        "group) — the trend test prices B^2 pairs per group "
+        f"({pair_cap} rows -> {pair_cap}^2 pairs is the budget; "
+        "SEAFAN_MK_PAIR_ROW_LIMIT overrides).",
     )
     left = base.select(
         *keys, F.col("_x").alias("_xi"), F.col("_v").alias("_vi")

@@ -1,0 +1,367 @@
+"""Round-10 operator tests: the keyed range-partition scan substrate,
+the scale-shaped causal ops that ride on it, the Qini coefficient, the
+greedy matcher, the Mann-Kendall pair budget / tie contract, guard
+memoization, adaptive IRR step batching, and multimodal string ids.
+"""
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from seafan_spark.guards import SmallDataLimitError
+
+
+# ------------------------------------------------ keyed_running_scan ----
+
+def _rand_df(spark, n=500, seed=3, keys=("a", "b", "c")):
+    rng = random.Random(seed)
+    rows = [
+        (i, rng.choice(keys), rng.randrange(2), round(rng.random(), 2))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "id long, k string, t int, s double")
+
+
+def test_keyed_running_scan_rownum_total(spark):
+    from seafan_spark.rank import keyed_running_scan
+
+    df = _rand_df(spark)
+    got = keyed_running_scan(
+        df, ["k"], [("s", True), ("id", True)], rownum_out="rn", total_out="tot"
+    )
+    w = Window.partitionBy("k").orderBy(F.col("s").asc(), F.col("id").asc())
+    ref = df.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "tot", F.count(F.lit(1)).over(Window.partitionBy("k")).cast("long")
+    )
+    assert sorted(map(tuple, got.select("id", "rn", "tot").collect())) == sorted(
+        map(tuple, ref.select("id", "rn", "tot").collect())
+    )
+
+
+def test_keyed_running_scan_prev_next(spark):
+    from seafan_spark.rank import keyed_running_scan
+
+    df = _rand_df(spark, n=400, seed=9)
+    val = F.when(F.col("t") == 0, F.struct(F.col("s"), F.col("id")))
+    got = keyed_running_scan(
+        df, ["k"], [("s", True), ("t", True), ("id", True)],
+        val=val, out_prev="pv", out_next="nx",
+    )
+    order = [F.col("s").asc(), F.col("t").asc(), F.col("id").asc()]
+    wf = Window.partitionBy("k").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wb = Window.partitionBy("k").orderBy(
+        *[c.desc() for c in [F.col("s"), F.col("t"), F.col("id")]]
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    ref = df.withColumn("pv", F.last(val, ignorenulls=True).over(wf)).withColumn(
+        "nx", F.last(val, ignorenulls=True).over(wb)
+    )
+    assert sorted(map(tuple, got.select("id", "pv", "nx").collect())) == sorted(
+        map(tuple, ref.select("id", "pv", "nx").collect())
+    )
+
+
+def test_keyed_running_scan_no_keys_and_collision(spark):
+    from seafan_spark.rank import keyed_running_scan
+
+    df = _rand_df(spark, n=150, seed=4)
+    got = keyed_running_scan(df, [], [("s", True), ("id", True)], rownum_out="rn")
+    ref = df.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.col("s").asc(), F.col("id").asc()))
+        .cast("long"),
+    )
+    assert sorted(map(tuple, got.select("id", "rn").collect())) == sorted(
+        map(tuple, ref.select("id", "rn").collect())
+    )
+    with pytest.raises(ValueError, match="collides"):
+        keyed_running_scan(df, ["k"], [("s", True)], rownum_out="id")
+    with pytest.raises(ValueError, match="order"):
+        keyed_running_scan(df, ["k"], [], rownum_out="rn")
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    from seafan_spark.rank import keyed_running_scan, ntile_from_rank
+
+    for n, buckets, seed in [(97, 10, 1), (5, 7, 2), (64, 4, 5), (1, 3, 6)]:
+        df = _rand_df(spark, n=n, seed=seed)
+        got = keyed_running_scan(
+            df, ["k"], [("s", False), ("id", True)],
+            rownum_out="rn", total_out="tot",
+        ).withColumn("b", ntile_from_rank(F.col("rn"), F.col("tot"), buckets))
+        w = Window.partitionBy("k").orderBy(F.col("s").desc(), F.col("id").asc())
+        ref = df.withColumn("b", F.ntile(buckets).over(w))
+        assert sorted(map(tuple, got.select("id", "b").collect())) == sorted(
+            map(tuple, ref.select("id", "b").collect())
+        ), (n, buckets)
+
+
+# ------------------------------------ scale shape of the causal plans ----
+
+def _window_lines(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [ln for ln in plan.splitlines() if "Window " in ln or ln.strip().startswith("Window")]
+
+
+def test_uplift_and_psm_plans_have_no_subject_level_key_window(spark):
+    """Round-9 VERDICT #1 'done' check: no single-task-per-key-cell
+    window over the subject relation — every Window that touches the
+    score column must be partitioned by _gpid (the range-partition
+    layout); uplift's plan must contain no NTILE at all."""
+    from seafan_spark.causal import propensity_match, uplift_curve
+
+    df = _rand_df(spark, n=300, seed=8)
+    up = uplift_curve(df, "t", "s", "s", "id", n_buckets=5, keys=["k"])
+    plan = up._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    # the range layout is materialized (localCheckpoint), so the visible
+    # plan scans the checkpointed RDD carrying the _gpid partition column
+    assert "_gpid" in plan
+    for ln in _window_lines(up):
+        if "_s" in ln and "_gpid" not in ln:
+            # the only keyed windows without _gpid run over the B-row
+            # aggregated curve (reference _n/_nt cumulative sums)
+            assert "_nt" in ln or "_n#" in ln, ln
+    pm = propensity_match(df, "id", "t", "s", caliper=0.05, keys=["k"])
+    plan2 = pm._jdf.queryExecution().executedPlan().toString()
+    assert "_gpid" in plan2
+    for ln in _window_lines(pm):
+        if "_krs_val" in ln:
+            assert "_gpid" in ln, ln
+
+
+# ------------------------------------------------------------ qini ----
+
+def test_qini_auc_matches_python_reference(spark):
+    from seafan_spark.causal import qini_auc, uplift_curve
+
+    rng = random.Random(17)
+    rows = [
+        (i, rng.choice(["x", "y"]), rng.randrange(2),
+         round(rng.random(), 3), float(rng.randrange(100) > 55))
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, t int, s double, y double")
+    got = {r["k"]: r for r in qini_auc(df, "t", "y", "s", "id", 10, ["k"]).collect()}
+    curve = uplift_curve(df, "t", "y", "s", "id", 10, ["k"]).orderBy("k", "bucket")
+    from collections import defaultdict
+
+    byk = defaultdict(list)
+    for r in curve.collect():
+        byk[r["k"]].append(r)
+    for k, rs in byk.items():
+        n, qt = rs[-1]["n"], rs[-1]["qini"]
+        xp = dp = auc = 0.0
+        for r in rs:
+            x = r["n"] / n
+            d = r["qini"] - x * qt
+            auc += (x - xp) * (d + dp) / 2.0
+            xp, dp = x, d
+        assert got[k]["n"] == n
+        assert got[k]["qini_total"] == pytest.approx(qt, abs=1e-12)
+        assert got[k]["qini_auc"] == pytest.approx(auc, abs=1e-12)
+
+
+def test_qini_auc_null_when_no_controls(spark):
+    from seafan_spark.causal import qini_auc
+
+    rows = [(i, 1, 0.1 * i, 1.0) for i in range(20)]  # all treated
+    df = spark.createDataFrame(rows, "id long, t int, s double, y double")
+    out = qini_auc(df, "t", "y", "s", "id", n_buckets=4).collect()
+    assert len(out) == 1
+    assert out[0]["qini_auc"] is None and out[0]["qini_total"] is None
+
+
+# ------------------------------------------------------ greedy PSM ----
+
+def test_greedy_matches_relational_on_separated_cohort(spark):
+    from seafan_spark.causal import propensity_match, propensity_match_greedy
+
+    rows = [(1, 1, 0.10), (2, 0, 0.11), (3, 1, 0.50), (4, 0, 0.52),
+            (5, 1, 0.90), (6, 0, 0.87)]
+    df = spark.createDataFrame(rows, "id long, t int, s double")
+    wr = propensity_match(df, "id", "t", "s", caliper=0.1).orderBy("treated_id")
+    gr = propensity_match_greedy(df, "id", "t", "s", caliper=0.1).orderBy("treated_id")
+    assert [tuple(r) for r in wr.collect()] == [tuple(r) for r in gr.collect()]
+
+
+def test_greedy_without_replacement_invariants(spark):
+    from seafan_spark.causal import propensity_match_greedy
+
+    df = _rand_df(spark, n=600, seed=23)
+    out = propensity_match_greedy(df, "id", "t", "s", caliper=0.04, keys=["k"]).collect()
+    assert out, "planted cohort must produce matches"
+    seen = set()
+    for r in out:
+        key = (r["k"], r["control_id"])
+        assert key not in seen, "control reused in without-replacement match"
+        seen.add(key)
+        assert r["distance"] <= 0.04 + 1e-15
+        assert r["distance"] == pytest.approx(
+            abs(r["treated_score"] - r["control_score"])
+        )
+
+
+def test_greedy_contention_goes_to_closest_treated(spark):
+    from seafan_spark.causal import propensity_match, propensity_match_greedy
+
+    rows = [(1, 1, 0.50), (2, 1, 0.505), (3, 0, 0.51)]
+    df = spark.createDataFrame(rows, "id long, t int, s double")
+    assert propensity_match(df, "id", "t", "s", caliper=0.1).count() == 2
+    gr = propensity_match_greedy(df, "id", "t", "s", caliper=0.1).collect()
+    assert len(gr) == 1 and gr[0]["treated_id"] == 2
+
+
+def test_greedy_small_data_guard(spark, monkeypatch):
+    from seafan_spark.causal import propensity_match_greedy
+
+    monkeypatch.setenv("SEAFAN_SMALL_DATA_LIMIT", "10")
+    df = _rand_df(spark, n=50, seed=2)
+    with pytest.raises(SmallDataLimitError, match="propensity_match"):
+        propensity_match_greedy(df, "id", "t", "s", caliper=0.1, keys=["k"])
+
+
+# ------------------------------------------- mann_kendall contracts ----
+
+def test_mann_kendall_duplicate_order_raises(spark):
+    from seafan_spark.temporal import mann_kendall
+
+    rows = [("a", 1.0, 5.0), ("a", 1.0, 6.0), ("a", 2.0, 7.0)]
+    df = spark.createDataFrame(rows, "k string, x double, v double")
+    with pytest.raises(SmallDataLimitError, match="one row per"):
+        mann_kendall(df, "x", "v", keys=["k"])
+
+
+def test_mann_kendall_pair_budget(spark, monkeypatch):
+    """A series above the pair-row budget errors with the budget message
+    (priced per group, BEFORE the B^2 self-join ever runs)."""
+    from seafan_spark.temporal import mann_kendall
+
+    monkeypatch.setenv("SEAFAN_MK_PAIR_ROW_LIMIT", "1000")
+    df = spark.range(2000).select(
+        F.lit("g").alias("k"),
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 17).cast("double").alias("v"),
+    )
+    with pytest.raises(SmallDataLimitError, match="B\\^2 pairs"):
+        mann_kendall(df, "x", "v", keys=["k"])
+
+
+def test_mann_kendall_still_correct_after_guard_change(spark):
+    from seafan_spark.temporal import mann_kendall
+
+    # strictly increasing 1..30: S = C(30,2) = 435, no ties
+    rows = [("a", float(i), float(i) * 2.0) for i in range(1, 31)]
+    df = spark.createDataFrame(rows, "k string, x double, v double")
+    out = mann_kendall(df, "x", "v", keys=["k"]).collect()[0]
+    assert out["s"] == 435 and out["trend"] == 1
+    assert out["sen_slope"] == pytest.approx(2.0)
+
+
+# ------------------------------------------------- guard memoization ----
+
+def test_bounded_groups_memoizes_passing_checks(spark):
+    from seafan_spark import guards
+
+    df = spark.createDataFrame(
+        [("a", float(i % 7)) for i in range(40)], "k string, t double"
+    )
+    key_probe = df.select("k", "t")
+    guards._BOUNDED_MEMO.clear()
+    n1 = guards.assert_bounded_groups(key_probe, ["k"], "memo_test")
+    assert len(guards._BOUNDED_MEMO) == 1
+    memo_key = next(iter(guards._BOUNDED_MEMO))
+    guards._BOUNDED_MEMO[memo_key] = -12345  # sentinel: cache must be hit
+    n2 = guards.assert_bounded_groups(key_probe, ["k"], "memo_test")
+    assert n2 == -12345 and n1 == 40
+    guards._BOUNDED_MEMO.clear()
+
+
+def test_survival_composition_single_guard_job(spark):
+    """rmst/km_confidence over the same subjects re-use the memoized
+    guard (round-9 ADVICE #3): after survival_km runs, the wrappers add
+    no new memo entries for the same lineage."""
+    from seafan_spark import guards
+    from seafan_spark.temporal import km_confidence, rmst, survival_km
+
+    rows = [("c", float(1 + i % 5), i % 2) for i in range(60)]
+    df = spark.createDataFrame(rows, "g string, dur double, e int")
+    guards._BOUNDED_MEMO.clear()
+    survival_km(df, "dur", "e", keys=["g"]).collect()
+    assert len(guards._BOUNDED_MEMO) == 1
+    rmst(df, "dur", "e", tau=3.0, keys=["g"]).collect()
+    km_confidence(df, "dur", "e", keys=["g"]).collect()
+    assert len(guards._BOUNDED_MEMO) == 1  # same lineage -> cache hits
+    guards._BOUNDED_MEMO.clear()
+
+
+# -------------------------------------------- adaptive irr batching ----
+
+def test_auto_batch_scales_with_relation_size():
+    from seafan_spark.agg import _auto_batch
+
+    assert _auto_batch(False, 10_000_000) == 3
+    assert _auto_batch(True, 800) == 10
+    assert _auto_batch(True, 10_000) == 7
+    near = _auto_batch(True, 100_000)
+    assert 3 <= near <= 5  # ~2M rows/pass at the coalesce threshold
+    assert _auto_batch(True, 1) == 10
+
+
+def test_irr_by_bisect_rate_independent_of_batch(spark):
+    """The dyadic walk is bit-equal for ANY batch width (the decisions
+    visit the same rounded midpoint signs), so the adaptive width can
+    never change a rate."""
+    from seafan_spark.agg import irr_by_bisect
+
+    rows = []
+    for g in range(3):
+        rows.append((f"g{g}", 0, -100.0))
+        for i in range(1, 6):
+            rows.append((f"g{g}", i, 30.0 + 2.0 * g))
+    df = spark.createDataFrame(rows, "k string, i int, v double")
+    a = {r["k"]: r["rate"] for r in
+         irr_by_bisect(df, ["k"], "v", ["i"], steps=20, batch=10).collect()}
+    b = {r["k"]: r["rate"] for r in
+         irr_by_bisect(df, ["k"], "v", ["i"], steps=20, batch=4).collect()}
+    c = {r["k"]: r["rate"] for r in
+         irr_by_bisect(df, ["k"], "v", ["i"], steps=20, batch=None).collect()}
+    assert a == b == c
+
+
+# ---------------------------------------------- multimodal string ids ----
+
+def test_multimodal_ops_accept_string_ids(spark):
+    from seafan_spark.llmops import multimodal
+
+    rows = [Row(doc_id=f"doc-{i}", media=bytes([i] * (40 + i))) for i in range(6)]
+    df = spark.createDataFrame(rows)
+    feats = multimodal.extract_image_features(df, "doc_id", "media").collect()
+    assert {r["doc_id"] for r in feats} == {f"doc-{i}" for i in range(6)}
+    rs = multimodal.resize_images(df, "doc_id", "media", (8, 8)).collect()
+    assert {r["doc_id"] for r in rs} == {f"doc-{i}" for i in range(6)}
+    assert all(r["resized"].startswith(b"resized:8x8:") for r in rs)
+    fr = multimodal.sample_video_frames(df, "doc_id", "media", every_n=30).collect()
+    assert {r["doc_id"] for r in fr} == {f"doc-{i}" for i in range(6)}
+    assert all(isinstance(r["frame_no"], int) for r in fr)
+
+
+def test_multimodal_ops_still_accept_long_ids(spark):
+    from seafan_spark.llmops import multimodal
+
+    rows = [Row(doc_id=i, media=bytes([i] * 50)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    feats = multimodal.extract_image_features(df, "doc_id", "media")
+    assert feats.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert {r["doc_id"] for r in feats.collect()} == set(range(4))
+    rs = multimodal.resize_images(df, "doc_id", "media", (4, 4))
+    assert rs.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert rs.count() == 4
+    fr = multimodal.sample_video_frames(df, "doc_id", "media")
+    assert fr.schema["doc_id"].dataType.simpleString() == "bigint"
+    assert fr.count() >= 4

@@ -4064,50 +4064,14 @@ def q_psm_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang", "treated_id")
 
 
-def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise association rules (market.association_rules) over
-    user baskets of event types: support/confidence/lift for every
-    co-occurring ordered pair. The within-basket pair join co-locates
-    on the high-cardinality user id; all metrics are single IEEE
-    divisions on exact counts (bit-stable, rounded 6dp by convention)."""
-    from seafan_spark.market import association_rules
-
-    ev = _pipe(spark, sf_dir, "events").df
-    out = association_rules(ev, "user_id", "event_type")
-    return out.select(
-        "item_a", "item_b", "n_ab", "n_a", "n_b", "n_baskets",
-        round_col("support", 6).alias("support"),
-        round_col("confidence", 6).alias("confidence"),
-        round_col("lift", 6).alias("lift"),
-    ).orderBy("item_a", "item_b")
-
-
-def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gini revenue-concentration coefficient (market.gini_by) of order
-    totals per order priority. Rank comes from the range-partitioned
-    keyed scan (no key cell on one task); Σx and Σ rank·x are exact
-    decimal-integer aggregates (cents x rank), so the two final IEEE
-    divisions bit-match DuckDB's HUGEINT twin. ``total`` emitted
-    UNROUNDED (above the 6-dp ROUND-lossiness bound ~2^52/1e6 in
-    DuckDB) — it is exact integer cents / 100.0 on both sides."""
-    from seafan_spark.market import gini_by
-
-    od = _pipe(spark, sf_dir, "orders").df
-    out = gini_by(od, "o_totalprice", "o_orderkey", keys=["o_orderpriority"])
-    return out.select(
-        "o_orderpriority", "n", "total",
-        round_col("gini", 6).alias("gini"),
-    ).orderBy("o_orderpriority")
-
-
 def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discretized Lorenz curve (market.lorenz_deciles): order totals
+    """Discretized Lorenz curve (agg.lorenz_deciles): order totals
     per priority cut into 10 value-ascending NTILE buckets via the
     closed-form rank arithmetic (keyed scan + ntile_from_rank — the
     q_uplift substrate), cumulative value share per bucket. Values are
     exact integer cents; shares are single divisions; bucket/cum value
     emitted unrounded (exact, above the ROUND-lossiness bound)."""
-    from seafan_spark.market import lorenz_deciles
+    from seafan_spark.agg import lorenz_deciles
 
     od = _pipe(spark, sf_dir, "orders").df
     out = lorenz_deciles(
@@ -4119,33 +4083,14 @@ def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority", "bucket")
 
 
-def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benford first-digit screen (market.benford_screen) over lineitem
-    extended prices per return flag: observed digit shares vs the
-    pinned log10(1+1/d) literals and the chi-square statistic. The
-    first digit comes from the integer-cents DECIMAL STRING (no libm
-    log10 — 1-ulp fragile at powers of ten); the chi2 fold is an
-    ordered running sum over the 9-digit relation."""
-    from seafan_spark.market import benford_screen
-
-    li = _pipe(spark, sf_dir, "lineitem").df
-    out = benford_screen(li, "l_extendedprice", keys=["l_returnflag"])
-    return out.select(
-        "l_returnflag", "digit", "n_digit", "n",
-        round_col("share", 6).alias("share"),
-        round_col("expected", 6).alias("expected"),
-        round_col("chi2", 6).alias("chi2"),
-    ).orderBy("l_returnflag", "digit")
-
-
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-touch attribution (market.attribution_touch): first/last/
+    """Multi-touch attribution (temporal.attribution_touch): first/last/
     linear credit per event type over per-user journeys ordered by
     (ts, event_id). First/last are integer counts; linear credit folds
     EXACTLY via (channel, journey-length) integer cells + an ordered
     running sum over that bounded relation — never a corpus-sized
     double sum, so 6-dp rounding is pure formality."""
-    from seafan_spark.market import attribution_touch
+    from seafan_spark.temporal import attribution_touch
 
     ev = _pipe(spark, sf_dir, "events").df
     out = attribution_touch(ev, "user_id", "event_type", "ts", "event_id")
@@ -4229,10 +4174,7 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ========== driver 50-entry correctness window (round 10) ==========
     # --- new in round 10 (never driver-checked -> window head) ---
-    "assoc_rules": q_assoc_rules,
-    "gini": q_gini,
     "lorenz": q_lorenz,
-    "benford": q_benford,
     "attribution": q_attribution,
     "qini_auc": q_qini_auc,
     "psm_greedy": q_psm_greedy,  # rows-only BY DESIGN (iterative greedy)
@@ -4264,6 +4206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rmst": q_rmst,
     "km_ci": q_km_ci,
     "irr_by_bisect": q_irr_by_bisect,
+    "gini": q_gini,
     # --- r02-checked oracled basics, re-validated (oldest on the board) ---
     "append": q_append,
     "asof": q_asof,
@@ -4288,14 +4231,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_lang": q_text_quality_lang,
     "tfidf": q_tfidf,
     "stream_tumbling": q_stream_tumbling,
-    # --- end of the driver's 50-entry correctness window ---
-    # (vocab/where_keep/topk/text_stats/text_tokens displaced to 51-55
-    # by the five market additions — r02+r10-checked, first in line for
-    # round 11; then r04 survivors + kruskal/ts_pattern + the round-9
-    # causal/survival family — r09/r04 driver rows are their record)
     "vocab": q_vocab,
     "where_keep": q_where_keep,
     "topk": q_topk,
+    # --- end of the driver's 50-entry correctness window ---
+    # (text_stats/text_tokens displaced to 51-52 by the round-10
+    # additions — r02-checked, first in line for round 11; then r04
+    # survivors + kruskal/ts_pattern + the round-9 causal/survival
+    # family — r09/r04 driver rows are their record)
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
     "tpch_q3": q_tpch_q3,
@@ -4378,8 +4321,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mannwhitney": q_mannwhitney,
     "cuped": q_cuped,
     "bootstrap": q_bootstrap,
-    "benford": q_benford,
-    "gini": q_gini,
     "profile_diff": q_profile_diff,
     "hashed_vectors": q_hashed_vectors,
     "ccnet_buckets": q_ccnet_buckets,
@@ -4392,6 +4333,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "dsir_select": q_dsir_select,
     "assoc_rules": q_assoc_rules,
+    "benford": q_benford,
     "interval_join": q_interval_join,
     "ols_multi": q_ols_multi,
     "zipf": q_zipf,
@@ -9348,65 +9290,6 @@ ORACLES["qini_auc"] = """
     FROM run WHERE bucket = lb ORDER BY event_type
 """
 
-ORACLES["assoc_rules"] = """
-    WITH base AS (
-        SELECT DISTINCT user_id AS b, event_type AS i
-        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-    ), nb AS (
-        SELECT COUNT(DISTINCT b) AS n_baskets FROM base
-    ), ic AS (
-        SELECT i, COUNT(*) AS n FROM base GROUP BY i
-    ), p AS (
-        SELECT a.i AS item_a, c.i AS item_b, COUNT(*) AS n_ab
-        FROM base a JOIN base c ON a.b = c.b AND a.i <> c.i
-        GROUP BY a.i, c.i
-    )
-    SELECT p.item_a, p.item_b,
-           CAST(p.n_ab AS BIGINT) AS n_ab,
-           CAST(na.n AS BIGINT) AS n_a,
-           CAST(nbi.n AS BIGINT) AS n_b,
-           CAST(nb.n_baskets AS BIGINT) AS n_baskets,
-           ROUND(p.n_ab::DOUBLE / nb.n_baskets::DOUBLE, 6) AS support,
-           ROUND(p.n_ab::DOUBLE / na.n::DOUBLE, 6) AS confidence,
-           ROUND((p.n_ab::DOUBLE / na.n::DOUBLE)
-                 / (nbi.n::DOUBLE / nb.n_baskets::DOUBLE), 6) AS lift
-    FROM p
-    JOIN ic na ON na.i = p.item_a
-    JOIN ic nbi ON nbi.i = p.item_b
-    CROSS JOIN nb
-    ORDER BY item_a, item_b
-"""
-
-# exact integer cents x rank via HUGEINT (the decimal(38,0) twin); the
-# two final divisions mirror the Spark expression shape term by term.
-# total is UNROUNDED: exact cents / 100.0 both sides (DuckDB ROUND is
-# lossy above ~2^52/1e6).
-ORACLES["gini"] = """
-    WITH base AS (
-        SELECT o_orderpriority AS k, o_orderkey AS id,
-               o_totalprice::DOUBLE AS v
-        FROM orders
-        WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
-    ), r AS (
-        SELECT k, v,
-               CAST(ROUND(v * 100.0) AS HUGEINT) AS sv,
-               ROW_NUMBER() OVER (PARTITION BY k ORDER BY v ASC, id ASC)
-                   AS rk
-        FROM base
-    ), g AS (
-        SELECT k, COUNT(*) AS n, SUM(sv) AS sum_v,
-               SUM(sv * rk) AS sum_iv, MIN(v) AS min_v
-        FROM r GROUP BY k
-    )
-    SELECT k AS o_orderpriority, CAST(n AS BIGINT) AS n,
-           sum_v::DOUBLE / 100.0 AS total,
-           ROUND(CASE WHEN min_v >= 0 AND sum_v > 0 THEN
-               (2.0 * sum_iv::DOUBLE) / (n::DOUBLE * sum_v::DOUBLE)
-               - (n::DOUBLE + 1.0) / n::DOUBLE
-           END, 6) AS gini
-    FROM g ORDER BY o_orderpriority
-"""
-
 ORACLES["lorenz"] = """
     WITH base AS (
         SELECT o_orderpriority AS k, o_orderkey AS id,
@@ -9436,51 +9319,6 @@ ORACLES["lorenz"] = """
            ROUND(CASE WHEN tv > 0 THEN cv::DOUBLE / tv::DOUBLE END, 6)
                AS cum_share
     FROM cum ORDER BY o_orderpriority, bucket
-"""
-
-# first digit from the integer-cents decimal string (both engines print
-# BIGINT identically; floor(log10(x)) is 1-ulp fragile at powers of 10)
-ORACLES["benford"] = """
-    WITH base AS (
-        SELECT l_returnflag AS k,
-               CAST(ROUND(ABS(l_extendedprice::DOUBLE) * 100.0) AS BIGINT)
-                   AS m
-        FROM lineitem WHERE l_extendedprice IS NOT NULL
-    ), digits AS (
-        SELECT k, CAST(SUBSTRING(CAST(m AS VARCHAR), 1, 1) AS INT) AS d
-        FROM base WHERE m > 0
-    ), g AS (
-        SELECT k, d, COUNT(*) AS n_digit FROM digits GROUP BY k, d
-    ), ext AS (
-        SELECT k, d, n_digit,
-               SUM(n_digit) OVER (PARTITION BY k) AS n,
-               CASE d WHEN 1 THEN 0.30102999566398114
-                      WHEN 2 THEN 0.17609125905568124
-                      WHEN 3 THEN 0.12493873660829985
-                      WHEN 4 THEN 0.09691001300805639
-                      WHEN 5 THEN 0.07918124604762478
-                      WHEN 6 THEN 0.06694678963061318
-                      WHEN 7 THEN 0.05799194697768673
-                      WHEN 8 THEN 0.05115252244738129
-                      WHEN 9 THEN 0.04575749056067514 END::DOUBLE AS exp
-        FROM g
-    ), shares AS (
-        SELECT k, d, n_digit, n, exp,
-               n_digit::DOUBLE / n::DOUBLE AS share
-        FROM ext
-    ), folded AS (
-        SELECT k, d, n_digit, n, share, exp,
-               SUM((share - exp) * (share - exp) / exp)
-                   OVER (PARTITION BY k ORDER BY d
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS run
-        FROM shares
-    )
-    SELECT k AS l_returnflag, d AS digit,
-           CAST(n_digit AS BIGINT) AS n_digit, CAST(n AS BIGINT) AS n,
-           ROUND(share, 6) AS share, ROUND(exp, 6) AS expected,
-           ROUND(n::DOUBLE * MAX(run) OVER (PARTITION BY k), 6) AS chi2
-    FROM folded ORDER BY l_returnflag, digit
 """
 
 ORACLES["attribution"] = """

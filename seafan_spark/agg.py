@@ -1473,17 +1473,18 @@ def gini_by(pipe, value_col: str, keys: Sequence[str] = ()) -> DataFrame:
     needed — the statistic is tie-invariant under any order of equal
     values).
 
-    Scale shape: ranking is a window PARTITIONED by the group keys
-    (each group sorts independently).  With NO keys the rank-sum comes
-    from the distributed-rank machinery (``_global_midrank``: range
-    repartition + per-partition rank + driver offsets) — never a
-    corpus-sized ``partitionBy(lit(0))`` single task; the substitution
-    is exact because the statistic is tie-invariant, so
-    Σ midrank·x = Σ rownum·x (equal values share their rank mass
-    however the within-tie order falls).  Complements
-    :func:`entropy_by` (share-based, rank-free)."""
-    from pyspark.sql import Window
-
+    Scale shape: the keyed rank comes from
+    :func:`seafan_spark.rank.keyed_running_scan` (range repartition on
+    (keys, value) + per-(partition, key) broadcast offsets — a
+    low-cardinality key cell spans a RUN of partitions instead of
+    funneling a corpus-fraction sort through one task, the round-9
+    uplift/psm hazard class; upgraded round 10).  With NO keys the
+    rank-sum comes from the distributed-rank machinery
+    (``_global_midrank``: range repartition + per-partition rank +
+    driver offsets).  Both substitutions are exact because the
+    statistic is tie-invariant, so Σ midrank·x = Σ rownum·x (equal
+    values share their rank mass however the within-tie order falls).
+    Complements :func:`entropy_by` (share-based, rank-free)."""
     from seafan_spark.rounding import round_col
 
     d = getattr(pipe, "df", pipe)
@@ -1491,8 +1492,11 @@ def gini_by(pipe, value_col: str, keys: Sequence[str] = ()) -> DataFrame:
     x = F.col(value_col).cast("double")
     base = d.filter(x.isNotNull() & (x >= 0.0))
     if keys:
-        w = Window.partitionBy(*keys).orderBy(x.asc())
-        ranked = base.withColumn("_i", F.row_number().over(w))
+        from seafan_spark.rank import keyed_running_scan
+
+        base = base.select(*keys, x.alias("_x"))
+        ranked = keyed_running_scan(base, keys, [("_x", True)], rownum_out="_i")
+        x = F.col("_x")
         rank_term = F.col("_i") * x
     else:
         base = base.select(x.alias("_x"))
@@ -1511,6 +1515,77 @@ def gini_by(pipe, value_col: str, keys: Sequence[str] = ()) -> DataFrame:
         - (nn + F.lit(1.0)) / nn,
     )
     return agg.select(*keys, "n", round_col(gini, 6).alias("gini"))
+
+
+def lorenz_deciles(
+    df,
+    value_col: str,
+    id_col: str,
+    keys: Sequence[str] = (),
+    n_buckets: int = 10,
+    value_decimals: int = 2,
+) -> DataFrame:
+    """Discretized Lorenz curve per segment: units sorted by ``value``
+    ASCENDING, cut into ``n_buckets`` NTILE buckets, reporting each
+    bucket's own share and the CUMULATIVE share of total value — the
+    curve :func:`gini_by` integrates (bottom-decile share, top-decile
+    share are the standard concentration read-outs). Returns
+    (keys..., bucket, n, bucket_value, cum_value, cum_share), buckets
+    ascending so the last row is (n_total, total, 1.0).
+
+    Determinism: the cut is the closed-form NTILE over the
+    (value, id) total order; values scale to exact integers at
+    ``value_decimals`` so every sum is exact; shares are single IEEE
+    divisions.
+
+    Scale shape: :func:`seafan_spark.rank.keyed_running_scan` +
+    :func:`seafan_spark.rank.ntile_from_rank` (no key cell on one
+    task), one groupBy to the B-row relation, then ordered windows over
+    those B rows per key.
+    """
+    if n_buckets < 1:
+        raise ValueError("lorenz_deciles: n_buckets must be >= 1")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    v = F.col(value_col).cast("double")
+    base = d.filter(v.isNotNull() & F.col(id_col).isNotNull()).select(
+        *keys, F.col(id_col).alias("_id"), v.alias("_v")
+    )
+    from pyspark.sql import Window
+
+    from seafan_spark.rank import keyed_running_scan, ntile_from_rank
+
+    scaled = F.round(F.col("_v") * F.lit(float(10 ** value_decimals))).cast(
+        "decimal(20,0)"
+    )
+    ranked = keyed_running_scan(
+        base, keys, [("_v", True), ("_id", True)],
+        rownum_out="_rk", total_out="_n",
+    ).withColumn("_sv", scaled)
+    bucket = ntile_from_rank(F.col("_rk"), F.col("_n"), int(n_buckets))
+    g = (
+        ranked.withColumn("_bk", bucket)
+        .groupBy(*keys, "_bk")
+        .agg(F.count(F.lit(1)).alias("_bn"), F.sum("_sv").alias("_bv"))
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("_bk").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    span = wall.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cumv = F.sum("_bv").over(word)
+    totv = F.sum("_bv").over(span)
+    unscale = F.lit(float(10 ** value_decimals))
+    return g.select(
+        *keys,
+        F.col("_bk").alias("bucket"),
+        F.col("_bn").cast("long").alias("n"),
+        (F.col("_bv").cast("double") / unscale).alias("bucket_value"),
+        (cumv.cast("double") / unscale).alias("cum_value"),
+        F.when(
+            totv > 0, cumv.cast("double") / totv.cast("double")
+        ).alias("cum_share"),
+    )
 
 
 def cuped_adjust(

@@ -350,6 +350,98 @@ def retention(
     )
 
 
+def attribution_touch(
+    df,
+    user_col: str,
+    channel_col: str,
+    order_col: str,
+    id_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Multi-touch attribution over per-user event journeys: each user's
+    ordered touches (``order_col`` with ``id_col`` tiebreak) carry ONE
+    unit of conversion credit, assigned three standard ways at once —
+
+    - ``first_touch``: the journey's first channel gets 1;
+    - ``last_touch``: the last channel gets 1;
+    - ``linear``: every touch gets 1/n_touches.
+
+    Returns (keys..., channel, n_touches, first_touch, last_touch,
+    linear) — credit totals per channel; each credit column sums to the
+    number of users per key cell.
+
+    Determinism: first/last credits are integer counts. Linear credit
+    folds EXACTLY: touches aggregate to (channel, journey-length n,
+    touches-in-journey k) cells with integer counts, and credit =
+    Σ cnt·k/n runs as an ordered running sum over that bounded cell
+    relation (order (n, k)) — identical association cross-engine, no
+    corpus-sized double sum.
+
+    Scale shape: user-partitioned windows (user id is high-cardinality
+    — journeys never concentrate on one task), one groupBy to
+    (keys, channel, n, k) cells, windows over the per-channel cell
+    relation (bounded by distinct journey lengths — guarded), one final
+    groupBy.
+    """
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    base = d.filter(
+        F.col(user_col).isNotNull()
+        & F.col(channel_col).isNotNull()
+        & F.col(order_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(user_col).alias("_u"),
+        F.col(channel_col).alias("_c"),
+        F.col(order_col).alias("_t"),
+        F.col(id_col).alias("_id"),
+    )
+    wu = Window.partitionBy(*keys, "_u")
+    wo = wu.orderBy(F.col("_t").asc(), F.col("_id").asc())
+    span = wu.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    marked = base.select(
+        *keys,
+        "_c",
+        (F.row_number().over(wo) == 1).cast("int").alias("_first"),
+        (F.row_number().over(
+            wu.orderBy(F.col("_t").desc(), F.col("_id").desc())
+        ) == 1).cast("int").alias("_last"),
+        F.count(F.lit(1)).over(span).alias("_n"),
+    )
+    cells = marked.groupBy(*keys, "_c", "_n").agg(
+        F.count(F.lit(1)).alias("_k_total"),
+        F.sum("_first").alias("_f"),
+        F.sum("_last").alias("_l"),
+    )
+    from seafan_spark.guards import assert_bounded_groups
+
+    assert_bounded_groups(
+        cells, [*keys, "_c"], "attribution_touch",
+        scale_hint="The linear-credit fold runs per (channel, distinct "
+        "journey-length) cell — bucket order_col if journeys have "
+        "unbounded distinct lengths.",
+    )
+    wc = Window.partitionBy(*keys, "_c")
+    wrun = wc.orderBy(F.col("_n").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    spanc = wc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lin_term = F.col("_k_total").cast("double") / F.col("_n").cast("double")
+    # staged: the ordered linear fold lands as a column before the
+    # spanning max reads it (no nested window expressions)
+    staged = cells.withColumn("_lin_run", F.sum(lin_term).over(wrun))
+    out = staged.select(
+        *keys,
+        F.col("_c").alias("channel"),
+        F.sum("_k_total").over(spanc).cast("long").alias("n_touches"),
+        F.sum("_f").over(spanc).cast("long").alias("first_touch"),
+        F.sum("_l").over(spanc).cast("long").alias("last_touch"),
+        F.max("_lin_run").over(spanc).alias("linear"),
+        F.row_number().over(wc.orderBy(F.col("_n").asc())).alias("_rn"),
+    )
+    return out.filter(F.col("_rn") == 1).drop("_rn")
+
+
 def ts_topk_matches(
     df,
     key_col: str,

@@ -1,68 +1,44 @@
-"""market.py — basket affinity, concentration, Benford, attribution."""
+"""Round-10 commercial-analytics additions: Lorenz deciles (agg),
+multi-touch attribution (temporal), and the gini_by keyed-path
+scale-shape upgrade (keyed_running_scan rank instead of a
+single-task-per-key window)."""
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from seafan_spark.guards import SmallDataLimitError
-from seafan_spark.market import (
-    association_rules,
-    attribution_touch,
-    benford_screen,
-    gini_by,
-    lorenz_deciles,
-)
-
-
-def test_association_rules_pinned(spark):
-    rows = [(1, "milk"), (1, "bread"), (1, "eggs"), (2, "milk"),
-            (2, "bread"), (3, "milk"), (3, "milk")]  # dup counted once
-    df = spark.createDataFrame(rows, "b long, i string")
-    d = {(r["item_a"], r["item_b"]): r
-         for r in association_rules(df, "b", "i").collect()}
-    assert len(d) == 6  # both directions of 3 pairs
-    r = d[("bread", "milk")]
-    assert (r["n_ab"], r["n_a"], r["n_b"], r["n_baskets"]) == (2, 2, 3, 3)
-    assert r["confidence"] == 1.0 and r["lift"] == pytest.approx(1.0)
-    assert d[("milk", "eggs")]["confidence"] == pytest.approx(1 / 3)
-    assert d[("bread", "eggs")]["lift"] == pytest.approx(1.5)
-
-
-def test_association_rules_min_support_and_keys(spark):
-    rows = [("s1", 1, "a"), ("s1", 1, "b"), ("s1", 2, "a"),
-            ("s2", 1, "a"), ("s2", 1, "c")]
-    df = spark.createDataFrame(rows, "seg string, b long, i string")
-    out = association_rules(df, "b", "i", keys=["seg"]).collect()
-    segs = {r["seg"] for r in out}
-    assert segs == {"s1", "s2"}
-    filtered = association_rules(df, "b", "i", keys=["seg"], min_support=0.9)
-    assert filtered.count() == 2  # only s2's (a,c) pair at support 1.0
-
-
-def test_association_rules_basket_budget(spark):
-    df = spark.range(200).select(
-        F.lit(1).alias("b"), F.col("id").alias("i")
-    )
-    with pytest.raises(SmallDataLimitError, match="basket"):
-        association_rules(df, "b", "i", max_basket_items=100)
+from seafan_spark.agg import gini_by, lorenz_deciles
+from seafan_spark.temporal import attribution_touch
 
 
 def test_gini_extremes_and_theory(spark):
     eq = spark.createDataFrame([(i, 10.0) for i in range(5)], "id long, v double")
-    assert gini_by(eq, "v", "id").collect()[0]["gini"] == pytest.approx(0.0)
+    assert gini_by(eq, "v", keys=[]).collect()[0]["gini"] == pytest.approx(0.0)
     one = spark.createDataFrame(
         [(0, 100.0)] + [(i, 0.0) for i in range(1, 5)], "id long, v double"
     )
     # single holder: G = (n-1)/n
-    assert gini_by(one, "v", "id").collect()[0]["gini"] == pytest.approx(0.8)
-    # uniform 1..n: G = (n-1)/(3n) ... exact closed form (n^2-1)/(3n^2)
+    assert gini_by(one, "v").collect()[0]["gini"] == pytest.approx(0.8)
+    # uniform 1..n: exact closed form (n-1)/(3n), 6dp-rounded output
     unif = spark.createDataFrame(
-        [(i, float(i)) for i in range(1, 101)], "id long, v double"
+        [(i, float(i), "g") for i in range(1, 101)], "id long, v double, k string"
     )
-    g = gini_by(unif, "v", "id").collect()[0]["gini"]
+    g = gini_by(unif, "v", keys=["k"]).collect()[0]["gini"]
     assert g == pytest.approx(99.0 / 300.0, abs=1e-9)
-    neg = spark.createDataFrame([(0, -1.0), (1, 2.0)], "id long, v double")
-    assert gini_by(neg, "v", "id").collect()[0]["gini"] is None
+
+
+def test_gini_keyed_path_uses_range_layout(spark):
+    """Round-10 scale-shape: the keyed rank must come from the
+    keyed_running_scan range layout (visible as the checkpointed _gpid
+    column), not a corpus-sized Window.partitionBy(low-card keys)."""
+    df = spark.createDataFrame(
+        [(i, float(i % 17), "k%d" % (i % 3)) for i in range(300)],
+        "id long, v double, k string",
+    )
+    out = gini_by(df, "v", keys=["k"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_gpid" in plan
+    assert out.count() == 3
 
 
 def test_lorenz_monotone_and_total(spark):
@@ -73,34 +49,23 @@ def test_lorenz_monotone_and_total(spark):
     assert [r["bucket"] for r in rows] == [1, 2, 3, 4, 5]
     shares = [r["cum_share"] for r in rows]
     assert shares == sorted(shares) and shares[-1] == 1.0
-    assert rows[0]["bucket_value"] == 3.0  # 1+2
+    assert rows[0]["bucket_value"] == 3.0  # 1+2 (ascending cut)
     assert rows[-1]["cum_value"] == 55.0
     # Lorenz curve lies below the diagonal for unequal data
     assert shares[0] < 1 / 5
 
 
-def test_benford_uniform_magnitudes_lowish_chi2(spark):
-    import random
-
-    rng = random.Random(5)
-    rows = [(float(int(10 ** rng.uniform(0, 4))),) for _ in range(3000)]
-    df = spark.createDataFrame(rows, "v double")
-    out = benford_screen(df, "v", value_decimals=0).orderBy("digit").collect()
-    assert [r["digit"] for r in out] == list(range(1, 10))
-    assert sum(r["share"] for r in out) == pytest.approx(1.0)
-    assert len({r["chi2"] for r in out}) == 1  # repeated per group
-    assert out[0]["n"] == 3000
-    # log-uniform magnitudes approximate Benford: chi2 below blow-up level
-    assert out[0]["chi2"] < 50.0
-
-
-def test_benford_excludes_zero_counts_negatives_by_magnitude(spark):
+def test_lorenz_keyed(spark):
     df = spark.createDataFrame(
-        [(0.0,), (-123.0,), (923.0,), (None,)], "v double"
+        [(i, float(i % 7 + 1), "s%d" % (i % 2)) for i in range(40)],
+        "id long, v double, k string",
     )
-    out = {r["digit"]: r for r in benford_screen(df, "v").collect()}
-    assert set(out) == {1, 9}  # 0/NULL dropped; -123 -> digit 1
-    assert out[1]["n"] == 2
+    rows = lorenz_deciles(df, "v", "id", keys=["k"], n_buckets=4).collect()
+    assert {r["k"] for r in rows} == {"s0", "s1"}
+    for k in ("s0", "s1"):
+        sub = sorted((r for r in rows if r["k"] == k), key=lambda r: r["bucket"])
+        assert sub[-1]["cum_share"] == pytest.approx(1.0)
+        assert sum(r["n"] for r in sub) == 20
 
 
 def test_attribution_pinned(spark):
@@ -132,3 +97,13 @@ def test_attribution_tiebreak_deterministic(spark):
           for r in attribution_touch(df, "u", "c", "t", "id").collect()}
     assert at["x"]["first_touch"] == 1 and at["y"]["last_touch"] == 1
     assert at["x"]["last_touch"] == 0 and at["y"]["first_touch"] == 0
+
+
+def test_attribution_keyed_isolated(spark):
+    rows = [("A", 1, "x", 1, 1), ("A", 1, "y", 2, 2),
+            ("B", 1, "y", 1, 3)]
+    df = spark.createDataFrame(rows, "seg string, u long, c string, t long, id long")
+    at = {(r["seg"], r["channel"]): r for r in attribution_touch(
+        df, "u", "c", "t", "id", keys=["seg"]).collect()}
+    assert at[("A", "x")]["first_touch"] == 1
+    assert at[("B", "y")]["first_touch"] == 1 and at[("B", "y")]["linear"] == 1.0

@@ -128,32 +128,33 @@ def test_correctness_window_invariant():
     assert all(
         n in names[50:] or n in ROWS_ONLY_IN_WINDOW for n in rows_only
     ), rows_only
-    # round-10 head: new ops (the market battery + causal additions),
-    # never-checked residue, displaced block, round-10-changed re-checks
-    assert names[:27] == [
-        "assoc_rules", "gini", "lorenz", "benford", "attribution",
-        "qini_auc", "psm_greedy",
+    # round-10 head: new ops, never-checked residue, displaced block,
+    # round-10-changed re-checks (gini joins them: its keyed rank moved
+    # to the keyed_running_scan range layout)
+    assert names[:25] == [
+        "lorenz", "attribution", "qini_auc", "psm_greedy",
         "cusum_changepoint", "ann_pq", "cox_ph",
         "distinct_sketch", "lm_score", "hist_sketch", "embed_incr",
         "quality_rules", "coalesce_logodds", "minhash_calibration",
         "hist_quantiles", "psi_drift", "dedup_reps", "source_cap",
         "uplift", "psm_match", "mann_kendall", "rmst", "km_ci",
-        "irr_by_bisect",
+        "irr_by_bisect", "gini",
     ]
-    # r02-checked basics fill the rest of the window (vocab/where_keep/
-    # topk/text_stats/text_tokens displaced to 51-55 by the market ops)
+    # r02-checked basics fill the rest of the window (topk/text_stats/
+    # text_tokens displaced to 51-53 by the round-10 additions)
     assert {"append", "asof", "contamination", "join_inner", "pack",
             "pivot", "range_join", "rollup", "salted_agg", "sessionize",
-            "stream_join", "tfidf"} <= set(names[27:50])
-    assert names[50:55] == ["vocab", "where_keep", "topk", "text_stats",
-                            "text_tokens"]
+            "stream_join", "tfidf", "vocab", "where_keep"} <= set(
+        names[25:50]
+    )
+    assert names[50:53] == ["topk", "text_stats", "text_tokens"]
     # r04 survivors + the round-9 family rotated below (their r09/r04
     # driver rows are the record)
     assert {"tpch_q3", "minhash_incr", "ann_lsh", "multimodal",
             "ngram_jaccard", "embed_neardup", "kruskal", "ts_pattern",
             "cox_moments_keyed", "logrank_strat", "did", "ipw_ate",
             "aipw_ate", "power_mde", "srm", "cluster_ttest"} <= set(
-        names[55:71]
+        names[53:69]
     )
     # r08-checked greens stay rotated out
     assert {"target_encode", "survival_km", "cox_moments", "irr_bisect",

@@ -914,28 +914,29 @@ def entropy_by(
 def _grouped_median(d: DataFrame, keys: Sequence[str], val: str) -> DataFrame:
     """Exact per-group median via rank arithmetic: (keys..., _med).
 
-    One shuffle+sort on the group key; the two middle rows are picked by
-    row_number against the group count (avg of both — even groups get
-    the midpoint), so no aggregation buffer ever holds a group's
-    distinct values (F.median's buffer is group-sized; a 100 TB hot
-    group would sink it).
+    The rank comes from the range-partitioned keyed scan (round-10
+    upgrade: ``Window.partitionBy(keys)`` put each LOW-CARDINALITY key
+    cell's corpus-fraction sort on one task; ``keyed_running_scan``
+    spreads it over a run of partitions); the two middle rows are
+    picked by row number against the group count (avg of both — even
+    groups get the midpoint), so no aggregation buffer ever holds a
+    group's distinct values (F.median's buffer is group-sized; a
+    100 TB hot group would sink it).
     """
-    from pyspark.sql import Window
+    from seafan_spark.rank import keyed_running_scan
 
     # ties in the order are broken arbitrarily, but the VALUE at each rank
     # is deterministic (equal values are interchangeable), and values are
     # all the median reads — no tiebreak column needed
-    w = Window.partitionBy(*keys).orderBy(F.col(val).asc())
-    wk = Window.partitionBy(*keys)
-    ranked = d.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_cnt", F.count(F.lit(1)).over(wk)
+    ranked = keyed_running_scan(
+        d, list(keys), [(val, True)], rownum_out="_gm_rn", total_out="_gm_cnt"
     )
     # Spark `/` is DOUBLE division: without floor, an even group's lower
     # middle rank ((n+1)/2 = x.5) matches nothing and the "median" would
     # silently become the upper-middle value
     mid = ranked.filter(
-        (F.col("_rn") == F.floor((F.col("_cnt") + 1) / 2))
-        | (F.col("_rn") == F.floor((F.col("_cnt") + 2) / 2))
+        (F.col("_gm_rn") == F.floor((F.col("_gm_cnt") + 1) / 2))
+        | (F.col("_gm_rn") == F.floor((F.col("_gm_cnt") + 2) / 2))
     )
     return mid.groupBy(*keys).agg(F.avg(val).alias("_med"))
 
@@ -1814,15 +1815,16 @@ def mannwhitney_by(
     assignment would silently pool into side 1), raises at evaluation
     time; ``strict=False`` drops non-conforming groups instead.
 
-    Scale shape: midranks come from a window PARTITIONED by the group
-    keys (rank + count over value ties — each group sorts
-    independently); the tie-correction term aggregates the per-value
-    tie sizes; everything else is one moment rollup per group.  With NO
-    keys the midranks come from the distributed-rank machinery
+    Scale shape: midranks come from
+    :func:`seafan_spark.rank.keyed_midrank` (range-partitioned keyed
+    scan + tie-group join — round-10 upgrade: the keyed-window form put
+    each LOW-cardinality key cell's corpus-fraction sort on one task);
+    the tie-correction term aggregates the per-value tie sizes;
+    everything else is one moment rollup per group.  With NO keys the
+    midranks come from the distributed-rank machinery
     (``_global_midrank``) and the baseline variant from a broadcast
     scalar — never a corpus-sized ``partitionBy(lit(0))`` single
     task."""
-    from pyspark.sql import Window
 
     from seafan_spark.rounding import round_col
 
@@ -1833,18 +1835,18 @@ def mannwhitney_by(
         *keys, x.alias("_x"), F.col(variant_col).alias("_v")
     )
     if keys:
-        pk = Window.partitionBy(*keys)
-        lo = F.min("_v").over(pk)
-        base = base.withColumn(
-            "_side", F.when(F.col("_v") == lo, F.lit(0)).otherwise(F.lit(1))
-        )
-        # midrank = rank + (ties-1)/2 over the group ordered by value
-        wv = pk.orderBy(F.col("_x").asc())
-        tie_w = Window.partitionBy(*keys, "_x")
-        ranked = base.withColumn("_rk", F.rank().over(wv)).withColumn(
-            "_t", F.count(F.lit(1)).over(tie_w)
-        )
-        midrank = F.col("_rk") + (F.col("_t") - F.lit(1)) / F.lit(2.0)
+        from seafan_spark.rank import keyed_midrank
+
+        # group-cardinality min-variant relation broadcast back (round-10:
+        # an unordered keyed window still funnels the key cell to one task)
+        lo_df = base.groupBy(*keys).agg(F.min("_v").alias("_lo"))
+        base = base.join(F.broadcast(lo_df), keys).withColumn(
+            "_side", F.when(F.col("_v") == F.col("_lo"), F.lit(0)).otherwise(F.lit(1))
+        ).drop("_lo")
+        # midrank = rank + (ties-1)/2, exact via the range-partitioned
+        # keyed scan + tie-group join (no key-cell single task)
+        ranked = keyed_midrank(base, keys, "_x", mid_out="_mid", tie_out="_t")
+        midrank = F.col("_mid")
     else:
         lo_df = base.agg(F.min("_v").alias("_lo"))
         base = base.crossJoin(F.broadcast(lo_df)).withColumn(
@@ -1963,13 +1965,13 @@ def kruskal_by(
     chi-square critical value at k−1 df (no chi² CDF builtin in either
     engine).
 
-    Scale shape: midranks from a window PARTITIONED by the group keys
-    (each group sorts independently — mannwhitney_by's shape); the tie
-    term aggregates per-row (t²−1) which sums to Σ(t³−t) exactly; then
-    one (keys, variant) rollup and one keys rollup. With NO keys the
+    Scale shape: midranks from :func:`seafan_spark.rank.keyed_midrank`
+    (range-partitioned keyed scan + tie-group join — mannwhitney_by's
+    round-10 shape; no key-cell single task); the tie term aggregates
+    per-row (t²−1) which sums to Σ(t³−t) exactly; then one
+    (keys, variant) rollup and one keys rollup. With NO keys the
     midranks come from the distributed-rank machinery
     (``_global_midrank``) — never a corpus-sized single-task window."""
-    from pyspark.sql import Window
 
     keys = list(keys)
     d = getattr(df, "df", df)
@@ -1978,14 +1980,12 @@ def kruskal_by(
         *keys, x.alias("_x"), F.col(variant_col).alias("_v")
     )
     if keys:
-        pk = Window.partitionBy(*keys)
-        wv = pk.orderBy(F.col("_x").asc())
-        tie_w = Window.partitionBy(*keys, "_x")
-        ranked = base.withColumn("_rk", F.rank().over(wv)).withColumn(
-            "_t", F.count(F.lit(1)).over(tie_w)
-        )
-        midrank = F.col("_rk") + (F.col("_t") - F.lit(1)) / F.lit(2.0)
-        ranked = ranked.withColumn("_mid", midrank)
+        from seafan_spark.rank import keyed_midrank
+
+        # midrank via the range-partitioned keyed scan + tie-group join
+        # (round-10: the keyed window form put each low-cardinality key
+        # cell's sort on a single task)
+        ranked = keyed_midrank(base, keys, "_x", mid_out="_mid", tie_out="_t")
     else:
         ranked, _ = _global_midrank(base, "_x", "_mid", tie_out="_t")
     per_v = ranked.groupBy(*keys, "_v").agg(
@@ -2026,8 +2026,10 @@ def spearman_by(
 
     Returns (keys..., n, rho).
 
-    Scale shape: two keyed windows (one per column — each group ranks
-    independently, no global order), then ONE five-moment aggregation;
+    Scale shape: two :func:`seafan_spark.rank.keyed_midrank` passes
+    (one per column; range-partitioned keyed scans + tie-group joins —
+    round-10: the keyed-window form put each low-cardinality key cell's
+    sort on one task), then ONE five-moment aggregation;
     the same moment association as ols_by so the SQL twin matches
     doubles exactly.  With NO keys the midranks come from the
     distributed-rank machinery instead (``_global_midrank``: range
@@ -2046,16 +2048,12 @@ def spearman_by(
     )
 
     if keys:
+        from seafan_spark.rank import keyed_midrank
 
-        def midrank(col_name: str) -> Column:
-            pk = Window.partitionBy(*keys)
-            tie = Window.partitionBy(*keys, col_name)
-            return (
-                F.rank().over(pk.orderBy(F.col(col_name).asc()))
-                + (F.count(F.lit(1)).over(tie) - F.lit(1)) / F.lit(2.0)
-            )
-
-        ranked = base.withColumn("_rx", midrank("_x")).withColumn("_ry", midrank("_y"))
+        # two keyed-scan midranks (round-10: the keyed window form put
+        # each low-cardinality key cell's sort on a single task)
+        ranked = keyed_midrank(base, keys, "_x", mid_out="_rx")
+        ranked = keyed_midrank(ranked, keys, "_y", mid_out="_ry")
     else:
         ranked, _ = _global_midrank(base, "_x", "_rx")
         ranked, _ = _global_midrank(ranked, "_y", "_ry")
@@ -2107,9 +2105,20 @@ def trimmed_mean_by(
     x = F.col(value_col).cast("double")
     base = d.filter(x.isNotNull()).select(*keys, x.alias("_x"))
     if keys:
-        pk = Window.partitionBy(*keys)
-        pr = F.percent_rank().over(pk.orderBy(F.col("_x").asc()))
-        tagged = base.withColumn("_pr", pr)
+        from seafan_spark.rank import keyed_midrank
+
+        # percent_rank = (rank - 1)/(n - 1) from the keyed scan (round-10:
+        # the percent_rank window put each key cell's sort on one task);
+        # single-row cells get 0, matching the window definition
+        tagged = keyed_midrank(
+            base, keys, "_x", rank_out="_rkk", total_out="_nk"
+        )
+        pr = F.when(
+            F.col("_nk") > 1,
+            (F.col("_rkk") - F.lit(1)).cast("double")
+            / (F.col("_nk") - F.lit(1)).cast("double"),
+        ).otherwise(F.lit(0.0))
+        tagged = tagged.withColumn("_pr", pr).drop("_rkk", "_nk")
     else:
         # percent_rank = (rank - 1) / (n - 1) with rank = min global row
         # number over the value's tie group — identical to the window

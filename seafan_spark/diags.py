@@ -557,13 +557,11 @@ def auc_by(
         *keys, score.alias("_s"), label.alias("_y")
     )
     if keys:
-        w = Window.partitionBy(*keys).orderBy(F.col("_s").asc())
-        tw = Window.partitionBy(*keys, "_s")
-        mid = (
-            F.rank().over(w).cast("double")
-            + (F.count(F.lit(1)).over(tw) - F.lit(1)) / F.lit(2.0)
-        )
-        ranked = base.withColumn("_mid", mid)
+        from seafan_spark.rank import keyed_midrank
+
+        # round-10: the keyed window form funneled each low-cardinality
+        # key cell's corpus-fraction sort through one task
+        ranked = keyed_midrank(base, keys, "_s", mid_out="_mid")
     else:
         ranked, _ = _global_midrank(base, "_s", "_mid")
     agg = ranked.groupBy(*keys).agg(
@@ -623,13 +621,15 @@ def average_precision_by(
         F.sum(F.lit(1) - F.col("_y")).alias("_neg"),
     )
     if keys:
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("_s").desc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        g = g.withColumn("_tp", F.sum("_pos").over(w)).withColumn(
-            "_fp", F.sum("_neg").over(w)
+        from seafan_spark.rank import keyed_running_scan
+
+        # round-10: keyed running sums via the range-partitioned scan —
+        # the distinct-score relation is corpus-sized for continuous
+        # scores, so a keyed window would put a key cell on one task.
+        # _pos/_neg are non-null longs (the sums contract); exact.
+        g = keyed_running_scan(
+            g, keys, [("_s", False)],
+            sums={"_tp": F.col("_pos"), "_fp": F.col("_neg")},
         )
     else:
         from seafan_spark.rank import attach_running_ops

@@ -437,12 +437,17 @@ def impute(
 
         xd = x.cast("double")
         if keys:
+            from seafan_spark.rank import keyed_running_scan
+
             base = d.filter(xd.isNotNull()).select(*keys, xd.alias("_mx"))
-            wk = Window.partitionBy(*keys)
-            wo = wk.orderBy(F.col("_mx").asc())
+            # round-10: keyed rank via the range-partitioned scan — the
+            # keyed window form put each low-cardinality key cell's
+            # corpus-fraction sort on one task
             med = (
-                base.withColumn("_rn", F.row_number().over(wo))
-                .withColumn("_cnt", F.count(F.lit(1)).over(wk))
+                keyed_running_scan(
+                    base, keys, [("_mx", True)],
+                    rownum_out="_rn", total_out="_cnt",
+                )
                 .filter(
                     # lower middle (rn = ceil(cnt/2)) and upper middle
                     # (rn = floor(cnt/2) + 1) — the same row when cnt is

@@ -497,16 +497,26 @@ def calibrate_scores_by_group(
     source" a single filter on one calibrated column, the standard
     per-domain quota construction in pretraining curation.
 
-    100 TB design: ONE window partitioned by the group key — a keyed
-    shuffle with no global order (each group sorts independently in its
-    own tasks; contrast ``rank.attach_running_ops`` for the unpartitioned
-    case).  Skewed sources behave like any skewed aggregation under AQE.
+    100 TB design (round-10 upgrade): the per-group percent_rank comes
+    from :func:`seafan_spark.rank.keyed_midrank` — range-repartition on
+    (group, score) + a tie-group join, so a big source spans a RUN of
+    partitions (a ``Window.partitionBy(source)`` would sort each
+    source's corpus share on ONE task — sources are low-cardinality).
+    percent_rank = (rank − 1)/(n − 1), ties share the min rank,
+    single-row groups get 0 — the exact SQL window definition.
     """
-    from pyspark.sql import Window
+    from seafan_spark.rank import keyed_midrank
 
     d = getattr(df, "df", df)
-    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
-    return d.withColumn(out_col, F.percent_rank().over(w))
+    ranked = keyed_midrank(
+        d, [group_col], score_col, rank_out="_csr_rk", total_out="_csr_n"
+    )
+    pr = F.when(
+        F.col("_csr_n") > 1,
+        (F.col("_csr_rk") - F.lit(1)).cast("double")
+        / (F.col("_csr_n") - F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return ranked.withColumn(out_col, pr).drop("_csr_rk", "_csr_n")
 
 
 # ------------------------------------------------------------- IPF raking ----

@@ -365,3 +365,113 @@ def test_multimodal_ops_still_accept_long_ids(spark):
     fr = multimodal.sample_video_frames(df, "doc_id", "media")
     assert fr.schema["doc_id"].dataType.simpleString() == "bigint"
     assert fr.count() >= 4
+
+
+# ----------------------------- keyed-window class retirement (audit) ----
+
+def test_rank_stats_keyed_paths_use_range_layout(spark):
+    """Round-10 audit: every subject-level rank statistic's keyed path
+    must ride the keyed_running_scan range layout (visible as the
+    checkpointed _gpid column), not a Window.partitionBy(low-card keys)
+    that funnels a corpus-fraction sort through one task."""
+    import random
+
+    from seafan_spark.agg import (
+        _grouped_median,
+        kruskal_by,
+        mannwhitney_by,
+        spearman_by,
+        trimmed_mean_by,
+    )
+    from seafan_spark.diags import auc_by, average_precision_by
+    from seafan_spark.sampling import calibrate_scores_by_group
+
+    rng = random.Random(31)
+    rows = [
+        ("g%d" % (i % 3), float(rng.randrange(50)), float(rng.randrange(40)),
+         "v%d" % (i % 2), float(rng.random()))
+        for i in range(400)
+    ]
+    # key column deliberately NOT named "k": kruskal_by's output has a
+    # literal "k" (group count) column, a pre-existing name constraint
+    df = spark.createDataFrame(rows, "g string, x double, y double, v string, s double")
+
+    def has_gpid(out):
+        return "_gpid" in out._jdf.queryExecution().executedPlan().toString()
+
+    assert has_gpid(_grouped_median(df, ["g"], "x"))
+    assert has_gpid(mannwhitney_by(df, "x", "v", keys=["g"]))
+    assert has_gpid(kruskal_by(df, "x", "v", keys=["g"]))
+    assert has_gpid(spearman_by(df, "x", "y", keys=["g"]))
+    assert has_gpid(trimmed_mean_by(df, "x", keys=["g"], alpha=0.1))
+    assert has_gpid(auc_by(df.withColumnRenamed("s", "fit"), "x", "fit", keys=["g"]))
+    assert has_gpid(
+        average_precision_by(df.withColumnRenamed("s", "fit"), "x", "fit", keys=["g"])
+    )
+    assert has_gpid(calibrate_scores_by_group(df, "s", "g"))
+
+
+def test_keyed_midrank_matches_window_form(spark):
+    """keyed_midrank's avg-rownum midrank and min-rownum rank must be
+    BIT-equal to the rank()/count-over-ties window form (consecutive
+    integers: avg is an exact multiple of 0.5)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from seafan_spark.rank import keyed_midrank
+
+    rng = random.Random(13)
+    rows = [("g%d" % (i % 3), float(rng.randrange(12))) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    got = keyed_midrank(
+        df, ["k"], "x", mid_out="mid", tie_out="t", rank_out="rk"
+    )
+    wv = Window.partitionBy("k").orderBy(F.col("x").asc())
+    tw = Window.partitionBy("k", "x")
+    ref = df.withColumn("rk", F.rank().over(wv)).withColumn(
+        "t", F.count(F.lit(1)).over(tw).cast("double")
+    )
+    ref = ref.withColumn("mid", F.col("rk") + (F.col("t") - 1) / F.lit(2.0))
+    gd = sorted(map(tuple, got.select("k", "x", "mid", "t", "rk").collect()))
+    rd = sorted(map(tuple, ref.select("k", "x", "mid", "t",
+                                      F.col("rk").cast("long").alias("rk")).collect()))
+    assert gd == rd
+
+
+def test_keyed_midrank_keeps_null_values(spark):
+    from seafan_spark.rank import keyed_midrank
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 1.0), ("a", 1.0), ("a", None)], "k string, x double"
+    )
+    out = keyed_midrank(df, ["k"], "x", mid_out="mid", tie_out="t").collect()
+    assert len(out) == 4  # NULL rows survive the null-safe tie join
+    nulls = [r for r in out if r["x"] is None]
+    assert len(nulls) == 2 and all(r["t"] == 2.0 for r in nulls)
+
+
+def test_keyed_running_scan_sums(spark):
+    from pyspark.sql import Window
+
+    from seafan_spark.rank import keyed_running_scan
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 2), float(i), i % 5, (i * 7) % 3) for i in range(200)],
+        "k string, s double, a long, b long",
+    )
+    got = keyed_running_scan(
+        df, ["k"], [("s", False)],
+        sums={"ra": F.col("a"), "rb": F.col("b")},
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ref = df.withColumn("ra", F.sum("a").over(w)).withColumn(
+        "rb", F.sum("b").over(w)
+    )
+    assert sorted(map(tuple, got.select("s", "k", "ra", "rb").collect())) == sorted(
+        map(tuple, ref.select("s", "k", "ra", "rb").collect())
+    )

@@ -4100,6 +4100,30 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("channel")
 
 
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift alarm (temporal.page_hinkley) over daily
+    event counts per event type — the sequential-alarm companion to
+    q_cusum (retrospective locate) and q_mann_kendall (monotone trend).
+    The alarm and argmax read the 6-dp ROUNDED statistic (the cusum
+    argmax contract), so a last-ulp windowed-sum difference can never
+    flip which day alarms first in either engine; lam=100 fires on the
+    denser types and stays quiet on sparse ones."""
+    from seafan_spark.temporal import page_hinkley
+
+    ev = _pipe(spark, sf_dir, "events").df
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    out = page_hinkley(
+        daily, "day", "cnt", keys=["event_type"], delta=0.0, lam=100.0
+    )
+    return out.select(
+        "event_type", "n",
+        F.col("ph_max").alias("ph_max"),
+        "t_max", "t_alarm", "detected",
+    ).orderBy("event_type")
+
+
 def q_cluster_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-randomized readout (causal.cluster_ttest): users are the
     randomization clusters (assignment user_id % 3 == 0 is constant per
@@ -4177,6 +4201,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lorenz": q_lorenz,
     "attribution": q_attribution,
     "qini_auc": q_qini_auc,
+    "page_hinkley": q_page_hinkley,
     "psm_greedy": q_psm_greedy,  # rows-only BY DESIGN (iterative greedy)
     # --- never driver-checked residue (VERDICT #5): cusum oracled since
     # r7 but never rotated in; ann_pq/cox_ph rows-only — included ONCE so
@@ -4232,13 +4257,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf": q_tfidf,
     "stream_tumbling": q_stream_tumbling,
     "vocab": q_vocab,
+    # --- end of the driver's 50-entry correctness window ---
+    # (where_keep/topk/text_stats/text_tokens displaced to 51-54 by the
+    # round-10 additions — r02-checked, first in line for round 11; then
+    # r04 survivors + kruskal/ts_pattern + the round-9 causal/survival
+    # family — r09/r04 driver rows are their record)
     "where_keep": q_where_keep,
     "topk": q_topk,
-    # --- end of the driver's 50-entry correctness window ---
-    # (text_stats/text_tokens displaced to 51-52 by the round-10
-    # additions — r02-checked, first in line for round 11; then r04
-    # survivors + kruskal/ts_pattern + the round-9 causal/survival
-    # family — r09/r04 driver rows are their record)
     "text_stats": q_text_stats,
     "text_tokens": q_text_tokens,
     "tpch_q3": q_tpch_q3,
@@ -9288,6 +9313,44 @@ ORACLES["qini_auc"] = """
            ROUND(qtot, 6) AS qini_total,
            ROUND(CASE WHEN has_null = 0 THEN auc END, 6) AS qini_auc
     FROM run WHERE bucket = lb ORDER BY event_type
+"""
+
+# mirrors temporal.page_hinkley expression-by-expression; the alarm and
+# argmax compare the 6-dp ROUNDED statistic (round_col/ROUND bit-parity)
+ORACLES["page_hinkley"] = """
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day, COUNT(*)::DOUBLE AS x
+        FROM events GROUP BY event_type, ts::DATE
+    ), s1 AS (
+        SELECT event_type, day, x,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               AVG(x) OVER (PARTITION BY event_type) AS mu
+        FROM daily
+    ), s2 AS (
+        SELECT event_type, day, n,
+               SUM(x - mu - 0.0) OVER (PARTITION BY event_type
+                   ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        FROM s1
+    ), s3 AS (
+        SELECT event_type, day, n,
+               ROUND(m - MIN(m) OVER (PARTITION BY event_type
+                   ORDER BY day ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS ph
+        FROM s2
+    ), s4 AS (
+        SELECT event_type, day, n, ph,
+               MIN(CASE WHEN ph > 100.0 THEN day END)
+                   OVER (PARTITION BY event_type) AS t_alarm,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ph DESC, day ASC) AS rk
+        FROM s3
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, ph AS ph_max,
+           day AS t_max, t_alarm,
+           CAST(t_alarm IS NOT NULL AS INT) AS detected
+    FROM s4 WHERE rk = 1 ORDER BY event_type
 """
 
 ORACLES["lorenz"] = """

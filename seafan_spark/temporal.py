@@ -1293,6 +1293,95 @@ def cusum_changepoint(
     )
 
 
+
+def page_hinkley(
+    df,
+    order_col: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    delta: float = 0.0,
+    lam: float | None = None,
+    side: str = "inc",
+    argmax_round: int | None = 6,
+) -> DataFrame:
+    """Page-Hinkley mean-shift drift detector over an ordered series,
+    optionally per group (Page 1954; Hinkley 1971) — the sequential-
+    ALARM companion to :func:`cusum_changepoint` (which locates a shift
+    retrospectively) and :func:`mann_kendall` (monotone drift):
+
+        m_i  = sum_{j<=i} (x_j - mean(x) - delta)
+        PH_i = m_i - min_{j<=i} m_j          (side='inc'; mean increase)
+        PH_i = max_{j<=i} m_j - m_i          (side='dec'; mean decrease)
+
+    ``delta`` is the magnitude tolerance; an alarm fires at the first i
+    with PH_i > ``lam``. Returns one row per group: (keys..., n,
+    ph_max, t_max, t_alarm, detected) — the peak statistic, its
+    earliest location, the first alarm time (NULL when ``lam`` is None
+    or never crossed) and the 0/1 alarm flag.
+
+    Determinism: the alarm and argmax comparisons use the 6-dp ROUNDED
+    statistic (``argmax_round``, the cusum argmax contract) so a
+    last-ulp windowed-sum difference can never flip which row alarms
+    first cross-engine; outputs round at 6 dp.
+
+    Scale shape: the :func:`cusum_changepoint` contract exactly — the
+    input must be an AGGREGATED series (one row per order value per
+    group, enforced by the collapsed-table guard), then two ordered
+    windows (running sum, running min/max) and one rank pick over the
+    bounded per-group relation.
+    """
+    if side not in ("inc", "dec"):
+        raise ValueError("page_hinkley: side must be 'inc' or 'dec'")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull() & F.col(order_col).isNotNull()).select(
+        *keys, F.col(order_col).alias("_t"), x.alias("_x")
+    )
+    from seafan_spark.guards import assert_bounded_groups
+
+    assert_bounded_groups(
+        base, keys, "page_hinkley",
+        scale_hint="Aggregate the series first (e.g. one row per day per "
+        "group) — Page-Hinkley running sums are per-group ordered windows.",
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("_t").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    n = F.count(F.lit(1)).over(wall)
+    mean = F.avg("_x").over(wall)
+    m_i = F.sum(F.col("_x") - mean - F.lit(float(delta))).over(word)
+    if side == "inc":
+        ph = m_i - F.min(m_i).over(word)
+    else:
+        ph = F.max(m_i).over(word) - m_i
+    from seafan_spark.rounding import round_col
+
+    ph_r = round_col(ph, argmax_round) if argmax_round is not None else ph
+    # staged: the alarm min reads the rounded statistic as a plain
+    # column (nested window expressions are illegal in one projection)
+    scored = base.select(*keys, "_t", n.alias("_n"), ph_r.alias("_ph"))
+    alarm_t = (
+        F.min(F.when(F.col("_ph") > F.lit(float(lam)), F.col("_t"))).over(wall)
+        if lam is not None
+        else F.lit(None).cast(scored.schema["_t"].dataType)
+    )
+    scored = scored.withColumn("_t_alarm", alarm_t)
+    wrank = wall.orderBy(F.col("_ph").desc(), F.col("_t").asc())
+    top = scored.withColumn("_rk", F.row_number().over(wrank)).filter(
+        F.col("_rk") == 1
+    )
+    return top.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_ph").alias("ph_max"),
+        F.col("_t").alias("t_max"),
+        F.col("_t_alarm").alias("t_alarm"),
+        F.col("_t_alarm").isNotNull().cast("int").alias("detected"),
+    )
+
+
 def logrank_test(
     df,
     duration_col: str,

@@ -131,8 +131,9 @@ def test_correctness_window_invariant():
     # round-10 head: new ops, never-checked residue, displaced block,
     # round-10-changed re-checks (gini joins them: its keyed rank moved
     # to the keyed_running_scan range layout)
-    assert names[:25] == [
-        "lorenz", "attribution", "qini_auc", "psm_greedy",
+    assert names[:26] == [
+        "lorenz", "attribution", "qini_auc", "page_hinkley",
+        "psm_greedy",
         "cusum_changepoint", "ann_pq", "cox_ph",
         "distinct_sketch", "lm_score", "hist_sketch", "embed_incr",
         "quality_rules", "coalesce_logodds", "minhash_calibration",
@@ -140,21 +141,20 @@ def test_correctness_window_invariant():
         "uplift", "psm_match", "mann_kendall", "rmst", "km_ci",
         "irr_by_bisect", "gini",
     ]
-    # r02-checked basics fill the rest of the window (topk/text_stats/
-    # text_tokens displaced to 51-53 by the round-10 additions)
+    # r02-checked basics fill the rest of the window (where_keep/topk/
+    # text_stats/text_tokens displaced to 51-54 by the round-10 additions)
     assert {"append", "asof", "contamination", "join_inner", "pack",
             "pivot", "range_join", "rollup", "salted_agg", "sessionize",
-            "stream_join", "tfidf", "vocab", "where_keep"} <= set(
-        names[25:50]
-    )
-    assert names[50:53] == ["topk", "text_stats", "text_tokens"]
+            "stream_join", "tfidf", "vocab"} <= set(names[26:50])
+    assert names[50:54] == ["where_keep", "topk", "text_stats",
+                            "text_tokens"]
     # r04 survivors + the round-9 family rotated below (their r09/r04
     # driver rows are the record)
     assert {"tpch_q3", "minhash_incr", "ann_lsh", "multimodal",
             "ngram_jaccard", "embed_neardup", "kruskal", "ts_pattern",
             "cox_moments_keyed", "logrank_strat", "did", "ipw_ate",
             "aipw_ate", "power_mde", "srm", "cluster_ttest"} <= set(
-        names[53:69]
+        names[54:70]
     )
     # r08-checked greens stay rotated out
     assert {"target_encode", "survival_km", "cox_moments", "irr_bisect",

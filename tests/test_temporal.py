@@ -357,3 +357,42 @@ def test_transition_matrix(spark):
     for (f, _), (_, p) in got.items():
         rowsum[f] += p
     assert all(abs(v - 1.0) < 1e-5 for v in rowsum.values())
+
+
+def test_page_hinkley_detects_planted_shift(spark):
+    """Level shift at t=20 on a flat series: PH climbs after the shift,
+    t_max at the end, alarm fires once PH crosses lam."""
+    from seafan_spark.temporal import page_hinkley
+
+    rows = [("a", float(t), 10.0 if t <= 20 else 14.0) for t in range(1, 41)]
+    rows += [("b", float(t), 10.0) for t in range(1, 41)]  # flat: no alarm
+    df = spark.createDataFrame(rows, "g string, t double, x double")
+    out = {r["g"]: r for r in
+           page_hinkley(df, "t", "x", keys=["g"], lam=10.0).collect()}
+    assert out["a"]["detected"] == 1 and out["a"]["t_alarm"] is not None
+    assert out["a"]["t_alarm"] > 20.0  # alarms after the shift
+    assert out["b"]["detected"] == 0 and out["b"]["t_alarm"] is None
+    assert out["a"]["ph_max"] > out["b"]["ph_max"]
+    # python reference for group a
+    xs = [10.0 if t <= 20 else 14.0 for t in range(1, 41)]
+    mu = sum(xs) / len(xs)
+    m = ph = mn = 0.0
+    best = -1.0
+    cum = 0.0
+    for x in xs:
+        cum += x - mu
+        mn = min(mn, cum)
+        best = max(best, round(cum - mn, 6))
+    assert out["a"]["ph_max"] == pytest.approx(best, abs=1e-9)
+
+
+def test_page_hinkley_decrease_side_and_guards(spark):
+    from seafan_spark.temporal import page_hinkley
+
+    rows = [("a", float(t), 10.0 if t <= 20 else 6.0) for t in range(1, 41)]
+    df = spark.createDataFrame(rows, "g string, t double, x double")
+    inc = page_hinkley(df, "t", "x", keys=["g"], side="inc", lam=10.0).collect()[0]
+    dec = page_hinkley(df, "t", "x", keys=["g"], side="dec", lam=10.0).collect()[0]
+    assert dec["detected"] == 1 and inc["ph_max"] < dec["ph_max"]
+    with pytest.raises(ValueError, match="side"):
+        page_hinkley(df, "t", "x", side="up")

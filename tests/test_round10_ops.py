@@ -475,3 +475,17 @@ def test_keyed_running_scan_sums(spark):
     assert sorted(map(tuple, got.select("s", "k", "ra", "rb").collect())) == sorted(
         map(tuple, ref.select("s", "k", "ra", "rb").collect())
     )
+
+
+def test_mann_kendall_default_pair_budget_at_scale(spark):
+    """The VERDICT #2 'done' criterion verbatim: a series above the
+    DEFAULT 50k-row pair budget errors with the budget message before
+    the B^2 self-join runs (no env override)."""
+    from seafan_spark.temporal import mann_kendall
+
+    df = spark.range(60_000).select(
+        F.col("id").cast("double").alias("x"),
+        (F.col("id") % 23).cast("double").alias("v"),
+    )
+    with pytest.raises(SmallDataLimitError, match="50000"):
+        mann_kendall(df, "x", "v")

@@ -4124,6 +4124,25 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped quantiles (agg.quantiles_by): the value at rank
+    max(1, ceil(q*n)) per event type at six probabilities —
+    PERCENTILE_DISC semantics, long format. The picked value is data
+    (no arithmetic), so rows hash unrounded; the twin replays the same
+    rank arithmetic (ROW_NUMBER + CEIL(q*n)), identical IEEE products
+    from identical literals."""
+    from seafan_spark.agg import quantiles_by
+
+    ev = _pipe(spark, sf_dir, "events").df
+    out = quantiles_by(
+        ev, "value", qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+        keys=["event_type"],
+    )
+    return out.select("event_type", "q", "value", "n").orderBy(
+        "event_type", "q"
+    )
+
+
 def q_cluster_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-randomized readout (causal.cluster_ttest): users are the
     randomization clusters (assignment user_id % 3 == 0 is constant per
@@ -4202,6 +4221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attribution": q_attribution,
     "qini_auc": q_qini_auc,
     "page_hinkley": q_page_hinkley,
+    "quantiles_exact": q_quantiles_exact,
     "psm_greedy": q_psm_greedy,  # rows-only BY DESIGN (iterative greedy)
     # --- never driver-checked residue (VERDICT #5): cusum oracled since
     # r7 but never rotated in; ann_pq/cox_ph rows-only — included ONCE so
@@ -4256,12 +4276,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_lang": q_text_quality_lang,
     "tfidf": q_tfidf,
     "stream_tumbling": q_stream_tumbling,
-    "vocab": q_vocab,
     # --- end of the driver's 50-entry correctness window ---
-    # (where_keep/topk/text_stats/text_tokens displaced to 51-54 by the
-    # round-10 additions — r02-checked, first in line for round 11; then
-    # r04 survivors + kruskal/ts_pattern + the round-9 causal/survival
-    # family — r09/r04 driver rows are their record)
+    # (vocab/where_keep/topk/text_stats/text_tokens displaced to 51-55
+    # by the round-10 additions — r02-checked, first in line for round
+    # 11; then r04 survivors + kruskal/ts_pattern + the round-9 causal/
+    # survival family — r09/r04 driver rows are their record)
+    "vocab": q_vocab,
     "where_keep": q_where_keep,
     "topk": q_topk,
     "text_stats": q_text_stats,
@@ -9317,6 +9337,25 @@ ORACLES["qini_auc"] = """
 
 # mirrors temporal.page_hinkley expression-by-expression; the alarm and
 # argmax compare the 6-dp ROUNDED statistic (round_col/ROUND bit-parity)
+ORACLES["quantiles_exact"] = """
+    WITH base AS (
+        SELECT event_type AS k, value::DOUBLE AS v
+        FROM events WHERE value IS NOT NULL
+    ), r AS (
+        SELECT k, v,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY v ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY k) AS n
+        FROM base
+    )
+    SELECT k AS event_type, CAST(q AS DOUBLE) AS q, v AS value,
+           CAST(n AS BIGINT) AS n
+    FROM r, (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))
+         AS probs(q)
+    WHERE rn = GREATEST(1, CAST(CEIL(CAST(q AS DOUBLE) * n::DOUBLE)
+                                AS BIGINT))
+    ORDER BY event_type, q
+"""
+
 ORACLES["page_hinkley"] = """
     WITH daily AS (
         SELECT event_type, ts::DATE AS day, COUNT(*)::DOUBLE AS x

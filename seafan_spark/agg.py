@@ -1589,6 +1589,80 @@ def lorenz_deciles(
     )
 
 
+def quantiles_by(
+    df,
+    value_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT per-group quantiles at arbitrary probabilities — the keyed
+    generalization of :func:`describe_df`'s single-column exact path
+    and :func:`_grouped_median`'s q=0.5 (``histogram.
+    quantiles_from_histogram`` stays the sketch/approximate path).
+    PERCENTILE_DISC (type-1 / inverse-ECDF) semantics: the value at
+    rank ``max(1, ceil(q·n))`` of the group sorted ascending — a value
+    that OCCURS in the data, the convention that stays exact and
+    hash-stable for every dtype.
+
+    Returns long-format rows (keys..., q, value, n) — one row per
+    (group, probability); plots and threshold joins directly.
+
+    Determinism: the value at a given rank is invariant to tie order
+    (sorting a multiset), so no tiebreak column is needed; ``q·n`` is
+    IEEE double arithmetic from identical literals in both engines, so
+    an exact-boundary product (0.1·30 = 3.0000000000000004) picks the
+    SAME rank everywhere — documented, not hidden.
+
+    Scale shape: ONE :func:`seafan_spark.rank.keyed_running_scan` pass
+    (range-partitioned keyed rank — no key cell on a single task), then
+    a compiled OR over the |qs| rank targets filters the candidate rows
+    map-side and a higher-order ``filter`` expands each survivor to its
+    matching probabilities. No per-q scan, no |qs|-fold row explosion.
+    """
+    qs = [float(q) for q in qs]
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("quantiles_by: qs must be non-empty, each in [0, 1]")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull()).select(*keys, x.alias("_qv"))
+    from seafan_spark.rank import keyed_running_scan
+
+    ranked = keyed_running_scan(
+        base, keys, [("_qv", True)], rownum_out="_qrn", total_out="_qn"
+    )
+
+    def target(q: float) -> Column:
+        return F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(q) * F.col("_qn").cast("double")).cast("long"),
+        )
+
+    matches = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).alias("q"),
+                    (F.col("_qrn") == target(q)).alias("m"),
+                )
+                for q in qs
+            ]
+        ),
+        lambda s: s["m"],
+    )
+    sel = (
+        ranked.withColumn("_qm", matches)
+        .filter(F.size("_qm") > 0)
+        .select(*keys, F.explode("_qm").alias("_s"), "_qv", "_qn")
+    )
+    return sel.select(
+        *keys,
+        F.col("_s.q").alias("q"),
+        F.col("_qv").alias("value"),
+        F.col("_qn").alias("n"),
+    )
+
+
 def cuped_adjust(
     df,
     y_col: str,

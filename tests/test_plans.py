@@ -131,9 +131,9 @@ def test_correctness_window_invariant():
     # round-10 head: new ops, never-checked residue, displaced block,
     # round-10-changed re-checks (gini joins them: its keyed rank moved
     # to the keyed_running_scan range layout)
-    assert names[:26] == [
+    assert names[:27] == [
         "lorenz", "attribution", "qini_auc", "page_hinkley",
-        "psm_greedy",
+        "quantiles_exact", "psm_greedy",
         "cusum_changepoint", "ann_pq", "cox_ph",
         "distinct_sketch", "lm_score", "hist_sketch", "embed_incr",
         "quality_rules", "coalesce_logodds", "minhash_calibration",
@@ -141,12 +141,13 @@ def test_correctness_window_invariant():
         "uplift", "psm_match", "mann_kendall", "rmst", "km_ci",
         "irr_by_bisect", "gini",
     ]
-    # r02-checked basics fill the rest of the window (where_keep/topk/
-    # text_stats/text_tokens displaced to 51-54 by the round-10 additions)
+    # r02-checked basics fill the rest of the window (vocab/where_keep/
+    # topk/text_stats/text_tokens displaced to 51-55 by the round-10
+    # additions)
     assert {"append", "asof", "contamination", "join_inner", "pack",
             "pivot", "range_join", "rollup", "salted_agg", "sessionize",
-            "stream_join", "tfidf", "vocab"} <= set(names[26:50])
-    assert names[50:54] == ["where_keep", "topk", "text_stats",
+            "stream_join", "tfidf"} <= set(names[27:50])
+    assert names[50:55] == ["vocab", "where_keep", "topk", "text_stats",
                             "text_tokens"]
     # r04 survivors + the round-9 family rotated below (their r09/r04
     # driver rows are the record)
@@ -154,7 +155,7 @@ def test_correctness_window_invariant():
             "ngram_jaccard", "embed_neardup", "kruskal", "ts_pattern",
             "cox_moments_keyed", "logrank_strat", "did", "ipw_ate",
             "aipw_ate", "power_mde", "srm", "cluster_ttest"} <= set(
-        names[54:70]
+        names[55:71]
     )
     # r08-checked greens stay rotated out
     assert {"target_encode", "survival_km", "cox_moments", "irr_bisect",

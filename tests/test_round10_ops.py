@@ -489,3 +489,50 @@ def test_mann_kendall_default_pair_budget_at_scale(spark):
     )
     with pytest.raises(SmallDataLimitError, match="50000"):
         mann_kendall(df, "x", "v")
+
+
+# ------------------------------------------------ exact keyed quantiles ----
+
+def test_quantiles_by_exact_vs_python(spark):
+    import math
+    from collections import defaultdict
+
+    from seafan_spark.agg import quantiles_by
+
+    rng = random.Random(5)
+    rows = [("g%d" % (i % 3), float(rng.randrange(1000))) for i in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = (0.0, 0.1, 0.5, 0.9, 1.0)
+    out = quantiles_by(df, "v", qs=qs, keys=["g"]).collect()
+    byk = defaultdict(list)
+    for g, v in rows:
+        byk[g].append(v)
+    for g, vals in byk.items():
+        vals.sort()
+        n = len(vals)
+        for q in qs:
+            exp = vals[max(1, math.ceil(q * n)) - 1]
+            got = [r["value"] for r in out if r["g"] == g and r["q"] == q]
+            assert got == [exp], (g, q)
+    assert all(r["n"] == 1000 for r in out)
+    # the plan rides the range layout (no key-cell single task)
+    plan = quantiles_by(df, "v", qs=qs, keys=["g"])
+    assert "_gpid" in plan._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quantiles_by_validation_and_median_consistency(spark):
+    from seafan_spark.agg import _grouped_median, quantiles_by
+
+    with pytest.raises(ValueError, match="qs"):
+        quantiles_by(spark.range(3), "id", qs=[])
+    with pytest.raises(ValueError, match="qs"):
+        quantiles_by(spark.range(3), "id", qs=[1.5])
+    # odd-n group: the 0.5 quantile equals the exact grouped median
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (5, 1, 9, 3, 7)], "g string, v double"
+    )
+    q50 = quantiles_by(df, "v", qs=[0.5], keys=["g"]).collect()[0]["value"]
+    med = _grouped_median(
+        df.select("g", F.col("v").alias("_x")), ["g"], "_x"
+    ).collect()[0]["_med"]
+    assert q50 == med == 5.0

@@ -4214,6 +4214,81 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test (agg.levene_by): does
+    the SPREAD of event value differ across days-of-week, per event
+    type? The assumption check q_anova (means across types per dow)
+    silently skips. Arm medians via the range-partitioned keyed rank
+    scan (no group-sized buffer); the F is anova_by's moment math on
+    z = |x - med| in the twin's association order."""
+    from seafan_spark.agg import levene_by
+
+    ev = _pipe(spark, sf_dir, "events").df
+    d = ev.select(
+        "event_type",
+        (F.dayofweek("ts")).alias("dow"),
+        F.col("value").alias("x"),
+    )
+    out = levene_by(d, "x", "dow", keys=["event_type"])
+    return out.select(
+        "event_type", "k", "n",
+        round_col("ssb", 6).alias("ssb"),
+        round_col("ssw", 6).alias("ssw"),
+        round_col("f_stat", 6).alias("f_stat"),
+        round_col("eta_sq", 6).alias("eta_sq"),
+    ).orderBy("event_type")
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix (agg.cramers_v_pairs) over the
+    three categorical lineitem columns — the categorical corr_matrix.
+    ONE fact-table scan: rows explode to (pair, a, b) triples, map-side
+    partial aggregation collapses to contingency cells before the only
+    shuffle; chi2 uses the zero-cell-safe expansion (no densifying)."""
+    from seafan_spark.agg import cramers_v_pairs
+
+    li = _pipe(spark, sf_dir, "lineitem").df
+    out = cramers_v_pairs(
+        li, ["l_returnflag", "l_linestatus", "l_linenumber"]
+    )
+    return out.orderBy("col_x", "col_y")
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation (temporal.acf_by) of daily event counts
+    at lags 1-7 per event type — the seasonality diagnostic for the
+    page_hinkley/cusum/mann_kendall family, on the same collapsed
+    (guarded) daily series. One ordered window pass computes all seven
+    lag terms (row offsets, no self-join); biased estimator, constant
+    denominator."""
+    from seafan_spark.temporal import acf_by
+
+    ev = _pipe(spark, sf_dir, "events").df
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    out = acf_by(daily, "day", "cnt", keys=["event_type"])
+    return out.select(
+        "event_type", "lag", "n", "n_pairs", "acf"
+    ).orderBy("event_type", "lag")
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (quality.t_closeness) completing the
+    k_anonymity / l_diversity governance trio on the same documents
+    quasi-identifiers: class sensitive-language distribution vs the
+    corpus one, EMD = total-variation via the positive-part identity
+    (absent cells never materialize), verdicts on the 6-dp ROUNDED
+    distance (t=0.4 splits the classes: sf0.01 median TVD 0.376)."""
+    from seafan_spark.quality import t_closeness
+
+    docs = _pipe(spark, sf_dir, "documents").df.select(
+        "source", (F.col("n_chars") % 5).cast("int").alias("qi2"), "lang"
+    )
+    return t_closeness(docs, ["source", "qi2"], "lang", t=0.4)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ========== driver 50-entry correctness window (round 10) ==========
     # --- new in round 10 (never driver-checked -> window head) ---
@@ -4222,6 +4297,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "qini_auc": q_qini_auc,
     "page_hinkley": q_page_hinkley,
     "quantiles_exact": q_quantiles_exact,
+    "levene": q_levene,
+    "cramers_v": q_cramers_v,
+    "acf": q_acf,
+    "t_closeness": q_t_closeness,
     "psm_greedy": q_psm_greedy,  # rows-only BY DESIGN (iterative greedy)
     # --- never driver-checked residue (VERDICT #5): cusum oracled since
     # r7 but never rotated in; ann_pq/cox_ph rows-only — included ONCE so
@@ -9641,6 +9720,162 @@ ORACLES["phash_neardup"] = """
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_groupby_agg(spark, "/root/testdata/sf0.001")
+
+
+# mirrors agg.levene_by: arm medians by the identical rank arithmetic
+# (avg of the two middle ROW_NUMBERs), then anova_by's moment association
+ORACLES["levene"] = """
+    WITH d AS (
+        SELECT event_type AS et, dayofweek(ts) + 1 AS v,
+               CAST(value AS DOUBLE) AS x
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), r AS (
+        SELECT et, v, x,
+               ROW_NUMBER() OVER (PARTITION BY et, v ORDER BY x ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY et, v) AS cnt
+        FROM d
+    ), med AS (
+        SELECT et, v, AVG(x) AS m
+        FROM r WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+        GROUP BY et, v
+    ), z AS (
+        SELECT d.et, d.v, ABS(d.x - med.m) AS z
+        FROM d JOIN med USING (et, v)
+    ), pv AS (
+        SELECT et, v, CAST(COUNT(*) AS DOUBLE) AS nj,
+               SUM(z) AS sj, SUM(z * z) AS qj
+        FROM z GROUP BY et, v
+    ), a AS (
+        SELECT et, COUNT(*) AS k, SUM(nj) AS n, SUM(sj) AS s,
+               SUM(qj) AS q, SUM(sj * sj / nj) AS gg
+        FROM pv GROUP BY et
+    )
+    SELECT et AS event_type, k, CAST(n AS BIGINT) AS n,
+           ROUND(gg - s * s / n, 6) AS ssb,
+           ROUND(q - gg, 6) AS ssw,
+           ROUND(CASE WHEN k >= 2 AND n > k AND (q - gg) > 0
+                      THEN ((gg - s * s / n) / (k - 1.0))
+                           / ((q - gg) / (n - k))
+                 END, 6) AS f_stat,
+           ROUND(CASE WHEN (gg - s * s / n) + (q - gg) > 0
+                      THEN (gg - s * s / n)
+                           / ((gg - s * s / n) + (q - gg))
+                 END, 6) AS eta_sq
+    FROM a ORDER BY event_type
+"""
+
+# mirrors agg.cramers_v_pairs: zero-cell-safe chi2 expansion per pair,
+# V from the same guarded sqrt
+ORACLES["cramers_v"] = """
+    WITH p AS (
+        SELECT 'l_returnflag' AS cx, 'l_linestatus' AS cy,
+               CAST(l_returnflag AS VARCHAR) AS a,
+               CAST(l_linestatus AS VARCHAR) AS b
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        UNION ALL
+        SELECT 'l_returnflag', 'l_linenumber',
+               CAST(l_returnflag AS VARCHAR), CAST(l_linenumber AS VARCHAR)
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_linenumber IS NOT NULL
+        UNION ALL
+        SELECT 'l_linestatus', 'l_linenumber',
+               CAST(l_linestatus AS VARCHAR), CAST(l_linenumber AS VARCHAR)
+        FROM lineitem
+        WHERE l_linestatus IS NOT NULL AND l_linenumber IS NOT NULL
+    ), c AS (
+        SELECT cx, cy, a, b, CAST(COUNT(*) AS DOUBLE) AS o
+        FROM p GROUP BY cx, cy, a, b
+    ), t AS (
+        SELECT cx, cy, a, b, o,
+               SUM(o) OVER (PARTITION BY cx, cy, a) AS rt,
+               SUM(o) OVER (PARTITION BY cx, cy, b) AS ct,
+               SUM(o) OVER (PARTITION BY cx, cy) AS n
+        FROM c
+    )
+    SELECT cx AS col_x, cy AS col_y,
+           CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MAX(n) * SUM(o*o/(rt*ct)) - MAX(n), 6) AS chi2,
+           CAST((COUNT(DISTINCT a)-1)*(COUNT(DISTINCT b)-1) AS BIGINT)
+               AS dof,
+           ROUND(CASE WHEN LEAST(COUNT(DISTINCT a), COUNT(DISTINCT b)) >= 2
+                           AND MAX(n) > 0
+                      THEN SQRT(GREATEST(
+                               MAX(n) * SUM(o*o/(rt*ct)) - MAX(n), 0.0)
+                           / (MAX(n) * (CAST(LEAST(COUNT(DISTINCT a),
+                                  COUNT(DISTINCT b)) AS DOUBLE) - 1.0)))
+                 END, 6) AS v
+    FROM t GROUP BY cx, cy ORDER BY col_x, col_y
+"""
+
+# mirrors temporal.acf_by: same collapsed daily series, LAG row offsets,
+# constant-denominator biased estimator
+ORACLES["acf"] = """
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day, COUNT(*)::DOUBLE AS x
+        FROM events GROUP BY event_type, ts::DATE
+    ), s1 AS (
+        SELECT event_type, day, x,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               AVG(x) OVER (PARTITION BY event_type) AS mu
+        FROM daily
+    ), s2 AS (
+        SELECT event_type, day, x, n, mu,
+               SUM((x - mu) * (x - mu))
+                   OVER (PARTITION BY event_type) AS ss,
+               LAG(x, 1) OVER w AS l1, LAG(x, 2) OVER w AS l2,
+               LAG(x, 3) OVER w AS l3, LAG(x, 4) OVER w AS l4,
+               LAG(x, 5) OVER w AS l5, LAG(x, 6) OVER w AS l6,
+               LAG(x, 7) OVER w AS l7
+        FROM s1
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC)
+    ), long AS (
+        SELECT event_type, n, ss, lg,
+               (x - mu) * (CASE lg WHEN 1 THEN l1 WHEN 2 THEN l2
+                                   WHEN 3 THEN l3 WHEN 4 THEN l4
+                                   WHEN 5 THEN l5 WHEN 6 THEN l6
+                                   WHEN 7 THEN l7 END - mu) AS term
+        FROM s2, (VALUES (1),(2),(3),(4),(5),(6),(7)) AS lags(lg)
+    )
+    SELECT event_type, CAST(lg AS INT) AS lag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(term) AS BIGINT) AS n_pairs,
+           ROUND(CASE WHEN MAX(ss) > 0 THEN SUM(term) / MAX(ss) END, 6)
+               AS acf
+    FROM long GROUP BY event_type, lg ORDER BY event_type, lag
+"""
+
+# mirrors quality.t_closeness: positive-part TVD identity over observed
+# (class, value) cells only; verdicts compare the 6-dp ROUNDED distance
+ORACLES["t_closeness"] = """
+    WITH cell AS (
+        SELECT source, CAST(n_chars % 5 AS INT) AS qi2, lang,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM documents WHERE lang IS NOT NULL
+        GROUP BY source, CAST(n_chars % 5 AS INT), lang
+    ), cw AS (
+        SELECT *, SUM(cnt) OVER (PARTITION BY source, qi2) AS crows
+        FROM cell
+    ), g AS (
+        SELECT lang, SUM(cnt) AS gcnt FROM cell GROUP BY lang
+    ), gt AS (
+        SELECT SUM(gcnt) AS gtot FROM g
+    ), cls AS (
+        SELECT source, qi2, MAX(crows) AS nrows,
+               ROUND(SUM(GREATEST(cnt / crows - gcnt / gtot, 0.0)), 6)
+                   AS tvd
+        FROM cw JOIN g USING (lang), gt GROUP BY source, qi2
+    )
+    SELECT CAST(0.4 AS DOUBLE) AS t,
+           CAST(SUM(nrows) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           MAX(tvd) AS max_tvd,
+           CAST(SUM(CASE WHEN tvd > 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_classes,
+           CAST(SUM(CASE WHEN tvd > 0.4 THEN nrows ELSE 0 END) AS BIGINT)
+               AS violating_rows
+    FROM cls
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -2334,3 +2334,131 @@ def fdr_bh(
         "rejected", F.col("p_adj") <= F.lit(float(alpha))
     )
     return out.withColumnRenamed("_bh_rank", rank_col).drop("_bh_m", "_bh_raw")
+
+
+def levene_by(
+    df,
+    value_col: str,
+    variant_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group Brown-Forsythe test (Levene 1960 with Brown & Forsythe
+    1974's median centering) — do the variants of ``variant_col`` have
+    EQUAL SPREAD of ``value_col``?  The variance-homogeneity companion
+    to :func:`anova_by` (which compares means and silently assumes the
+    spreads match) and the assumption check for :func:`ttest_by`'s
+    pooled cousins.  Returns (keys..., k, n, ssb, ssw, f_stat, eta_sq)
+    — the one-way ANOVA F computed on z_ij = |x_ij − median_j|:
+
+        z_ij   = |x_ij − med(x_j)|          (median of x within arm j)
+        F      = (SSB_z/(k−1)) / (SSW_z/(n−k))
+
+    Median centering (not mean) is what makes the test robust to heavy
+    tails — the reason Brown-Forsythe displaced classic Levene.
+
+    Scale shape: the arm medians come from :func:`_grouped_median`'s
+    range-partitioned keyed rank scan (no group-sized aggregation
+    buffer, no single-task key cell), the medians relation (groups ×
+    arms rows) broadcast-joins back onto the fact table, and the F is
+    :func:`anova_by`'s TWO map-side-partial moment aggregations over z
+    — association order matches the DuckDB twin so 6-dp rounds
+    hash-stable.
+    """
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull() & F.col(variant_col).isNotNull()).select(
+        *keys, F.col(variant_col).alias("_v"), x.alias("_x")
+    )
+    med = _grouped_median(base, [*keys, "_v"], "_x")
+    z = base.join(F.broadcast(med), on=[*keys, "_v"]).select(
+        *keys, "_v", F.abs(F.col("_x") - F.col("_med")).alias("_z")
+    )
+    return anova_by(z, "_z", "_v", keys)
+
+
+def cramers_v_pairs(df, cols: Sequence[str]) -> DataFrame:
+    """Cramér's V association matrix (Cramér 1946) over every unordered
+    pair of the categorical columns ``cols`` — the profiling screen for
+    redundant / entangled categorical features, the categorical
+    counterpart of :func:`corr_matrix`.  Returns one row per pair
+    (col_x, col_y, n, chi2, dof, v) with
+
+        V = sqrt( chi2 / (n · (min(r, c) − 1)) )      in [0, 1]
+
+    using :func:`chisq_by`'s zero-cell-safe expansion
+    chi2 = n·Σ_observed o²/(rt·ct) − n, so the contingency table is
+    never densified (absent cells contribute nothing).
+
+    Scale shape: ONE scan of the fact table — each row explodes into
+    P = |pairs| (pair, a, b) triples (values cast to string so the
+    exploded struct has one type), map-side partial aggregation
+    collapses them to contingency cells WITHIN each input partition, so
+    the only shuffle carries Σ_pairs |X_i|·|X_j| cell rows, not P×N
+    data rows.  Window totals + the final per-pair aggregate run on
+    that tiny cell relation.  P(P−1)/2 separate column-pruned scans
+    would re-read the corpus P²/2 times; this shape reads it once.
+    """
+    from seafan_spark.rounding import round_col
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("cramers_v_pairs: need at least two columns")
+    from pyspark.sql import Window
+
+    d = getattr(df, "df", df)
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    trips = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("_cx"),
+                F.lit(b).alias("_cy"),
+                F.col(a).cast("string").alias("_a"),
+                F.col(b).cast("string").alias("_b"),
+            )
+            for a, b in pairs
+        ]
+    )
+    e = (
+        d.select(F.explode(trips).alias("_t"))
+        .select("_t._cx", "_t._cy", "_t._a", "_t._b")
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    )
+    c = e.groupBy("_cx", "_cy", "_a", "_b").agg(
+        F.count(F.lit(1)).cast("double").alias("_o")
+    )
+    pk = ["_cx", "_cy"]
+    rt = F.sum("_o").over(Window.partitionBy(*pk, "_a"))
+    ct = F.sum("_o").over(Window.partitionBy(*pk, "_b"))
+    n = F.sum("_o").over(Window.partitionBy(*pk))
+    cells = c.select(
+        *pk,
+        n.alias("_n"),
+        (F.col("_o") * F.col("_o") / (rt * ct)).alias("_term"),
+        "_a",
+        "_b",
+    )
+    out = cells.groupBy(*pk).agg(
+        F.first("_n").alias("_nn"),
+        F.sum("_term").alias("_sumterm"),
+        F.count_distinct("_a").alias("_r"),
+        F.count_distinct("_b").alias("_c"),
+    )
+    chi2 = F.col("_nn") * F.col("_sumterm") - F.col("_nn")
+    minrc = F.least(F.col("_r"), F.col("_c")).cast("double")
+    v = F.when(
+        (minrc >= 2.0) & (F.col("_nn") > 0.0),
+        F.sqrt(F.greatest(chi2, F.lit(0.0)) / (F.col("_nn") * (minrc - 1.0))),
+    )
+    return out.select(
+        F.col("_cx").alias("col_x"),
+        F.col("_cy").alias("col_y"),
+        F.col("_nn").cast("bigint").alias("n"),
+        round_col(chi2, 6).alias("chi2"),
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("bigint").alias("dof"),
+        round_col(v, 6).alias("v"),
+    )

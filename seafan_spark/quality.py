@@ -275,3 +275,79 @@ def l_diversity(
         .cast("bigint")
         .alias("violating_rows"),
     ).select(F.lit(int(l)).cast("bigint").alias("l"), "*")
+
+
+def t_closeness(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007), completing
+    the :func:`k_anonymity` / :func:`l_diversity` trio: a class can be
+    k-anonymous AND l-diverse yet still leak — if its sensitive-value
+    DISTRIBUTION differs sharply from the corpus-wide one, observing
+    the class updates an attacker's belief.  Each QI equivalence class
+    should have distance ≤ ``t`` from the global distribution; for a
+    categorical sensitive attribute the paper's EMD with uniform ground
+    distance IS the total-variation distance, computed here without
+    densifying via the positive-part identity
+
+        TVD(P_class, P_global) = Σ_v max(0, P_class(v) − P_global(v))
+
+    — only values PRESENT in the class can contribute a positive term,
+    so absent (class, value) cells never need materializing (the same
+    missing-mass trick as token_divergence_by's Jensen-Shannon).
+
+    Returns ONE row: (t, n_rows, n_classes, max_tvd, violating_classes,
+    violating_rows) where "violating" means a class whose 6-dp ROUNDED
+    TVD exceeds ``t`` (the rounded-compare contract — a last-ulp sum
+    difference can never flip a verdict cross-engine).  Rows with NULL
+    sensitive values are excluded from both distributions (NULL QI
+    values form their own class, SQL group-by semantics).
+
+    100 TB design: one map-side-combining groupBy to the (QI class,
+    value) cell relation — the only fact-table shuffle — then window
+    totals per class, a broadcast join of the value-cardinality global
+    relation, one class-level aggregate, one scalar aggregate.
+    """
+    if not qi_cols:
+        raise ValueError("t_closeness: need at least one quasi-identifier")
+    if not (0.0 <= t <= 1.0):
+        raise ValueError("t_closeness: t must be in [0, 1]")
+    from pyspark.sql import Window
+
+    from seafan_spark.rounding import round_col
+
+    cell = (
+        df.filter(F.col(sensitive_col).isNotNull())
+        .groupBy(*[F.col(c) for c in qi_cols], F.col(sensitive_col).alias("_sv"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_cnt"))
+    )
+    crows = F.sum("_cnt").over(Window.partitionBy(*[F.col(c) for c in qi_cols]))
+    gv = cell.groupBy("_sv").agg(F.sum("_cnt").alias("_gcnt"))
+    gtot = gv.agg(F.sum("_gcnt").alias("_gtot"))
+    cells = (
+        cell.withColumn("_crows", crows)
+        .join(F.broadcast(gv), on="_sv")
+        .crossJoin(F.broadcast(gtot))
+    )
+    pos = F.greatest(
+        F.col("_cnt") / F.col("_crows") - F.col("_gcnt") / F.col("_gtot"),
+        F.lit(0.0),
+    )
+    cls = cells.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.first("_crows").alias("_rows"),
+        round_col(F.sum(pos), 6).alias("_tvd"),
+    )
+    return cls.agg(
+        F.sum("_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.max("_tvd").alias("max_tvd"),
+        F.sum(F.when(F.col("_tvd") > F.lit(float(t)), 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_classes"),
+        F.sum(F.when(F.col("_tvd") > F.lit(float(t)), F.col("_rows")).otherwise(0.0))
+        .cast("bigint")
+        .alias("violating_rows"),
+    ).select(F.lit(float(t)).alias("t"), "*")

@@ -1921,3 +1921,100 @@ def cox_ph(
             }
         )
     return out
+
+
+def acf_by(
+    df,
+    order_col: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    lags: Sequence[int] = (1, 2, 3, 4, 5, 6, 7),
+) -> DataFrame:
+    """Sample autocorrelation function (Box & Jenkins 1970) of an
+    ordered series at each of ``lags``, per group — the seasonality /
+    memory diagnostic that tells you WHICH lag :func:`seasonal_decompose`
+    should use and whether :func:`mann_kendall`'s independence framing
+    is even plausible.  Standard biased estimator (constant n
+    denominator, full-series mean), the one every stats package plots:
+
+        r_k = Σ_{t>k} (x_t − x̄)(x_{t−k} − x̄)  /  Σ_t (x_t − x̄)²
+
+    Returns one row per (group, lag): (keys..., lag, n, n_pairs, acf)
+    — ``acf`` NULL when the series is constant (zero denominator) or
+    shorter than the lag.
+
+    Scale shape: the :func:`cusum_changepoint` collapsed-series
+    contract — input must be AGGREGATED (one row per order value per
+    group, enforced by the bounded-groups guard), then ONE ordered
+    window pass computes every lag column at once (lag k is a row
+    offset in the same sort, no self-join), the lag columns explode to
+    long (lag, term) rows, and one map-side-partial groupBy over the
+    bounded per-group relation finishes.  Association order matches
+    the DuckDB twin; outputs round at 6 dp.
+    """
+    lags = [int(k) for k in lags]
+    if not lags or any(k < 1 for k in lags):
+        raise ValueError("acf_by: lags must be positive integers")
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull() & F.col(order_col).isNotNull()).select(
+        *keys, F.col(order_col).alias("_t"), x.alias("_x")
+    )
+    from seafan_spark.guards import assert_bounded_groups
+
+    assert_bounded_groups(
+        base, keys, "acf_by",
+        scale_hint="Aggregate the series first (e.g. one row per day per "
+        "group) — ACF lags are row offsets in a per-group ordered window.",
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("_t").asc())
+    mu = F.avg("_x").over(wall)
+    n = F.count(F.lit(1)).over(wall)
+    ss = F.sum((F.col("_x") - mu) * (F.col("_x") - mu)).over(wall)
+    # stage 1: every window product (mean/count/ss/lags) materializes as a
+    # plain column — a generator (explode) cannot share a projection with
+    # window expressions, and nesting them trips the analyzer
+    staged = base.select(
+        *keys,
+        "_x",
+        mu.alias("_mu"),
+        n.alias("_n"),
+        ss.alias("_ss"),
+        *[F.lag("_x", k).over(word).alias(f"_l{k}") for k in lags],
+    )
+    lag_terms = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("_k"),
+                (
+                    (F.col("_x") - F.col("_mu"))
+                    * (F.col(f"_l{k}") - F.col("_mu"))
+                ).alias("_term"),
+            )
+            for k in lags
+        ]
+    )
+    scored = staged.select(
+        *keys, "_n", "_ss", F.explode(lag_terms).alias("_lt")
+    ).select(*keys, "_n", "_ss", "_lt._k", "_lt._term")
+    from seafan_spark.rounding import round_col
+
+    out = scored.groupBy(*keys, "_k").agg(
+        F.first("_n").alias("_nn"),
+        F.first("_ss").alias("_sss"),
+        F.sum("_term").alias("_num"),
+        F.count("_term").alias("_np"),
+    )
+    acf = F.when(
+        (F.col("_sss") > 0.0) & F.col("_num").isNotNull(),
+        F.col("_num") / F.col("_sss"),
+    )
+    return out.select(
+        *keys,
+        F.col("_k").cast("int").alias("lag"),
+        F.col("_nn").cast("bigint").alias("n"),
+        F.col("_np").cast("bigint").alias("n_pairs"),
+        round_col(acf, 6).alias("acf"),
+    )

@@ -536,3 +536,131 @@ def test_quantiles_by_validation_and_median_consistency(spark):
         df.select("g", F.col("v").alias("_x")), ["g"], "_x"
     ).collect()[0]["_med"]
     assert q50 == med == 5.0
+
+
+# ---------------------------------------- round-10b: stats completion ----
+
+def test_levene_brown_forsythe_matches_textbook(spark):
+    import statistics
+
+    from seafan_spark.agg import levene_by
+
+    rng = random.Random(11)
+    arms = {"a": 1.0, "b": 4.0, "c": 0.5}  # very different spreads
+    rows = [
+        ("g1", v, round(rng.gauss(10.0, sd), 4))
+        for v, sd in arms.items()
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(rows, "grp string, v string, x double")
+    got = levene_by(df, "x", "v", keys=["grp"]).collect()[0]
+
+    # pure-python Brown-Forsythe on the same data
+    byv = {}
+    for _, v, x in rows:
+        byv.setdefault(v, []).append(x)
+    z = {v: [abs(x - statistics.median(xs)) for x in xs] for v, xs in byv.items()}
+    allz = [zz for zs in z.values() for zz in zs]
+    n, k = len(allz), len(z)
+    zbar = sum(allz) / n
+    ssb = sum(len(zs) * (sum(zs) / len(zs) - zbar) ** 2 for zs in z.values())
+    ssw = sum(
+        (zz - sum(zs) / len(zs)) ** 2 for zs in z.values() for zz in zs
+    )
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert got["k"] == 3 and got["n"] == 120
+    assert abs(got["f_stat"] - f_ref) < 1e-6
+    # unequal spreads must light up the statistic
+    assert got["f_stat"] > 10.0
+
+
+def test_levene_equal_spread_is_quiet(spark):
+    from seafan_spark.agg import levene_by
+
+    rng = random.Random(7)
+    rows = [
+        ("g", v, round(rng.gauss(mu, 2.0), 4))
+        for v, mu in (("a", 0.0), ("b", 50.0), ("c", -30.0))
+        for _ in range(60)
+    ]  # same spread, wildly different means: anova fires, levene must not
+    df = spark.createDataFrame(rows, "grp string, v string, x double")
+    got = levene_by(df, "x", "v", keys=["grp"]).collect()[0]
+    assert got["f_stat"] < 3.0
+
+
+def test_cramers_v_perfect_and_independent(spark):
+    from seafan_spark.agg import cramers_v_pairs
+
+    rows = []
+    for a in ("a", "b", "c"):
+        for i in range(10):
+            rows.append((a, {"a": "x", "b": "y", "c": "z"}[a], "u" if i % 2 else "w"))
+    df = spark.createDataFrame(rows, "p string, q string, r string")
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in cramers_v_pairs(df, ["p", "q", "r"]).collect()
+    }
+    assert set(out) == {("p", "q"), ("p", "r"), ("q", "r")}
+    perfect = out[("p", "q")]
+    assert perfect["v"] == pytest.approx(1.0, abs=1e-9)
+    assert perfect["dof"] == 4 and perfect["n"] == 30
+    indep = out[("p", "r")]  # r is balanced within every p level
+    assert indep["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert indep["v"] == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        cramers_v_pairs(df, ["p"])
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+
+    from seafan_spark.temporal import acf_by
+
+    rng = random.Random(5)
+    xs = [round(rng.gauss(0, 1) + (i % 4), 4) for i in range(50)]
+    rows = [("g", i, x) for i, x in enumerate(xs)] + [
+        ("flat", i, 2.5) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    out = {
+        (r["k"], r["lag"]): r
+        for r in acf_by(df, "t", "x", keys=["k"], lags=(1, 2, 3, 4)).collect()
+    }
+    a = np.array(xs)
+    mu, ss = a.mean(), ((a - a.mean()) ** 2).sum()
+    for k in (1, 2, 3, 4):
+        ref = float(((a[k:] - mu) * (a[:-k] - mu)).sum() / ss)
+        got = out[("g", k)]
+        assert got["acf"] == pytest.approx(ref, abs=1e-6)
+        assert got["n"] == 50 and got["n_pairs"] == 50 - k
+    # lag-4 period-4 signal: strong positive autocorrelation
+    assert out[("g", 4)]["acf"] > 0.5
+    # constant series: zero denominator -> NULL, never a division error
+    assert all(out[("flat", k)]["acf"] is None for k in (1, 2, 3, 4))
+    with pytest.raises(ValueError):
+        acf_by(df, "t", "x", lags=(0,))
+
+
+def test_t_closeness_hand_computed(spark):
+    from seafan_spark.quality import t_closeness
+
+    rows = (
+        [("A", "a")] * 2 + [("A", "b")] * 2 + [("B", "a")] * 4
+    )  # global: a=.75 b=.25; TVD(A)=.25 TVD(B)=.25
+    df = spark.createDataFrame(rows, "qi string, s string")
+    strict = t_closeness(df, ["qi"], "s", t=0.2).collect()[0]
+    assert strict["n_rows"] == 8 and strict["n_classes"] == 2
+    assert strict["max_tvd"] == pytest.approx(0.25, abs=1e-9)
+    assert strict["violating_classes"] == 2 and strict["violating_rows"] == 8
+    loose = t_closeness(df, ["qi"], "s", t=0.3).collect()[0]
+    assert loose["violating_classes"] == 0 and loose["violating_rows"] == 0
+    # identical class distributions -> zero distance everywhere
+    same = spark.createDataFrame(
+        [("A", "a"), ("A", "b"), ("B", "a"), ("B", "b")], "qi string, s string"
+    )
+    z = t_closeness(same, ["qi"], "s", t=0.0).collect()[0]
+    assert z["max_tvd"] == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError):
+        t_closeness(df, [], "s")
+    with pytest.raises(ValueError):
+        t_closeness(df, ["qi"], "s", t=1.5)

@@ -4215,6 +4215,47 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed EWMA (temporal.ewma_by): the per-row recursive
+    smoother s_i = 0.2 x_i + 0.8 s_{i-1} over daily event counts per
+    type, computed WITHOUT a sequential scan — blocked rescaling for
+    the within-block prefix + a banded block self-join for the carry
+    (terms older than the double-underflow horizon are exactly zero).
+    The DuckDB twin runs the literal recursion (recursive CTE); both
+    meet at 6 dp."""
+    from seafan_spark.temporal import ewma_by
+
+    ev = _pipe(spark, sf_dir, "events").df
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    out = ewma_by(daily, "day", "cnt", keys=["event_type"], alpha=0.2)
+    return out.select("event_type", "day", "cnt", "ewma").orderBy(
+        "event_type", "day"
+    )
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson lag-1 serial-correlation screen
+    (temporal.durbin_watson_by) on demeaned daily event counts per
+    type — the scalar companion to q_acf's full curve, same guarded
+    collapsed series, one lag window + one map-side-partial groupBy."""
+    from pyspark.sql import Window as W
+
+    from seafan_spark.temporal import durbin_watson_by
+
+    ev = _pipe(spark, sf_dir, "events").df
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    d = daily.withColumn(
+        "e", F.col("cnt") - F.avg("cnt").over(W.partitionBy("event_type"))
+    )
+    out = durbin_watson_by(d, "day", "e", keys=["event_type"])
+    return out.select("event_type", "n", "dw").orderBy("event_type")
+
+
 def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe variance-homogeneity test (agg.levene_by): does
     the SPREAD of event value differ across days-of-week, per event
@@ -4301,6 +4342,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cramers_v": q_cramers_v,
     "acf": q_acf,
     "t_closeness": q_t_closeness,
+    "ewma": q_ewma,
+    "durbin_watson": q_durbin_watson,
     "psm_greedy": q_psm_greedy,  # rows-only BY DESIGN (iterative greedy)
     # --- never driver-checked residue (VERDICT #5): cusum oracled since
     # r7 but never rotated in; ann_pq/cox_ph rows-only — included ONCE so
@@ -9875,6 +9918,50 @@ ORACLES["t_closeness"] = """
            CAST(SUM(CASE WHEN tvd > 0.4 THEN nrows ELSE 0 END) AS BIGINT)
                AS violating_rows
     FROM cls
+"""
+
+
+# mirrors temporal.ewma_by: the twin runs the LITERAL recursion the
+# banded block scan replaces — a recursive CTE stepping rn -> rn+1
+ORACLES["ewma"] = """
+    WITH RECURSIVE daily AS (
+        SELECT event_type, ts::DATE AS day, COUNT(*)::DOUBLE AS x
+        FROM events GROUP BY event_type, ts::DATE
+    ), r AS (
+        SELECT event_type, day, x,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY day ASC) AS rn
+        FROM daily
+    ), rec AS (
+        SELECT event_type, rn, day, x, x AS s FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.event_type, r.rn, r.day, r.x, 0.2 * r.x + 0.8 * rec.s
+        FROM r JOIN rec
+          ON r.event_type = rec.event_type AND r.rn = rec.rn + 1
+    )
+    SELECT event_type, day, x AS cnt, ROUND(s, 6) AS ewma
+    FROM rec ORDER BY event_type, day
+"""
+
+# mirrors temporal.durbin_watson_by on the demeaned daily series
+ORACLES["durbin_watson"] = """
+    WITH daily AS (
+        SELECT event_type, ts::DATE AS day, COUNT(*)::DOUBLE AS x
+        FROM events GROUP BY event_type, ts::DATE
+    ), d AS (
+        SELECT event_type, day,
+               x - AVG(x) OVER (PARTITION BY event_type) AS e
+        FROM daily
+    ), s AS (
+        SELECT event_type, e,
+               e - LAG(e, 1) OVER (PARTITION BY event_type
+                                   ORDER BY day ASC) AS de
+        FROM d
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CASE WHEN SUM(e * e) > 0
+                      THEN SUM(de * de) / SUM(e * e) END, 6) AS dw
+    FROM s GROUP BY event_type ORDER BY event_type
 """
 
 

@@ -2018,3 +2018,193 @@ def acf_by(
         F.col("_np").cast("bigint").alias("n_pairs"),
         round_col(acf, 6).alias("acf"),
     )
+
+
+def ewma_by(
+    df,
+    order_col: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    alpha: float = 0.3,
+    block: int = 256,
+) -> DataFrame:
+    """Exponentially-weighted moving average of an ordered series per
+    group — the recursive smoother (s_1 = x_1; s_i = α·x_i + (1−α)·
+    s_{i−1}, pandas ``ewm(adjust=False)``) — WITHOUT a sequential scan.
+    Returns one row per input row: (keys..., order_col, value_col,
+    ewma), rounded at 6 dp.
+
+    A first-order linear recurrence looks un-parallelizable; its closed
+    form s_i = Σ_{j≤i} w_j β^{i−j} x_j (β = 1−α; w_1 = 1, else α) is a
+    window sum but the textbook rescaling u_j = w_j x_j β^{−j} OVERFLOWS
+    once j ≳ 250/−log10(β).  This implementation makes the closed form
+    scale-safe with two bounded tricks:
+
+    1. **Blocked rescaling**: rows split into blocks of L =
+       min(block, 250/−log10 β) rows; within a block the running sum of
+       u_j = w_j x_j β^{−r_j} (r_j < L, bounded exponent) times β^{r_i}
+       gives the within-block prefix.  Numerically benign: the current
+       row always carries the largest weight, so the relative error of
+       the rescaled sum stays ~1 ulp.
+    2. **Banded carry join**: the cross-block carry is the unrolled
+       Σ_{c<b} T_c β^{(end_b − end_c)} (T_c = block c's prefix at its
+       last row); any term older than ~745/−ln β rows is EXACTLY 0.0 in
+       doubles, so a self-join of the block relation banded to that
+       many blocks computes every carry — linear in blocks, nothing
+       sequential, truncation below the subnormal floor.
+
+    One ordered window pass + one groupBy to the block relation + one
+    banded block join + one row→previous-block join.  Input must be an
+    AGGREGATED series (the collapsed-table guard, the cusum contract).
+    """
+    import math
+
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("ewma_by: alpha must be in (0, 1)")
+    if block < 2:
+        raise ValueError("ewma_by: block must be >= 2")
+    beta = 1.0 - alpha
+    # largest exponent the rescaling may produce without overflow
+    L = max(2, min(int(block), int(250.0 / max(1e-12, -math.log10(beta)))))
+    # carries older than this many ROWS are 0.0 in doubles (subnormal
+    # floor ~1e-323 = e^-745); +2 blocks of slack
+    band_blocks = int(745.0 / max(1e-12, -math.log(beta))) // L + 2
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    x = F.col(value_col).cast("double")
+    base = d.filter(x.isNotNull() & F.col(order_col).isNotNull()).select(
+        *keys, F.col(order_col).alias("_t"), x.alias("_x")
+    )
+    from seafan_spark.guards import assert_bounded_groups
+
+    assert_bounded_groups(
+        base, keys, "ewma_by",
+        scale_hint="Aggregate the series first (e.g. one row per day per "
+        "group) — the EWMA is a per-group ordered recurrence.",
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("_t").asc())
+    b = F.lit(float(beta))
+    staged = base.select(
+        *keys, "_t", "_x", F.row_number().over(word).alias("_rn")
+    )
+    staged = staged.select(
+        *keys, "_t", "_x", "_rn",
+        ((F.col("_rn") - 1) / L).cast("long").alias("_blk"),
+        ((F.col("_rn") - 1) % L).cast("double").alias("_r"),
+        F.when(F.col("_rn") == 1, F.lit(1.0))
+        .otherwise(F.lit(float(alpha)))
+        .alias("_w"),
+    )
+    wblk = Window.partitionBy(*keys, "_blk").orderBy(F.col("_rn").asc())
+    u = F.col("_w") * F.col("_x") * F.pow(b, -F.col("_r"))
+    part = F.pow(b, F.col("_r")) * F.sum(u).over(
+        wblk.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    rows = staged.withColumn("_part", part)
+    blocks = rows.groupBy(*keys, "_blk").agg(
+        F.max_by("_part", "_rn").alias("_T"),
+        F.max("_rn").cast("double").alias("_end"),
+    )
+    # banded unrolled carry: C_b = sum_{c<=b} T_c * beta^(end_b - end_c)
+    # (exponent always >= 0; omitted older terms are exactly 0.0)
+    lhs = blocks.select(
+        *[F.col(k).alias(f"_lk{i}") for i, k in enumerate(keys)],
+        F.col("_blk").alias("_lb"),
+        F.col("_end").alias("_lend"),
+    )
+    rhs = blocks.select(
+        *[F.col(k).alias(f"_rk{i}") for i, k in enumerate(keys)],
+        F.col("_blk").alias("_rb"),
+        F.col("_T").alias("_rT"),
+        F.col("_end").alias("_rend"),
+    )
+    cond = (F.col("_rb") <= F.col("_lb")) & (
+        F.col("_rb") >= F.col("_lb") - F.lit(band_blocks)
+    )
+    for i in range(len(keys)):
+        cond = cond & (F.col(f"_lk{i}") == F.col(f"_rk{i}"))
+    carries = (
+        lhs.join(rhs, on=cond)
+        .groupBy(*[F.col(f"_lk{i}") for i in range(len(keys))], "_lb")
+        .agg(
+            F.sum(
+                F.col("_rT") * F.pow(b, F.col("_lend") - F.col("_rend"))
+            ).alias("_C"),
+            F.first("_lend").alias("_cend"),
+        )
+        .select(
+            *[
+                F.col(f"_lk{i}").alias(keys[i])
+                for i in range(len(keys))
+            ],
+            (F.col("_lb") + 1).alias("_blk"),  # keyed to the NEXT block
+            "_C",
+            "_cend",
+        )
+    )
+    joined = rows.join(carries, on=[*keys, "_blk"], how="left")
+    s = F.col("_part") + F.when(
+        F.col("_C").isNotNull(),
+        F.pow(b, F.col("_rn").cast("double") - F.col("_cend")) * F.col("_C"),
+    ).otherwise(F.lit(0.0))
+    from seafan_spark.rounding import round_col
+
+    return joined.select(
+        *keys,
+        F.col("_t").alias(order_col),
+        F.col("_x").alias(value_col),
+        round_col(s, 6).alias("ewma"),
+    )
+
+
+def durbin_watson_by(
+    df,
+    order_col: str,
+    resid_col: str,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Durbin-Watson statistic (Durbin & Watson 1950) of an ordered
+    residual series per group — the lag-1 serial-correlation screen for
+    regression residuals (`ols_by`/`ols_multi_by` leftovers) and the
+    scalar companion to :func:`acf_by`'s full curve:
+
+        DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ_t e_t²      ∈ [0, 4]
+
+    ≈ 2(1 − r_1): 2 means no lag-1 autocorrelation, →0 positive, →4
+    negative.  Returns (keys..., n, dw) — NULL when the series is all
+    zeros.  Same collapsed-series contract and shape as :func:`acf_by`:
+    one guarded ordered window (the lag), one map-side-partial groupBy.
+    """
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    e = F.col(resid_col).cast("double")
+    base = d.filter(e.isNotNull() & F.col(order_col).isNotNull()).select(
+        *keys, F.col(order_col).alias("_t"), e.alias("_e")
+    )
+    from seafan_spark.guards import assert_bounded_groups
+
+    assert_bounded_groups(
+        base, keys, "durbin_watson_by",
+        scale_hint="Aggregate or residualize the series first — DW is a "
+        "per-group ordered lag window.",
+    )
+    wall = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    word = wall.orderBy(F.col("_t").asc())
+    lag = F.lag("_e", 1).over(word)
+    scored = base.select(
+        *keys, "_e", ((F.col("_e") - lag) * (F.col("_e") - lag)).alias("_d2")
+    )
+    from seafan_spark.rounding import round_col
+
+    out = scored.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_d2").alias("_num"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_den"),
+    )
+    dw = F.when(F.col("_den") > 0.0, F.col("_num") / F.col("_den"))
+    return out.select(
+        *keys,
+        F.col("_n").cast("bigint").alias("n"),
+        round_col(dw, 6).alias("dw"),
+    )

@@ -129,12 +129,14 @@ def test_correctness_window_invariant():
         n in names[50:] or n in ROWS_ONLY_IN_WINDOW for n in rows_only
     ), rows_only
     # round-10 head: new ops (incl. the round-10b stats-completion
-    # batch: levene/cramers_v/acf/t_closeness), never-checked residue,
-    # displaced block, round-10-changed re-checks (gini joins them: its
-    # keyed rank moved to the keyed_running_scan range layout)
-    assert names[:31] == [
+    # batch: levene/cramers_v/acf/t_closeness/ewma/durbin_watson),
+    # never-checked residue, displaced block, round-10-changed
+    # re-checks (gini joins them: its keyed rank moved to the
+    # keyed_running_scan range layout)
+    assert names[:33] == [
         "lorenz", "attribution", "qini_auc", "page_hinkley",
         "quantiles_exact", "levene", "cramers_v", "acf", "t_closeness",
+        "ewma", "durbin_watson",
         "psm_greedy",
         "cusum_changepoint", "ann_pq", "cox_ph",
         "distinct_sketch", "lm_score", "hist_sketch", "embed_incr",
@@ -143,14 +145,14 @@ def test_correctness_window_invariant():
         "uplift", "psm_match", "mann_kendall", "rmst", "km_ci",
         "irr_by_bisect", "gini",
     ]
-    # r02-checked basics fill the rest of the window (stream_join/
-    # text_quality_lang/tfidf/stream_tumbling/vocab/where_keep/topk/
-    # text_stats/text_tokens displaced below 50 by the round-10
-    # additions — all carry green driver rows from earlier rounds)
+    # r02-checked basics fill the rest of the window (sessionize
+    # through text_tokens displaced below 50 by the round-10 additions
+    # — all carry green driver rows from earlier rounds)
     assert {"append", "asof", "contamination", "join_inner", "pack",
             "pivot", "range_join", "rollup", "salted_agg",
-            "sessionize"} <= set(names[31:50])
-    assert names[50:59] == ["stream_join", "text_quality_lang", "tfidf",
+            "salted_join"} <= set(names[33:50])
+    assert names[50:61] == ["sample_split", "sessionize", "stream_join",
+                            "text_quality_lang", "tfidf",
                             "stream_tumbling", "vocab", "where_keep",
                             "topk", "text_stats", "text_tokens"]
     # r04 survivors + the round-9 family rotated below (their r09/r04
@@ -159,7 +161,7 @@ def test_correctness_window_invariant():
             "ngram_jaccard", "embed_neardup", "kruskal", "ts_pattern",
             "cox_moments_keyed", "logrank_strat", "did", "ipw_ate",
             "aipw_ate", "power_mde", "srm", "cluster_ttest"} <= set(
-        names[59:75]
+        names[61:77]
     )
     # r08-checked greens stay rotated out
     assert {"target_encode", "survival_km", "cox_moments", "irr_bisect",

@@ -664,3 +664,94 @@ def test_t_closeness_hand_computed(spark):
         t_closeness(df, [], "s")
     with pytest.raises(ValueError):
         t_closeness(df, ["qi"], "s", t=1.5)
+
+
+def test_ewma_matches_pandas_recursion(spark):
+    import pandas as pd
+
+    from seafan_spark.temporal import ewma_by
+
+    rng = random.Random(13)
+    xs = {k: [round(rng.gauss(5, 2), 4) for _ in range(57)] for k in ("a", "b")}
+    rows = [(k, i, x) for k, vs in xs.items() for i, x in enumerate(vs)]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    # block=4 forces 15 blocks incl. a ragged last one: the banded carry
+    # join and the cross-block exponent arithmetic are fully exercised
+    got = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in ewma_by(df, "t", "x", keys=["k"], alpha=0.3, block=4).collect()
+    }
+    for k, vs in xs.items():
+        ref = pd.Series(vs).ewm(alpha=0.3, adjust=False).mean()
+        for i in range(len(vs)):
+            assert got[(k, i)] == pytest.approx(ref.iloc[i], abs=2e-6), (k, i)
+
+
+def test_ewma_block_size_invariance_and_alphas(spark):
+    import pandas as pd
+
+    from seafan_spark.temporal import ewma_by
+
+    rng = random.Random(29)
+    xs = [round(rng.uniform(-10, 10), 4) for _ in range(40)]
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "k string, t int, x double"
+    )
+    for alpha in (0.05, 0.5, 0.95):
+        ref = pd.Series(xs).ewm(alpha=alpha, adjust=False).mean()
+        for blk in (3, 256):
+            got = {
+                r["t"]: r["ewma"]
+                for r in ewma_by(
+                    df, "t", "x", keys=["k"], alpha=alpha, block=blk
+                ).collect()
+            }
+            for i in range(len(xs)):
+                assert got[i] == pytest.approx(ref.iloc[i], abs=2e-6), (
+                    alpha, blk, i,
+                )
+    with pytest.raises(ValueError):
+        ewma_by(df, "t", "x", alpha=1.0)
+    with pytest.raises(ValueError):
+        ewma_by(df, "t", "x", alpha=0.3, block=1)
+
+
+def test_ewma_ungrouped_and_constant(spark):
+    from seafan_spark.temporal import ewma_by
+
+    df = spark.createDataFrame(
+        [(i, 7.0) for i in range(20)], "t int, x double"
+    )
+    out = ewma_by(df, "t", "x", alpha=0.4, block=5).collect()
+    assert all(r["ewma"] == pytest.approx(7.0, abs=1e-9) for r in out)
+    assert len(out) == 20
+
+
+def test_durbin_watson_matches_numpy(spark):
+    import numpy as np
+
+    from seafan_spark.temporal import durbin_watson_by
+
+    rng = random.Random(3)
+    es = [round(rng.gauss(0, 1), 4) for _ in range(60)]
+    pos = [abs(e) for e in es]  # positively autocorrelated? no - use AR
+    ar = [0.0]
+    for i in range(1, 60):
+        ar.append(round(0.8 * ar[-1] + es[i], 4))
+    rows = (
+        [("iid", i, e) for i, e in enumerate(es)]
+        + [("ar", i, e) for i, e in enumerate(ar)]
+        + [("zero", i, 0.0) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k string, t int, e double")
+    out = {
+        r["k"]: r for r in durbin_watson_by(df, "t", "e", keys=["k"]).collect()
+    }
+    a = np.array(es)
+    dw_ref = float(((a[1:] - a[:-1]) ** 2).sum() / (a**2).sum())
+    assert out["iid"]["dw"] == pytest.approx(dw_ref, abs=1e-6)
+    assert out["iid"]["n"] == 60
+    # AR(0.8) residuals: strong positive serial correlation -> dw << 2
+    assert out["ar"]["dw"] < 1.0
+    # all-zero series: NULL, never a division error
+    assert out["zero"]["dw"] is None

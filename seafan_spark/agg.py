@@ -2371,7 +2371,10 @@ def levene_by(
         *keys, F.col(variant_col).alias("_v"), x.alias("_x")
     )
     med = _grouped_median(base, [*keys, "_v"], "_x")
-    z = base.join(F.broadcast(med), on=[*keys, "_v"]).select(
+    # no forced broadcast: the medians relation is groups x arms — small
+    # for analyst keys and AQE broadcasts it then, but a high-cardinality
+    # key column would make a broadcast HINT a driver-memory hazard
+    z = base.join(med, on=[*keys, "_v"]).select(
         *keys, "_v", F.abs(F.col("_x") - F.col("_med")).alias("_z")
     )
     return anova_by(z, "_z", "_v", keys)

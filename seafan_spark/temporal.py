@@ -2055,7 +2055,10 @@ def ewma_by(
 
     One ordered window pass + one groupBy to the block relation + one
     banded block join + one row→previous-block join.  Input must be an
-    AGGREGATED series (the collapsed-table guard, the cusum contract).
+    AGGREGATED series (the collapsed-table guard, the cusum contract);
+    with keys the carry join is an equi-join on them, ungrouped it is a
+    nested loop over the block relation — bounded at guard-limit/L
+    blocks, the same collapsed-cardinality class as the window itself.
     """
     import math
 

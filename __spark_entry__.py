@@ -4216,6 +4216,27 @@ def q_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_quantiles_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted grouped quantiles (agg.weighted_quantiles_by):
+    the value where running l_quantity mass first reaches q of the
+    total, per return flag — the importance-weighted sibling of
+    q_quantiles_exact. Weights are integer-valued, so every running
+    sum is an exact double and the crossing test is permutation-
+    invariant under value ties cross-engine; picked values are data,
+    hashed unrounded."""
+    from seafan_spark.agg import weighted_quantiles_by
+
+    li = _pipe(spark, sf_dir, "lineitem").df
+    out = weighted_quantiles_by(
+        li, "l_extendedprice", "l_quantity",
+        qs=(0.1, 0.5, 0.9, 0.99), keys=["l_returnflag"],
+    )
+    return out.select(
+        "l_returnflag", "q", "value", "n", "w_total"
+    ).orderBy("l_returnflag", "q")
+
+
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed EWMA (temporal.ewma_by): the per-row recursive
     smoother s_i = 0.2 x_i + 0.8 s_{i-1} over daily event counts per
@@ -4344,6 +4365,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_closeness": q_t_closeness,
     "ewma": q_ewma,
     "durbin_watson": q_durbin_watson,
+    "quantiles_weighted": q_quantiles_weighted,
     "psm_greedy": q_psm_greedy,  # rows-only BY DESIGN (iterative greedy)
     # --- never driver-checked residue (VERDICT #5): cusum oracled since
     # r7 but never rotated in; ann_pq/cox_ph rows-only — included ONCE so
@@ -9962,6 +9984,34 @@ ORACLES["durbin_watson"] = """
            ROUND(CASE WHEN SUM(e * e) > 0
                       THEN SUM(de * de) / SUM(e * e) END, 6) AS dw
     FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
+# mirrors agg.weighted_quantiles_by: the same running-mass crossing test
+# over the identical (value ASC) order; integer-valued weights make every
+# cumulative sum exact, so tie permutations cannot flip the picked value
+ORACLES["quantiles_weighted"] = """
+    WITH base AS (
+        SELECT l_returnflag AS k, l_extendedprice::DOUBLE AS v,
+               l_quantity::DOUBLE AS w
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+              AND l_quantity > 0
+    ), r AS (
+        SELECT k, v, w,
+               SUM(w) OVER (PARTITION BY k ORDER BY v ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+               COUNT(*) OVER (PARTITION BY k) AS n,
+               SUM(w) OVER (PARTITION BY k) AS tw
+        FROM base
+    )
+    SELECT k AS l_returnflag, CAST(q AS DOUBLE) AS q, v AS value,
+           CAST(n AS BIGINT) AS n, tw AS w_total
+    FROM r, (VALUES (0.1), (0.5), (0.9), (0.99)) AS probs(q)
+    WHERE cw >= CAST(q AS DOUBLE) * tw
+          AND cw - w < CAST(q AS DOUBLE) * tw
+    ORDER BY l_returnflag, q
 """
 
 

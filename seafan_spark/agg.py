@@ -1663,6 +1663,95 @@ def quantiles_by(
     )
 
 
+def weighted_quantiles_by(
+    df,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT per-group WEIGHTED quantiles — the importance-weighted
+    sibling of :func:`quantiles_by`, the estimator a sampled or
+    weight-curated corpus needs (a weighted median of quality scores
+    under per-source mixture weights is this, not the unweighted one).
+    Inverse weighted-ECDF semantics: the value at the row where the
+    running weight (values ascending) first reaches q·W — a value that
+    OCCURS in the data, reducing exactly to :func:`quantiles_by`'s
+    PERCENTILE_DISC rank when every weight is 1.
+
+    Returns long-format rows (keys..., q, value, n, w_total). Rows with
+    NULL values or NULL/non-positive weights are excluded (the weighted
+    quantile's domain).
+
+    Determinism: with INTEGER-VALUED weights every running sum is an
+    exact double, so the crossing comparison is permutation-invariant
+    under value ties and bit-identical cross-engine (the registered
+    oracle uses such weights); fractional weights inherit the same
+    last-ulp boundary caveat :func:`quantiles_by` documents for q·n.
+
+    Scale shape: ONE :func:`seafan_spark.rank.keyed_running_scan` pass
+    carrying a running-weight sum (range-partitioned — no key cell on a
+    single task), one map-side-partial groupBy for the per-cell weight
+    total (joined back, AQE broadcasts the small case), then the
+    compiled crossing test per probability and the higher-order filter
+    expansion — no per-q scan, no |qs|-fold explosion.
+    """
+    qs = [float(q) for q in qs]
+    if not qs or any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(
+            "weighted_quantiles_by: qs must be non-empty, each in [0, 1]"
+        )
+    keys = list(keys)
+    d = getattr(df, "df", df)
+    x = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    base = d.filter(x.isNotNull() & w.isNotNull() & (w > 0.0)).select(
+        *keys, x.alias("_qv"), w.alias("_qw")
+    )
+    from seafan_spark.rank import keyed_running_scan
+
+    ranked = keyed_running_scan(
+        base, keys, [("_qv", True)],
+        total_out="_qn",
+        sums={"_qcw": F.col("_qw")},
+    )
+    # per-cell weight total from the SAME summed column: a separate
+    # aggregation would re-associate the sum and could disagree with the
+    # running sum's last value by an ulp, dropping the q=1 row
+    tot = ranked.groupBy(*keys).agg(F.max("_qcw").alias("_qtw"))
+    ranked = ranked.join(tot, on=keys) if keys else ranked.crossJoin(tot)
+
+    def crossing(q: float) -> Column:
+        if q == 0.0:
+            # q=0 -> the minimum value; the strict lower test below can
+            # never admit the first row (its prior mass is exactly 0)
+            return (F.col("_qcw") - F.col("_qw")) == 0.0
+        t = F.lit(q) * F.col("_qtw")
+        return (F.col("_qcw") >= t) & ((F.col("_qcw") - F.col("_qw")) < t)
+
+    matches = F.filter(
+        F.array(
+            *[
+                F.struct(F.lit(q).alias("q"), crossing(q).alias("m"))
+                for q in qs
+            ]
+        ),
+        lambda s: s["m"],
+    )
+    sel = (
+        ranked.withColumn("_qm", matches)
+        .filter(F.size("_qm") > 0)
+        .select(*keys, F.explode("_qm").alias("_s"), "_qv", "_qn", "_qtw")
+    )
+    return sel.select(
+        *keys,
+        F.col("_s.q").alias("q"),
+        F.col("_qv").alias("value"),
+        F.col("_qn").alias("n"),
+        F.col("_qtw").alias("w_total"),
+    )
+
+
 def cuped_adjust(
     df,
     y_col: str,

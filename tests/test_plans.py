@@ -129,14 +129,15 @@ def test_correctness_window_invariant():
         n in names[50:] or n in ROWS_ONLY_IN_WINDOW for n in rows_only
     ), rows_only
     # round-10 head: new ops (incl. the round-10b stats-completion
-    # batch: levene/cramers_v/acf/t_closeness/ewma/durbin_watson),
+    # batch: levene/cramers_v/acf/t_closeness/ewma/durbin_watson/
+    # quantiles_weighted),
     # never-checked residue, displaced block, round-10-changed
     # re-checks (gini joins them: its keyed rank moved to the
     # keyed_running_scan range layout)
-    assert names[:33] == [
+    assert names[:34] == [
         "lorenz", "attribution", "qini_auc", "page_hinkley",
         "quantiles_exact", "levene", "cramers_v", "acf", "t_closeness",
-        "ewma", "durbin_watson",
+        "ewma", "durbin_watson", "quantiles_weighted",
         "psm_greedy",
         "cusum_changepoint", "ann_pq", "cox_ph",
         "distinct_sketch", "lm_score", "hist_sketch", "embed_incr",
@@ -149,10 +150,10 @@ def test_correctness_window_invariant():
     # through text_tokens displaced below 50 by the round-10 additions
     # — all carry green driver rows from earlier rounds)
     assert {"append", "asof", "contamination", "join_inner", "pack",
-            "pivot", "range_join", "rollup", "salted_agg",
-            "salted_join"} <= set(names[33:50])
-    assert names[50:61] == ["sample_split", "sessionize", "stream_join",
-                            "text_quality_lang", "tfidf",
+            "pivot", "range_join", "rollup",
+            "salted_agg"} <= set(names[34:50])
+    assert names[50:62] == ["salted_join", "sample_split", "sessionize",
+                            "stream_join", "text_quality_lang", "tfidf",
                             "stream_tumbling", "vocab", "where_keep",
                             "topk", "text_stats", "text_tokens"]
     # r04 survivors + the round-9 family rotated below (their r09/r04
@@ -161,7 +162,7 @@ def test_correctness_window_invariant():
             "ngram_jaccard", "embed_neardup", "kruskal", "ts_pattern",
             "cox_moments_keyed", "logrank_strat", "did", "ipw_ate",
             "aipw_ate", "power_mde", "srm", "cluster_ttest"} <= set(
-        names[61:77]
+        names[62:78]
     )
     # r08-checked greens stay rotated out
     assert {"target_encode", "survival_km", "cox_moments", "irr_bisect",

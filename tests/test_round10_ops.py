@@ -755,3 +755,70 @@ def test_durbin_watson_matches_numpy(spark):
     assert out["ar"]["dw"] < 1.0
     # all-zero series: NULL, never a division error
     assert out["zero"]["dw"] is None
+
+
+def test_weighted_quantiles_reduce_to_unweighted(spark):
+    from seafan_spark.agg import quantiles_by, weighted_quantiles_by
+
+    rng = random.Random(17)
+    rows = [
+        (rng.choice(("a", "b")), round(rng.uniform(0, 100), 3), 1.0)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    qs = (0.1, 0.25, 0.5, 0.9)
+    got = {
+        (r["k"], r["q"]): r["value"]
+        for r in weighted_quantiles_by(df, "v", "w", qs=qs, keys=["k"]).collect()
+    }
+    ref = {
+        (r["k"], r["q"]): r["value"]
+        for r in quantiles_by(df, "v", qs=qs, keys=["k"]).collect()
+    }
+    assert got == ref and len(got) == 8
+
+
+def test_weighted_quantiles_brute_force(spark):
+    from seafan_spark.agg import weighted_quantiles_by
+
+    rng = random.Random(23)
+    data = {
+        k: [(round(rng.uniform(0, 50), 2), float(rng.randint(1, 9)))
+            for _ in range(80)]
+        for k in ("x", "y")
+    }
+    rows = [(k, v, w) for k, vs in data.items() for v, w in vs]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    qs = (0.0, 0.3, 0.5, 0.77, 1.0)
+    got = {
+        (r["k"], r["q"]): (r["value"], r["n"], r["w_total"])
+        for r in weighted_quantiles_by(df, "v", "w", qs=qs, keys=["k"]).collect()
+    }
+    for k, vs in data.items():
+        svs = sorted(vs)
+        tw = sum(w for _, w in svs)
+        for q in qs:
+            cw, pick = 0.0, None
+            for v, w in svs:
+                cw += w
+                if cw >= q * tw:
+                    pick = v
+                    break
+            assert got[(k, q)][0] == pytest.approx(pick), (k, q)
+            assert got[(k, q)][1] == 80 and got[(k, q)][2] == pytest.approx(tw)
+    # hand case: weight mass concentrated on the top value
+    df2 = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 10.0)],
+        "k string, v double, w double",
+    )
+    med = weighted_quantiles_by(df2, "v", "w", qs=(0.5,), keys=["k"]).collect()
+    assert med[0]["value"] == 3.0
+    # non-positive / NULL weights are excluded
+    df3 = spark.createDataFrame(
+        [("g", 1.0, -5.0), ("g", 2.0, None), ("g", 3.0, 2.0)],
+        "k string, v double, w double",
+    )
+    out3 = weighted_quantiles_by(df3, "v", "w", qs=(0.5,), keys=["k"]).collect()
+    assert out3[0]["value"] == 3.0 and out3[0]["n"] == 1
+    with pytest.raises(ValueError):
+        weighted_quantiles_by(df2, "v", "w", qs=())

@@ -211,3 +211,86 @@ def test_calibrate_matches_reference(spark, vals):
     for v, pct in got:
         rank = sv.index(v)  # first index of the tie group = rank - 1
         assert pct == pytest.approx(rank / (n - 1), rel=1e-12)
+
+
+# ------------------------------------------ round-10b property tests ----
+
+@st.composite
+def ewma_case(draw):
+    n = draw(st.integers(2, 40))
+    xs = [
+        round(draw(st.floats(-50, 50, allow_nan=False)), 3) for _ in range(n)
+    ]
+    alpha = round(draw(st.floats(0.02, 0.98)), 3)
+    block = draw(st.sampled_from([2, 3, 7, 256]))
+    return xs, alpha, block
+
+
+@PROP
+@given(ewma_case())
+def test_ewma_property_vs_sequential(spark, case):
+    """The banded block scan equals the literal recurrence for any
+    series/alpha/block size — the decomposition (blocked rescaling +
+    banded carry join) must be invisible in the result."""
+    from seafan_spark.temporal import ewma_by
+
+    xs, alpha, block = case
+    df = spark.createDataFrame(
+        [("g", i, x) for i, x in enumerate(xs)], "k string, t int, x double"
+    )
+    got = {
+        r["t"]: r["ewma"]
+        for r in ewma_by(df, "t", "x", keys=["k"], alpha=alpha, block=block)
+        .collect()
+    }
+    s = xs[0]
+    for i, x in enumerate(xs):
+        if i > 0:
+            s = alpha * x + (1.0 - alpha) * s
+        assert got[i] == pytest.approx(s, abs=5e-6), (i, alpha, block)
+
+
+@st.composite
+def wq_case(draw):
+    n = draw(st.integers(1, 40))
+    rows = [
+        (
+            round(draw(st.floats(0, 100, allow_nan=False)), 2),
+            float(draw(st.integers(1, 9))),
+        )
+        for _ in range(n)
+    ]
+    qs = sorted(
+        set(round(draw(st.floats(0, 1)), 2) for _ in range(draw(st.integers(1, 4))))
+    )
+    return rows, qs
+
+
+@PROP
+@given(wq_case())
+def test_weighted_quantiles_property_vs_reference(spark, case):
+    """The distributed crossing test equals the sequential weighted
+    inverse-ECDF walk for any weights/probabilities, including q=0/1
+    and repeated values."""
+    from seafan_spark.agg import weighted_quantiles_by
+
+    rows, qs = case
+    df = spark.createDataFrame(
+        [("g", v, w) for v, w in rows], "k string, v double, w double"
+    )
+    got = {
+        r["q"]: r["value"]
+        for r in weighted_quantiles_by(
+            df, "v", "w", qs=qs, keys=["k"]
+        ).collect()
+    }
+    svs = sorted(rows)
+    tw = sum(w for _, w in svs)
+    for q in qs:
+        cw, pick = 0.0, None
+        for v, w in svs:
+            cw += w
+            if cw >= q * tw:
+                pick = v
+                break
+        assert got[q] == pytest.approx(pick), (q, rows)

@@ -832,21 +832,31 @@ def kcenter_select(
     if not seed:
         raise ValueError("kcenter_select: empty input (or seed_id not found)")
     chosen = [(0, seed[0]["_id"], None)]
-    center_vec = seed[0]["_v"]
+    center_vecs = [seed[0]["_v"]]
 
-    # running min cosine-distance to the chosen set, updated per round
-    cur = unit.withColumn(
-        "_d",
-        F.lit(1.0)
-        - dot_col(F.col("_v"), F.array(*[F.lit(float(x)) for x in center_vec])),
-    ).filter(F.col("_id") != chosen[0][1])
-    prev_ck = None
+    # round-10: the running min-distance column is an ACCUMULATED
+    # EXPRESSION over the one cached unit-vector relation — each round is
+    # a single ORDER-BY-LIMIT-1 job; the old per-round localCheckpoint
+    # re-materialized the whole relation every round (k full writes and
+    # twice the driver jobs) for the same answers. F.least chains are
+    # exactly the old incremental least (min is associative), so the pick
+    # sequence is bit-identical.
     for rnd in range(1, k):
-        cur = cur.localCheckpoint(eager=True)  # k is small; keeps lineage flat
-        # the superseded round's blocks are dead once the new state is
-        # materialized — free them so k rounds hold ONE state, not k
-        unpersist_checkpoint(prev_ck)
-        prev_ck = cur
+        dist = F.least(
+            *[
+                F.lit(1.0)
+                - dot_col(F.col("_v"), F.array(*[F.lit(float(x)) for x in cv]))
+                for cv in center_vecs
+            ]
+        ) if len(center_vecs) > 1 else (
+            F.lit(1.0)
+            - dot_col(
+                F.col("_v"), F.array(*[F.lit(float(x)) for x in center_vecs[0]])
+            )
+        )
+        cur = unit.filter(
+            ~F.col("_id").isin([i for _, i, _ in chosen])
+        ).withColumn("_d", dist)
         key = (
             round_col(F.col("_d"), argmax_round)
             if argmax_round is not None
@@ -856,19 +866,11 @@ def kcenter_select(
         if not top:
             break
         nid, nd = top[0]["_id"], float(top[0]["_d"])
-        nvec = top[0]["_v"]
         chosen.append((rnd, nid, nd))
-        cur = cur.filter(F.col("_id") != nid).withColumn(
-            "_d",
-            F.least(
-                F.col("_d"),
-                F.lit(1.0)
-                - dot_col(F.col("_v"), F.array(*[F.lit(float(x)) for x in nvec])),
-            ),
-        )
-    # everything checkpointed here is scratch — the result below is built
+        center_vecs.append(top[0]["_v"])
+    # the cached unit relation is scratch — the result below is built
     # from driver-side rows
-    unpersist_checkpoint(unit, prev_ck)
+    unpersist_checkpoint(unit)
     spark = df.sparkSession
     return spark.createDataFrame(
         [Row(round=r, id=i, dist=d) for r, i, d in chosen],
@@ -922,22 +924,40 @@ def mmr_select(
     if not 0.0 <= lam <= 1.0:
         raise ValueError("mmr_select: lam must be in [0, 1]")
     q_unit = l2_normalize_col(F.array(*[F.lit(float(x)) for x in query_vec]))
-    cur = (
+    # round-10: ONE cached relation scanned k times — the running max-sim
+    # column is an ACCUMULATED EXPRESSION (F.greatest chain == the old
+    # incremental greatest: max is associative, picks bit-identical), so
+    # each round is a single ORDER-BY-LIMIT-1 job instead of a
+    # localCheckpoint re-materialization of the whole relation plus the
+    # argmax job.
+    unit = (
         df.select(
             F.col(id_col).alias("_id"),
             l2_normalize_col(F.col(vec_col)).alias("_v"),
         )
         .filter(F.col("_v").isNotNull())
         .withColumn("_rel", dot_col(F.col("_v"), q_unit))
-        .withColumn("_ms", F.lit(0.0))  # max cosine to the picked set
+        .localCheckpoint(eager=True)
     )
     chosen: list[tuple[int, int, float, float]] = []
-    prev_ck = None
-    score = F.lit(float(lam)) * F.col("_rel") - F.lit(1.0 - float(lam)) * F.col("_ms")
+    picked_vecs: list = []
     for rnd in range(k):
-        cur = cur.localCheckpoint(eager=True)  # k is small; keeps lineage flat
-        unpersist_checkpoint(prev_ck)  # superseded round state is dead
-        prev_ck = cur
+        # the 0.0 seed term reproduces the original running-column
+        # initialization: the max-sim term never goes negative (an
+        # anti-correlated pick must not ADD to the score)
+        ms = F.greatest(
+            F.lit(0.0),
+            *[
+                dot_col(F.col("_v"), F.array(*[F.lit(float(x)) for x in pv]))
+                for pv in picked_vecs
+            ],
+        ) if picked_vecs else F.lit(0.0)
+        score = (
+            F.lit(float(lam)) * F.col("_rel") - F.lit(1.0 - float(lam)) * ms
+        )
+        cur = unit
+        if chosen:
+            cur = cur.filter(~F.col("_id").isin([i for _, i, _, _ in chosen]))
         key = (
             round_col(F.col("_score"), argmax_round)
             if argmax_round is not None
@@ -953,15 +973,8 @@ def mmr_select(
             break
         nid, nrel, nscore = top[0]["_id"], float(top[0]["_rel"]), float(top[0]["_score"])
         chosen.append((rnd, nid, nrel, nscore))
-        nvec = top[0]["_v"]
-        cur = cur.filter(F.col("_id") != nid).withColumn(
-            "_ms",
-            F.greatest(
-                F.col("_ms"),
-                dot_col(F.col("_v"), F.array(*[F.lit(float(x)) for x in nvec])),
-            ),
-        )
-    unpersist_checkpoint(prev_ck)
+        picked_vecs.append(top[0]["_v"])
+    unpersist_checkpoint(unit)
     spark = df.sparkSession
     return spark.createDataFrame(
         [Row(round=r, id=i, rel=rel, mmr=m) for r, i, rel, m in chosen],

@@ -28,133 +28,6 @@ def _order_cols(order: OrderKeys) -> list[Column]:
     return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in order]
 
 
-# ------------------------------------------------------------------------
-# Data-derived range buckets (round-10 optimization)
-#
-# ``spark_partition_id()`` after ``repartitionByRange`` is only meaningful
-# for the one physical execution whose bounds the RangePartitioner sampled,
-# which forced every caller to pin the shuffle with an eager
-# ``localCheckpoint`` — a full write+read of the relation and an extra
-# driver job per call. A bucket id computed FROM THE ROW against literal
-# boundary values has none of that fragility: it is identical under AQE
-# partition coalescing, task retry and speculation, needs no
-# materialization, and the per-(bucket, key) offset relation can be built
-# inside the same action (the repartition exchange is planned once and
-# reused by Catalyst/AQE stage reuse for the offsets subtree).
-# ------------------------------------------------------------------------
-
-#: env override for the bucket count (default 8x defaultParallelism,
-#: capped at 1024 to bound the boundary-comparison expression; on a
-#: cluster size it to a small multiple of the shuffle parallelism)
-_RANGE_BUCKETS_ENV = "SEAFAN_RANGE_BUCKETS"
-
-
-def _n_range_buckets(spark) -> int:
-    import os
-
-    v = os.environ.get(_RANGE_BUCKETS_ENV)
-    if v:
-        return max(1, int(v))
-    return max(2, min(8 * spark.sparkContext.defaultParallelism, 1024))
-
-
-def _sort_tuple_gt(cols: "list[tuple[Column, bool]]", bvals: tuple) -> Column:
-    """Row sorts STRICTLY AFTER the boundary tuple under the mixed
-    asc/desc order (Spark null placement: asc = nulls first, desc =
-    nulls last). NULL-proof: every comparison is guarded so the result
-    is always a real boolean."""
-    expr = F.lit(False)
-    for (c, asc), b in reversed(list(zip(cols, bvals))):
-        if asc:
-            if b is None:
-                gt = c.isNotNull()
-                eq = c.isNull()
-            else:
-                gt = c.isNotNull() & (c > F.lit(b))
-                eq = c.isNotNull() & (c == F.lit(b))
-        else:
-            if b is None:
-                gt = F.lit(False)
-                eq = c.isNull()
-            else:
-                gt = c.isNull() | (c < F.lit(b))
-                eq = c.isNotNull() & (c == F.lit(b))
-        expr = gt | (eq & expr)
-    return expr
-
-
-def range_bucket_col(
-    df: DataFrame,
-    spec: OrderKeys,
-    n_buckets: int | None = None,
-    sample_from: DataFrame | None = None,
-) -> Column:
-    """Order-preserving range-bucket id (int, 0-based) for the mixed
-    asc/desc sort ``spec``: r1 sorts before r2 ⟹ bucket(r1) <= bucket(r2),
-    for ANY boundary set — the sample only affects balance, never
-    correctness.
-
-    Boundaries come from one deterministic sample job (top-N by
-    ``xxhash64`` of the sort columns — partitioning/retry-stable), sorted
-    driver-side under ``spec`` and cut at quantile positions. The bucket
-    expression is a codegen-friendly flat sum of lexicographic
-    strictly-greater comparisons against the boundary literals.
-
-    ``sample_from`` substitutes a cheaper relation with the same sort-key
-    distribution (e.g. the pre-transform base of a derived frame) for the
-    sample scan."""
-    import functools
-
-    spark = df.sparkSession
-    nb = n_buckets if n_buckets is not None else _n_range_buckets(spark)
-    names = [c for c, _ in spec]
-    src = sample_from if sample_from is not None else df
-    if nb <= 1:
-        return F.lit(0)
-    h = F.pmod(F.xxhash64(*[F.col(c) for c in names]), F.lit((1 << 61) - 1))
-    sample = (
-        src.select(*[F.col(c) for c in names])
-        .orderBy(h.asc(), *[F.col(c).asc() for c in names])
-        .limit(nb * 8)
-        .collect()
-    )
-    if not sample:
-        return F.lit(0)
-
-    def _cmp(a, b):
-        for i, (_, asc) in enumerate(spec):
-            av, bv = a[i], b[i]
-            if av is None and bv is None:
-                continue
-            if asc:  # nulls first
-                if av is None:
-                    return -1
-                if bv is None:
-                    return 1
-                if av != bv:
-                    return -1 if av < bv else 1
-            else:  # desc: nulls last
-                if av is None:
-                    return 1
-                if bv is None:
-                    return -1
-                if av != bv:
-                    return -1 if av > bv else 1
-        return 0
-
-    rows = sorted((tuple(r) for r in sample), key=functools.cmp_to_key(_cmp))
-    bounds: list[tuple] = []
-    for i in range(1, nb):
-        cand = rows[(i * len(rows)) // nb]
-        if not bounds or _cmp(bounds[-1], cand) != 0:
-            bounds.append(cand)
-    if not bounds:
-        return F.lit(0)
-    cols = [(F.col(c), asc) for c, asc in spec]
-    terms = [_sort_tuple_gt(cols, b).cast("int") for b in bounds]
-    return functools.reduce(lambda a, b: a + b, terms).alias("_rbk")
-
-
 def global_row_number(
     df: DataFrame, order: OrderKeys, out: str = "_grn"
 ) -> tuple[DataFrame, int]:
@@ -165,12 +38,16 @@ def global_row_number(
     deterministic result — same contract as any rank over ties.
     """
     cols = _order_cols(order)
-    # round-10: the bucket id is DATA-DERIVED (range_bucket_col against
-    # sampled boundary literals), so the stats job and the final job agree
-    # on every row's bucket by construction — no materialization needed to
-    # pin partition bounds (the old eager localCheckpoint wrote and
-    # re-read the whole relation once per call)
-    d = df.withColumn("_gpid", range_bucket_col(df, list(order)))
+    # materialize the range shuffle ONCE: the stats job and the final job
+    # are separate actions on separately-planned Datasets, and a re-run
+    # RangePartitioner re-samples its bounds (seeded by fresh RDD ids) —
+    # rows near a boundary could land in a different _gpid than the one
+    # the collected counts were keyed by, corrupting every offset
+    d = (
+        df.repartitionByRange(*cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     counts = {
         r["_gpid"]: r["cnt"]
         for r in d.groupBy("_gpid").agg(F.count(F.lit(1)).alias("cnt")).collect()
@@ -251,10 +128,14 @@ def attach_running_ops(
         if kind not in RUNNING_KINDS:
             raise ValueError(f"attach_running_ops: unknown kind {kind!r}")
     cols = _order_cols(order)
-    # round-10: data-derived bucket ids — see global_row_number; the
-    # carry-in stats job and the final job agree on every row's bucket by
-    # construction, so the old per-call eager localCheckpoint is gone
-    d = df.withColumn("_gpid", range_bucket_col(df, list(order)))
+    # materialized once — see global_row_number: a re-executed range
+    # shuffle may re-sample different partition bounds, which would break
+    # every carry-in keyed by _gpid
+    d = (
+        df.repartitionByRange(*cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     wb = Window.partitionBy("_gpid").orderBy(*cols)
     wb_run = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = d.withColumn("_lrn", F.row_number().over(wb))
@@ -388,17 +269,10 @@ def keyed_running_scan(
       null-until-first-contribution bookkeeping of
       :func:`attach_running_ops`, which this fast path skips.
 
-    Round-10: the bucket id (``_gpid``) is DATA-DERIVED
-    (:func:`range_bucket_col` against sampled boundary literals), not a
-    physical partition id — so nothing needs to be materialized to pin
-    shuffle bounds (the old per-call eager ``localCheckpoint`` is gone),
-    the offsets are valid under AQE coalescing/retry/speculation by
-    construction, and the single hash exchange on ``(_gpid, keys)`` is
-    planned once and reused by the offsets subtree (``ReusedExchange`` /
-    AQE stage reuse — one pass over the input per call instead of
-    sample + checkpoint-write + read). The stats relation's own windows
-    order bucket ids per key — bounded by the bucket count (<= 1024),
-    never by data size.
+    The range shuffle is materialized once (``localCheckpoint``) for the
+    same bounds-resampling reason as :func:`global_row_number`. The
+    stats relation's own windows order partition ids per key — bounded
+    by the shuffle-partition count, never by data size.
     """
     keys = list(keys)
     if not order:
@@ -409,44 +283,28 @@ def keyed_running_scan(
         raise ValueError("keyed_running_scan: output name collides with input")
     ocols = _order_cols(order)
     rev_ocols = [F.col(c).desc() if asc else F.col(c).asc() for c, asc in order]
-    spec = [(k, True) for k in keys] + list(order)
-    d = df.withColumn("_gpid", range_bucket_col(df, spec))
-    # ONE explicit hash exchange on (bucket, keys): the window below and
-    # the offsets aggregation both consume it — Catalyst/AQE plan it once
-    d = d.repartition(F.col("_gpid"), *[F.col(k) for k in keys])
+    kcols = [F.col(k).asc() for k in keys]
+    d = (
+        df.repartitionByRange(*(kcols + ocols))
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     wloc = Window.partitionBy("_gpid", *keys).orderBy(*ocols)
+    d = d.withColumn("_lrn", F.row_number().over(wloc))
     if val is not None:
         d = d.withColumn("_krs_val", val)
     for name, col in sums.items():
         d = d.withColumn(f"_krs_sv_{name}", col)
-    d = d.withColumn("_lrn", F.row_number().over(wloc))
     aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if val is not None:
+        nn_rn = F.when(F.col("_krs_val").isNotNull(), F.col("_lrn"))
+        aggs += [
+            F.max_by(F.col("_krs_val"), nn_rn).alias("_lastv"),
+            F.min_by(F.col("_krs_val"), nn_rn).alias("_firstv"),
+        ]
     for name in sums:
         aggs.append(F.sum(f"_krs_sv_{name}").alias(f"_stot_{name}"))
-    if val is not None:
-        # last/first non-null val per cell need the cell's order: compute
-        # every per-cell stat as an unbounded window aggregate over the
-        # SAME partitioning and keep one row per cell (rare path —
-        # propensity_match); the common no-val path below uses a plain
-        # groupBy on the shared exchange instead (no extra sort).
-        wcell = Window.partitionBy("_gpid", *keys).rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-        nn_rn = F.when(F.col("_krs_val").isNotNull(), F.col("_lrn"))
-        wincols = {
-            "_cnt": F.count(F.lit(1)).over(wcell),
-            "_lastv": F.max_by(F.col("_krs_val"), nn_rn).over(wcell),
-            "_firstv": F.min_by(F.col("_krs_val"), nn_rn).over(wcell),
-        }
-        for name in sums:
-            wincols[f"_stot_{name}"] = F.sum(f"_krs_sv_{name}").over(wcell)
-        stats = (
-            d.withColumns(wincols)
-            .filter(F.col("_lrn") == 1)
-            .select("_gpid", *keys, *wincols.keys())
-        )
-    else:
-        stats = d.groupBy("_gpid", *keys).agg(*aggs)
+    stats = d.groupBy("_gpid", *keys).agg(*aggs)
     wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
     wk_asc = wk.orderBy(F.col("_gpid").asc())
     proj: dict[str, Column] = {

@@ -2914,11 +2914,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("src"),
         F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
     )
-    # materialize once: count() below runs the 3-iteration chain, and
-    # without the checkpoint the final collect would run it all again
-    ranks = pagerank(edges, iters=3, damping=0.85, dangling="drop").localCheckpoint(
-        eager=True
-    )
+    # pagerank already returns its ranks eagerly checkpointed (graph.py
+    # materializes `final` to free the loop intermediates), so count()
+    # and the final collect both read those blocks — a second checkpoint
+    # here was a redundant full copy + one extra driver job
+    ranks = pagerank(edges, iters=3, damping=0.85, dangling="drop")
     import math
 
     # scale by pi*N, not N: with damping 17/20 and integer degrees the

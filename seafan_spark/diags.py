@@ -322,7 +322,9 @@ def marginal(
     d0 = (
         scored.df.withColumn("_h", hcol)
         .withColumn("_segkey", segkey)
-        .localCheckpoint(eager=True)
+        # lazy: ntile_exact's first pass materializes the blocks; the
+        # scoring transform still runs exactly once
+        .localCheckpoint(eager=False)
     )
     # distributed NTILE (rank.py) — no unpartitioned window
     d, total = ntile_exact(d0, [("_segkey", False), ("_h", True)], n_seg, "fit_seg")

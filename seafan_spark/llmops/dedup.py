@@ -302,14 +302,25 @@ def minhash_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     if verify not in ("exact", "est"):
         raise ValueError("minhash_pairs: verify must be 'exact' or 'est'")
-    # materialize signatures once (executor storage, auto-released when the
-    # DataFrame is dereferenced): band_signatures reads them through two
-    # differently-aliased projections (both join sides), and in est mode
-    # the per-pair verification re-joins them a third time — without this
-    # the explode+groupBy signature computation would re-run per consumer
+    # round-10: no eager materialization of the signatures (the old code
+    # paid a build-time checkpoint write+read job per call). In exact
+    # mode their ONLY consumer is the band self-join, whose two sides are
+    # structurally identical up to aliases — at scale the planner emits
+    # ONE (band, bucket) exchange and reuses it (ReusedExchange under
+    # sort-merge), so the explode+groupBy signature pipeline runs once;
+    # locally AQE may broadcast one side (no reuse), but the duplicated
+    # signature pass still measures cheaper than any materialization
+    # (A/B: 7.5s eager -> 4.3s unmaterialized vs 5.8s lazy checkpoint).
+    # In est mode the per-pair verification re-joins the signatures on
+    # different keys (id_a/id_b — no exchange reuse possible), so there a
+    # lazy persist shares the one computed copy across the three
+    # consumers inside the same action (executor storage, auto-released
+    # via ContextCleaner).
     sig = minhash_signatures(
         pipe.df, id_col, text_col, num_hashes, shingle_k, portable
-    ).localCheckpoint(eager=True)
+    )
+    if verify == "est":
+        sig = sig.persist()
     # the band join carries ONLY (_id, band, bucket): shipping the 64-long
     # _sig array on both join sides multiplies shuffle bytes by
     # O(bands * sig_len); verification re-attaches per *surviving* pair
@@ -336,9 +347,13 @@ def minhash_pairs(
             .select("id_a", "id_b", "est_jaccard")
         )
     # exact verification: re-shingle ONLY candidate documents (semi-join),
-    # materialize their (id, hash) gram rows once — they feed the sizes
-    # aggregate and both sides of the intersection join
-    cand = cand.localCheckpoint(eager=True)
+    # cache their (id, hash) gram rows once — they feed the sizes
+    # aggregate and both sides of the intersection join. Lazy persist,
+    # not eager localCheckpoint: all consumers live inside the SAME final
+    # action, so the first stage that needs each cached relation computes
+    # it and the rest read it — no build-time driver jobs serializing the
+    # pipeline into checkpoint-write/read round-trips.
+    cand = cand.persist()
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
@@ -347,7 +362,7 @@ def minhash_pairs(
     cdocs = pipe.df.select(id_col, text_col).join(cand_ids, id_col, "semi")
     cex = _exploded_shingle_hashes(
         cdocs, id_col, text_col, shingle_k, portable
-    ).localCheckpoint(eager=True)
+    ).persist()
     sizes = cex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     ea = cex.select(F.col("_id").alias("id_a"), "_h")
     eb = cex.select(F.col("_id").alias("id_b"), "_h")
@@ -717,13 +732,16 @@ def simhash_pairs(
         raise ValueError("simhash_pairs: chunks must divide bits (equal-width pigeonhole)")
     width = bits // chunks
     mask = F.lit((1 << width) - 1) if width < 64 else F.lit(-1).cast("long")
-    # materialize signatures once: both sides of the chunk equi-join derive
-    # from them through differently-aliased projections, so Catalyst cannot
-    # reuse the exchange and would run the whole explode+hash+aggregate
-    # pipeline TWICE (the dominant cost). 5000 docs -> one long each; tiny.
+    # cache signatures once (lazy persist, round-10): both sides of the
+    # chunk equi-join derive from them through differently-aliased
+    # projections and Catalyst cannot be relied on to reuse the exchange
+    # (AQE broadcasts one side at bench scale), so without storage the
+    # whole explode+hash+aggregate pipeline would run TWICE (the dominant
+    # cost). Lazy, not eager: both consumers live inside the one final
+    # action, so no build-time checkpoint job. 5000 docs -> one long each.
     sig = simhash_signatures(
         pipe.df, id_col, text_col, bits, shingle_k, portable
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     banded = sig.select(
         "_id",
         "_sig",
@@ -1836,9 +1854,13 @@ def embedding_neardup_incremental(
     from seafan_spark.llmops.similarity import dot_col, probe_buckets_col
 
     if new_prepared is None:
+        # lazy persist (round-10): the three consumers below (anti-join
+        # probe, union side, candidate side) all live inside the caller's
+        # one final action — the first stage to need the prepared batch
+        # computes and caches it, with no build-time checkpoint job
         new_prepared = embedding_store_prepare(
             new_df, id_col, vec_col, dim, planes, seed
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     store_only = store.select("_id", "_v", "_bkt").join(
         F.broadcast(new_prepared.select("_id")), "_id", "left_anti"
     )
@@ -1962,10 +1984,14 @@ def _semantic_assign(
             [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
             "_cell long, _cv array<double>",
         )
-    # localCheckpoint: the assignment feeds both self-join sides and the
-    # final output — without it the quantizer (or the k-row argmax) re-runs
-    # three times, and the kmeans path would re-train per branch
-    return assigned.localCheckpoint(eager=True), cents
+    # lazy persist (round-10): the assignment feeds both self-join sides
+    # and the final output — without storage the quantizer (or the k-row
+    # argmax) would re-run three times, and the kmeans path would
+    # re-transform per branch. persist instead of the old eager
+    # localCheckpoint: every consumer lives inside the caller's final
+    # action(s), so the first stage to need the assignment computes and
+    # caches it — no build-time materialization job.
+    return assigned.localCheckpoint(eager=False), cents
 
 
 def semantic_dedup(

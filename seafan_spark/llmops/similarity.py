@@ -674,9 +674,12 @@ def ann_pq_topk(
     if dim is None:
         dim = infer_vec_dim(df, vec_col, "ann_pq_topk")
     books = pq_fit(df, vec_col, dim, m=m, k_codes=k_codes, seed=seed)
+    # round-10: the candidate pass carries ONLY (id, m-byte codes) — the
+    # raw vector column stays out of the corpus x queries expansion and
+    # the shortlist window shuffle (guide-§8 shape: decide on a
+    # lightweight proxy, re-attach the payload to the k*refine survivors)
     corpus = df.select(
         F.col(id_col).alias("_nid"),
-        F.col(vec_col).alias("_nv"),
         pq_code_col(checked_vec_col(F.col(vec_col), dim, "ann_pq_topk"), books).alias("_codes"),
     )
     if queries is None:
@@ -696,7 +699,7 @@ def ann_pq_topk(
     # ADC over codes: sum_j LUT[j*k_codes + code_j]  (1-based element_at)
     adc = _adc_over_codes(F.col("_codes"), F.col("_lut"), m, k_codes)
     cand = (
-        corpus.crossJoin(F.broadcast(qdf))
+        corpus.crossJoin(F.broadcast(qdf.select(query_id, "_lut")))
         .filter(F.col("_nid") != F.col(query_id))
         .withColumn("_adc", adc)
     )
@@ -704,8 +707,17 @@ def ann_pq_topk(
     shortlist = (
         cand.withColumn("_arank", F.row_number().over(wa))
         .filter(F.col("_arank") <= k * refine)
+        .select(query_id, "_nid", "_adc")
     )
-    scored = shortlist.withColumn("cosine", cosine_col(F.col(query_vec), F.col("_nv")))
+    # exact re-rank: re-attach vectors to the tiny shortlist (broadcast
+    # hash join against a pruned (id, vec) scan — the corpus is never
+    # shuffled) and the query vector from the broadcast query table
+    vecs = df.select(F.col(id_col).alias("_nid"), F.col(vec_col).alias("_nv"))
+    scored = (
+        vecs.join(F.broadcast(shortlist), "_nid")
+        .join(F.broadcast(qdf.select(query_id, query_vec)), query_id)
+        .withColumn("cosine", cosine_col(F.col(query_vec), F.col("_nv")))
+    )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col("_nid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -627,14 +627,14 @@ def collocation_top_terms(
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     bi = (
         d.select(F.explode(bigrams).alias("bg"))
         .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_xy"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     n_uni = uni.agg(F.sum("_c").alias("_nu"))
     n_bi = bi.agg(F.sum("c_xy").alias("_nb"))
@@ -875,7 +875,7 @@ def token_divergence_by(
         # rollup, group totals, the join) — materialize once so the corpus
         # explode truly runs a single pass (same pattern as zipf_stats;
         # session.cleanup reclaims the blocks)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # corpus rollup of the same relation: term totals + grand total
     cterm = gterm.groupBy("term").agg(F.sum("c").alias("ct"))

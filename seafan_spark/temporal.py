@@ -290,7 +290,7 @@ def funnel(
     # O(steps^2) times through recomputed lineage
     reached = (
         ev.filter(F.col("_e") == steps[0]).groupBy("_u").agg(F.min("_t").alias("_tprev"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     counts = [(1, steps[0], reached)]
     for i, step in enumerate(steps[1:], start=2):
         nxt = (
@@ -299,7 +299,7 @@ def funnel(
             .filter(F.col("_t") >= F.col("_tprev"))
             .groupBy("_u")
             .agg(F.min("_t").alias("_tprev"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         counts.append((i, step, nxt))
         reached = nxt
     spark = df.sparkSession
@@ -1800,7 +1800,7 @@ def cox_ph(
         *keys, t.alias("_t"), ev.alias("_e"),
         *[F.col(c).cast("double").alias(f"_x{k}") for k in range(p)
           for c in [x_cols[k]]],
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # collapsed-table contract (round-8 VERDICT #4): each iteration's
     # suffix sums run over the per-(keys) distinct-duration relation on a
     # single task per group — continuous durations defeat the collapse.

@@ -291,6 +291,111 @@ def _auto_batch(small: bool, total_rows: int) -> int:
     return max(1, min(10, int(math.log2(budget / n + 1.0))))
 
 
+def _bisect_fused_cols(
+    fl: Column,
+    cost_col: Column,
+    lo: float,
+    hi: float,
+    steps: int,
+    npv_round: int,
+    gated: bool,
+) -> tuple[Column, Column, Column]:
+    """The ENTIRE fixed-step bisection as one Column expression over a
+    per-group flow array ``fl`` = array<struct<i: double, v: double>>
+    sorted ascending by ``i`` (the :func:`irr_bisect` sequential
+    recurrence, verbatim, inside a higher-order fold) — zero driver
+    round-trips, so the per-pass orchestration cost (plan + codegen +
+    collect + createDataFrame, the dominant cost of the batched-pass
+    walk on SMALL relations) disappears entirely.
+
+    Bit-identity with the batched driver walk: every NPV fold adds
+    terms in ascending ``i`` — the same IEEE addition sequence the
+    coalesce(1) aggregate accumulates (per group, rows arrive in window
+    order); null flows contribute 0.0 exactly as ``F.sum`` skips them;
+    f(mid) is rounded with the in-plan ``rounding.round_col`` (the same
+    binary-value rule ``_round_bin`` twins driver-side); midpoints are
+    the exact dyadic doubles ``(lo+hi)/2``, which the fixed-grid pass
+    hits identically (pinned by test_round10's batch-independence).
+    mid and the rounded f(mid) are let-bound once per step via the
+    transform-singleton trick (HOF bodies get no codegen CSE), so each
+    step costs exactly one NPV fold.
+
+    ``gated=True`` (grouped contract): groups whose bracket shows no
+    sign change — including NaN endpoints — freeze and yield NULL.
+    ``gated=False`` (scalar contract): always step; the caller raises
+    on a strictly positive product, and NaN endpoints step anyway,
+    recovering a real bracket exactly like the driver loop.
+
+    Returns (rate, f(lo), f(hi)) columns.
+    """
+    from seafan_spark.rounding import round_col as _rcol
+
+    def _npv(r: Column) -> Column:
+        return F.aggregate(
+            fl,
+            F.lit(0.0),
+            lambda s, x: s
+            + F.coalesce(
+                x["v"] / F.pow(F.lit(1.0) + r, x["i"]), F.lit(0.0)
+            ),
+        )
+
+    flo0 = _rcol(_npv(F.lit(lo)) - cost_col, npv_round)
+    fhi0 = _rcol(_npv(F.lit(hi)) - cost_col, npv_round)
+
+    def _step(acc: Column, _s: Column) -> Column:
+        def _with_mid(mid: Column) -> Column:
+            def _with_fm(fm: Column) -> Column:
+                take_hi = (acc["flo"] * fm) <= F.lit(0.0)
+                return F.struct(
+                    F.when(take_hi, acc["lo"]).otherwise(mid).alias("lo"),
+                    F.when(take_hi, mid).otherwise(acc["hi"]).alias("hi"),
+                    F.when(take_hi, acc["flo"]).otherwise(fm).alias("flo"),
+                    acc["ok"].alias("ok"),
+                )
+
+            return F.element_at(
+                F.transform(
+                    F.array(_rcol(_npv(mid) - cost_col, npv_round)),
+                    _with_fm,
+                ),
+                1,
+            )
+
+        body = F.element_at(
+            F.transform(
+                F.array((acc["lo"] + acc["hi"]) / F.lit(2.0)), _with_mid
+            ),
+            1,
+        )
+        return F.when(acc["ok"], body).otherwise(acc) if gated else body
+
+    acc0 = F.element_at(
+        F.zip_with(
+            F.array(flo0),
+            F.array(fhi0),
+            lambda a, b: F.struct(
+                F.lit(float(lo)).alias("lo"),
+                F.lit(float(hi)).alias("hi"),
+                a.alias("flo"),
+                (
+                    ((a * b) <= F.lit(0.0)) if gated else F.lit(True)
+                ).alias("ok"),
+            ),
+        ),
+        1,
+    )
+    res = F.aggregate(F.sequence(F.lit(1), F.lit(int(steps))), acc0, _step)
+    rate = F.element_at(
+        F.transform(
+            F.array(res),
+            lambda q: F.when(q["ok"], (q["lo"] + q["hi"]) / F.lit(2.0)),
+        ),
+        1,
+    )
+    return rate, flo0, fhi0
+
+
 def irr_bisect(
     df: DataFrame,
     flow_col: str,
@@ -363,6 +468,37 @@ def irr_bisect(
     small = _total <= 100_000
     if small:
         d = d.coalesce(1)
+    if small and batch is None:
+        # Fully fused path (the default for small relations): the whole
+        # 40-step walk is ONE aggregate job — collect_list gathers the
+        # single coalesced partition in ascending-_i order (array_sort
+        # pins it), cost accumulates in that same order as before, and
+        # _bisect_fused_cols replays the sequential recurrence in-plan.
+        # Explicit batch= keeps the batched-pass walk below (its
+        # bit-equality with this path is pinned by test_round10_ops).
+        g = d.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_i").alias("i"), F.col("_v").alias("v"))
+                )
+            ).alias("_fl"),
+            (
+                (F.sum("_v") / 2.0) if cost is None else F.lit(float(cost))
+            ).alias("_c"),
+        )
+        rate_c, flo_c, fhi_c = _bisect_fused_cols(
+            F.col("_fl"), F.col("_c"), lo, hi, steps, npv_round, gated=False
+        )
+        row = g.select(
+            flo_c.alias("_flo"), fhi_c.alias("_fhi"), rate_c.alias("_rate")
+        ).collect()[0]
+        flo, fhi = row["_flo"], row["_fhi"]
+        if flo * fhi > 0:
+            raise ValueError(
+                f"irr_bisect: no sign change in [{lo}, {hi}] "
+                f"(f(lo)={flo}, f(hi)={fhi})"
+            )
+        return float(row["_rate"])
     d = d.cache()
     if batch is None:
         batch = _auto_batch(small, _total)
@@ -533,6 +669,38 @@ def irr_by_bisect(
     cached = flows.cache()
     _total = cached.count()
     small = _total <= 100_000
+    if small and batch is None:
+        # Fully fused path (the default for small relations): per-group
+        # sorted flow arrays + the one-expression sequential walk
+        # (_bisect_fused_cols) — 2 jobs total (the count above + the
+        # consumer's action) instead of init + ceil(steps/batch) passes.
+        # coalesce(1) keeps the per-group cost sum accumulating in the
+        # exact ascending-_i order the batched path's init job used.
+        # Explicit batch= keeps the batched-pass walk below; the
+        # grouped-equals-scalar and batch-independence pytests pin all
+        # paths to the same bits.
+        try:
+            g = cached.coalesce(1).groupBy(*keys).agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("_i").alias("i"), F.col("_v").alias("v")
+                        )
+                    )
+                ).alias("_fl"),
+                (
+                    (F.sum("_v") / 2.0)
+                    if cost is None
+                    else F.lit(float(cost))
+                ).alias("_c"),
+            )
+            rate_c, _flo_c, _fhi_c = _bisect_fused_cols(
+                F.col("_fl"), F.col("_c"), lo, hi, steps, npv_round,
+                gated=True,
+            )
+            return g.select(*keys, rate_c.alias("rate"))
+        finally:
+            cached.unpersist()
     flows = cached.coalesce(1) if small else cached
     if batch is None:
         batch = _auto_batch(small, _total)

@@ -1185,7 +1185,18 @@ def profile_table(
     missing = [c for c in cols if c not in d.columns]
     if missing:
         raise ValueError(f"profile_table: unknown columns {missing}")
+    # Two single-row aggregates instead of one: min/max over STRING
+    # columns have immutable (non-UnsafeRow-mutable) buffer types, and
+    # ONE such aggregate expression demotes the ENTIRE aggregation —
+    # including the 6-way Expand the multi-distinct rewrite inserts —
+    # from HashAggregate to SortAggregate (measured: two full sorts of
+    # the expanded relation, rows x (columns+1), by 6 keys). Keeping
+    # counts+distincts (all-long buffers) in their own aggregate keeps
+    # them hash-based; min/max fold in a separate KEYLESS aggregate,
+    # which needs no sort regardless of buffer type. One extra columnar
+    # scan is far cheaper than sorting (columns+1) copies of the table.
     aggs = [F.count(F.lit(1)).alias("__n")]
+    mm_aggs = []
     for i, c in enumerate(cols):
         col = F.col(c)
         aggs.append(F.count(col).alias(f"__c{i}"))
@@ -1196,9 +1207,11 @@ def profile_table(
                 else F.approx_count_distinct(col, rsd)
             ).alias(f"__d{i}")
         )
-        aggs.append(F.min(col).cast("string").alias(f"__mn{i}"))
-        aggs.append(F.max(col).cast("string").alias(f"__mx{i}"))
+        mm_aggs.append(F.min(col).cast("string").alias(f"__mn{i}"))
+        mm_aggs.append(F.max(col).cast("string").alias(f"__mx{i}"))
     wide = d.agg(*aggs)
+    if mm_aggs:
+        wide = wide.crossJoin(d.agg(*mm_aggs))
     dtypes = dict(d.dtypes)
     entries = F.array(
         *[

@@ -275,14 +275,31 @@ def test_profile_table(spark):
         profile_table(df, columns=["nope"])
 
 
-def test_profile_table_single_pass_plan(spark):
+def test_profile_table_two_pass_plan(spark):
+    """profile_table's plan contract (round 10): counts+distincts and
+    min/max split into TWO single-row aggregates joined 1x1 — string
+    min/max buffers are not UnsafeRow-mutable, and keeping them in the
+    same aggregate as the multi-distinct Expand demoted the whole tree
+    to SortAggregate (two full sorts of the (columns+1)-fold expanded
+    relation). The split keeps the distinct tree hash-based; min/max
+    fold keylessly (no sort). Still no per-column jobs or unions."""
     from seafan_spark.agg import profile_table
 
     df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
-    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
-    # one scan, one aggregation tree: no joins/unions of per-column jobs
-    assert plan.count("Scan parquet") == 1
-    assert "Join" not in plan and "Union" not in plan
+    plan = (
+        profile_table(df, exact_distinct=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two scans (one per aggregate tree), never one per column
+    assert plan.count("Scan parquet") == 2
+    assert "Union" not in plan
+    # the multi-distinct Expand tree must be HASH-aggregated now
+    assert "Expand" in plan
+    assert "HashAggregate" in plan
+    # exactly the one 1x1 cross join stitching the two aggregate rows
+    assert plan.count("Join") >= 1
 
 
 def test_mutual_info_by(spark):

@@ -671,7 +671,16 @@ def bootstrap_ci(
     base = d.filter(x.isNotNull()).select(*keys, x.alias("_x"), rid.alias("_rid"))
 
     b = F.explode(F.sequence(F.lit(0), F.lit(int(replicates) - 1))).alias("_b")
-    exploded = base.select(*keys, "_x", "_rid", b)
+    # Repartition the B-fold explosion BY REPLICATE before the
+    # per-(row, replicate) hash: a selective upstream filter often leaves
+    # ONE input split, which would run the whole md5/xxhash + CASE-ladder
+    # hot path (rows x replicates) on a single task (measured at sf0.1:
+    # the entire query on 1 of 32 cores). Keying the shuffle on _b keeps
+    # every (group, b) moment cell within one partition with rows still
+    # in scan order (order-preserving fetch from a single map), so the
+    # per-cell float accumulation order — hence every emitted bit — is
+    # unchanged; partition count follows spark.sql.shuffle.partitions.
+    exploded = base.select(*keys, "_x", "_rid", b).repartition(F.col("_b"))
     if portable:
         u = (
             hash_bucket_col(
@@ -690,9 +699,19 @@ def bootstrap_ci(
             + F.lit(0.5)
         ) / F.lit(1_000_000.0)
     ladder = _poisson1_cdf_ladder()
-    wgt = F.lit(12)
-    for k in range(11, -1, -1):
-        wgt = F.when(u <= F.lit(ladder[k]), F.lit(k)).otherwise(wgt)
+
+    def _ladder_w(uc: Column) -> Column:
+        w = F.lit(12)
+        for k in range(11, -1, -1):
+            w = F.when(uc <= F.lit(ladder[k]), F.lit(k)).otherwise(w)
+        return w
+
+    # Let-bind the uniform ONCE per exploded row (transform-singleton,
+    # the round_col expensive= trick): the CASE ladder evaluates its
+    # scrutinee once per branch reached (~2 on average, no codegen CSE
+    # across CaseWhen branches), and u is a whole md5/xxhash pipeline
+    # in the B-times-exploded hot path.
+    wgt = F.element_at(F.transform(F.array(u), _ladder_w), 1)
     rep = (
         exploded.withColumn("_w", wgt)
         .groupBy(*keys, "_b")

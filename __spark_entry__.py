@@ -404,14 +404,15 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _pipe(spark, sf_dir, "embeddings")
     proj = random_projection_col(F.col("embedding"), 64, 8)
-    return p.df.select(
+    # Materialize the 8-component projection ONCE in its own projection
+    # (a non-cheap alias referenced 9x is never collapsed back inline):
+    # extracting proj[j] per output plus the norm fold re-evaluated the
+    # whole O(in_dim x out_dim) interpreted HOF contraction twice per
+    # row. The second select reads the computed array — same values,
+    # same fold order, bit-identical outputs.
+    d = p.df.select(
         "vec_id",
-        *[round_col(proj[j], 6, expensive=True).alias(f"p{j}") for j in range(8)],
-        round_col(
-            F.sqrt(F.aggregate(proj, F.lit(0.0), lambda a, x: a + x * x)),
-            6,
-            expensive=True,
-        ).alias("proj_norm"),
+        proj.alias("_pa"),
         round_col(
             F.sqrt(
                 F.aggregate(
@@ -422,6 +423,15 @@ def q_embed_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("unit_norm"),
+    )
+    return d.select(
+        "vec_id",
+        *[round_col(F.col("_pa")[j], 6).alias(f"p{j}") for j in range(8)],
+        round_col(
+            F.sqrt(F.aggregate(F.col("_pa"), F.lit(0.0), lambda a, x: a + x * x)),
+            6,
+        ).alias("proj_norm"),
+        "unit_norm",
     )
 
 

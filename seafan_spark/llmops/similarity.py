@@ -65,9 +65,17 @@ def norm_col(a: Column) -> Column:
 def cosine_col(a: Column, b: Column) -> Column:
     """Cosine similarity; NULL when either vector has zero norm (under
     the session default ANSI mode a bare division would ABORT the whole
-    job on the first zero/padding vector)."""
+    job on the first zero/padding vector). The denominator is let-bound
+    once (transform-singleton) — referencing it in both the zero guard
+    and the division would re-run both O(dim) norm reductions."""
     denom = norm_col(a) * norm_col(b)
-    return F.when(denom != 0.0, dot_col(a, b) / denom)
+    return F.element_at(
+        F.transform(
+            F.array(denom),
+            lambda d: F.when(d != 0.0, dot_col(a, b) / d),
+        ),
+        1,
+    )
 
 
 def ann_brute_topk(
@@ -184,14 +192,26 @@ def probe_buckets_col(bucket: Column, planes: int, probe_bits: int = 1) -> Colum
 
 def l2_normalize_col(vec: Column) -> Column:
     """Unit-L2-normalized copy of an array<numeric> column (zero vectors
-    pass through unchanged). Pure JVM higher-order functions."""
+    pass through unchanged). Pure JVM higher-order functions.
+
+    The norm is LET-BOUND once per row (transform-singleton): HOF lambda
+    bodies are interpreted with no subexpression elimination, so writing
+    the norm aggregate inline in the per-element division re-ran the
+    whole O(dim) reduction for EVERY element — O(dim^2) per row
+    (measured: the dominant cost of unit-normalizing 64-dim vectors)."""
     nrm = F.sqrt(
         F.aggregate(
             vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    return F.when(nrm == 0.0, vec.cast("array<double>")).otherwise(
-        F.transform(vec, lambda x: x.cast("double") / nrm)
+    return F.element_at(
+        F.transform(
+            F.array(nrm),
+            lambda n: F.when(n == 0.0, vec.cast("array<double>")).otherwise(
+                F.transform(vec, lambda x: x.cast("double") / n)
+            ),
+        ),
+        1,
     )
 
 

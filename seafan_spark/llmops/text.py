@@ -985,10 +985,18 @@ def bpe_train(
     )
     merges: list[tuple[int, str, str, str, int]] = []
     prev_ck = None
+    # Checkpoint CADENCE, not every round: a merge adds ONE cheap literal
+    # JVM string replace to the lineage, so replaying <= _CK_EVERY-1 of
+    # them inside the next argmax costs far less than a write+read
+    # materialization job per round (guide §5); the cadence still bounds
+    # lineage depth for large n_merges. Round results are identical —
+    # the replace chain is deterministic either way.
+    _CK_EVERY = 8
     for rnd in range(1, n_merges + 1):
-        cur = cur.localCheckpoint(eager=True)
-        unpersist_checkpoint(prev_ck)
-        prev_ck = cur
+        if (rnd - 1) % _CK_EVERY == 0:
+            cur = cur.localCheckpoint(eager=True)
+            unpersist_checkpoint(prev_ck)
+            prev_ck = cur
         top = (
             cur.select("cnt", F.explode(_bpe_pairs_col(F.col("s"))).alias("p"))
             .groupBy("p")

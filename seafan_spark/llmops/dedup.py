@@ -1895,18 +1895,58 @@ def embedding_neardup_incremental(
 
 def _assign_to_centroids(unit: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign every (_id, _v) row to its max-cosine centroid from the
-    broadcast (_cell, _cv) table, min-cell tiebreak — deterministic and
-    SQL-replayable. Returns (_id, _v, _cell)."""
+    (_cell, _cv) table, min-cell tiebreak — deterministic and
+    SQL-replayable. Returns (_id, _v, _cell).
+
+    Round-10 shape: the old form crossJoined the broadcast k-row table
+    (k-fold row blowup) and ranked per _id with a window — a full
+    exchange + sort of k*N rows. For bounded centroid tables the table
+    now rides into the plan as a literal array (sorted by cell id): per
+    row ONE transform computes the k cosines and one fold takes the
+    max-cosine argmax (strict > keeps the earliest = lowest cell on
+    ties, identical to the window's (cos DESC, cell ASC) pick) — no row
+    blowup, no shuffle, no window. Beyond the literal threshold the
+    crossJoin stays but reduces via max_by aggregation (map-side
+    partials collapse the k-fold blowup inside each scan partition)
+    instead of the window sort."""
     from seafan_spark.llmops.similarity import dot_col
 
+    rows = cents.select("_cell", "_cv").collect()
+    cell_type = cents.schema["_cell"].dataType
+    if rows and len(rows) * len(rows[0]["_cv"]) <= 262_144:
+        cent_arr = F.array(
+            *[
+                F.struct(
+                    F.lit(int(r["_cell"])).cast(cell_type).alias("cell"),
+                    F.array(*[F.lit(float(x)) for x in r["_cv"]]).alias("cv"),
+                )
+                for r in sorted(rows, key=lambda r: int(r["_cell"]))
+            ]
+        )
+        scored = F.transform(
+            cent_arr,
+            lambda s: F.struct(
+                s["cell"].alias("cell"),
+                dot_col(F.col("_v"), s["cv"]).alias("cos"),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(None).cast(cell_type).alias("cell"),
+                F.lit(float("-inf")).alias("cos"),
+            ),
+            lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+        )
+        return unit.select("_id", "_v", best["cell"].alias("_cell"))
     scored = unit.crossJoin(F.broadcast(cents)).withColumn(
         "_cos", dot_col(F.col("_v"), F.col("_cv"))
     )
-    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cell").asc())
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("_id", "_v", "_cell")
+    return scored.groupBy("_id").agg(
+        F.first("_v").alias("_v"),
+        F.min_by(
+            F.col("_cell"), F.struct((-F.col("_cos")).alias("nc"), F.col("_cell"))
+        ).alias("_cell"),
     )
 
 

@@ -73,6 +73,48 @@ def lm_bigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _token_pair_relation(
+    df: DataFrame, text_col: str, id_col: str | None = None
+) -> DataFrame:
+    """ONE tokenize+explode pass serving unigram counts, bigram counts
+    AND per-doc scoring (round-10): rows ``([_id,] w1, w2)`` with one
+    row per TOKEN — ``w2`` is the following token, NULL at the
+    document's last token (``arrays_zip`` pads the shorter tail slice).
+    ``w1`` alone reproduces the token stream (the unigram domain) and
+    the ``w2 IS NOT NULL`` subset is exactly the adjacent-pair stream
+    (the bigram domain), so consumers that previously each re-ran the
+    regex normalization + tokenization over the full corpus (train
+    unigrams, train bigrams, score) share one pass. Materialized lazily
+    (``localCheckpoint``): the first consuming action computes and
+    stores it — roughly the tokenized corpus's own size, a fair trade
+    for two saved full-text passes at any scale."""
+    toks = tokens_col(F.col(text_col))
+    zipped = F.arrays_zip(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+    )
+    ids = [F.col(id_col).alias("_id")] if id_col else []
+    d = df.select(*ids, F.explode(zipped).alias("p")).select(
+        *(["_id"] if id_col else []),
+        F.col("p.0").alias("w1"),
+        F.col("p.1").alias("w2"),
+    )
+    return d.localCheckpoint(eager=False)
+
+
+def _counts_from_pairs(rel: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(unigram, bigram) count tables off a :func:`_token_pair_relation`
+    — identical values to :func:`lm_unigram_counts` /
+    :func:`lm_bigram_counts` without their separate corpus passes."""
+    unigrams = rel.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("c"))
+    bigrams = (
+        rel.filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    return unigrams, bigrams
+
+
 def lm_score_docs(
     df: DataFrame,
     id_col: str,
@@ -96,24 +138,31 @@ def lm_score_docs(
     Docs with fewer than 2 tokens have no bigrams: ``n_bigrams = 0`` and
     NULL ``avg_logprob`` (explicitly not penalized — filter on n_bigrams
     separately)."""
-    if unigrams is None:
-        unigrams = lm_unigram_counts(df, text_col)
-    if bigrams is None:
-        bigrams = lm_bigram_counts(df, text_col)
+    if unigrams is None and bigrams is None:
+        # self-scoring: ONE tokenize+explode pass (lazily checkpointed)
+        # serves unigram training, bigram training and scoring — the
+        # three separate full-text passes this mode used to pay
+        rel = _token_pair_relation(df, text_col, id_col)
+        unigrams, bigrams = _counts_from_pairs(rel)
+        doc_pairs = rel.filter(F.col("w2").isNotNull())
+    else:
+        if unigrams is None:
+            unigrams = lm_unigram_counts(df, text_col)
+        if bigrams is None:
+            bigrams = lm_bigram_counts(df, text_col)
+        toks = tokens_col(F.col(text_col))
+        pairs = F.arrays_zip(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        )
+        doc_pairs = df.select(
+            F.col(id_col).alias("_id"), F.explode(pairs).alias("p")
+        ).select("_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
     if broadcast_model:
         unigrams = F.broadcast(unigrams)
         bigrams = F.broadcast(bigrams)
     # V+1: one reserved slot so unseen tokens get nonzero mass
     vocab1 = unigrams.agg((F.count("*") + 1).cast("double").alias("_v1"))
-
-    toks = tokens_col(F.col(text_col))
-    pairs = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-    )
-    doc_pairs = df.select(
-        F.col(id_col).alias("_id"), F.explode(pairs).alias("p")
-    ).select("_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
 
     scored = (
         doc_pairs.join(bigrams, ["w1", "w2"], "left")
@@ -169,10 +218,13 @@ def dsir_log_weights(
     same shuffle budget as one lm_score_docs call despite scoring
     under two models.
     """
-    t_uni = lm_unigram_counts(target, text_col)
-    t_bi = lm_bigram_counts(target, text_col)
-    r_uni = lm_unigram_counts(corpus, text_col)
-    r_bi = lm_bigram_counts(corpus, text_col)
+    # ONE tokenize+explode pass per corpus (round-10; was two count
+    # passes per model + a third scoring pass over the candidate corpus)
+    rel_t = _token_pair_relation(target, text_col)
+    t_uni, t_bi = _counts_from_pairs(rel_t)
+    rel_c = _token_pair_relation(corpus, text_col, id_col)
+    r_uni, r_bi = _counts_from_pairs(rel_c)
+    doc_pairs = rel_c.filter(F.col("w2").isNotNull())
     if broadcast_model:
         # vocabulary-sized tables; disable only for a vocabulary too big
         # to broadcast (joins fall back to token-key shuffles — same
@@ -181,15 +233,6 @@ def dsir_log_weights(
         r_uni, r_bi = F.broadcast(r_uni), F.broadcast(r_bi)
     t_v1 = t_uni.agg((F.count("*") + 1).cast("double").alias("_tv1"))
     r_v1 = r_uni.agg((F.count("*") + 1).cast("double").alias("_rv1"))
-
-    toks = tokens_col(F.col(text_col))
-    pairs = F.arrays_zip(
-        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-    )
-    doc_pairs = corpus.select(
-        F.col(id_col).alias("_id"), F.explode(pairs).alias("p")
-    ).select("_id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
 
     a = F.lit(alpha)
     scored = (

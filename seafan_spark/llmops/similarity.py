@@ -1240,18 +1240,51 @@ def cluster_silhouette(
             (F.lit(1.0) - dot_col(F.col("_v"), s["cv"])).alias("d"),
         ),
     )
-    own = F.element_at(
-        F.filter(dists, lambda s: s["cell"] == F.col("_cell")), 1
-    )["d"]
-    other = F.array_min(
-        F.transform(
-            F.filter(dists, lambda s: s["cell"] != F.col("_cell")),
-            lambda s: s["d"],
+    # let-bind the k-distance array, then (own, other), via transform
+    # singletons (round-10): HOFs are CodegenFallback, so codegen's
+    # subexpression elimination never deduplicates them — the previous
+    # expression re-ran the k x dim dot-product transform once per
+    # reference (own twice via filter, other once, and the whole pair
+    # three more times inside the silhouette formula: ~6 full transforms
+    # per row). Each lambda variable is evaluated exactly once.
+    def _sil(oo: Column) -> Column:
+        return F.when(
+            F.greatest(oo["own"], oo["other"]) <= F.lit(0.0), F.lit(0.0)
+        ).otherwise(
+            (oo["other"] - oo["own"]) / F.greatest(oo["own"], oo["other"])
         )
+
+    sil = F.element_at(
+        F.transform(
+            F.array(dists),
+            lambda ds: F.element_at(
+                F.transform(
+                    F.array(
+                        F.struct(
+                            F.element_at(
+                                F.filter(
+                                    ds, lambda s: s["cell"] == F.col("_cell")
+                                ),
+                                1,
+                            )["d"].alias("own"),
+                            F.array_min(
+                                F.transform(
+                                    F.filter(
+                                        ds,
+                                        lambda s: s["cell"] != F.col("_cell"),
+                                    ),
+                                    lambda s: s["d"],
+                                )
+                            ).alias("other"),
+                        )
+                    ),
+                    _sil,
+                ),
+                1,
+            ),
+        ),
+        1,
     )
-    sil = F.when(
-        F.greatest(own, other) <= F.lit(0.0), F.lit(0.0)
-    ).otherwise((other - own) / F.greatest(own, other))
     return (
         assigned.withColumn("_s", sil)
         .groupBy(F.col("_cell").cast("bigint").alias("cluster"))

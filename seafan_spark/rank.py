@@ -42,29 +42,41 @@ def global_row_number(
     # are separate actions on separately-planned Datasets, and a re-run
     # RangePartitioner re-samples its bounds (seeded by fresh RDD ids) —
     # rows near a boundary could land in a different _gpid than the one
-    # the collected counts were keyed by, corrupting every offset
+    # the collected counts were keyed by, corrupting every offset.
+    # Rows are sorted WITHIN partitions before the checkpoint (round-10):
+    # the checkpoint then stores the order physically, and the per-
+    # partition row number is plain arithmetic over
+    # monotonically_increasing_id (consecutive within a partition by
+    # construction) — no post-checkpoint Exchange + Sort + Window, which
+    # re-shuffled and re-sorted the full relation once per consumer.
     d = (
         df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
         .withColumn("_gpid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    counts = {
-        r["_gpid"]: r["cnt"]
-        for r in d.groupBy("_gpid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    d = d.withColumn("_mid", F.monotonically_increasing_id())
+    stats = {
+        r["_gpid"]: (r["cnt"], r["mn"])
+        for r in d.groupBy("_gpid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("_mid").alias("mn"))
+        .collect()
     }
-    total = sum(counts.values())
-    if not counts:
+    total = sum(c for c, _ in stats.values())
+    if not stats:
         return df.withColumn(out, F.lit(None).cast("long")), 0
     acc = 0
     pairs: list[Column] = []
-    for pid in sorted(counts):
+    for pid in sorted(stats):
+        cnt, mn = stats[pid]
         pairs.append(F.lit(pid))
-        pairs.append(F.lit(acc))
-        acc += counts[pid]
+        # one fused addend per partition: global rownum = _mid + (offset
+        # of earlier partitions - first _mid in this partition + 1)
+        pairs.append(F.lit(int(acc - mn + 1)))
+        acc += cnt
     omap = F.create_map(*pairs)
-    w = Window.partitionBy("_gpid").orderBy(*cols)
-    d = d.withColumn(out, (F.row_number().over(w) + omap[F.col("_gpid")]).cast("long"))
-    return d.drop("_gpid"), total
+    d = d.withColumn(out, (F.col("_mid") + omap[F.col("_gpid")]).cast("long"))
+    return d.drop("_gpid", "_mid"), total
 
 
 def ntile_bucket_col(rank: Column, total: int, n_buckets: int) -> Column:
@@ -284,11 +296,58 @@ def keyed_running_scan(
     ocols = _order_cols(order)
     rev_ocols = [F.col(c).desc() if asc else F.col(c).asc() for c, asc in order]
     kcols = [F.col(k).asc() for k in keys]
-    d = (
-        df.repartitionByRange(*(kcols + ocols))
-        .withColumn("_gpid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    # Fast path (round-10): when only rownum/total are requested, sort
+    # within the range partitions BEFORE the checkpoint so the order is
+    # stored physically; the within-cell row number is then arithmetic
+    # over monotonically_increasing_id (consecutive within a partition,
+    # and a key cell's rows are contiguous because keys lead the sort)
+    # minus the per-(partition, key) minimum carried by the stats
+    # relation that is broadcast anyway. This removes the
+    # post-checkpoint Exchange + Sort + Window over the full relation
+    # that every consumer of the scan used to pay. Scans carrying
+    # running sums or prev/next values still need the ordered window.
+    fast = val is None and not sums
+    d = df.repartitionByRange(*(kcols + ocols))
+    if fast:
+        d = d.sortWithinPartitions(*(kcols + ocols))
+    d = d.withColumn("_gpid", F.spark_partition_id()).localCheckpoint(eager=True)
+    if fast:
+        d = d.withColumn("_mid", F.monotonically_increasing_id())
+        stats = d.groupBy("_gpid", *keys).agg(
+            F.count(F.lit(1)).alias("_cnt"), F.min("_mid").alias("_mn")
+        )
+        wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+        wk_asc = wk.orderBy(F.col("_gpid").asc())
+        offsets = stats.select(
+            "_gpid",
+            *keys,
+            # fused addend: rownum = _mid + (earlier-partition count of
+            # this key cell - first _mid of the cell in this partition + 1)
+            (
+                F.coalesce(
+                    F.sum("_cnt").over(
+                        wk_asc.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                - F.col("_mn")
+                + F.lit(1)
+            ).cast("long").alias("_krs_adj"),
+            F.sum("_cnt")
+            .over(
+                wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+            .cast("long")
+            .alias("_krs_tot"),
+        )
+        d = d.join(F.broadcast(offsets), ["_gpid", *keys], "left")
+        fast_out: dict[str, Column] = {}
+        if rownum_out:
+            fast_out[rownum_out] = (F.col("_mid") + F.col("_krs_adj")).cast("long")
+        if total_out:
+            fast_out[total_out] = F.col("_krs_tot")
+        d = d.withColumns(fast_out)
+        return d.drop("_gpid", "_mid", "_krs_adj", "_krs_tot")
     wloc = Window.partitionBy("_gpid", *keys).orderBy(*ocols)
     d = d.withColumn("_lrn", F.row_number().over(wloc))
     if val is not None:
@@ -409,30 +468,26 @@ def keyed_midrank(
     if not need_any:
         return d.drop("_kmr_rn")
     keys = list(keys)
-    aggs: list[Column] = []
-    if mid_out:
-        aggs.append(F.avg("_kmr_rn").alias(mid_out))
-    if tie_out:
-        aggs.append(F.count(F.lit(1)).cast("double").alias(tie_out))
-    if rank_out:
-        aggs.append(F.min("_kmr_rn").alias(rank_out))
-    ties = d.groupBy(*keys, val).agg(*aggs)
-    # null-SAFE tie join: groupBy keeps a NULL value (or NULL key) as its
-    # own group, and the window forms this replaces rank NULL rows too —
-    # a plain equi-join would silently drop them. The right side's join
-    # columns are RENAMED (not aliased) so the self-join lineage never
-    # exposes two same-name attributes downstream.
-    ren = {c: f"_kmr_j_{i}" for i, c in enumerate([*keys, val])}
-    outs = [n for n in (mid_out, tie_out, rank_out) if n]
-    ties = ties.select(
-        *[F.col(c).alias(ren[c]) for c in [*keys, val]], *outs
+    # Tie statistics as ONE unordered window over the high-cardinality
+    # (keys, val) composite (round-10; was a groupBy + null-safe
+    # self-join, which re-ran the scan's full pass once per side and
+    # added a corpus-sized sort-merge join). Window partitioning groups
+    # NULLs exactly like groupBy did, so NULL values/keys keep their tie
+    # group; avg/min/count over the tie group's consecutive integer
+    # rownums are exact in doubles, bit-identical to the join form. The
+    # only per-task concentration is one (key, value) tie group — the
+    # data's own tie structure, same as the join's hash partitioning.
+    w = Window.partitionBy(*keys, val).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cond = None
-    for c in [*keys, val]:
-        piece = F.col(c).eqNullSafe(F.col(ren[c]))
-        cond = piece if cond is None else (cond & piece)
-    joined = d.join(ties, on=cond).drop(*ren.values())
-    return joined.drop("_kmr_rn")
+    outs: dict[str, Column] = {}
+    if mid_out:
+        outs[mid_out] = F.avg("_kmr_rn").over(w)
+    if tie_out:
+        outs[tie_out] = F.count(F.lit(1)).over(w).cast("double")
+    if rank_out:
+        outs[rank_out] = F.min("_kmr_rn").over(w)
+    return d.withColumns(outs).drop("_kmr_rn")
 
 
 def ntile_from_rank(rank: Column, total: Column, n_buckets: int) -> Column:

@@ -822,3 +822,143 @@ def test_weighted_quantiles_brute_force(spark):
     assert out3[0]["value"] == 3.0 and out3[0]["n"] == 1
     with pytest.raises(ValueError):
         weighted_quantiles_by(df2, "v", "w", qs=())
+
+
+# --------------------------- round-10 optimization internals (r10 opt) ----
+
+def test_keyed_midrank_window_form_matches_reference_with_nulls(spark):
+    """keyed_midrank's tie stats moved from a groupBy + null-safe join to
+    one unordered window over (keys, val): NULL values and NULL keys must
+    still form their own tie groups, and mid/tie/rank must equal the
+    classic window formulation exactly."""
+    from seafan_spark.rank import keyed_midrank
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(300):
+        k = rng.choice(["a", "b", None])
+        v = rng.choice([None, 1.0, 2.0, 2.0, 3.5])  # heavy ties + NULLs
+        rows.append((i, k, v))
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    got = keyed_midrank(
+        df, ["k"], "v", mid_out="mid", tie_out="tie", rank_out="rk",
+        total_out="tot",
+    )
+    w = Window.partitionBy("k").orderBy(F.col("v").asc(), F.col("id").asc())
+    vw = Window.partitionBy("k", "v")
+    # NULL-KEY contract (pre-existing, pinned): the offsets equi-join is
+    # null-unsafe, so NULL-key rows carry NULL rownum/total — their mid
+    # and rank are NULL while tie is still the group's row count.
+    rn = F.when(F.col("k").isNotNull(), F.row_number().over(w))
+    ref = (
+        df.withColumn("_rn", rn)
+        .withColumn("mid", F.avg("_rn").over(vw))
+        .withColumn("tie", F.count(F.lit(1)).over(vw).cast("double"))
+        .withColumn("rk", F.min("_rn").over(vw).cast("long"))
+        .withColumn(
+            "tot",
+            F.when(
+                F.col("k").isNotNull(),
+                F.count(F.lit(1)).over(Window.partitionBy("k")),
+            ).cast("long"),
+        )
+    )
+    # NOTE: keyed_midrank's rownum breaks ties arbitrarily (contract), but
+    # mid/tie/rank collapse tie groups, so the comparison is exact.
+    assert sorted(map(tuple, got.select("id", "mid", "tie", "rk", "tot").collect())) == sorted(
+        map(tuple, ref.select("id", "mid", "tie", "rk", "tot").collect())
+    )
+
+
+def test_global_row_number_sorted_checkpoint_matches_window(spark):
+    """global_row_number's post-checkpoint rank is now arithmetic over
+    monotonically_increasing_id on presorted partitions — must equal the
+    single-partition window rank on a total order."""
+    from seafan_spark.rank import global_row_number
+
+    rng = random.Random(5)
+    rows = [(i, rng.random()) for i in range(777)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(7)
+    got, n = global_row_number(df, [("v", True), ("id", True)], "rn")
+    assert n == 777
+    ref = df.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.partitionBy(F.lit(0)).orderBy(F.col("v").asc(), F.col("id").asc()))
+        .cast("long"),
+    )
+    assert sorted(map(tuple, got.select("id", "rn").collect())) == sorted(
+        map(tuple, ref.select("id", "rn").collect())
+    )
+
+
+def test_assign_to_centroids_literal_matches_crossjoin_window(spark):
+    """_assign_to_centroids' literal-array argmax (small k) must pick the
+    same max-cosine / min-cell centroid as the crossJoin + window form,
+    including exact-tie cells."""
+    from seafan_spark.llmops.dedup import _assign_to_centroids
+    from seafan_spark.llmops.similarity import dot_col
+
+    rng = random.Random(31)
+    dim = 8
+    unit_rows = []
+    for i in range(120):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        s = sum(x * x for x in v) ** 0.5
+        unit_rows.append((i, [x / s for x in v]))
+    # duplicate centroid vectors plant exact cosine ties: min cell must win
+    cent_rows = [(0, unit_rows[0][1]), (1, unit_rows[0][1]), (2, unit_rows[1][1])]
+    unit = spark.createDataFrame(unit_rows, "_id long, _v array<double>")
+    cents = spark.createDataFrame(cent_rows, "_cell long, _cv array<double>")
+    got = _assign_to_centroids(unit, cents)
+    scored = unit.crossJoin(F.broadcast(cents)).withColumn(
+        "_cos", dot_col(F.col("_v"), F.col("_cv"))
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_cos").desc(), F.col("_cell").asc())
+    ref = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("_id", "_cell")
+    )
+    assert sorted(map(tuple, got.select("_id", "_cell").collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+    assert got.schema["_cell"].dataType.simpleString() == "bigint"
+
+
+def test_lm_counts_from_pairs_match_separate_passes(spark):
+    """The shared token-pair relation's unigram/bigram counts must equal
+    the standalone count helpers (including 1-token and empty docs)."""
+    from seafan_spark.llmops.lm import (
+        _counts_from_pairs,
+        _token_pair_relation,
+        lm_bigram_counts,
+        lm_unigram_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat"),
+            (3, "solo"),
+            (4, ""),
+            (5, "the the the"),
+        ],
+        "doc_id long, text string",
+    )
+    rel = _token_pair_relation(docs, "text", "doc_id")
+    uni, bi = _counts_from_pairs(rel)
+    assert sorted(map(tuple, uni.collect())) == sorted(
+        map(tuple, lm_unigram_counts(docs).collect())
+    )
+    assert sorted(map(tuple, bi.collect())) == sorted(
+        map(tuple, lm_bigram_counts(docs).collect())
+    )
+    # scoring domain: one row per token, w2 NULL exactly at doc ends
+    per_doc = {
+        r["_id"]: (r["n"], r["nn"])
+        for r in rel.groupBy("_id")
+        .agg(F.count("*").alias("n"), F.count("w2").alias("nn"))
+        .collect()
+    }
+    assert per_doc == {1: (6, 5), 2: (2, 1), 3: (1, 0), 5: (3, 2)}

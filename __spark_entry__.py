@@ -4293,7 +4293,16 @@ def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     type? The assumption check q_anova (means across types per dow)
     silently skips. Arm medians via the range-partitioned keyed rank
     scan (no group-sized buffer); the F is anova_by's moment math on
-    z = |x - med| in the twin's association order."""
+    z = |x - med|.
+
+    The RAW sums of squares are emitted at 2 dp, not 6: ssw reaches
+    ~3e7 at sf0.1, where a ~20k-term double sum carries ~1e-6 of
+    summation-ORDER noise — measured: DuckDB itself returns two
+    different 6th decimals for ssw across identical runs (parallel
+    partial-sum order), so a 6-dp hash on the raw sums is a coin flip
+    NO engine can stabilize. 1e-6 noise against a 0.01 step is a
+    ~1e-4 flip risk instead. The magnitude-~1 ratios (f_stat, eta_sq)
+    keep 6 dp — their relative noise is ~1e-13."""
     from seafan_spark.agg import levene_by
 
     ev = _pipe(spark, sf_dir, "events").df
@@ -4305,8 +4314,8 @@ def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = levene_by(d, "x", "dow", keys=["event_type"])
     return out.select(
         "event_type", "k", "n",
-        round_col("ssb", 6).alias("ssb"),
-        round_col("ssw", 6).alias("ssw"),
+        round_col("ssb", 2).alias("ssb"),
+        round_col("ssw", 2).alias("ssw"),
         round_col("f_stat", 6).alias("f_stat"),
         round_col("eta_sq", 6).alias("eta_sq"),
     ).orderBy("event_type")
@@ -9826,8 +9835,8 @@ ORACLES["levene"] = """
         FROM pv GROUP BY et
     )
     SELECT et AS event_type, k, CAST(n AS BIGINT) AS n,
-           ROUND(gg - s * s / n, 6) AS ssb,
-           ROUND(q - gg, 6) AS ssw,
+           ROUND(gg - s * s / n, 2) AS ssb,
+           ROUND(q - gg, 2) AS ssw,
            ROUND(CASE WHEN k >= 2 AND n > k AND (q - gg) > 0
                       THEN ((gg - s * s / n) / (k - 1.0))
                            / ((q - gg) / (n - k))

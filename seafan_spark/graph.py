@@ -49,10 +49,24 @@ def pagerank(
     """
     if dangling not in ("drop", "redistribute"):
         raise ValueError("pagerank: dangling must be 'drop' or 'redistribute'")
+    from pyspark.sql import Window
+
+    # out-degree is static across iterations: bake it into the edge
+    # checkpoint as a window count over the distinct edges (round-10 —
+    # was a separate groupBy relation joined back EVERY iteration, one
+    # full extra join per power step)
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
         .distinct()
+        .withColumn(
+            "_deg",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("_s").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
         .localCheckpoint(eager=True)  # scanned every iteration
     )
     nodes = (
@@ -64,7 +78,7 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty graph")
-    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    outdeg = e.select("_s").distinct()
 
     d = F.lit(float(damping))
     base = F.lit((1.0 - float(damping)) / n)
@@ -73,7 +87,6 @@ def pagerank(
     for it in range(int(iters)):
         contrib = (
             ranks.join(e, ranks["node"] == e["_s"])
-            .join(outdeg, "_s")
             .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))

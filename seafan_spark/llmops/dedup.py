@@ -576,17 +576,23 @@ def minhash_clusters(
         .agg(F.least(F.min("id_b"), F.min("id")).alias("cluster"))
         .withColumn("cluster", F.least("cluster", "id"))
     )
+    cl_type = dict(labels.dtypes)["cluster"]
+    prev_ck = None
     for _ in range(max_iter):
-        # hook: min label over self + direct neighbors
+        # hook: min label over self + direct neighbors. The self row also
+        # carries the round's OLD label (neighbor rows contribute NULL;
+        # every id has exactly one labels row, so max() recovers it) —
+        # the convergence test below then reads the checkpoint instead of
+        # re-joining two corpus-sized label relations every round.
         neigh = (
             sym.join(labels, sym.id_b == labels.id)
             .select(sym.id_a.alias("id"), F.col("cluster"))
         )
         hooked = (
-            labels.select("id", "cluster")
-            .union(neigh)
+            labels.select("id", "cluster", F.col("cluster").alias("_old"))
+            .union(neigh.withColumn("_old", F.lit(None).cast(cl_type)))
             .groupBy("id")
-            .agg(F.min("cluster").alias("cluster"))
+            .agg(F.min("cluster").alias("cluster"), F.max("_old").alias("_old"))
         )
         # jump: label <- label(label)  (path halving; labels point at ids
         # that always carry a label row, so the inner self-join is total)
@@ -595,26 +601,27 @@ def minhash_clusters(
         )
         jumped = (
             hooked.join(lut, hooked.cluster == lut._jid)
-            .select("id", F.least("cluster", "_jcl").alias("cluster"))
+            .select(
+                "id",
+                F.least("cluster", "_jcl").alias("cluster"),
+                (F.least("cluster", "_jcl") != F.col("_old")).alias("_chg"),
+            )
         )
         # checkpoint FIRST, then test convergence against the materialized
         # result: count-then-checkpoint would execute every iteration's
-        # joins twice.
+        # joins twice. The _chg flag was folded into the checkpoint, so
+        # the test is a filter scan of materialized blocks — no join.
         new = jumped.localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
+        changed = new.filter("_chg").limit(1).count()
         # the superseded round's blocks are dead once `new` is materialized
-        # and compared (no-op on round 1: labels is then a derived plan)
-        unpersist_checkpoint(labels)
-        labels = new
+        # and compared (labels itself is a projection now, so the raw
+        # checkpoint handle is tracked separately; None on round 1)
+        unpersist_checkpoint(prev_ck)
+        prev_ck = new
+        labels = new.drop("_chg")
         if changed == 0:
             break
-    # the returned labels IS the last checkpoint (freed by
+    # the returned labels reads the last checkpoint (freed by
     # session.cleanup() between queries); edges fed only the loop
     unpersist_checkpoint(edges)
     return labels

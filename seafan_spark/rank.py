@@ -142,12 +142,13 @@ def attach_running_ops(
     cols = _order_cols(order)
     # materialized once — see global_row_number: a re-executed range
     # shuffle may re-sample different partition bounds, which would break
-    # every carry-in keyed by _gpid
-    d = (
-        df.repartitionByRange(*cols)
-        .withColumn("_gpid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    # every carry-in keyed by _gpid. The within-partition window columns
+    # are computed BEFORE the checkpoint (round-10, second batch): a
+    # localCheckpoint reports UnknownPartitioning, so windows above it
+    # cost a full Exchange + Sort + Window once per consumer subtree —
+    # materialized inside the checkpoint they run exactly once, and the
+    # stats collect below reads stored columns.
+    d = df.repartitionByRange(*cols).withColumn("_gpid", F.spark_partition_id())
     wb = Window.partitionBy("_gpid").orderBy(*cols)
     wb_run = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = d.withColumn("_lrn", F.row_number().over(wb))
@@ -170,6 +171,7 @@ def attach_running_ops(
             )
     if attach:
         d = d.withColumns(attach)
+    d = d.localCheckpoint(eager=True)
     stats_df = d.groupBy("_gpid").agg(*aggs)
     stat_types = {f.name: f.dataType for f in stats_df.schema.fields}
     stats = {r["_gpid"]: r for r in stats_df.collect()}
@@ -310,7 +312,12 @@ def keyed_running_scan(
     d = df.repartitionByRange(*(kcols + ocols))
     if fast:
         d = d.sortWithinPartitions(*(kcols + ocols))
-    d = d.withColumn("_gpid", F.spark_partition_id()).localCheckpoint(eager=True)
+    d = d.withColumn("_gpid", F.spark_partition_id())
+    if fast:
+        # the slow path checkpoints AFTER its window columns (below);
+        # both paths materialize the range shuffle exactly once, so the
+        # bounds-resampling hazard never arises
+        d = d.localCheckpoint(eager=True)
     if fast:
         d = d.withColumn("_mid", F.monotonically_increasing_id())
         stats = d.groupBy("_gpid", *keys).agg(
@@ -354,6 +361,33 @@ def keyed_running_scan(
         d = d.withColumn("_krs_val", val)
     for name, col in sums.items():
         d = d.withColumn(f"_krs_sv_{name}", col)
+    # Every within-partition window column is computed BEFORE the eager
+    # checkpoint (round-10, second batch): a localCheckpoint reports
+    # UnknownPartitioning, so windows sitting ABOVE it cost a full
+    # Exchange + Sort + Window of the relation once per consumer subtree
+    # (weighted quantiles paid it twice in ONE action: main branch +
+    # per-cell-total branch). Materialized inside the checkpoint they are
+    # computed exactly once; everything after is groupBy + broadcast join
+    # + projection. The checkpoint also physically stores rows in window
+    # order, so the stats sums below fold in the same sorted order the
+    # running sums use.
+    pre: dict[str, Column] = {}
+    for name in sums:
+        pre[f"_krs_run_{name}"] = F.sum(f"_krs_sv_{name}").over(
+            wloc.rowsBetween(Window.unboundedPreceding, 0)
+        )
+    if val is not None and out_prev:
+        pre["_krs_lprev"] = F.last("_krs_val", ignorenulls=True).over(
+            wloc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    if val is not None and out_next:
+        wloc_rev = Window.partitionBy("_gpid", *keys).orderBy(*rev_ocols)
+        pre["_krs_lnext"] = F.last("_krs_val", ignorenulls=True).over(
+            wloc_rev.rowsBetween(Window.unboundedPreceding, -1)
+        )
+    if pre:
+        d = d.withColumns(pre)
+    d = d.localCheckpoint(eager=True)
     aggs = [F.count(F.lit(1)).alias("_cnt")]
     if val is not None:
         nn_rn = F.when(F.col("_krs_val").isNotNull(), F.col("_lrn"))
@@ -362,7 +396,12 @@ def keyed_running_scan(
             F.min_by(F.col("_krs_val"), nn_rn).alias("_firstv"),
         ]
     for name in sums:
-        aggs.append(F.sum(f"_krs_sv_{name}").alias(f"_stot_{name}"))
+        # bit-equal to the running sum's value at the cell's last row:
+        # the checkpoint stores rows in window order, so this fold adds
+        # the same values in the same order
+        aggs.append(
+            F.max_by(F.col(f"_krs_run_{name}"), F.col("_lrn")).alias(f"_stot_{name}")
+        )
     stats = d.groupBy("_gpid", *keys).agg(*aggs)
     wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
     wk_asc = wk.orderBy(F.col("_gpid").asc())
@@ -400,25 +439,18 @@ def keyed_running_scan(
     if total_out:
         out[total_out] = F.col("_krs_tot")
     for name in sums:
-        run = F.sum(f"_krs_sv_{name}").over(
-            wloc.rowsBetween(Window.unboundedPreceding, 0)
-        )
+        run = F.col(f"_krs_run_{name}")
         off = F.col(f"_krs_soff_{name}")
         out[name] = F.when(off.isNull(), run).otherwise(run + off)
-        drop += [f"_krs_sv_{name}", f"_krs_soff_{name}"]
+        drop += [f"_krs_sv_{name}", f"_krs_run_{name}", f"_krs_soff_{name}"]
     if val is not None:
         drop += ["_krs_val", "_krs_cprev", "_krs_cnext"]
         if out_prev:
-            loc_prev = F.last("_krs_val", ignorenulls=True).over(
-                wloc.rowsBetween(Window.unboundedPreceding, -1)
-            )
-            out[out_prev] = F.coalesce(loc_prev, F.col("_krs_cprev"))
+            drop.append("_krs_lprev")
+            out[out_prev] = F.coalesce(F.col("_krs_lprev"), F.col("_krs_cprev"))
         if out_next:
-            wloc_rev = Window.partitionBy("_gpid", *keys).orderBy(*rev_ocols)
-            loc_next = F.last("_krs_val", ignorenulls=True).over(
-                wloc_rev.rowsBetween(Window.unboundedPreceding, -1)
-            )
-            out[out_next] = F.coalesce(loc_next, F.col("_krs_cnext"))
+            drop.append("_krs_lnext")
+            out[out_next] = F.coalesce(F.col("_krs_lnext"), F.col("_krs_cnext"))
     d = d.withColumns(out)
     return d.drop(*drop)
 

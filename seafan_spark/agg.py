@@ -1126,15 +1126,26 @@ def robust_outliers_by(
     """
     from seafan_spark.rounding import round_col
 
+    from seafan_spark.rank import keyed_running_scan
+
     d = pipe.df.select(*keys, F.col(value_col).cast("double").alias("_x")).filter(
         F.col("_x").isNotNull()
     )
     med = _grouped_median(d, keys, "_x")
     dev = d.join(med, list(keys)).withColumn("_dev", F.abs(F.col("_x") - F.col("_med")))
-    mad = _grouped_median(dev.select(*keys, F.col("_dev").alias("_x")), keys, "_x").select(
-        *keys, F.col("_med").alias("_mad")
+    # the MAD rank scan checkpoints the deviation relation — rank the
+    # full dev frame (carrying _med) so the final flagging pass reads
+    # that checkpoint instead of recomputing scan + median join a third
+    # time (round-10; same rank arithmetic as _grouped_median)
+    ranked = keyed_running_scan(
+        dev, list(keys), [("_dev", True)], rownum_out="_gm_rn", total_out="_gm_cnt"
     )
-    flagged = dev.join(mad, list(keys))
+    mid = ranked.filter(
+        (F.col("_gm_rn") == F.floor((F.col("_gm_cnt") + 1) / 2))
+        | (F.col("_gm_rn") == F.floor((F.col("_gm_cnt") + 2) / 2))
+    )
+    mad = mid.groupBy(*keys).agg(F.avg("_dev").alias("_mad"))
+    flagged = ranked.join(mad, list(keys))
     return (
         flagged.groupBy(*keys)
         .agg(

@@ -87,7 +87,7 @@ def main() -> None:
         except Exception:
             pass
 
-    plans_dir = os.path.join("/root/repo/plans/r10")
+    plans_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r11")
     os.makedirs(plans_dir, exist_ok=True)
 
     out = {}

@@ -23,6 +23,20 @@ from pyspark.sql import functions as F
 
 OrderKeys = list[tuple[str, bool]]  # (column, ascending)
 
+#: Above this many per-partition carry entries, the carry-ins ride back
+#: as a BROADCAST-JOINED stats relation instead of a literal create_map:
+#: a 2xP-child literal fails janino codegen at production partition
+#: counts (P = 10^4-10^5 at 100 TB — the round-10 range-bucket
+#: experiment measured ~10 s compile + interpreted fallback at ~255
+#: unrolled comparisons), and a literal-map probe is an O(P) linear
+#: scan per row where the hash join probe is O(1). BELOW the threshold
+#: the literal map wins: it needs no broadcast build job and no join
+#: stage per consumer action (measured +0.1-0.3 s per query at
+#: local[32] for the join form). The two forms attach value-identical
+#: typed carries; tests pin both regimes (test_round11_ops.py runs the
+#: substrate at spark.sql.shuffle.partitions=2048).
+CARRY_MAP_MAX = 64
+
 
 def _order_cols(order: OrderKeys) -> list[Column]:
     return [F.col(c).asc() if asc else F.col(c).desc() for c, asc in order]
@@ -65,18 +79,29 @@ def global_row_number(
     total = sum(c for c, _ in stats.values())
     if not stats:
         return df.withColumn(out, F.lit(None).cast("long")), 0
+    # One fused addend per partition: global rownum = _mid + (offset of
+    # earlier partitions - first _mid in this partition + 1). The carry
+    # attaches as a literal map at small partition counts and as a
+    # broadcast stats-join above CARRY_MAP_MAX (see its comment).
     acc = 0
-    pairs: list[Column] = []
+    rows: list[tuple[int, int]] = []
     for pid in sorted(stats):
         cnt, mn = stats[pid]
-        pairs.append(F.lit(pid))
-        # one fused addend per partition: global rownum = _mid + (offset
-        # of earlier partitions - first _mid in this partition + 1)
-        pairs.append(F.lit(int(acc - mn + 1)))
+        rows.append((pid, int(acc - mn + 1)))
         acc += cnt
-    omap = F.create_map(*pairs)
-    d = d.withColumn(out, (F.col("_mid") + omap[F.col("_gpid")]).cast("long"))
-    return d.drop("_gpid", "_mid"), total
+    if len(rows) <= CARRY_MAP_MAX:
+        pairs: list[Column] = []
+        for pid, adj in rows:
+            pairs += [F.lit(pid), F.lit(adj)]
+        adj_col = F.create_map(*pairs)[F.col("_gpid")]
+    else:
+        offsets = d.sparkSession.createDataFrame(
+            rows, "_gpid int, _grn_adj long"
+        )
+        d = d.join(F.broadcast(offsets), "_gpid", "left")
+        adj_col = F.col("_grn_adj")
+    d = d.withColumn(out, (F.col("_mid") + adj_col).cast("long"))
+    return d.drop("_gpid", "_mid", "_grn_adj"), total
 
 
 def ntile_bucket_col(rank: Column, total: int, n_buckets: int) -> Column:
@@ -177,71 +202,109 @@ def attach_running_ops(
     stats = {r["_gpid"]: r for r in stats_df.collect()}
     pids = sorted(stats)
 
-    def lit_map(pairs: list[tuple[int, object]]) -> Column | None:
-        """pid -> literal value map; None when empty (an empty create_map
-        cannot be indexed — callers substitute their identity element)."""
-        if not pairs:
-            return None
-        flat: list[Column] = []
-        for pid, v in pairs:
-            flat.append(F.lit(pid))
-            flat.append(F.lit(v))
-        return F.create_map(*flat)
+    # The per-partition carry-ins (a row per partition: row offset,
+    # per-request prefix sums / counts / last values) attach as literal
+    # map lookups at small partition counts and as ONE broadcast-joined
+    # stats relation above CARRY_MAP_MAX (see its comment) — same
+    # driver-side carry computation either way, value-identical typed
+    # literals, downstream expressions shared.
+    from pyspark.sql import types as T
 
-    def lookup(m: Column | None, default: Column) -> Column:
-        if m is None:
-            return default
-        return F.coalesce(m[F.col("_gpid")], default)
+    carry_fields = [
+        T.StructField("_gpid", T.IntegerType(), False),
+        T.StructField("_aro_roff", T.LongType(), False),
+    ]
+    for name, kind, _col in requests:
+        if kind == "sum":
+            carry_fields.append(
+                T.StructField(f"_aro_soff_{name}", stat_types[f"{name}__tot"], True)
+            )
+            carry_fields.append(
+                T.StructField(f"_aro_scnt_{name}", T.LongType(), False)
+            )
+        elif kind == "lag":
+            vtype = next(
+                f.dataType
+                for f in stat_types[f"{name}__last"].fields
+                if f.name == "v"
+            )
+            carry_fields.append(T.StructField(f"_aro_prev_{name}", vtype, True))
 
-    # row offsets (exclusive count of earlier partitions)
+    # one pass per request kind over the sorted pids, exactly the carry
+    # recurrences the literal maps used to encode
+    carry_vals: dict[int, list] = {pid: [pid] for pid in pids}
     acc = 0
-    row_off = []
     for pid in pids:
-        row_off.append((pid, acc))
+        carry_vals[pid].append(acc)
         acc += stats[pid]["_cnt"]
-    row_map = lit_map(row_off)
-
-    out_cols: dict[str, Column] = {}
-    drop = ["_gpid", "_lrn"]
-    for name, kind, col in requests:
-        if kind == "rownum":
-            off = lookup(row_map, F.lit(0))
-            out_cols[name] = (F.col("_lrn") + off).cast("long")
-        elif kind == "sum":
-            drop += [f"{name}__wb", f"{name}__wbc"]
-            zero = F.lit(0).cast(stat_types[f"{name}__tot"].simpleString())
+    for name, kind, _col in requests:
+        if kind == "sum":
             s_acc, c_acc = None, 0
-            sum_pairs, cnt_pairs = [], []
             for pid in pids:
-                if s_acc is not None:
-                    sum_pairs.append((pid, s_acc))
-                cnt_pairs.append((pid, c_acc))
+                carry_vals[pid].append(s_acc)
+                carry_vals[pid].append(c_acc)
                 tot = stats[pid][f"{name}__tot"]
                 if tot is not None:
                     s_acc = tot if s_acc is None else s_acc + tot
                 c_acc += stats[pid][f"{name}__cnt"]
-            sum_map, cnt_map = lit_map(sum_pairs), lit_map(cnt_pairs)
-            seen = lookup(cnt_map, F.lit(0)) + F.col(f"{name}__wbc")
-            total = lookup(sum_map, zero) + F.coalesce(F.col(f"{name}__wb"), zero)
+        elif kind == "lag":
+            prev = None
+            for pid in pids:
+                carry_vals[pid].append(prev[0] if prev is not None else None)
+                last = stats[pid][f"{name}__last"]
+                if last is not None:  # non-empty partition
+                    prev = (last["v"],)
+    if len(pids) <= CARRY_MAP_MAX:
+        attach_carry: dict[str, Column] = {}
+        for fi, field in enumerate(carry_fields):
+            if field.name == "_gpid":
+                continue
+            pairs: list[Column] = []
+            for pid in pids:
+                v = carry_vals[pid][fi]
+                # None carries can't ride a literal map — omitting them
+                # is equivalent (missing key looks up NULL, the carry)
+                if v is not None:
+                    pairs += [F.lit(pid), F.lit(v)]
+            attach_carry[field.name] = (
+                F.create_map(*pairs)[F.col("_gpid")]
+                if pairs
+                else F.lit(None).cast(field.dataType)
+            )
+        d = d.withColumns(attach_carry)
+    else:
+        carry = d.sparkSession.createDataFrame(
+            [tuple(carry_vals[pid]) for pid in pids], T.StructType(carry_fields)
+        )
+        d = d.join(F.broadcast(carry), "_gpid", "left")
+
+    out_cols: dict[str, Column] = {}
+    drop = ["_gpid", "_lrn", "_aro_roff"]
+    for name, kind, col in requests:
+        if kind == "rownum":
+            off = F.coalesce(F.col("_aro_roff"), F.lit(0))
+            out_cols[name] = (F.col("_lrn") + off).cast("long")
+        elif kind == "sum":
+            drop += [
+                f"{name}__wb",
+                f"{name}__wbc",
+                f"_aro_soff_{name}",
+                f"_aro_scnt_{name}",
+            ]
+            zero = F.lit(0).cast(stat_types[f"{name}__tot"].simpleString())
+            seen = F.coalesce(F.col(f"_aro_scnt_{name}"), F.lit(0)) + F.col(
+                f"{name}__wbc"
+            )
+            total = F.coalesce(F.col(f"_aro_soff_{name}"), zero) + F.coalesce(
+                F.col(f"{name}__wb"), zero
+            )
             # NULL until the first non-null contribution — SQL running-sum
             # semantics (no otherwise: WHEN without ELSE yields NULL)
             out_cols[name] = F.when(seen > 0, total)
         elif kind == "lag":
-            drop.append(f"{name}__wb")
-            prev, prev_pairs = None, []
-            for pid in pids:
-                if prev is not None:
-                    prev_pairs.append((pid, prev[0]))
-                last = stats[pid][f"{name}__last"]
-                if last is not None:  # non-empty partition
-                    prev = (last["v"],)
-            # None carries can't ride a literal map — omitting them is
-            # equivalent (missing key looks up NULL, which is the carry)
-            nn_pairs = [(pid, v) for pid, v in prev_pairs if v is not None]
-            prev_map = lit_map(nn_pairs)
-            first_val = lookup(prev_map, F.lit(None))
+            drop += [f"{name}__wb", f"_aro_prev_{name}"]
             out_cols[name] = F.when(F.col("_lrn") > 1, F.col(f"{name}__wb")).otherwise(
-                first_val
+                F.col(f"_aro_prev_{name}")
             )
     d = d.withColumns(out_cols)
     return d.drop(*drop)

@@ -680,7 +680,17 @@ def bootstrap_ci(
     # in scan order (order-preserving fetch from a single map), so the
     # per-cell float accumulation order — hence every emitted bit — is
     # unchanged; partition count follows spark.sql.shuffle.partitions.
-    exploded = base.select(*keys, "_x", "_rid", b).repartition(F.col("_b"))
+    # sortWithinPartitions pins the per-(group, b) accumulation order to
+    # (_b, _rid) regardless of reduce-side fetch order: with ONE upstream
+    # map task the fetch is scan-ordered anyway, but with many input
+    # splits the interleaving across maps is nondeterministic and would
+    # let the last ulp of the float moments vary run-to-run at scale
+    # (round-10 verdict item 2 — the levene-twin failure class).
+    exploded = (
+        base.select(*keys, "_x", "_rid", b)
+        .repartition(F.col("_b"))
+        .sortWithinPartitions("_b", "_rid")
+    )
     if portable:
         u = (
             hash_bucket_col(

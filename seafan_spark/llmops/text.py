@@ -31,6 +31,20 @@ def norm_text_col(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def let_col(val: Column, body) -> Column:
+    """Column-algebra ``let``: evaluate ``val`` ONCE per row and hand the
+    materialized value to ``body`` as a lambda variable.
+
+    Higher-order functions are CodegenFallback — interpreted, with no
+    common-subexpression elimination — so an expression captured inside
+    a HOF lambda re-evaluates once PER ELEMENT. A normalization regex
+    captured by a per-shingle lambda turns an O(len) pass into O(len^2)
+    per row (measured 5x on the minhash shingle stage at sf0.1). The
+    singleton transform binds it once; ``body`` must return an
+    expression whose type is a valid array element (any SQL type is)."""
+    return F.element_at(F.transform(F.array(val), body), 1)
+
+
 def token_count_col(text: Column) -> Column:
     """Whitespace token count; empty/blank text counts 0."""
     t = F.trim(text)
@@ -215,17 +229,24 @@ def hash60_col(c: Column, portable: bool = False) -> Column:
 def shingles_col(text: Column, k: int = 5) -> Column:
     """Distinct character k-shingles of the normalized text (basis for
     MinHash). JVM higher-order functions; short texts yield the whole
-    text as a single shingle."""
-    t = norm_text_col(text)
-    n = F.length(t)
-    return F.when(n <= k, F.array(t)).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(k) + 1),
-                lambda i: t.substr(i, F.lit(k)),
+    text as a single shingle.
+
+    The normalized text is let-bound (:func:`let_col`) so the
+    normalization regex runs once per row, not once per shingle position
+    (HOF lambdas are interpreted with no CSE — measured 5x here)."""
+
+    def body(t: Column) -> Column:
+        n = F.length(t)
+        return F.when(n <= k, F.array(t)).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k) + 1),
+                    lambda i: t.substr(i, F.lit(k)),
+                )
             )
         )
-    )
+
+    return let_col(norm_text_col(text), body)
 
 
 #: GPT-2-style pre-tokenizer pattern (public: openai/gpt-2 encoder.py /
@@ -267,27 +288,26 @@ def winnow_fingerprints_col(
     Pure higher-order Column functions — O(len * w) JVM comparisons per
     document, no shuffle, no Python.
     """
-    t = norm_text_col(text)
-    n = F.length(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(k) + 1, F.lit(1))),
-        lambda i: hash60_col(t.substr(i, F.lit(k)), portable=portable),
-    )
-    # Bind the gram array ONCE via transform-over-singleton (Column-algebra
-    # `let`): referencing `grams` directly inside the window lambda would
-    # inline the whole O(len) hash pass into every window element —
-    # O(len^2) hashing per row, which stalls on real documents.
-    wins = F.element_at(
-        F.transform(
-            F.array(grams),
+    # both levels are let-bound (let_col): the normalized text would
+    # otherwise re-run its regex once per gram position, and the gram
+    # array would re-run the whole O(len) hash pass once per window
+    # element — O(len^2) either way (HOF lambdas are interpreted, no CSE)
+    def body(t: Column) -> Column:
+        n = F.length(t)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - F.lit(k) + 1, F.lit(1))),
+            lambda i: hash60_col(t.substr(i, F.lit(k)), portable=portable),
+        )
+        wins = let_col(
+            grams,
             lambda g: F.transform(
                 F.sequence(F.lit(1), F.greatest(F.size(g) - F.lit(w) + 1, F.lit(1))),
                 lambda i: F.array_min(F.slice(g, i, F.least(F.lit(w), F.size(g)))),
             ),
-        ),
-        F.lit(1),
-    )
-    return F.array_sort(F.array_distinct(wins))
+        )
+        return F.array_sort(F.array_distinct(wins))
+
+    return let_col(norm_text_col(text), body)
 
 
 def repetition_ratio_col(text: Column, n: int = 3) -> Column:
@@ -295,16 +315,22 @@ def repetition_ratio_col(text: Column, n: int = 3) -> Column:
     the normalized text — the standard boilerplate/repetition quality
     signal. Texts with fewer than ``n`` tokens score 0.0. Pure JVM
     higher-order columns."""
-    toks = F.split(norm_text_col(text), " ")
-    cnt = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    total = F.size(grams)
-    return F.when(cnt < n, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total
-    )
+    # token array and gram array let-bound (let_col): captured inside the
+    # HOF lambdas they would re-split / re-build once per element
+    def body(toks: Column) -> Column:
+        cnt = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        ratio = let_col(
+            grams,
+            lambda g: F.lit(1.0)
+            - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+        )
+        return F.when(cnt < n, F.lit(0.0)).otherwise(ratio)
+
+    return let_col(F.split(norm_text_col(text), " "), body)
 
 
 #: PII patterns restricted to syntax Java regex and RE2 (DuckDB) share —
@@ -477,17 +503,22 @@ def bm25_scores(
 
 
 def word_ngrams_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of the normalized text."""
-    toks = F.split(norm_text_col(text), " ")
-    cnt = F.size(toks)
-    return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), cnt - F.lit(n)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    """Distinct word n-grams of the normalized text. The token array is
+    let-bound (:func:`let_col`) so the split + normalization regex run
+    once per row, not once per n-gram position."""
+
+    def body(toks: Column) -> Column:
+        cnt = F.size(toks)
+        return F.when(cnt < n, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), cnt - F.lit(n)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                )
             )
         )
-    )
+
+    return let_col(F.split(norm_text_col(text), " "), body)
 
 
 def vocab_top_terms(df, text_col: str = "text", k: int = 50) -> "DataFrame":

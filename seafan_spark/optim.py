@@ -134,6 +134,25 @@ def _grad_pass(
     return G, ss, n
 
 
+def _iteration_layout(data_ck: DataFrame, nrows: int) -> tuple[DataFrame, DataFrame, int]:
+    """Right-size iteration parallelism for a checkpointed training frame:
+    target ~25k rows/task. Over-partitioned inputs coalesce (narrow, no
+    shuffle); UNDER-partitioned inputs — a single-split source leaves the
+    checkpoint with one partition, which serializes EVERY gradient pass
+    of the whole training loop onto one task (measured: that was the
+    entire model_nn cost at sf0.1, 12 serial 150k-row passes) — pay one
+    round-robin shuffle + re-checkpoint at build time so the loop's
+    passes run wide. Returns (checkpoint handle, iteration frame, nparts).
+    """
+    nparts = max(1, -(-nrows // 25_000))
+    cur = data_ck.rdd.getNumPartitions()
+    if cur < nparts:
+        spread = data_ck.repartition(nparts).localCheckpoint(eager=True)
+        unpersist_checkpoint(data_ck)
+        return spread, spread, nparts
+    return data_ck, data_ck.coalesce(nparts), nparts
+
+
 def fit_softrms(
     pipe: Pipeline,
     ms,
@@ -162,15 +181,8 @@ def fit_softrms(
         vector_to_array(F.col("_features")).alias("_f"),
         F.col(label).cast("int").alias("_l"),
     ).localCheckpoint(eager=True)
-    data = data_ck
-    # ~25k rows/task (see fit_nn): iteration cost is scheduling-bound on
-    # over-partitioned small inputs; coalesce is narrow, no shuffle
-    nrows = data.count()
-    # coalesce never INCREASES partitioning, so no partition-count probe
-    # is needed: asking for ceil(rows/25k) is a no-op when the source is
-    # already narrower (narrow dependency either way - no shuffle)
-    nparts = max(1, -(-nrows // 25_000))
-    data = data.coalesce(nparts)
+    nrows = data_ck.count()
+    data_ck, data, nparts = _iteration_layout(data_ck, nrows)
 
     W = np.zeros((n_feat + 1, C))
     best_W, best_loss, since_best = W.copy(), float("inf"), 0
@@ -657,16 +669,11 @@ def fit_nn(
         F.col(label).cast("double").alias("_l"),
     ).localCheckpoint(eager=True)
     data = data_ck
-    # Right-size iteration parallelism: with few rows per partition, task
-    # scheduling + Arrow framing dominates each gradient pass. Target
-    # ~25k rows/task, never exceeding the source partitioning (at real
-    # scale this keeps full parallelism; coalesce is narrow — no shuffle).
+    # Right-size iteration parallelism (see _iteration_layout): ~25k
+    # rows/task — coalesce over-partitioned inputs, respread
+    # under-partitioned ones once so the loop's passes run wide.
     nrows = data.count()
-    # coalesce never INCREASES partitioning, so no partition-count probe
-    # is needed: asking for ceil(rows/25k) is a no-op when the source is
-    # already narrower (narrow dependency either way - no shuffle)
-    nparts = max(1, -(-nrows // 25_000))
-    data = data.coalesce(nparts)
+    data_ck, data, nparts = _iteration_layout(data_ck, nrows)
 
     # Glorot-uniform init, deterministic by seed (gorgonia GlorotN, nn.go)
     rng = np.random.default_rng(seed)

@@ -52,9 +52,18 @@ def pagerank(
     from pyspark.sql import Window
 
     # out-degree is static across iterations: bake it into the edge
-    # checkpoint as a window count over the distinct edges (round-10 —
+    # relation as a window count over the distinct edges (round-10 —
     # was a separate groupBy relation joined back EVERY iteration, one
-    # full extra join per power step)
+    # full extra join per power step). The loop relations are PERSISTED
+    # (not localCheckpointed, round-11): a checkpoint reports
+    # UnknownPartitioning, so every power iteration re-exchanged the
+    # edge list AND the node list; a cached InMemoryRelation keeps its
+    # child's hash partitioning visible to the planner, so the edge
+    # side of the per-iteration join (the out-degree window's own
+    # exchange hash-partitions on _s, the join key) and the node
+    # side (distinct output is hash-partitioned on node) never
+    # re-shuffle — one Exchange per iteration (the contribution
+    # groupBy) instead of three.
     e = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
@@ -67,13 +76,13 @@ def pagerank(
                 )
             ),
         )
-        .localCheckpoint(eager=True)  # scanned every iteration
+        .persist()  # scanned every iteration
     )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
     n = nodes.count()
     if n == 0:
@@ -117,7 +126,9 @@ def pagerank(
     # residue is O(1) blocks per call instead of O(iters), reclaimed fully
     # by session.cleanup() between queries
     final = ranks.localCheckpoint(eager=True)
-    unpersist_checkpoint(prev_ck, e, nodes)
+    unpersist_checkpoint(prev_ck)
+    e.unpersist()
+    nodes.unpersist()
     return final
 
 

@@ -263,6 +263,37 @@ def minhash_signatures(
     )
 
 
+def _bucket_pairs(banded: DataFrame, keys: list[str], payload: list[str]) -> DataFrame:
+    """All unordered within-bucket candidate pairs via ONE groupBy +
+    in-JVM pair explosion — the replacement for the (band, bucket)
+    SELF-JOIN: the join's two sides each recompute the full upstream
+    signature pipeline (AQE broadcasts one side locally, so the exchange
+    is not reliably reused) and ship the banded rows through two
+    exchanges; the groupBy ships them ONCE and runs the pipeline ONCE.
+
+    Rows are collected per bucket into a sorted struct array (sorted by
+    the leading payload column — the id — so emitted pairs satisfy
+    a < b exactly like the join's ``id_a < id_b`` filter), then exploded
+    into the i<j pairs. A bucket's array is O(bucket size) — the same
+    concentration the self-join's per-key cross product materializes,
+    minus the join machinery. Returns struct columns ``_a``/``_b``
+    carrying ``payload``."""
+    arr = F.array_sort(F.collect_list(F.struct(*payload)))
+    g = banded.groupBy(*keys).agg(arr.alias("_xs")).filter(F.size("_xs") >= 2)
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("_xs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("_xs"), i + F.lit(2), F.size(F.col("_xs"))),
+                    lambda y: F.struct(x.alias("_a"), y.alias("_b")),
+                ),
+            )
+        )
+    )
+    return g.select(pairs.alias("_p")).select("_p._a", "_p._b")
+
+
 def minhash_pairs(
     pipe: Pipeline,
     id_col: str,
@@ -321,16 +352,16 @@ def minhash_pairs(
     )
     if verify == "est":
         sig = sig.persist()
-    # the band join carries ONLY (_id, band, bucket): shipping the 64-long
-    # _sig array on both join sides multiplies shuffle bytes by
-    # O(bands * sig_len); verification re-attaches per *surviving* pair
+    # the band stage carries ONLY (_id, band, bucket): shipping the
+    # 64-long _sig array multiplies shuffle bytes by O(bands * sig_len);
+    # verification re-attaches per *surviving* pair. Candidates come
+    # from ONE (band, bucket) groupBy + pair explosion (_bucket_pairs,
+    # round-11), not a self-join — the join's two sides each recomputed
+    # the whole shingle+hash+minhash pipeline.
     banded = band_signatures(sig, num_hashes, bands, portable)
-    a = banded.select(F.col("_id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("_id").alias("id_b"), "band", "bucket")
     cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        _bucket_pairs(banded, ["band", "bucket"], ["_id"])
+        .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     if verify == "est":
@@ -739,16 +770,13 @@ def simhash_pairs(
         raise ValueError("simhash_pairs: chunks must divide bits (equal-width pigeonhole)")
     width = bits // chunks
     mask = F.lit((1 << width) - 1) if width < 64 else F.lit(-1).cast("long")
-    # cache signatures once (lazy persist, round-10): both sides of the
-    # chunk equi-join derive from them through differently-aliased
-    # projections and Catalyst cannot be relied on to reuse the exchange
-    # (AQE broadcasts one side at bench scale), so without storage the
-    # whole explode+hash+aggregate pipeline would run TWICE (the dominant
-    # cost). Lazy, not eager: both consumers live inside the one final
-    # action, so no build-time checkpoint job. 5000 docs -> one long each.
-    sig = simhash_signatures(
-        pipe.df, id_col, text_col, bits, shingle_k, portable
-    ).localCheckpoint(eager=False)
+    # Candidates come from ONE (chunk, key) groupBy + pair explosion
+    # (_bucket_pairs, round-11), not a chunk self-join: the join's two
+    # sides each recomputed (or re-read) the signature pipeline and the
+    # banded rows crossed two exchanges. With a single consumer the
+    # round-10 lazy signature persist is no longer needed either — the
+    # explode+hash+aggregate pipeline runs exactly once by construction.
+    sig = simhash_signatures(pipe.df, id_col, text_col, bits, shingle_k, portable)
     banded = sig.select(
         "_id",
         "_sig",
@@ -766,11 +794,14 @@ def simhash_pairs(
             )
         ).alias("cb"),
     ).select("_id", "_sig", "cb.chunk", "cb.key")
-    a = banded.select(F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "chunk", "key")
-    b = banded.select(F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "chunk", "key")
     cand = (
-        a.join(b, on=["chunk", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        _bucket_pairs(banded, ["chunk", "key"], ["_id", "_sig"])
+        .select(
+            F.col("_a._id").alias("id_a"),
+            F.col("_a._sig").alias("sig_a"),
+            F.col("_b._id").alias("id_b"),
+            F.col("_b._sig").alias("sig_b"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
